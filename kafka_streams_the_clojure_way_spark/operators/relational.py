@@ -1,0 +1,95 @@
+"""Relational operator helpers beyond plain ``df.join``/``groupBy``
+(SURVEY.md §2.2: joins absent from the reference, provided as the superset
+surface).
+
+Design notes for scale:
+
+- ``asof_join`` avoids the naive approach (range join + per-key argmax,
+  which explodes to |L|x|R| per key before pruning). Instead it unions the
+  two sides, sorts once per key (ONE shuffle on the key), and carries the
+  most recent right-side values forward with a running window — O(n log n)
+  per key, no intermediate blowup, AQE-friendly.
+- ``top_k_per_key`` uses row_number over a per-key window — Spark pushes a
+  partial top-k (WindowGroupLimit) below the shuffle since 3.5, so only k
+  rows per key per mapper cross the wire.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    *,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: for every left row, attach the most recent right row for
+    the same key with ``right_ts <= left_ts`` (``<`` when ``strict``).
+
+    Matches DuckDB's ``ASOF JOIN`` (inequality ``>=``) semantics for the
+    non-strict default, so results are oracle-checkable. Left rows with no
+    prior right row keep NULL right values (left-outer as-of).
+
+    Implementation: tag both sides, union, and compute
+    ``last(right_value, ignorenulls=True)`` over a per-key window ordered
+    by (ts, side) — right rows sort before simultaneous left rows unless
+    ``strict``, in which case they sort after.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    # side marker: right rows must be visible to left rows at the same
+    # timestamp iff non-strict.
+    right_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0 if not strict else 2).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_values],
+    )
+    left_cols = [c for c in left.columns if c not in keys and c != left_ts]
+    left_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left_cols],
+    ).withColumns({f"__r_{c}": F.lit(None) for c in right_values})
+
+    unioned = right_tagged.unionByName(left_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumns(
+        {f"__r_{c}": F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w) for c in right_values}
+    )
+    out = carried.filter(F.col("__side") == 1)
+    return out.select(
+        *keys,
+        F.col("__ts").alias(left_ts),
+        *[F.col(c) for c in left_cols],
+        *[F.col(f"__r_{c}").alias(c) for c in right_values],
+    )
+
+
+def top_k_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    k: int,
+    *,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per key. Callers must make ``order_by`` a total order
+    (include a unique tiebreaker) for deterministic results."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

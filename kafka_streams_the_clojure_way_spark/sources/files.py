@@ -1,0 +1,64 @@
+"""File-format sources. The reference only reads Kafka topics
+(core.clj:29-48); file scans are part of the §2.2 superset surface and are
+"free" in Spark — but we centralize them so scan-level scale knobs
+(partition sizing, schema hints) live in one place.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: The driver-generated test tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table. Plain parquet scan — Catalyst handles filter
+    pushdown / column pruning; never pre-collect or cache here.
+
+    Two session confs are pinned on every call (runtime-settable,
+    idempotent, and required even when the caller built its own session —
+    the driver harness does):
+
+    - ``spark.sql.legacy.parquet.nanosAsLong``: `events.ts` is parquet
+      TIMESTAMP(NANOS), which Spark 4 refuses natively
+      ([PARQUET_TYPE_ILLEGAL]); with the legacy conf it arrives as
+      BIGINT epoch-nanos and we rebuild a micros TimestampType column.
+    - UTC session time zone: date/time rendering must agree with the
+      DuckDB oracle, which treats the naive parquet timestamps as-is.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Read several test tables as a dict (lazy — no jobs run)."""
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for spark.sql() use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,57 @@
+"""Topology run lifecycle (reference: ``start!``/``stop!`` core.clj:86-95,
+``w/build-topology!`` + start at core.clj:207-209).
+
+The runner compiles a topology in streaming mode (source topics bound to
+``readStream`` frames) and starts one streaming query per sink entity.
+Sinks are pluggable: Kafka (production), memory (tests), or any
+``DataFrame -> StreamingQuery`` starter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from kafka_streams_the_clojure_way_spark.plans.compiler import (
+    compile_topology,
+    sink_entities,
+)
+from kafka_streams_the_clojure_way_spark.plans.spec import Topology
+
+SinkStarter = Callable[[str, DataFrame], StreamingQuery]
+
+
+class TopologyRunner:
+    """Owns the streaming queries of one running topology."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        topology: Topology,
+        inputs: dict[str, DataFrame],
+        sink_starter: SinkStarter,
+    ) -> None:
+        self.spark = spark
+        self.topology = topology
+        self.compiled = compile_topology(spark, topology, inputs)
+        self._sink_starter = sink_starter
+        self.queries: dict[str, StreamingQuery] = {}
+
+    def start(self) -> "TopologyRunner":
+        """≙ ``(js/start app)`` (core.clj:91): one query per sink entity."""
+        for name in sink_entities(self.topology):
+            self.queries[name] = self._sink_starter(name, self.compiled[name])
+        return self
+
+    def await_all(self, timeout_sec: float = 120.0) -> None:
+        for query in self.queries.values():
+            query.awaitTermination(timeout_sec)
+
+    def stop(self) -> None:
+        """≙ ``(js/close app)`` (core.clj:93-95)."""
+        for query in self.queries.values():
+            if query.isActive:
+                query.stop()
+        self.queries.clear()

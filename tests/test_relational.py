@@ -1,0 +1,60 @@
+"""Unit tests for relational operator helpers (as-of join, top-k)."""
+
+from __future__ import annotations
+
+from kafka_streams_the_clojure_way_spark.operators.relational import (
+    asof_join,
+    top_k_per_key,
+)
+
+from pyspark.sql import functions as F
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [
+            {"k": "a", "t": 10, "tag": "l1"},
+            {"k": "a", "t": 25, "tag": "l2"},
+            {"k": "b", "t": 5, "tag": "l3"},
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            {"k": "a", "t": 10, "price": 1.0},
+            {"k": "a", "t": 20, "price": 2.0},
+            {"k": "b", "t": 50, "price": 9.0},
+        ]
+    )
+    out = {
+        r.tag: r.price
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t", right_values=["price"]
+        ).collect()
+    }
+    # non-strict: right row at the same timestamp matches (t=10).
+    assert out == {"l1": 1.0, "l2": 2.0, "l3": None}
+
+
+def test_asof_join_strict_excludes_simultaneous(spark):
+    left = spark.createDataFrame([{"k": "a", "t": 10, "tag": "l1"}])
+    right = spark.createDataFrame(
+        [{"k": "a", "t": 10, "price": 1.0}, {"k": "a", "t": 3, "price": 0.5}]
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        right_values=["price"], strict=True,
+    ).collect()
+    assert out[0].price == 0.5
+
+
+def test_top_k_per_key_deterministic_with_ties(spark):
+    rows = [
+        {"k": "a", "v": 3, "id": 1},
+        {"k": "a", "v": 3, "id": 2},
+        {"k": "a", "v": 1, "id": 3},
+    ]
+    df = spark.createDataFrame(rows)
+    out = top_k_per_key(
+        df, keys=["k"], order_by=[F.col("v").desc(), F.col("id")], k=2
+    ).collect()
+    assert sorted((r.id, r.rn) for r in out) == [(1, 1), (2, 2)]

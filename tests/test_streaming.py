@@ -1,0 +1,120 @@
+"""Streaming tests ≙ the reference's end-to-end Kafka verification
+(core.clj:163-187), using file sources + memory sinks (no broker in CI,
+same plan shape): publish known inputs, run the topology, assert exactly
+the expected survivors — and stream/batch parity on the same topology.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from kafka_streams_the_clojure_way_spark import pipelines as P
+from kafka_streams_the_clojure_way_spark.plans import compile_topology
+from kafka_streams_the_clojure_way_spark.plans.compiler import sink_entities
+from kafka_streams_the_clojure_way_spark.sources.memory import drain, start_memory_sink
+
+PURCHASE_SCHEMA = StructType(
+    [
+        StructField("purchase_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("amount", LongType()),
+        StructField("quantity", LongType()),
+    ]
+)
+
+
+def _topology():
+    return {
+        "entities": {
+            "topic/purchase-made": {"type": "topic"},
+            "stream/large": {"type": "stream", "xform": P.large_purchases},
+            "topic/large-transaction-made": {"type": "topic"},
+        },
+        "workflow": [
+            ["topic/purchase-made", "stream/large"],
+            ["stream/large", "topic/large-transaction-made"],
+        ],
+    }
+
+
+def test_streaming_topology_memory_sink(spark, tmp_path):
+    # ≙ core.clj:171-184: amounts 10/500/50/1000 -> exactly 2 survivors.
+    rows = [(i, i, amount, 1) for i, amount in enumerate([10, 500, 50, 1000])]
+    spark.createDataFrame(rows, PURCHASE_SCHEMA).write.parquet(str(tmp_path / "in"))
+
+    stream_in = spark.readStream.schema(PURCHASE_SCHEMA).parquet(str(tmp_path / "in"))
+    topo = _topology()
+    compiled = compile_topology(spark, topo, {"topic/purchase-made": stream_in})
+    assert sink_entities(topo) == ["topic/large-transaction-made"]
+
+    query = start_memory_sink(
+        compiled["topic/large-transaction-made"], "large_tx_test"
+    )
+    drain(query)
+    out = spark.sql("SELECT * FROM large_tx_test ORDER BY amount").collect()
+    assert [(r.user_id, r.amount) for r in out] == [(1, 500), (3, 1000)]
+
+
+def test_stream_batch_parity(spark, tmp_path):
+    """The same topology compiled from a streaming source and from a batch
+    source must produce identical output sets (SURVEY §5.3)."""
+    rows = [(i, i % 3, 90 + i * 7, 1) for i in range(40)]
+    spark.createDataFrame(rows, PURCHASE_SCHEMA).write.parquet(str(tmp_path / "in"))
+    topo = _topology()
+
+    batch_in = spark.read.parquet(str(tmp_path / "in"))
+    batch_out = compile_topology(spark, topo, {"topic/purchase-made": batch_in})[
+        "topic/large-transaction-made"
+    ]
+    expected = sorted((r.user_id, r.amount) for r in batch_out.collect())
+
+    stream_in = spark.readStream.schema(PURCHASE_SCHEMA).parquet(str(tmp_path / "in"))
+    stream_out = compile_topology(spark, topo, {"topic/purchase-made": stream_in})[
+        "topic/large-transaction-made"
+    ]
+    query = start_memory_sink(stream_out, "parity_test")
+    drain(query)
+    got = sorted(
+        (r.user_id, r.amount)
+        for r in spark.sql("SELECT * FROM parity_test").collect()
+    )
+    assert got == expected and len(got) > 0
+
+
+def test_streaming_merge_fan_in(spark, tmp_path):
+    """Streaming union through the topology compiler (two source streams
+    fan into one sink — core.clj:152-153 shape)."""
+    a_rows = [(1, 1, 500, 1)]
+    b_rows = [(2, 2, 700, 1), (3, 3, 10, 1)]
+    spark.createDataFrame(a_rows, PURCHASE_SCHEMA).write.parquet(str(tmp_path / "a"))
+    spark.createDataFrame(b_rows, PURCHASE_SCHEMA).write.parquet(str(tmp_path / "b"))
+    topo = {
+        "entities": {
+            "topic/a": {"type": "topic"},
+            "topic/b": {"type": "topic"},
+            "stream/large": {"type": "stream", "xform": P.large_purchases},
+            "topic/out": {"type": "topic"},
+        },
+        "workflow": [
+            ["topic/a", "stream/large"],
+            ["topic/b", "stream/large"],
+            ["stream/large", "topic/out"],
+        ],
+    }
+    compiled = compile_topology(
+        spark,
+        topo,
+        {
+            "topic/a": spark.readStream.schema(PURCHASE_SCHEMA).parquet(str(tmp_path / "a")),
+            "topic/b": spark.readStream.schema(PURCHASE_SCHEMA).parquet(str(tmp_path / "b")),
+        },
+    )
+    query = start_memory_sink(compiled["topic/out"], "fanin_test")
+    drain(query)
+    got = sorted(r.amount for r in spark.sql("SELECT * FROM fanin_test").collect())
+    assert got == [500, 700]

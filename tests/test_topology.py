@@ -1,0 +1,130 @@
+"""Topology-as-data tests ≙ the reference's willa usage: offline
+simulation with golden outputs (core.clj:224-244) and spec validation
+rejecting bad topologies (core.clj:246-252)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_the_clojure_way_spark import pipelines as P
+from kafka_streams_the_clojure_way_spark.plans import (
+    TopologyError,
+    compile_topology,
+    run_experiment,
+    to_dot,
+    validate_topology,
+)
+from kafka_streams_the_clojure_way_spark.plans.compiler import sink_entities
+from kafka_streams_the_clojure_way_spark.queries.reference_queries import (
+    flagship_topology,
+)
+
+
+def test_run_experiment_flagship(spark):
+    """≙ we/run-experiment with the reference's exact inputs
+    (core.clj:226-234): one purchase of 200, one donation of 15000 cents.
+    Expected: two large transactions (200 and 150)."""
+    topo = flagship_topology()
+    outputs = run_experiment(
+        spark,
+        topo,
+        inputs={
+            "topic/purchase-made": [
+                {"purchase_id": 1, "user_id": 2, "amount": 200, "quantity": 1}
+            ],
+            "topic/humble-donation-made": [
+                {"user_id": 3, "donation_amount_cents": 15000, "donation_date": "2019-01-02"}
+            ],
+        },
+    )
+    sink = sorted(
+        outputs["topic/large-transaction-made"], key=lambda r: r["user_id"]
+    )
+    assert sink == [{"user_id": 2, "amount": 200}, {"user_id": 3, "amount": 150}]
+    # every entity is annotated with its output (≙ ::we/output):
+    assert outputs["stream/large-purchase-made"] == [{"user_id": 2, "amount": 200}]
+    assert len(outputs["topic/purchase-made"]) == 1
+
+
+def test_validation_rejects_cycle(spark):
+    """≙ core.clj:249-252: a workflow loop must be rejected."""
+    topo = flagship_topology()
+    topo["workflow"].append(
+        ["topic/large-transaction-made", "stream/large-purchase-made"]
+    )
+    with pytest.raises(TopologyError, match="cycle"):
+        validate_topology(topo)
+
+
+def test_validation_rejects_dangling_ref():
+    topo = flagship_topology()
+    topo["workflow"].append(["topic/purchase-made", "stream/missing"])
+    with pytest.raises(TopologyError, match="undefined entity"):
+        validate_topology(topo)
+
+
+def test_validation_rejects_xform_on_topic():
+    topo = flagship_topology()
+    topo["entities"]["topic/purchase-made"]["xform"] = lambda df: df
+    with pytest.raises(TopologyError, match="must not carry an xform"):
+        validate_topology(topo)
+
+
+def test_merge_schema_mismatch_fails_fast(spark):
+    """The schema-drift check the reference leaves to convention
+    (SURVEY §2.3): fan-in branches with different columns must fail at
+    compile time with entity context."""
+    topo = {
+        "entities": {
+            "topic/a": {"type": "topic"},
+            "topic/b": {"type": "topic"},
+            "topic/out": {"type": "topic"},
+        },
+        "workflow": [["topic/a", "topic/out"], ["topic/b", "topic/out"]],
+    }
+    a = spark.createDataFrame([{"x": 1}])
+    b = spark.createDataFrame([{"y": 2}])
+    with pytest.raises(TopologyError, match="incompatible schemas"):
+        compile_topology(spark, topo, {"topic/a": a, "topic/b": b})
+
+
+def test_missing_source_input_fails():
+    topo = flagship_topology()
+    with pytest.raises(TopologyError, match="no bound input"):
+        from kafka_streams_the_clojure_way_spark.plans import compile_topology as ct
+
+        ct(None, topo, {})
+
+
+def test_sink_entities():
+    assert sink_entities(flagship_topology()) == ["topic/large-transaction-made"]
+
+
+def test_to_dot_renders_all_entities():
+    dot = to_dot(flagship_topology())
+    assert "digraph" in dot
+    for name in flagship_topology()["entities"]:
+        assert name in dot
+    assert '"stream/large-purchase-made" -> "topic/large-transaction-made"' in dot
+
+
+def test_fan_in_merges_streams(spark):
+    """Two edges into one entity = union at that node (core.clj:152-153)."""
+    topo = {
+        "entities": {
+            "topic/a": {"type": "topic"},
+            "topic/b": {"type": "topic"},
+            "stream/all": {"type": "stream", "xform": P.keep(F.col("v") > 0)},
+        },
+        "workflow": [["topic/a", "stream/all"], ["topic/b", "stream/all"]],
+    }
+    out = run_experiment(
+        spark,
+        topo,
+        inputs={
+            "topic/a": [{"v": 1}, {"v": -5}],
+            "topic/b": [{"v": 7}],
+        },
+    )
+    assert sorted(r["v"] for r in out["stream/all"]) == [1, 7]
