@@ -1,0 +1,123 @@
+"""Multimodal column plumbing (SURVEY.md §7 M5): image/audio/video as
+opaque ``binary`` columns with typed metadata, processed by Arrow-batched
+Pandas UDFs over ``mapInPandas``.
+
+The decode/resize/frame-sample kernels are STUBBED — the image/audio
+libraries (Pillow, ffmpeg, torchaudio, ...) are not in this container —
+but everything Spark-side is real and tested: the schema convention, the
+mapInPandas batch shape, partition sizing, and the metadata extraction
+path. Swapping ``_decode_stub`` for a real decoder changes no plan.
+
+Schema convention for a multimodal asset column::
+
+    asset: struct<
+        bytes:      binary,      -- opaque payload
+        mime:       string,      -- 'image/png', 'audio/wav', ...
+        width:      int,         -- -1 when unknown/not applicable
+        height:     int,
+        n_frames:   int,
+        sample_rate:int
+    >
+
+Scale notes: binary payloads dominate row size — keep
+``spark.sql.files.maxPartitionBytes`` at 128-256 MiB so a partition of
+assets fits executor memory; never collect() assets; feature extraction
+emits small fixed-size vectors so the *output* of this stage is orders of
+magnitude smaller than the input (the classic funnel shape).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSET_SCHEMA = (
+    "bytes binary, mime string, width int, height int, n_frames int, sample_rate int"
+)
+
+FEATURE_DIM = 8
+
+
+def _decode_stub(payload: bytes, mime: str) -> dict:
+    """Deterministic fake decoder. A real build replaces this with
+    Pillow/ffmpeg; the Spark plumbing around it is identical. Raises for
+    unknown mime types exactly as a real decoder would."""
+    if not mime.startswith(("image/", "audio/", "video/")):
+        raise NotImplementedError(f"no decoder for mime {mime!r}")
+    # fake dimensions derived from content so tests are deterministic.
+    n = len(payload)
+    return {
+        "width": (n % 64) + 1,
+        "height": ((n // 64) % 64) + 1,
+        "n_frames": 1 if mime.startswith("image/") else (n % 30) + 1,
+        "sample_rate": 16_000 if mime.startswith("audio/") else -1,
+    }
+
+
+def wrap_binary_assets(df: DataFrame, bytes_col: str, mime: str) -> DataFrame:
+    """Lift a raw binary column into the asset struct convention."""
+    return df.withColumn(
+        "asset",
+        F.struct(
+            F.col(bytes_col).alias("bytes"),
+            F.lit(mime).alias("mime"),
+            F.lit(-1).alias("width"),
+            F.lit(-1).alias("height"),
+            F.lit(-1).alias("n_frames"),
+            F.lit(-1).alias("sample_rate"),
+        ),
+    )
+
+
+def decode_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode metadata for every asset via Arrow-batched mapInPandas.
+    Output: id + decoded metadata + payload size (payload itself dropped —
+    the funnel: big bytes in, small typed rows out)."""
+    import pandas as pd
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                asset = row["asset"]
+                meta = _decode_stub(asset["bytes"], asset["mime"])
+                out.append(
+                    {
+                        id_col: row[id_col],
+                        "mime": asset["mime"],
+                        "n_bytes": len(asset["bytes"]),
+                        **meta,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "asset").mapInPandas(
+        decode,
+        schema=f"{id_col} long, mime string, n_bytes long, width int, height int, "
+        "n_frames int, sample_rate int",
+    )
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixed-size feature vector per asset (stub: byte-histogram folded to
+    FEATURE_DIM buckets — deterministic, replaceable by a real model).
+    Vectorized numpy over Arrow batches; no per-row Python in Spark."""
+    import numpy as np
+    import pandas as pd
+
+    def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, feats = [], []
+            for _, row in pdf.iterrows():
+                buf = np.frombuffer(row["asset"]["bytes"], dtype=np.uint8)
+                hist = np.bincount(buf % FEATURE_DIM, minlength=FEATURE_DIM).astype("float64")
+                total = hist.sum() or 1.0
+                ids.append(row[id_col])
+                feats.append((hist / total).tolist())
+            yield pd.DataFrame({id_col: ids, "features": feats})
+
+    return df.select(id_col, "asset").mapInPandas(
+        featurize, schema=f"{id_col} long, features array<double>"
+    )

@@ -1,0 +1,240 @@
+"""Similarity search over embedding columns (SURVEY.md §7 M5): brute-force
+cosine top-k as the correctness baseline, and an LSH-bucketed (random
+hyperplane) variant as the scale path.
+
+Scale design:
+
+- **Brute force** is O(|Q| x |N|): correct, oracle-checkable, and the
+  right choice when |Q| is small (a probe/eval set). The distributed
+  shape matters: queries broadcast (small side), corpus streams — no
+  corpus shuffle at all, and the top-k per query uses the same
+  WindowGroupLimit partial top-k as relational top-k.
+- **Random-hyperplane LSH** (Charikar'02): sign-pattern of dot products
+  against fixed pseudo-random planes buckets similar vectors together;
+  candidates come from a bucket equi-join. Planes derive from a
+  deterministic LCG on (plane, dim) — portable constants, so the bucket
+  assignment (and thus the result) is reproducible and oracle-checkable.
+- Dot products run as JVM higher-order functions (zip_with + aggregate)
+  — sequential fold, bit-identical to DuckDB's list_dot_product order,
+  no Python in the path. For raw throughput a Pandas-UDF/numpy variant
+  is provided (``cosine_topk_pandas``) — same results up to FP
+  reassociation, used where exact oracle parity is not required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMBED_DIM = 64
+
+#: deterministic pseudo-random hyperplanes: LCG((p * DIM + d)) mapped to
+#: [-0.5, 0.5). Integer arithmetic stays < 2^62 — portable to DuckDB.
+LCG_A = 1_103_515_245
+LCG_C = 12_345
+LCG_M = 1 << 31
+N_PLANES = 8
+
+
+def _plane_weight(p: int, d: int) -> float:
+    return ((LCG_A * (p * EMBED_DIM + d) + LCG_C) % LCG_M) / LCG_M - 0.5
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (JVM-side). Inputs are cast to
+    array<double> FIRST — float32 multiplies would diverge from the
+    DuckDB oracle's double arithmetic."""
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    return F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    zipped = f"list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    prods = f"list_transform({zipped}, p -> p[1] * p[2])"
+    return f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {prods}), (acc, v) -> acc + v)"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`cosine` — explicit sequential fold (NOT
+    list_cosine_similarity, whose internal order may differ) so the double
+    arithmetic is bit-identical."""
+    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, rank per query. Excludes self-matches on equal ids."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+        .join(q, F.col("neighbor_id") != F.col(query_id))
+        .withColumn("cosine", cosine(F.col("__qvec"), F.col("__cvec")))
+    )
+    from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
+
+    return top_k_per_key(
+        scored.select(query_id, "neighbor_id", "cosine"),
+        keys=[query_id],
+        order_by=[F.col("cosine").desc(), F.col("neighbor_id")],
+        k=k,
+        rank_col="rank",
+    ).select(
+        query_id,
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cosine", 6).alias("cosine_r"),
+    )
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """Random-hyperplane sign bucket (0..2^N_PLANES-1) of a vector."""
+    bucket = F.lit(0)
+    vec_d = vec.cast("array<double>")
+    for p in range(N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_d,
+                F.array(*[F.lit(_plane_weight(p, d)) for d in range(EMBED_DIM)]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def lsh_bucket_sql(vec: str) -> str:
+    terms = []
+    for p in range(N_PLANES):
+        weights = ", ".join(repr(_plane_weight(p, d)) for d in range(EMBED_DIM))
+        zipped = f"list_zip(CAST({vec} AS DOUBLE[]), CAST([{weights}] AS DOUBLE[]))"
+        proj = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({zipped}, q -> q[1] * q[2])), "
+            f"(acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, exact
+    cosine rank within candidates. Recall trades against bucket count;
+    multi-probe (flipping one plane bit) would raise recall at 2x cost."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        lsh_bucket(F.col(vec_col)).alias("__bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id),
+            F.col(vec_col).alias("__qvec"),
+            lsh_bucket(F.col(vec_col)).alias("__bucket"),
+        )
+    )
+    scored = (
+        c.join(q, "__bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id))
+        .withColumn("cosine", cosine(F.col("__qvec"), F.col("__cvec")))
+    )
+    from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
+
+    return top_k_per_key(
+        scored.select(query_id, "neighbor_id", "cosine"),
+        keys=[query_id],
+        order_by=[F.col("cosine").desc(), F.col("neighbor_id")],
+        k=k,
+        rank_col="rank",
+    ).select(
+        query_id,
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cosine", 6).alias("cosine_r"),
+    )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Throughput variant: numpy matmul per Arrow batch via mapInPandas.
+    The query matrix ships to every task (broadcast-equivalent); each
+    corpus partition computes a local top-k, and a final per-query top-k
+    merges partials — the canonical distributed k-NN reduction. Results
+    match brute_force_topk up to FP reassociation (numpy SIMD sums), so
+    this one is benchmarked, not oracle-hashed."""
+    import numpy as np
+    import pandas as pd
+
+    qpd = queries.select(id_col, vec_col).toPandas()
+    qids = qpd[id_col].to_numpy()
+    qmat = np.stack(qpd[vec_col].to_numpy()).astype("float64")
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            cmat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            sims = qnorm @ cnorm.T  # |Q| x |batch|
+            for qi, qid in enumerate(qids):
+                row = sims[qi]
+                mask = ids != qid
+                cand_ids = ids[mask]
+                cand_sims = row[mask]
+                top = np.argsort(-cand_sims)[:k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": cand_ids[top],
+                        "cosine": cand_sims[top],
+                    }
+                )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
+
+    return top_k_per_key(
+        partial,
+        keys=["query_id"],
+        order_by=[F.col("cosine").desc(), F.col("neighbor_id")],
+        k=k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")

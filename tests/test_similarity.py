@@ -1,0 +1,60 @@
+"""Unit tests for similarity-search operators on literal vectors."""
+
+from __future__ import annotations
+
+import math
+
+from kafka_streams_the_clojure_way_spark.operators import similarity as S
+
+
+def _emb(spark, vecs):
+    dim = S.EMBED_DIM
+    rows = [
+        {"vec_id": i, "embedding": [float(x) for x in v] + [0.0] * (dim - len(v))}
+        for i, v in enumerate(vecs)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_brute_force_topk_exact_neighbors(spark):
+    # v1 ~ v0 (same direction), v2 orthogonal
+    corpus = _emb(spark, [[1, 0], [2, 0.01], [0, 5]])
+    queries = corpus.filter("vec_id = 0")
+    out = S.brute_force_topk(corpus, queries, k=2).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [1, 2]
+    assert out[0].cosine_r > 0.99
+    assert abs(out[1].cosine_r) < 1e-6
+
+
+def test_brute_force_excludes_self(spark):
+    corpus = _emb(spark, [[1, 0], [0, 1]])
+    out = S.brute_force_topk(corpus, corpus, k=5).collect()
+    assert all(r.query_id != r.neighbor_id for r in out)
+
+
+def test_lsh_bucket_deterministic_and_groups_similar(spark):
+    import pyspark.sql.functions as F
+
+    corpus = _emb(spark, [[1, 2, 3], [1.01, 2.0, 3.0], [-1, -2, -3]])
+    b = corpus.select(S.lsh_bucket(F.col("embedding")).alias("b")).collect()
+    buckets = [r.b for r in b]
+    assert buckets[0] == buckets[1]          # near-identical -> same bucket
+    assert buckets[0] != buckets[2]          # opposite vector -> differs
+    assert all(0 <= x < 2**S.N_PLANES for x in buckets)
+
+
+def test_pandas_topk_matches_exact(spark):
+    corpus = _emb(
+        spark,
+        [[math.cos(i / 7), math.sin(i / 7), i % 3] for i in range(30)],
+    )
+    queries = corpus.filter("vec_id IN (0, 5)")
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in S.brute_force_topk(corpus, queries, k=5).collect()
+    }
+    fast = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in S.cosine_topk_pandas(corpus, queries, k=5).collect()
+    }
+    assert exact == fast

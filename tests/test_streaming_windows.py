@@ -1,0 +1,159 @@
+"""Batch/stream equivalence tests for windowed + stateful streaming ops
+(M4): the same helper on the same rows must agree between a batch frame
+and an availableNow streaming run."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from kafka_streams_the_clojure_way_spark.sources.memory import drain, start_memory_sink
+from kafka_streams_the_clojure_way_spark.streaming import windows as W
+from kafka_streams_the_clojure_way_spark.streaming.state import running_totals
+
+SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("user", StringType()),
+        StructField("value", DoubleType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def _rows():
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    out = []
+    for i in range(120):
+        out.append(
+            (base + dt.timedelta(minutes=i * 7 % 180), f"u{i % 3}", float(i), i)
+        )
+    return out
+
+
+def _write_input(spark, tmp_path):
+    path = str(tmp_path / "stream_in")
+    spark.createDataFrame(_rows(), SCHEMA).write.parquet(path)
+    return path
+
+
+def _collect_set(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_batch_stream_parity(spark, tmp_path):
+    path = _write_input(spark, tmp_path)
+    batch = W.tumbling(
+        spark.read.parquet(path), "ts", "1 hour", "user",
+        aggs={"n": F.count(F.lit(1)), "total": F.sum("value")},
+    )
+    expected = _collect_set(batch, ["window_start", "user", "n", "total"])
+
+    stream = W.tumbling(
+        spark.readStream.schema(SCHEMA).parquet(path), "ts", "1 hour", "user",
+        watermark="10 minutes",
+        aggs={"n": F.count(F.lit(1)), "total": F.sum("value")},
+    )
+    # complete mode: emit every window, open or closed -> equals batch.
+    q = start_memory_sink(stream, "tumbling_parity", complete=True)
+    drain(q)
+    got = _collect_set(
+        spark.sql("SELECT * FROM tumbling_parity"),
+        ["window_start", "user", "n", "total"],
+    )
+    assert got == expected and len(got) > 0
+
+    # append mode: only watermark-finalized windows -> strict subset that
+    # excludes the still-open tail (documented late-data semantics).
+    stream2 = W.tumbling(
+        spark.readStream.schema(SCHEMA).parquet(path), "ts", "1 hour", "user",
+        watermark="10 minutes",
+        aggs={"n": F.count(F.lit(1)), "total": F.sum("value")},
+    )
+    q2 = start_memory_sink(stream2, "tumbling_append", complete=False)
+    drain(q2)
+    closed = _collect_set(
+        spark.sql("SELECT * FROM tumbling_append"),
+        ["window_start", "user", "n", "total"],
+    )
+    assert set(closed) < set(got)
+
+
+def test_sliding_window_amplification(spark, tmp_path):
+    path = _write_input(spark, tmp_path)
+    df = spark.read.parquet(path)
+    tumb = W.tumbling(df, "ts", "1 hour")
+    slid = W.sliding(df, "ts", "1 hour", "30 minutes")
+    # every event lands in exactly 2 sliding windows -> sum of counts doubles
+    assert (
+        slid.agg(F.sum("n_events")).collect()[0][0]
+        == 2 * tumb.agg(F.sum("n_events")).collect()[0][0]
+    )
+
+
+def test_session_window_merges_within_gap(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base, "u", 1.0, 0),
+        (base + dt.timedelta(minutes=4), "u", 1.0, 1),   # same session (gap 5m)
+        (base + dt.timedelta(minutes=30), "u", 1.0, 2),  # new session
+    ]
+    out = W.session(spark.createDataFrame(rows, SCHEMA), "ts", "5 minutes", "user").collect()
+    assert sorted(r.n_events for r in out) == [1, 2]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    path = str(tmp_path / "dedup_in")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base, "a", 1.0, 0),
+        (base + dt.timedelta(seconds=30), "a", 2.0, 1),   # dup key within horizon
+        (base + dt.timedelta(seconds=60), "b", 3.0, 2),
+    ]
+    spark.createDataFrame(rows, SCHEMA).write.parquet(path)
+    stream = W.streaming_dedup(
+        spark.readStream.schema(SCHEMA).parquet(path),
+        keys=["user"], ts_col="ts", watermark="10 minutes",
+    )
+    q = start_memory_sink(stream, "dedup_stream")
+    drain(q)
+    got = sorted(r.user for r in spark.sql("SELECT user FROM dedup_stream").collect())
+    assert got == ["a", "b"]
+
+
+def test_running_totals_batch_stream_parity(spark, tmp_path):
+    path = _write_input(spark, tmp_path)
+    batch = running_totals(spark.read.parquet(path), "user", "value")
+    expected = _collect_set(batch, ["key", "total", "n"])
+
+    stream = running_totals(
+        spark.readStream.schema(SCHEMA).parquet(path), "user", "value"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("running_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q)
+    # update mode may emit intermediate states across batches; the final
+    # state per key must equal the batch aggregate.
+    final = spark.sql(
+        """
+        SELECT key, total, n FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY n DESC) rn
+          FROM running_state) WHERE rn = 1
+        """
+    )
+    got = _collect_set(final, ["key", "total", "n"])
+    assert got == expected and len(got) == 3

@@ -1,0 +1,95 @@
+"""Unit tests for text-analysis and dedup operators on literal data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_the_clojure_way_spark.operators import dedup as D
+from kafka_streams_the_clojure_way_spark.operators import text as T
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+
+
+def test_token_stats(spark):
+    df = _docs(spark, ["Hello world foo", "one"])
+    rows = {r.doc_id: r for r in T.token_stats(df).collect()}
+    assert rows[0].n_tokens == 3
+    assert rows[1].n_tokens == 1
+    # BPE-ish: "hello" -> 1 piece, "12" number, "!" symbol
+    df2 = _docs(spark, ["ab 12 c!"])
+    assert T.token_stats(df2).collect()[0].n_bpeish_tokens == 4
+
+
+def test_quality_score_monotone_in_length(spark):
+    short = "x"
+    long = "the quick brown fox jumps over the lazy dog " * 20
+    rows = {r.doc_id: r for r in T.quality_scores(_docs(spark, [short, long])).collect()}
+    assert rows[1].quality_score > rows[0].quality_score
+    assert 0 <= rows[0].quality_score <= 100
+
+
+def test_lang_id_markers(spark):
+    texts = [
+        "the cat and the dog of it is",     # en
+        "der hund und die katze nicht",      # de
+        "el gato y los perros que una",      # es
+        "xyzzy qwerty",                       # no markers -> und
+    ]
+    rows = [r.lang_pred for r in T.lang_id(_docs(spark, texts)).orderBy("doc_id").collect()]
+    assert rows == ["en", "de", "es", "und"]
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = _docs(spark, ["alpha beta gamma", "gamma beta alpha", "alpha beta gamma"])
+    fps = [r.fingerprint for r in T.fingerprint(df).orderBy("doc_id").collect()]
+    assert fps[0] == fps[2]          # identical text -> identical fingerprint
+    assert fps[0] != fps[1]          # reordered tokens -> different
+    assert all(0 <= f < 2**31 for f in fps)
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(spark, ["same text", "same text", "different"])
+    out = {r.keep_id: r.n_copies for r in D.exact_dedup_groups(df).collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_shingle_hashes_short_doc_fallback(spark):
+    # < K tokens: whole string is the single shingle; never empty.
+    df = _docs(spark, ["one two", ""])
+    out = D.shingle_hashes(F.col("text"))
+    rows = df.select(out.alias("sh")).collect()
+    assert all(len(r.sh) == 1 for r in rows)
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("today", "tonight")         # 1-token edit
+    far = "completely unrelated words about spark engines and parquet files"
+    df = _docs(spark, [base, near, far])
+    pairs = D.minhash_lsh_pairs(df, threshold=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
+    assert pairs[0].jaccard > 0.5
+
+
+def test_minhash_signature_is_deterministic(spark):
+    df = _docs(spark, ["some stable text for signatures"])
+    s1 = df.select(D.minhash_signature(F.col("text")).alias("s")).collect()[0].s
+    s2 = df.select(D.minhash_signature(F.col("text")).alias("s")).collect()[0].s
+    assert s1 == s2 and len(s1) == 16
+
+
+def test_simhash_near_means_small_hamming(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy", 1)
+    df = _docs(spark, [base, near])
+    sigs = [
+        r.s for r in df.select(D.simhash32(F.col("text")).alias("s")).collect()
+    ]
+    dist = bin(sigs[0] ^ sigs[1]).count("1")
+    assert dist <= D.SIMHASH_MAX_DIST
+    pairs = D.simhash_pairs(df).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
