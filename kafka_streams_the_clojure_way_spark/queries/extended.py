@@ -1,0 +1,319 @@
+"""Extended relational + pipeline surface: range/interval joins, edit
+distance, array/vector functions, the SQL-string frontend, grouping sets,
+approximate distinct, and embedding near-dup — completing SURVEY.md §2.2's
+absent-category table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_the_clojure_way_spark.operators import similarity as S
+from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
+from kafka_streams_the_clojure_way_spark.queries.registry import query
+from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+
+# --------------------------------------------------------------------------
+# Range / interval joins
+# --------------------------------------------------------------------------
+
+@query(
+    "join_range_ship_window",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+    FROM lineitem l
+    JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_range_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join + range predicate (ship within 60 days of order): the
+    range condition rides the orderkey hash join as a post-join filter —
+    no nested-loop range join is ever planned because the equi key anchors
+    it. The shape to avoid at scale is range-ONLY joins; always find the
+    anchor key first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    joined = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.date_add(o.o_orderdate.cast("date"), 60).cast("timestamp")),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+_INTERVAL_US = 5 * 60 * 1_000_000  # 5 minutes
+
+
+@query(
+    "join_interval_event_pairs",
+    oracle=f"""
+    SELECT a.event_id AS id_a,
+           b.event_id AS id_b,
+           a.user_id,
+           abs(epoch_us(a.ts) - epoch_us(b.ts)) AS dt_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {_INTERVAL_US}
+    """,
+)
+def join_interval_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self interval join (pairs of events by the same user within 5
+    minutes) via TIME BUCKETING: each left row probes its bucket and the
+    next one, the right side keeps one bucket, candidates filter on the
+    exact interval. Candidate cost is O(events per 5-min bucket per user),
+    never |events|^2 per user — the banded-range-join pattern every
+    streaming sessionizer at scale uses. Oracle is the naive inequality
+    join (fine at oracle SF)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("t")
+    )
+    bucket = (F.col("t") / F.lit(_INTERVAL_US)).cast("long")
+    probe = ev.withColumn("b", F.explode(F.array(bucket, bucket + 1)))
+    build = ev.withColumn("b", bucket)
+    a, b = probe.alias("a"), build.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id")) & (F.col("a.b") == F.col("b.b")))
+        .filter(
+            (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.abs(F.col("a.t") - F.col("b.t")) <= _INTERVAL_US)
+        )
+        .select(
+            F.col("a.event_id").alias("id_a"),
+            F.col("b.event_id").alias("id_b"),
+            F.col("a.user_id").alias("user_id"),
+            F.abs(F.col("a.t") - F.col("b.t")).alias("dt_us"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------------
+# Edit distance (blocked)
+# --------------------------------------------------------------------------
+
+@query(
+    "text_levenshtein_blocked",
+    oracle="""
+    SELECT * FROM (
+        SELECT a.p_partkey AS probe_key,
+               b.p_partkey AS match_key,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+               ROW_NUMBER() OVER (PARTITION BY a.p_partkey
+                                  ORDER BY levenshtein(a.p_name, b.p_name), b.p_partkey)
+                   AS rank
+        FROM part a
+        JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey != b.p_partkey
+        WHERE a.p_partkey % 100 = 0)
+    WHERE rank <= 3
+    """,
+)
+def text_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance matching: probes x same-brand block, 3 nearest
+    names each. Blocking (here: brand) is what keeps O(n*m*lev) feasible —
+    the unblocked version is quadratic in rows AND quadratic per string."""
+    p = load_table(spark, sf_dir, "part")
+    probes = p.filter(F.col("p_partkey") % 100 == 0).select(
+        F.col("p_partkey").alias("probe_key"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("probe_name"),
+    )
+    block = p.select(
+        F.col("p_partkey").alias("match_key"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("match_name"),
+    )
+    cand = probes.join(block, "brand").filter(F.col("probe_key") != F.col("match_key"))
+    scored = cand.withColumn(
+        "lev", F.levenshtein("probe_name", "match_name").cast("long")
+    )
+    return top_k_per_key(
+        scored.select("probe_key", "match_key", "lev"),
+        keys=["probe_key"],
+        order_by=[F.col("lev"), F.col("match_key")],
+        k=3,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Array / vector function pack
+# --------------------------------------------------------------------------
+
+@query(
+    "array_vector_stats",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS vmax,
+           CAST(list_min(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS vmin,
+           sqrt({S._dot_sql('embedding', 'embedding')}) AS l2_norm,
+           CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS BIGINT)
+               AS n_positive
+    FROM embeddings
+    """,
+)
+def array_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function pack over the embedding column: size, min/max, L2
+    norm (sequential fold — matches the oracle bit-for-bit), positivity
+    count. All JVM higher-order functions."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.array_size("embedding").cast("long").alias("dim"),
+        F.array_max(vec).alias("vmax"),
+        F.array_min(vec).alias("vmin"),
+        F.sqrt(S.dot(F.col("embedding"), F.col("embedding"))).alias("l2_norm"),
+        F.array_size(F.filter(vec, lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL-string frontend
+# --------------------------------------------------------------------------
+
+_Q3ISH = """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS revenue,
+           epoch(o.o_orderdate)::BIGINT AS orderdate_epoch
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+"""
+
+
+@query("sql_frontend_shipping_priority", oracle=_Q3ISH)
+def sql_frontend_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style query through the SQL-STRING frontend (spark.sql on
+    registered views) — demonstrating the parser surface is free; the SQL
+    here is near-verbatim the DuckDB oracle (only epoch extraction
+    differs by dialect)."""
+    from kafka_streams_the_clojure_way_spark.sources.files import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS revenue,
+               unix_timestamp(o.o_orderdate) AS orderdate_epoch
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@query(
+    "agg_grouping_sets_events",
+    oracle="""
+    SELECT event_type,
+           user_id % 5 AS user_bucket,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 5))
+    """,
+)
+def agg_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither full cube nor rollup) via the SQL
+    frontend — each set aggregates in one pass over the expanded input."""
+    from kafka_streams_the_clojure_way_spark.sources.files import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type, user_id % 5 AS user_bucket, COUNT(*) AS n_events
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 5))
+        """
+    )
+
+
+@query("agg_approx_distinct_users")
+def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distincts — THE distinct-count operator at
+    100 TB (exact distinct shuffles every key; HLL ships a 1.5 KB sketch
+    per partition). No oracle: DuckDB's approx_count_distinct uses a
+    different sketch, so the driver records the rows-only check; the
+    rel-error bound is asserted against exact counts in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.approx_count_distinct("event_id", rsd=0.01).alias("approx_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup
+# --------------------------------------------------------------------------
+
+# The synthetic embeddings are isotropic-random (measured max pairwise
+# cosine ~0.48, labels carry no geometry), so a production-style 0.95+
+# threshold would make the gate vacuous. 0.3 keeps the semantics
+# ("suspiciously similar for this corpus") AND a non-empty oracle.
+_NEARDUP_COS = 0.3
+
+
+@query(
+    "dedup_embedding_neardup_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding,
+                      {S.lsh_bucket_sql('embedding')} AS bucket FROM embeddings),
+    cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {S.cosine_sql('a.embedding', 'b.embedding')} AS cosine
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cosine, 6) AS cosine_r
+    FROM cand WHERE cosine > {_NEARDUP_COS}
+    """,
+)
+def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket-blocked: the
+    semantic-dedup step of an LLM data pipeline. Same candidates-by-bucket
+    shape as ANN search; cosine > 0.99 within buckets only."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        S.lsh_bucket(F.col("embedding")).alias("bucket"),
+    ).cache()
+    a, b = e.alias("a"), e.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        S.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+    )
+    return (
+        cand.filter(F.col("cosine") > _NEARDUP_COS)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+    )

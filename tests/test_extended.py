@@ -1,0 +1,65 @@
+"""Tests for extended-surface operators (approx distinct accuracy, interval
+join correctness on crafted data)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafka_streams_the_clojure_way_spark.queries.extended import (
+    agg_approx_distinct_users,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_approx_distinct_within_rsd(spark):
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    ev = load_table(spark, SF, "events")
+    exact = ev.agg(
+        F.count_distinct("user_id").alias("u"), F.count_distinct("event_id").alias("e")
+    ).collect()[0]
+    approx = agg_approx_distinct_users(spark, SF).collect()[0]
+    # rsd=0.01 -> generous 5% envelope
+    assert abs(approx.approx_users - exact.u) <= max(1, 0.05 * exact.u)
+    assert abs(approx.approx_events - exact.e) <= 0.05 * exact.e
+
+
+def test_interval_join_bucketing_catches_cross_bucket_pairs(spark):
+    """Two events 4 minutes apart but straddling a 5-minute bucket
+    boundary MUST still pair — the adjacent-bucket probe covers it."""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # bucket k ends at 00:05; these straddle it, 2 min apart
+        {"event_id": 1, "user_id": 7, "ts": base + dt.timedelta(minutes=4)},
+        {"event_id": 2, "user_id": 7, "ts": base + dt.timedelta(minutes=6)},
+        # same bucket pair
+        {"event_id": 3, "user_id": 7, "ts": base + dt.timedelta(minutes=7)},
+        # too far from everything
+        {"event_id": 4, "user_id": 7, "ts": base + dt.timedelta(minutes=30)},
+        # different user, same times
+        {"event_id": 5, "user_id": 8, "ts": base + dt.timedelta(minutes=5)},
+    ]
+    df = spark.createDataFrame(rows)
+
+    # run the same bucketed pairing logic the registered query uses
+    from kafka_streams_the_clojure_way_spark.queries.extended import _INTERVAL_US
+
+    ev = df.select("event_id", "user_id", F.unix_micros(F.col("ts")).alias("t"))
+    bucket = (F.col("t") / F.lit(_INTERVAL_US)).cast("long")
+    probe = ev.withColumn("b", F.explode(F.array(bucket, bucket + 1)))
+    build = ev.withColumn("b", bucket)
+    a, b = probe.alias("a"), build.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id")) & (F.col("a.b") == F.col("b.b")))
+        .filter(
+            (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.abs(F.col("a.t") - F.col("b.t")) <= _INTERVAL_US)
+        )
+        .select(F.col("a.event_id").alias("id_a"), F.col("b.event_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    got = sorted((r.id_a, r.id_b) for r in pairs.collect())
+    assert got == [(1, 2), (1, 3), (2, 3)]
