@@ -32,6 +32,7 @@ from kafka_streams_the_clojure_way_spark.queries import (  # noqa: E402,F401
     llm_pipeline,
     reference_queries,
     relational,
+    stats,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

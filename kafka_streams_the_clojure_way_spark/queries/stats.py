@@ -1,0 +1,128 @@
+"""Statistical aggregates, pivot, and explode-based queries — finishing
+the scalar/aggregate categories of SURVEY.md §2.2.
+
+Cross-engine notes (measured, not assumed):
+- Spark ``percentile`` (exact, interpolating) == DuckDB ``quantile_cont``
+  bit-for-bit; at 100 TB swap for ``approx_percentile`` (t-digest-style
+  sketch, no global sort).
+- ``stddev_samp``/``var_samp`` match bit-exact at our partition counts but
+  merge-order can wiggle last ULPs, and ``corr`` measurably differs at
+  1e-14 — so second-moment outputs are rounded to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_the_clojure_way_spark.operators.dedup import shingle_hashes, shingle_hashes_sql
+from kafka_streams_the_clojure_way_spark.queries.registry import query
+from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+
+@query(
+    "agg_percentiles_prices",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.90) AS p90,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. Exact percentile sorts
+    within each group — fine for bounded groups; unbounded 100 TB groups
+    take approx_percentile instead (sketch merge, no sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.90)").alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_moment_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           round(stddev_samp(c_acctbal), 6) AS acctbal_sd,
+           round(var_samp(c_acctbal) / 1000000, 6) AS acctbal_var_m,
+           round(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS bal_key_corr,
+           round(avg(c_acctbal), 6) AS acctbal_mean
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (stddev/variance/correlation), rounded to
+    absorb merge-order ULP drift. Moments merge associatively — one
+    partial-agg shuffle like any sum."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.stddev_samp("c_acctbal"), 6).alias("acctbal_sd"),
+        F.round(F.var_samp("c_acctbal") / 1_000_000, 6).alias("acctbal_var_m"),
+        F.round(F.corr("c_acctbal", F.col("c_custkey").cast("double")), 6).alias(
+            "bal_key_corr"
+        ),
+        F.round(F.avg("c_acctbal"), 6).alias("acctbal_mean"),
+    )
+
+
+@query(
+    "agg_pivot_event_counts",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long -> wide): event-type counts per user bucket. The value
+    list is pinned so Spark skips the extra distinct-values job — at
+    scale an unpinned pivot is two passes, pinned is one."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 10
+    )
+    out = (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a (bucket, type) pair has no rows; counts are 0
+    return out.select(
+        "user_bucket",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "error", "purchase", "signup", "view"]],
+    )
+
+
+@query(
+    "text_top_shingles",
+    oracle=f"""
+    SELECT s AS shingle_hash, COUNT(*) AS n_docs
+    FROM (SELECT doc_id, unnest({shingle_hashes_sql("text")}) AS s FROM documents)
+    GROUP BY s
+    ORDER BY n_docs DESC, s
+    LIMIT 20
+    """,
+)
+def text_top_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode (lateral view) + aggregate + top-k: the 20 most widespread
+    shingles — the 'boilerplate detector' of a dedup pipeline (exactly the
+    skewed keys that LSH banding must survive)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(F.explode(shingle_hashes(F.col("text"))).alias("shingle_hash"))
+    return (
+        sh.groupBy("shingle_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("shingle_hash"))
+        .limit(20)
+    )

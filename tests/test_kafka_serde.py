@@ -1,0 +1,64 @@
+"""Kafka serde path tests without a broker: the JSON encode (record frame
+-> wire frame) and decode (wire frame -> record frame) halves must
+compose to the identity, which is exactly what a produce/consume
+round-trip through a topic would exercise (≙ EDN serde round-trip,
+reference core.clj:24-26)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from kafka_streams_the_clojure_way_spark.sources.kafka import Topic, _decoded, _encoded
+
+VALUE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("amount", LongType()),
+        StructField("note", StringType()),
+    ]
+)
+
+TOPIC = Topic(name="large-transaction-made", partitions=4, value_schema=VALUE_SCHEMA)
+
+
+def test_serde_round_trip(spark):
+    records = spark.createDataFrame(
+        [
+            {"key": "1", "user_id": 1, "amount": 200, "note": "a"},
+            {"key": "2", "user_id": 2, "amount": 150, "note": None},
+        ]
+    )
+    wire = _encoded(records, TOPIC)
+    assert wire.columns == ["key", "value"]
+
+    # simulate what Kafka hands back: key/value binary + metadata columns
+    kafka_like = wire.select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit(TOPIC.name).alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+        F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers"),
+    )
+    decoded = _decoded(kafka_like, TOPIC)
+    out = {r.key: r for r in decoded.collect()}
+    assert out["1"].user_id == 1 and out["1"].amount == 200 and out["1"].note == "a"
+    assert out["2"].note is None
+    # Kafka metadata kept for provenance, payload columns fully lifted
+    assert {"partition", "offset", "timestamp"} <= set(decoded.columns)
+    assert "value" not in decoded.columns
+
+
+def test_encoded_drops_metadata_not_payload(spark):
+    df = spark.createDataFrame(
+        [{"key": "k", "user_id": 9, "amount": 1, "note": "x", "offset": 5, "partition": 1}]
+    )
+    wire = _encoded(df, TOPIC)
+    import json
+
+    row = wire.collect()[0]
+    payload = json.loads(row.value)
+    assert payload == {"user_id": 9, "amount": 1, "note": "x"}
