@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from kafka_streams_the_clojure_way_spark.functions.portable import MERSENNE_31
 from kafka_streams_the_clojure_way_spark.operators.text import tokens_col, tokens_sql
+from kafka_streams_the_clojure_way_spark.sources.files import with_min_parallelism
 
 SHINGLE_K = 3
 
@@ -45,10 +46,25 @@ MINHASH_SEEDS: tuple[tuple[int, int], ...] = tuple(
 LSH_BANDS = 4
 LSH_ROWS = len(MINHASH_SEEDS) // LSH_BANDS
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60
 SIMHASH_BANDS = 4
-SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 8
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
 SIMHASH_MAX_DIST = SIMHASH_BANDS - 1  # pigeonhole guarantee
+
+#: One universal-hash (a, b) per signature bit: bit i of the signature
+#: votes on the low bit of (a_i*h + b_i) % M31. 60 bits (not Manku's 64)
+#: keeps the signature strictly positive in a signed 64-bit BIGINT on
+#: both engines — no unsigned-overflow divergence between Spark and the
+#: DuckDB oracle.
+#: Seeds are reduced mod M31 so a*h stays < 2^62 — no 64-bit overflow in
+#: either engine (Spark ANSI mode hard-errors on long overflow).
+SIMHASH_SEEDS: tuple[tuple[int, int], ...] = tuple(
+    (
+        (2_654_435_761 * (i + 1) + 101) % MERSENNE_31 or 1,
+        (40_503 * (i + 1) + 7) % MERSENNE_31,
+    )
+    for i in range(SIMHASH_BITS)
+)
 
 
 # --------------------------------------------------------------------------
@@ -117,17 +133,20 @@ def minhash_from_hashes(hashes: Column) -> Column:
     """k=16 minhash signature (array<long>) from fixed seeds.
 
     ``hashes`` MUST be a materialized column attribute (not an inline
-    expression): the 16 per-seed folds each reference it, and Catalyst
-    does not CSE repeated higher-order subtrees — an inline
-    shingle_hashes() here would md5 every shingle 16 times (measured 7x
-    slowdown at sf0.1)."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_31))
-            )
-            for a, b in MINHASH_SEEDS
-        ]
+    expression): the per-seed folds reference it, and Catalyst does not
+    CSE repeated higher-order subtrees — an inline shingle_hashes() here
+    would md5 every shingle k times (measured 7x slowdown at sf0.1).
+
+    Seeds are array literals folded with one nested zip_with/transform —
+    constant plan depth (see simhash_from_hashes for why that matters)."""
+    seeds_a = _long_array(a for a, _ in MINHASH_SEEDS)
+    seeds_b = _long_array(b for _, b in MINHASH_SEEDS)
+    return F.zip_with(
+        seeds_a,
+        seeds_b,
+        lambda a, b: F.array_min(
+            F.transform(hashes, lambda h: (a * h + b) % F.lit(MERSENNE_31))
+        ),
     )
 
 
@@ -184,7 +203,8 @@ def minhash_lsh_pairs(
     verification instead of recomputing md5s per consumer.
     """
     sigs = (
-        df.select(F.col(id_col), shingle_hashes(F.col(text)).alias("sh"))
+        with_min_parallelism(df)
+        .select(F.col(id_col), shingle_hashes(F.col(text)).alias("sh"))
         .withColumn("sig", minhash_from_hashes(F.col("sh")))
         .cache()
     )
@@ -279,50 +299,67 @@ def token_hashes(text: Column) -> Column:
     )
 
 
+def _long_array(vals) -> Column:
+    return F.array(*[F.lit(int(v)).cast("long") for v in vals])
+
+
 def simhash_from_hashes(hashes: Column) -> Column:
-    """32-bit SimHash over token hashes: bit b of the signature is set iff
-    more than half the tokens have bit b set in their 31-bit hash (bit 31
-    uses a re-mixed hash so all 32 signature bits carry signal).
+    """60-bit SimHash over token hashes (Charikar'02; Manku et al. WWW'07
+    use 64 bits — see SIMHASH_SEEDS for why 60): bit i of the signature is
+    the majority vote of the low bit of seed-i's universal hash of each
+    token. Wide signatures make 15-bit band keys selective — the 8-bit
+    bands of a 32-bit signature collide into ~1500-doc buckets on
+    boilerplate-heavy corpora (measured at sf0.1: 5.2M candidate pairs
+    from 5k docs), which is the quadratic blowup banding exists to avoid.
 
-    Like minhash_from_hashes, ``hashes`` must be a materialized column —
-    the 32 bit-folds each reference it, and inlining the md5 transform
-    here would hash every token 32 times."""
+    Expression SHAPE matters as much as the algorithm: an earlier
+    formulation built one filter-pass per bit — a depth-60 tree of
+    higher-order functions that took ~55 s of DRIVER-side analysis/codegen
+    per plan. This one is constant-depth: seeds live in array literals,
+    one ``aggregate`` pass over the tokens accumulates all 60 bit-votes
+    via ``zip_with``, and a final fold turns majority votes into the
+    signature. Single pass over the data, O(1) plan size."""
+    seeds_a = _long_array(a for a, _ in SIMHASH_SEEDS)
+    seeds_b = _long_array(b for _, b in SIMHASH_SEEDS)
+    powers = _long_array(1 << i for i in range(SIMHASH_BITS))
     n = F.array_size(hashes)
-    sig = F.lit(0).cast("long")
-    for bit in range(SIMHASH_BITS):
-        # bit 31 of h is always 0 (h < 2^31), so re-mix for the top bit.
-        probe = (
-            (lambda h: h)
-            if bit < 31
-            else (lambda h: (h * F.lit(2_654_435_761) + F.lit(1)) % F.lit(MERSENNE_31))
-        )
-        b = bit if bit < 31 else 0
-        ones = F.array_size(
-            F.filter(hashes, lambda h: probe(h).bitwiseAND(F.lit(1 << b)) != 0)
-        )
-        sig = sig + F.when(ones * 2 > n, F.lit(1 << bit)).otherwise(F.lit(0))
-    return sig
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(
+                seeds_a,
+                seeds_b,
+                lambda a, b: ((a * h + b) % F.lit(MERSENNE_31)).bitwiseAND(F.lit(1)),
+            ),
+            lambda v, bit: v + bit,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda ones, pw: F.when(ones * 2 > n, pw).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
-def simhash32(text: Column) -> Column:
+def simhash_sig(text: Column) -> Column:
     """Convenience one-shot SimHash (single-use projections only)."""
     return simhash_from_hashes(token_hashes(text))
 
 
-def simhash32_sql(text: str) -> str:
+def simhash_sig_sql(text: str) -> str:
     toks = tokens_sql(text)
     hashes = (
         f"list_transform({toks}, t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % {MERSENNE_31})"
     )
     terms = []
-    for bit in range(SIMHASH_BITS):
-        if bit < 31:
-            probe = "h"
-            b = bit
-        else:
-            probe = f"((h * 2654435761 + 1) % {MERSENNE_31})"
-            b = 0
-        ones = f"len(list_filter({hashes}, h -> ({probe} & {1 << b}) != 0))"
+    for bit, (a, b) in enumerate(SIMHASH_SEEDS):
+        ones = f"len(list_filter({hashes}, h -> (({a} * h + {b}) % {MERSENNE_31}) & 1 = 1))"
         terms.append(f"(CASE WHEN {ones} * 2 > len({hashes}) THEN {1 << bit} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
 
@@ -333,14 +370,20 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_dist: int = SIMHASH_MAX_DIST,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash banding: split the 32-bit signature into
-    4 bands of 8 bits; hamming distance <= 3 implies >= 1 identical band
+    """Near-dup pairs by SimHash banding: split the 60-bit signature into
+    4 bands of 15 bits; hamming distance <= 3 implies >= 1 identical band
     (pigeonhole), so candidates come from a band equi-join and the xor
     popcount verifies. No all-pairs product anywhere. Signatures are
     computed from a materialized token-hash column and cached — both
-    join sides read the same 8-byte-per-doc signature table."""
+    join sides read the same 8-byte-per-doc signature table.
+
+    The hamming filter runs BEFORE the pair-distinct: popcount-on-xor is
+    ~free per row, while distinct is a shuffle — at sf0.1 filtering first
+    cut the distinct's input from 5.2M candidate rows to the true-pair
+    set (measured 7s -> sub-second)."""
     sigs = (
-        df.select(F.col(id_col), token_hashes(F.col(text)).alias("th"))
+        with_min_parallelism(df)
+        .select(F.col(id_col), token_hashes(F.col(text)).alias("th"))
         .select(F.col(id_col), simhash_from_hashes(F.col("th")).alias("sig"))
         .cache()
     )
@@ -375,13 +418,13 @@ def simhash_pairs(
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
     dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cand.withColumn("hamming", dist.cast("long"))
         .filter(F.col("hamming") <= max_dist)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -391,7 +434,7 @@ def simhash_pairs_sql(
     id_col: str = "doc_id",
     max_dist: int = SIMHASH_MAX_DIST,
 ) -> str:
-    sig = simhash32_sql(text)
+    sig = simhash_sig_sql(text)
     band_structs = ", ".join(
         f"struct_pack(band := {b}, bkey := (sig >> {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1})"
         for b in range(SIMHASH_BANDS)
@@ -401,14 +444,10 @@ def simhash_pairs_sql(
     banded AS (
         SELECT {id_col}, sig, u.band AS band, u.bkey AS bkey
         FROM sigs, unnest([{band_structs}]) AS t(u)
-    ),
-    cand AS (
-        SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
-               a.sig AS sig_a, b.sig AS sig_b
-        FROM banded a JOIN banded b
-          ON a.band = b.band AND a.bkey = b.bkey AND a.{id_col} < b.{id_col}
     )
-    SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-    FROM cand
-    WHERE bit_count(xor(sig_a, sig_b)) <= {max_dist}
+    SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.{id_col} < b.{id_col}
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_dist}
     """

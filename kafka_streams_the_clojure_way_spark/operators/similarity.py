@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafka_streams_the_clojure_way_spark.sources.files import with_min_parallelism
+
 EMBED_DIM = 64
 
 #: deterministic pseudo-random hyperplanes: LCG((p * DIM + d)) mapped to
@@ -87,7 +89,8 @@ def brute_force_topk(
         )
     )
     scored = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+        with_min_parallelism(corpus)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
         .join(q, F.col("neighbor_id") != F.col(query_id))
         .withColumn("cosine", cosine(F.col("__qvec"), F.col("__cvec")))
     )
@@ -151,7 +154,7 @@ def lsh_topk(
     """Approximate top-k: candidates share the query's LSH bucket, exact
     cosine rank within candidates. Recall trades against bucket count;
     multi-probe (flipping one plane bit) would raise recall at 2x cost."""
-    c = corpus.select(
+    c = with_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         lsh_bucket(F.col(vec_col)).alias("__bucket"),
@@ -226,7 +229,7 @@ def cosine_topk_pandas(
                     }
                 )
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(
+    partial = with_min_parallelism(corpus).select(id_col, vec_col).mapInPandas(
         score, schema="query_id long, neighbor_id long, cosine double"
     )
     from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key

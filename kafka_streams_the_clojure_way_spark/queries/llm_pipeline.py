@@ -21,7 +21,7 @@ from kafka_streams_the_clojure_way_spark.operators.multimodal import (
     wrap_binary_assets,
 )
 from kafka_streams_the_clojure_way_spark.queries.registry import query
-from kafka_streams_the_clojure_way_spark.sources.files import load_table
+from kafka_streams_the_clojure_way_spark.sources.files import load_table, with_min_parallelism
 
 
 def _select_sql(exprs: dict[str, str], table: str, extra: str = "doc_id") -> str:
@@ -120,7 +120,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifier; at 100 TB the candidate generation must come from LSH
     (next query) — an unblocked shingle join on a boilerplate-heavy crawl
     is the classic quadratic blowup."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
     # cached: the posting list feeds both join sides AND the size table —
     # without it the shingle md5s are computed 3x (materialize at scale).
     sh = docs.select(
@@ -161,7 +161,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash_pairs", oracle=D.simhash_pairs_sql())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32) near-dup pairs with 4x8-bit banding: hamming<=3 is
+    """SimHash(60) near-dup pairs with 4x15-bit banding: hamming<=3 is
     guaranteed caught by >=1 exact band match (Manku et al. WWW'07
     pigeonhole argument) — so candidates again come from an equi-join."""
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"))

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from kafka_streams_the_clojure_way_spark.operators.dedup import shingle_hashes, shingle_hashes_sql
 from kafka_streams_the_clojure_way_spark.queries.registry import query
-from kafka_streams_the_clojure_way_spark.sources.files import load_table
+from kafka_streams_the_clojure_way_spark.sources.files import load_table, with_min_parallelism
 
 
 @query(
@@ -118,7 +118,7 @@ def text_top_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explode (lateral view) + aggregate + top-k: the 20 most widespread
     shingles — the 'boilerplate detector' of a dedup pipeline (exactly the
     skewed keys that LSH banding must survive)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
     sh = docs.select(F.explode(shingle_hashes(F.col("text"))).alias("shingle_hash"))
     return (
         sh.groupBy("shingle_hash")

@@ -87,7 +87,7 @@ def test_simhash_near_means_small_hamming(spark):
     near = base.replace("lazy", "sleepy", 1)
     df = _docs(spark, [base, near])
     sigs = [
-        r.s for r in df.select(D.simhash32(F.col("text")).alias("s")).collect()
+        r.s for r in df.select(D.simhash_sig(F.col("text")).alias("s")).collect()
     ]
     dist = bin(sigs[0] ^ sigs[1]).count("1")
     assert dist <= D.SIMHASH_MAX_DIST
