@@ -239,6 +239,16 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, _queries_frame(spark, sf_dir), k=10)
 
 
+@query("sim_ivf_ann_topk", oracle=S.ivf_topk_sql(query_mod=_QUERY_MOD))
+def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF coarse quantization: assign every vector
+    to its nearest (broadcast) centroid, probe the query's 3 best cells,
+    exact cosine within candidates. At 100 TB the cell assignment is the
+    persisted index — partition by cell and probes prune partitions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, _queries_frame(spark, sf_dir), k=10)
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------

@@ -105,6 +105,38 @@ def agg_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_unpivot_segment_metrics",
+    oracle="""
+    WITH wide AS (
+        SELECT c_mktsegment,
+               round(avg(c_acctbal), 6) AS avg_bal,
+               round(max(c_acctbal), 6) AS max_bal,
+               CAST(COUNT(*) AS DOUBLE) AS n_cust
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, 'avg_bal' AS metric, avg_bal AS value FROM wide
+    UNION ALL
+    SELECT c_mktsegment, 'max_bal' AS metric, max_bal AS value FROM wide
+    UNION ALL
+    SELECT c_mktsegment, 'n_cust' AS metric, n_cust AS value FROM wide
+    """,
+)
+def agg_unpivot_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long), the inverse of the pivot query: per-segment
+    metrics melted to (segment, metric, value). Narrow per-row expansion
+    after the aggregate — the only shuffle is the groupBy itself."""
+    c = load_table(spark, sf_dir, "customer")
+    wide = c.groupBy("c_mktsegment").agg(
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        F.round(F.max("c_acctbal"), 6).alias("max_bal"),
+        F.count(F.lit(1)).cast("double").alias("n_cust"),
+    )
+    return wide.unpivot(
+        ["c_mktsegment"], ["avg_bal", "max_bal", "n_cust"], "metric", "value"
+    )
+
+
+@query(
     "text_top_shingles",
     oracle=f"""
     SELECT s AS shingle_hash, COUNT(*) AS n_docs

@@ -81,6 +81,45 @@ def load_tables(
     return {name: load_table(spark, sf_dir, name) for name in names}
 
 
+def read_csv(
+    spark: SparkSession, path: str, schema=None, *, header: bool = True, **options
+) -> DataFrame:
+    """CSV scan. An explicit ``schema`` is strongly preferred: schema
+    inference is an extra full pass over the data — unacceptable at scale
+    (and silently type-flaky). Pushdown note: CSV supports column pruning
+    but not predicate pushdown; convert hot datasets to parquet."""
+    reader = spark.read.options(header=header, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema=None, *, multiline: bool = False, **options
+) -> DataFrame:
+    """JSON-lines scan (``multiline`` for whole-file documents). Same
+    schema discipline as CSV: pass a StructType; inference double-scans."""
+    reader = spark.read.options(multiLine=multiline, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
+    """Write a frame as parquet (default) / csv / json. Parquet is the
+    only sane interchange at scale (columnar, statistics, pushdown);
+    csv/json exist for edge interop."""
+    writer = df.write.mode("overwrite").options(**options)
+    if fmt == "csv":
+        writer.option("header", True).csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        writer.parquet(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for spark.sql() use."""
     for name in TABLES:

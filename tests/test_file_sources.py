@@ -1,0 +1,48 @@
+"""CSV / JSON source round-trips (SURVEY.md §2.2 "File-format scans"):
+write -> read with explicit schema must be lossless for the types the
+engine uses; schema inference is exercised but documented as dev-only."""
+
+from __future__ import annotations
+
+from kafka_streams_the_clojure_way_spark.sources.files import (
+    read_csv,
+    read_json,
+    write_table,
+)
+
+ROWS = [
+    (1, "alice", 10.5, "2024-01-01"),
+    (2, "bob", -3.25, "2024-06-30"),
+    (3, "carol", 0.0, "2025-12-31"),
+]
+SCHEMA = "id long, name string, score double, day string"
+
+
+def _frame(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def _collected(df):
+    return sorted(tuple(r) for r in df.select("id", "name", "score", "day").collect())
+
+
+def test_csv_round_trip(spark, tmp_path):
+    path = str(tmp_path / "t_csv")
+    write_table(_frame(spark), path, "csv")
+    back = read_csv(spark, path, schema=SCHEMA)
+    assert _collected(back) == sorted(ROWS)
+    assert dict(back.dtypes)["score"] == "double"
+
+
+def test_csv_inference_is_best_effort(spark, tmp_path):
+    path = str(tmp_path / "t_csv2")
+    write_table(_frame(spark), path, "csv")
+    inferred = read_csv(spark, path)  # no schema: extra pass, dev-only
+    assert inferred.count() == 3
+
+
+def test_json_round_trip(spark, tmp_path):
+    path = str(tmp_path / "t_json")
+    write_table(_frame(spark), path, "json")
+    back = read_json(spark, path, schema=SCHEMA)
+    assert _collected(back) == sorted(ROWS)

@@ -1,0 +1,89 @@
+"""Physical-plan audit: the scale properties the engine PROMISES —
+pushdown, pruning, broadcastability, partial top-k, shuffle discipline —
+asserted on the actual Catalyst plans of registered queries, so a
+regression in plan shape fails CI even while results stay correct.
+
+(Results-level correctness lives in the oracle gate; this file is the
+"would it still be fast at 1000x" gate.)
+"""
+
+from __future__ import annotations
+
+import re
+
+from kafka_streams_the_clojure_way_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_small_dim_joins_broadcast(spark):
+    """nation/region/customer-geo joins must be broadcast, never
+    sort-merge: the dims are tiny at ANY scale factor."""
+    for q in ["join_broadcast_customer_geo", "join_revenue_by_nation"]:
+        p = _plan(spark, q)
+        assert "BroadcastHashJoin" in p, q
+        assert "SortMergeJoin" not in p, q
+
+
+def test_filter_reaches_parquet_scan(spark):
+    """The reference pipeline's predicate must appear as a pushed parquet
+    filter — not a post-scan Filter only."""
+    p = _plan(spark, "ref_filter_large_purchases")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "event_type" in m.group(1), p[:2000]
+
+
+def test_column_pruning_reaches_scan(spark):
+    """agg_pricing_summary touches 7 of lineitem's 16 columns; the scan's
+    ReadSchema must not include untouched wide columns."""
+    p = _plan(spark, "agg_pricing_summary")
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", p)
+    assert m is not None, p[:2000]
+    read_cols = m.group(1)
+    assert "l_comment" not in read_cols and "l_shipinstruct" not in read_cols
+    assert "l_quantity" in read_cols
+
+
+def test_topk_uses_partial_window_limit(spark):
+    """Per-key top-k must run the partial WindowGroupLimit below the
+    shuffle (rank filter pushed into map side), not rank-everything."""
+    p = _plan(spark, "window_top3_orders_per_customer")
+    assert "WindowGroupLimit" in p
+
+
+def test_semi_anti_join_strategies(spark):
+    assert "LeftSemi" in _plan(spark, "join_semi_customers_with_orders")
+    assert "LeftAnti" in _plan(spark, "join_anti_customers_without_orders")
+
+
+def test_reference_pipeline_has_no_shuffle(spark):
+    """The whole reference surface is stateless map/filter/union — its
+    plans must contain NO exchange at all (SURVEY §2.3: 'no shuffle in
+    the whole reference')."""
+    for q in [
+        "ref_filter_large_purchases",
+        "ref_map_donations_cents_to_dollars",
+        "ref_merge_large_transactions",
+        "ref_topology_large_transactions",
+    ]:
+        assert "Exchange" not in _plan(spark, q), q
+
+
+def test_aggregates_are_partial_then_final(spark):
+    """groupBy must show two HashAggregate levels (map-side partial +
+    final) so the shuffle carries aggregated rows, not the fact table."""
+    p = _plan(spark, "agg_pricing_summary")
+    assert len(re.findall(r"HashAggregate", p)) >= 2
+
+
+def test_global_topk_is_takeordered(spark):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    heap + merge), never a global sort."""
+    p = _plan(spark, "order_top100_orders")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
