@@ -78,6 +78,43 @@ def asof_join(
     )
 
 
+def salted_group_agg(
+    df: DataFrame,
+    keys: list[str],
+    sums: list[str],
+    *,
+    n_salt: int = 16,
+    count_alias: str = "n",
+) -> DataFrame:
+    """Two-phase salted aggregation for SKEWED group keys: phase 1 groups
+    by (keys, salt) so one hot key spreads over ``n_salt`` reducers;
+    phase 2 merges the partials per key. Algebraic aggs only (sum/count
+    here — min/max/avg-as-sum+count follow the same shape).
+
+    When to use: Spark's map-side partial aggregation already absorbs
+    low-cardinality skew for algebraic aggs; salting earns its extra
+    shuffle when partials DON'T collapse — high-cardinality-per-key
+    state (collect_set, distinct counts) or extreme single-key skew where
+    even the merged partials overload one reducer. AQE splits skewed
+    JOIN partitions but not aggregation keys — salting is the agg-side
+    tool. The salt derives from a hash of the whole row (via
+    ``F.rand``-free ``xxhash64(*columns)``) so it is deterministic for a
+    given input."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    phase1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("__pn"),
+            *[F.sum(c).alias(f"__ps_{c}") for c in sums],
+        )
+    )
+    return phase1.groupBy(*keys).agg(
+        F.sum("__pn").alias(count_alias),
+        *[F.sum(f"__ps_{c}").alias(f"sum_{c}") for c in sums],
+    )
+
+
 def top_k_per_key(
     df: DataFrame,
     keys: list[str],

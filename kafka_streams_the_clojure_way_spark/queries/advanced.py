@@ -1,0 +1,142 @@
+"""Advanced relational surface: grouped Pandas UDAF (applyInPandas),
+salted aggregation for skew, correlated EXISTS subqueries, and
+range-frame (event-time interval) windows — finishing SURVEY.md §2.2's
+"UDF/UDAF surface", "skew" posture, and window-frame categories.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_the_clojure_way_spark.operators.relational import salted_group_agg
+from kafka_streams_the_clojure_way_spark.queries.registry import query
+from kafka_streams_the_clojure_way_spark.sources.files import load_table, register_views
+
+
+@query(
+    "grouped_pandas_zscore",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 4)
+               AS bal_z
+    FROM customer
+    """,
+)
+def grouped_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization via ``applyInPandas`` — the grouped Pandas
+    UDAF path (Arrow batch per group, numpy inside). This op IS
+    expressible as a window (the oracle does exactly that); it is
+    registered through applyInPandas deliberately so the slow-path API is
+    covered end-to-end with a full value oracle. Scale: one shuffle on
+    the group key; each group must fit in one task's memory — fine for
+    bounded groups, use the window formulation for unbounded ones.
+    Rounded to 4 so numpy's pairwise sums match SQL's sequential ones."""
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["c_acctbal"].mean()
+        sd = pdf["c_acctbal"].std(ddof=1)  # = stddev_samp
+        out = pdf[["c_custkey", "c_mktsegment"]].copy()
+        out["bal_z"] = ((pdf["c_acctbal"] - mu) / sd).round(4)
+        return out
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return c.groupBy("c_mktsegment").applyInPandas(
+        zscore, schema="c_custkey long, c_mktsegment string, bal_z double"
+    )
+
+
+@query(
+    "agg_salted_skew_counts",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_skew_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the 5 hot event_type keys (the
+    deliberately skewed case: ~20k rows/key at sf0.1). Decimal sums keep
+    the two-phase re-association bit-exact vs the one-phase oracle."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_group_agg(ev, ["event_type"], ["value_dec"], n_salt=16)
+    return out.select(
+        "event_type",
+        "n",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "subq_exists_interrupted_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def subq_exists_interrupted_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL frontend: Catalyst
+    rewrites both to LEFT SEMI / LEFT ANTI joins (RewritePredicateSubquery)
+    — asserted in the plan audit — so the 'subquery' costs exactly two
+    key-joins, no per-row probing."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+@query(
+    "window_trailing_30d_spend",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS spend_30d
+    FROM orders
+    """,
+)
+def window_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (event-time interval, not row count): customer
+    spend over the trailing 30 days. Ordered by epoch-day so the frame
+    bound is an integer range in both engines. Unlike ROWS frames, ties
+    on the order key share a frame — no tiebreaker needed for
+    determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+    )

@@ -81,6 +81,14 @@ def test_aggregates_are_partial_then_final(spark):
     assert len(re.findall(r"HashAggregate", p)) >= 2
 
 
+def test_exists_rewrites_to_semi_anti_joins(spark):
+    """Correlated EXISTS / NOT EXISTS must lower to LeftSemi/LeftAnti
+    joins (RewritePredicateSubquery), never per-row subquery execution."""
+    p = _plan(spark, "subq_exists_interrupted_customers")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "Subquery" not in p
+
+
 def test_global_topk_is_takeordered(spark):
     """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
     heap + merge), never a global sort."""

@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) — the reference's example-driven REPL
+checks (SURVEY.md §5) generalized to generated inputs:
+
+- topology validation: any DAG passes, any added cycle fails (≙ the
+  spec check at core.clj:246-252, but over thousands of generated graphs);
+- pipeline semantics: the Spark pipelines agree with a plain-Python
+  reference implementation of the transducers (core.clj:100-118) on
+  arbitrary record batches, including the >=-threshold and
+  integer-division edge cases.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_streams_the_clojure_way_spark import pipelines as P
+from kafka_streams_the_clojure_way_spark.plans.spec import (
+    TopologyError,
+    validate_topology,
+)
+
+# --------------------------------------------------------------------------
+# Topology validator over random DAGs (pure Python — no Spark, so fast,
+# hypothesis can run its full example budget)
+# --------------------------------------------------------------------------
+
+
+@st.composite
+def dags(draw):
+    n = draw(st.integers(min_value=2, max_value=8))
+    names = [f"e{i}" for i in range(n)]
+    # edges only i -> j with i < j: acyclic by construction
+    edges = draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, n - 2), st.integers(1, n - 1)
+            ).filter(lambda t: t[0] < t[1]),
+            unique=True,
+            max_size=n * 2,
+        )
+    )
+    entities = {
+        name: {"type": "topic" if i % 2 == 0 else "stream"}
+        for i, name in enumerate(names)
+    }
+    workflow = [[names[a], names[b]] for a, b in edges]
+    return {"entities": entities, "workflow": workflow}
+
+
+@given(dags())
+def test_any_dag_validates(topo):
+    assert validate_topology(topo) is topo
+
+
+@given(dags(), st.data())
+def test_any_added_back_edge_is_rejected(topo, data):
+    if not topo["workflow"]:
+        return
+    # close a cycle: pick an existing path edge a->b and add b->...->a
+    a, b = data.draw(st.sampled_from(topo["workflow"]))
+    topo["workflow"].append([b, a])
+    with pytest.raises(TopologyError):
+        validate_topology(topo)
+
+
+# --------------------------------------------------------------------------
+# Pipeline semantics vs a plain-Python transducer reference
+# --------------------------------------------------------------------------
+
+records = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),       # user_id
+        st.integers(min_value=-1_000, max_value=100_000), # amount / cents
+    ),
+    max_size=25,
+)
+
+
+def _py_large_purchases(rows):
+    # ≙ (comp (filter #(<= 100 amount)) (map select-keys)) core.clj:100-105
+    return sorted((u, a) for u, a in rows if a >= 100)
+
+
+def _py_large_donations(rows):
+    # ≙ core.clj:112-118 with floor division (int (/ cents 100))
+    return sorted((u, c // 100) for u, c in rows if c >= 10_000)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(records)
+def test_large_purchases_matches_python_reference(spark, rows):
+    df = spark.createDataFrame(rows, "user_id long, amount long")
+    got = sorted((r.user_id, r.amount) for r in P.large_purchases(df).collect())
+    assert got == _py_large_purchases(rows)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(records)
+def test_large_donations_matches_python_reference(spark, rows):
+    df = spark.createDataFrame(rows, "user_id long, donation_amount_cents long")
+    got = sorted((r.user_id, r.amount) for r in P.large_donations(df).collect())
+    assert got == _py_large_donations(rows)
