@@ -100,6 +100,82 @@ def decode_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def resize_assets(df: DataFrame, width: int, height: int, id_col: str = "doc_id") -> DataFrame:
+    """'Resize' every image asset to (width, height) — stub kernel:
+    payload truncated/zero-padded to exactly width*height bytes (a real
+    build swaps in Pillow; plan shape identical). Output keeps the asset
+    struct convention so resize chains with decode/featurize. Payload in,
+    payload out: this is the one multimodal op WITHOUT the funnel shape —
+    budget shuffle/IO for output ~= input."""
+    import pandas as pd
+
+    target = width * height
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                asset = row["asset"]
+                raw = bytes(asset["bytes"])[:target]
+                raw = raw + b"\x00" * (target - len(raw))
+                out.append(
+                    {
+                        id_col: row[id_col],
+                        "asset": {
+                            "bytes": raw,
+                            "mime": asset["mime"],
+                            "width": width,
+                            "height": height,
+                            "n_frames": asset["n_frames"],
+                            "sample_rate": asset["sample_rate"],
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "asset").mapInPandas(
+        resize, schema=f"{id_col} long, asset struct<{ASSET_SCHEMA}>"
+    )
+
+
+FRAME_STRIDE = 5
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id", stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling for video assets: split the payload into the stub
+    decoder's ``n_frames`` equal chunks and emit every ``stride``-th one —
+    the 1->N row expansion shape (mapInPandas yielding MORE rows than it
+    reads). Frame geometry is a pure function of byte length, so even the
+    stub path is value-oracle-checkable in SQL."""
+    import pandas as pd
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                asset = row["asset"]
+                payload = bytes(asset["bytes"])
+                n = len(payload)
+                n_frames = (n % 30) + 1  # = _decode_stub n_frames for video
+                chunk = (n + n_frames - 1) // n_frames if n_frames else 0
+                for idx in range(0, n_frames, stride):
+                    frame = payload[idx * chunk : (idx + 1) * chunk]
+                    out.append(
+                        {
+                            id_col: row[id_col],
+                            "frame_idx": idx,
+                            "frame_bytes": frame,
+                            "frame_len": len(frame),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "asset").mapInPandas(
+        sample,
+        schema=f"{id_col} long, frame_idx int, frame_bytes binary, frame_len long",
+    )
+
+
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixed-size feature vector per asset (stub: byte-histogram folded to
     FEATURE_DIM buckets — deterministic, replaceable by a real model).

@@ -18,6 +18,7 @@ from kafka_streams_the_clojure_way_spark.operators import text as T
 from kafka_streams_the_clojure_way_spark.operators.multimodal import (
     decode_assets,
     extract_features,
+    sample_frames,
     wrap_binary_assets,
 )
 from kafka_streams_the_clojure_way_spark.queries.registry import query
@@ -290,3 +291,33 @@ def multimodal_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assets = wrap_binary_assets(docs, "payload", "image/png")
     return extract_features(assets)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id,
+               octet_length(CAST(text AS BLOB)) AS n,
+               (octet_length(CAST(text AS BLOB)) % 30) + 1 AS nf
+        FROM documents
+    ),
+    chunked AS (
+        SELECT doc_id, n, nf, (n + nf - 1) // nf AS chunk FROM geo
+    )
+    SELECT doc_id,
+           CAST(t.idx AS INTEGER) AS frame_idx,
+           CAST(greatest(0, least(chunk, n - t.idx * chunk)) AS BIGINT) AS frame_len
+    FROM chunked, unnest(range(0, nf, 5)) AS t(idx)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (1->N mapInPandas expansion): payload split
+    into the stub decoder's n_frames chunks, every 5th frame emitted.
+    The stub geometry is arithmetic on byte length, so the sampled frame
+    lengths get a full value oracle despite the binary payload path."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    assets = wrap_binary_assets(docs, "payload", "video/mp4")
+    return sample_frames(assets).select("doc_id", "frame_idx", "frame_len")

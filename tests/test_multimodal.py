@@ -11,6 +11,8 @@ from kafka_streams_the_clojure_way_spark.operators.multimodal import (
     _decode_stub,
     decode_assets,
     extract_features,
+    resize_assets,
+    sample_frames,
     wrap_binary_assets,
 )
 
@@ -43,6 +45,29 @@ def test_decode_stub_rejects_unknown_mime():
 def test_audio_mime_gets_sample_rate(spark):
     out = decode_assets(_assets(spark, [b"12345"], mime="audio/wav")).collect()[0]
     assert out.sample_rate == 16_000
+
+
+def test_resize_truncates_and_pads(spark):
+    out = resize_assets(_assets(spark, [b"abcdefgh", b"xy"]), 2, 3).collect()
+    by_id = {r.doc_id: r.asset for r in out}
+    assert bytes(by_id[0].bytes) == b"abcdef"          # truncated to 2*3
+    assert bytes(by_id[1].bytes) == b"xy\x00\x00\x00\x00"  # zero-padded
+    assert by_id[0].width == 2 and by_id[0].height == 3
+    # chains: decode of resized asset sees the new payload size
+    resized = resize_assets(_assets(spark, [b"abcdefgh"]), 2, 3)
+    assert decode_assets(resized).collect()[0].n_bytes == 6
+
+
+def test_sample_frames_expansion_and_reassembly(spark):
+    payload = bytes(range(64))  # n=64 -> n_frames = 64%30+1 = 5, chunk = 13
+    rows = sample_frames(_assets(spark, [payload], mime="video/mp4"), stride=1).collect()
+    assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == [0, 1, 2, 3, 4]
+    # frames partition the payload exactly: concatenation round-trips
+    joined = b"".join(bytes(r.frame_bytes) for r in sorted(rows, key=lambda r: r.frame_idx))
+    assert joined == payload
+    # stride sampling keeps every 5th frame only
+    strided = sample_frames(_assets(spark, [payload], mime="video/mp4"), stride=5).collect()
+    assert sorted(r.frame_idx for r in strided) == [0]
 
 
 def test_feature_histogram_normalized(spark):
