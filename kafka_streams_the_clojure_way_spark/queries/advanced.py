@@ -108,6 +108,50 @@ def subq_exists_interrupted_customers(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "window_session_user_events",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL
+                         OR ts - prev >= INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS is_new
+        FROM (SELECT user_id, ts,
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL 30 MINUTES) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def window_session_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user on the batch path — the
+    SAME ``session_window`` expression the streaming helper uses, so the
+    streaming operator's merge semantics get a full SQL oracle via the
+    gaps-and-islands formulation (new session iff gap >= 30 min; Spark's
+    [start, last+gap) windows don't overlap at exactly-gap spacing).
+    Epoch-micros columns keep timestamp rendering out of the comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "window_trailing_30d_spend",
     oracle="""
     SELECT o_custkey,
