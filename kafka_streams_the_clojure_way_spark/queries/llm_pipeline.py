@@ -212,8 +212,10 @@ def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSH_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding,
                       {S.lsh_bucket_sql('embedding')} AS bucket FROM embeddings),
-    q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM e
-          WHERE vec_id % {_QUERY_MOD} = 0),
+    q0 AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM e
+           WHERE vec_id % {_QUERY_MOD} = 0),
+    q AS (SELECT query_id, qvec, xor(bucket, m.mask) AS bucket
+          FROM q0, unnest([{', '.join(str(m) for m in S._probe_masks())}]) AS m(mask)),
     scored AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
                {S.cosine_sql('q.qvec', 'e.embedding')} AS cosine
@@ -232,10 +234,11 @@ _LSH_ORACLE = f"""
 
 @query("sim_lsh_ann_topk", oracle=_LSH_ORACLE)
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH buckets (8 planes,
-    deterministic weights): candidates = bucket equi-join, exact cosine
-    within candidates. The 100 TB shape: corpus scanned once to bucket,
-    then joins touch only same-bucket rows."""
+    """Approximate top-10 via multi-probe random-hyperplane LSH (8 planes,
+    2-flip probes, deterministic weights): candidates = bucket equi-join
+    against the query's 37 probe buckets, exact cosine within candidates.
+    The 100 TB shape: corpus scanned once to bucket; probing multiplies
+    only the broadcast query side."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.lsh_topk(emb, _queries_frame(spark, sf_dir), k=10)
 
