@@ -108,6 +108,27 @@ def subq_exists_interrupted_customers(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "agg_first_event_per_user",
+    oracle="""
+    SELECT user_id AS key,
+           CAST(min_by(value, event_id) AS DOUBLE) AS first_value,
+           MIN(event_id) AS first_seq
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming ``first_seen`` stateful operator
+    (streaming/state.py): each user's first event by event_id via min_by.
+    The streaming variant carries a seen-marker in keyed state across
+    micro-batches (tested in tests/test_streaming_windows.py); this form
+    gives its semantics a full value oracle."""
+    from kafka_streams_the_clojure_way_spark.streaming.state import first_seen
+
+    ev = load_table(spark, sf_dir, "events")
+    return first_seen(ev, "user_id", "value", "event_id")
+
+
+@query(
     "window_session_user_events",
     oracle="""
     WITH marked AS (

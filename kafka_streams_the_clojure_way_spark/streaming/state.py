@@ -34,6 +34,59 @@ def _update_running(
     yield pd.DataFrame({"key": [key[0]], "total": [total], "n": [n]})
 
 
+FIRST_SEEN_SCHEMA = "key string, first_value double, first_seq long"
+
+
+def _update_first_seen(
+    key: tuple[Any, ...],
+    pdfs: Iterator["pd.DataFrame"],  # noqa: F821
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    if state.exists:
+        # key already emitted in an earlier micro-batch: suppress.
+        for _ in pdfs:
+            pass
+        return
+    first_value, first_seq = None, None
+    for pdf in pdfs:
+        row = pdf.sort_values("seq").iloc[0]
+        if first_seq is None or row["seq"] < first_seq:
+            first_value, first_seq = float(row["value"]), int(row["seq"])
+    state.update((1,))
+    yield pd.DataFrame(
+        {"key": [key[0]], "first_value": [first_value], "first_seq": [first_seq]}
+    )
+
+
+def first_seen(df: DataFrame, key_col: str, value_col: str, seq_col: str) -> DataFrame:
+    """Emit each key's FIRST record (by ``seq_col``) exactly once across
+    ALL micro-batches — custom keyed state (a seen-marker per key), i.e.
+    ``dropDuplicates`` rebuilt on applyInPandasWithState to exercise the
+    state.exists/update surface. Unlike dropDuplicatesWithinWatermark the
+    marker never expires: unbounded state, the documented trade-off (add
+    a timeout for bounded retention). Batch mode degrades to a
+    min_by-style groupBy — the parity test."""
+    src = df.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).alias("value"),
+        F.col(seq_col).alias("seq"),
+    )
+    if not df.isStreaming:
+        return src.groupBy("key").agg(
+            F.min_by("value", "seq").cast("double").alias("first_value"),
+            F.min("seq").alias("first_seq"),
+        )
+    return src.groupBy("key").applyInPandasWithState(
+        _update_first_seen,
+        outputStructType=FIRST_SEEN_SCHEMA,
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_totals(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     """Per-key running (total, count) across micro-batches. In batch mode
     this degrades to a plain groupBy — which is exactly the parity test."""

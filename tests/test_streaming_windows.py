@@ -18,7 +18,7 @@ from pyspark.sql.types import (
 
 from kafka_streams_the_clojure_way_spark.sources.memory import drain, start_memory_sink
 from kafka_streams_the_clojure_way_spark.streaming import windows as W
-from kafka_streams_the_clojure_way_spark.streaming.state import running_totals
+from kafka_streams_the_clojure_way_spark.streaming.state import first_seen, running_totals
 
 SCHEMA = StructType(
     [
@@ -128,6 +128,48 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     drain(q)
     got = sorted(r.user for r in spark.sql("SELECT user FROM dedup_stream").collect())
     assert got == ["a", "b"]
+
+
+def test_first_seen_dedups_across_micro_batches(spark, tmp_path):
+    """State must survive micro-batch boundaries: file 2 repeats file 1's
+    keys and maxFilesPerTrigger=1 forces one micro-batch per file — the
+    repeats must be suppressed by the seen-marker, not batch-local dedup."""
+    base = dt.datetime(2024, 1, 1)
+    d = tmp_path / "fs_in"
+    d.mkdir()
+    spark.createDataFrame(
+        [(base, "a", 10.0, 1), (base, "b", 20.0, 2)], SCHEMA
+    ).write.parquet(str(d / "f1.parquet"))
+    spark.createDataFrame(
+        [(base, "a", 99.0, 3), (base, "c", 30.0, 4)], SCHEMA
+    ).write.parquet(str(d / "f2.parquet"))
+
+    stream = first_seen(
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*")),
+        "user",
+        "value",
+        "seq",
+    )
+    q = start_memory_sink(stream, "first_seen_stream")
+    drain(q)
+    got = {
+        r.key: (r.first_value, r.first_seq)
+        for r in spark.sql("SELECT * FROM first_seen_stream").collect()
+    }
+    # NOTE: file pickup order across micro-batches is not guaranteed, but
+    # each key must appear exactly once with one of ITS OWN records.
+    assert set(got) == {"a", "b", "c"}
+    assert got["b"] == (20.0, 2) and got["c"] == (30.0, 4)
+    assert got["a"] in {(10.0, 1), (99.0, 3)}
+
+    # batch parity: min-by-seq per key
+    batch = first_seen(
+        spark.read.parquet(str(d / "*")), "user", "value", "seq"
+    )
+    bgot = {r.key: (r.first_value, r.first_seq) for r in batch.collect()}
+    assert bgot == {"a": (10.0, 1), "b": (20.0, 2), "c": (30.0, 4)}
 
 
 def test_running_totals_batch_stream_parity(spark, tmp_path):
