@@ -78,6 +78,33 @@ def asof_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi-join: the (big, skewed) left side gets a salt
+    from a row hash; the (smaller) right side replicates ``n_salt``x so
+    every (key, salt) pair still matches. One hot key now lands on
+    ``n_salt`` reducers instead of one.
+
+    Cost model: right side inflates n_salt-fold — use when the right is
+    too big to broadcast but small enough to replicate, and AQE's runtime
+    skew-join splitting (our default: on) hasn't already solved it (AQE
+    splits skewed SHUFFLE partitions but can't help a skewed key that
+    exceeds a single partition's limits, e.g. with subsequent stateful
+    processing pinned per key)."""
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salt))
+    l = left.withColumn("__salt", lsalt)
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return l.join(r, [on, "__salt"], how).drop("__salt")
+
+
 def salted_group_agg(
     df: DataFrame,
     keys: list[str],
