@@ -108,6 +108,35 @@ def subq_exists_interrupted_customers(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "agg_nation_roster_per_region",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_nation_roster_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (collect_list -> array_sort ->
+    array_join; ≙ string_agg ... ORDER BY). The explicit sort is what
+    makes a collect_list deterministic — Spark gives NO intra-group
+    ordering guarantee after a shuffle. Scale note: collect_* aggs hold
+    the whole group in memory (non-algebraic) — the case where salting
+    (salted_group_agg) matters, bounded here by 25 nations/region."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@query(
     "agg_first_event_per_user",
     oracle="""
     SELECT user_id AS key,

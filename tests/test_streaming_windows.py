@@ -172,6 +172,56 @@ def test_first_seen_dedups_across_micro_batches(spark, tmp_path):
     assert bgot == {"a": (10.0, 1), "b": (20.0, 2), "c": (30.0, 4)}
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Documented late-data semantics, demonstrated: an event arriving in
+    a later micro-batch with event-time older than (max seen - watermark)
+    is DROPPED from its (already emitted) window in append mode. The
+    batch run of the same rows keeps it — exactly the delta a user must
+    understand before turning on watermarks."""
+    base = dt.datetime(2024, 1, 1)
+    d = tmp_path / "late_in"
+    d.mkdir()
+    # batch 1: events up to 02:00 -> watermark advances to 01:50
+    spark.createDataFrame(
+        [
+            (base, "u", 1.0, 0),                               # window 00:00
+            (base + dt.timedelta(hours=2), "u", 1.0, 1),       # window 02:00
+        ],
+        SCHEMA,
+    ).write.parquet(str(d / "f1.parquet"))
+    # batch 2: on-time event + an event 2h late (00:30 < watermark)
+    spark.createDataFrame(
+        [
+            (base + dt.timedelta(hours=2, minutes=5), "u", 1.0, 2),
+            (base + dt.timedelta(minutes=30), "u", 1.0, 3),    # LATE
+        ],
+        SCHEMA,
+    ).write.parquet(str(d / "f2.parquet"))
+
+    stream = W.tumbling(
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*")),
+        "ts",
+        "1 hour",
+        "user",
+        watermark="10 minutes",
+    )
+    q = start_memory_sink(stream, "late_stream", complete=False)
+    drain(q)
+    got = {
+        r.window_start: r.n_events
+        for r in spark.sql("SELECT * FROM late_stream").collect()
+    }
+    # the 00:00 window closed with ONE event — the late seq=3 was dropped
+    assert got.get(base) == 1
+
+    batch = W.tumbling(spark.read.parquet(str(d / "*")), "ts", "1 hour", "user")
+    bgot = {r.window_start: r.n_events for r in batch.collect()}
+    # batch (no lateness concept) counts both events in the 00:00 window
+    assert bgot[base] == 2
+
+
 def test_running_totals_batch_stream_parity(spark, tmp_path):
     path = _write_input(spark, tmp_path)
     batch = running_totals(spark.read.parquet(path), "user", "value")
