@@ -1,0 +1,35 @@
+"""Error-bound gates for the approximate aggregates (the operators whose
+oracles are rows-only because DuckDB's sketches differ): the sketch
+answer must sit within its documented error of the exact answer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    ev = load_table(spark, SF, "events")
+    row = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    ).collect()[0]
+    # HLL++ rsd is a standard deviation, not a hard bound — allow 5 sigma
+    assert abs(row.approx - row.exact) <= max(5, 0.05 * row.exact), row
+
+
+def test_approx_percentile_within_rank_error(spark):
+    o = load_table(spark, SF, "orders")
+    accuracy = 1000  # rank error <= n/accuracy
+    n = o.count()
+    eps = 1.0 / accuracy
+    row = o.agg(
+        F.percentile_approx("o_totalprice", 0.5, accuracy).alias("approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_mid"),
+        F.expr(f"percentile(o_totalprice, {0.5 - 2 * eps})").alias("lo"),
+        F.expr(f"percentile(o_totalprice, {0.5 + 2 * eps})").alias("hi"),
+    ).collect()[0]
+    assert row.lo <= row.approx <= row.hi, (row, n)

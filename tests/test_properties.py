@@ -102,3 +102,49 @@ def test_large_donations_matches_python_reference(spark, rows):
     df = spark.createDataFrame(rows, "user_id long, donation_amount_cents long")
     got = sorted((r.user_id, r.amount) for r in P.large_donations(df).collect())
     assert got == _py_large_donations(rows)
+
+
+# --------------------------------------------------------------------------
+# as-of join vs a brute-force per-row Python reference — the union+window
+# implementation (operators/relational.py) is the trickiest plan in the
+# repo; pin it to the naive O(|L|*|R|) definition on generated inputs.
+# --------------------------------------------------------------------------
+
+asof_inputs = st.tuples(
+    st.lists(  # left: (key, ts, payload)
+        st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 99)),
+        min_size=1, max_size=12,
+    ),
+    st.lists(  # right: (key, ts, quote) — unique (key, ts) so the match
+        # is well-defined (real feeds dedupe by key+time upstream)
+        st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(100, 199)),
+        min_size=1, max_size=12, unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+
+
+def _py_asof(left, right):
+    out = []
+    for k, lt, payload in left:
+        candidates = [(rt, q) for rk, rt, q in right if rk == k and rt <= lt]
+        quote = max(candidates)[1] if candidates else None
+        out.append((k, lt, payload, quote))
+    return sorted(out, key=lambda t: (t[0], t[1], t[2]))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(asof_inputs)
+def test_asof_join_matches_bruteforce(spark, inputs):
+    from kafka_streams_the_clojure_way_spark.operators.relational import asof_join
+
+    lrows, rrows = inputs
+    left = spark.createDataFrame(lrows, "k long, ts long, payload long")
+    right = spark.createDataFrame(rrows, "k long, ts long, quote long")
+    got = asof_join(
+        left, right, "k", left_ts="ts", right_ts="ts", right_values=["quote"]
+    )
+    got_rows = sorted(
+        ((r.k, r.ts, r.payload, r.quote) for r in got.collect()),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    assert got_rows == _py_asof(lrows, rrows)
