@@ -108,6 +108,37 @@ def subq_exists_interrupted_customers(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "scalar_array_pack",
+    oracle="""
+    SELECT p_partkey,
+           len(string_split(p_name, ' ')) AS n_words,
+           string_split(p_name, ' ')[1] AS first_word,
+           string_split(p_name, ' ')[-1] AS last_word,
+           list_sort(string_split(p_name, ' ')) AS words_sorted,
+           list_contains(string_split(p_name, ' '), 'green') AS has_green,
+           string_split(p_name, ' ')[2:3] AS mid_slice
+    FROM part
+    """,
+)
+def scalar_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function pack (size/index/negative-index/sort/contains/
+    slice) — all JVM-side Catalyst expressions, per-row narrow map.
+    Array-valued output columns exercise the driver's value compare on
+    nested types."""
+    p = load_table(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.array_size(toks).alias("n_words"),
+        F.element_at(toks, 1).alias("first_word"),
+        F.element_at(toks, -1).alias("last_word"),
+        F.array_sort(toks).alias("words_sorted"),
+        F.array_contains(toks, "green").alias("has_green"),
+        F.slice(toks, 2, 2).alias("mid_slice"),
+    )
+
+
+@query(
     "agg_nation_roster_per_region",
     oracle="""
     SELECT r.r_name,
