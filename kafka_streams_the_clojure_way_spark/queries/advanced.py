@@ -108,6 +108,62 @@ def subq_exists_interrupted_customers(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "window_ntile_balance_quartiles",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           NTILE(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey) AS bal_quartile
+    FROM customer
+    """,
+)
+def window_ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE ranking window: account-balance quartiles within each market
+    segment (unique custkey tiebreak keeps tile assignment total-ordered
+    and cross-engine deterministic)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+    )
+
+
+@query(
+    "agg_value_histogram",
+    oracle="""
+    -- DuckDB has no width_bucket; this CASE is its exact definition for
+    -- (0, 1000, 20): underflow->0, overflow->21, else 1+floor(v/50)
+    SELECT CASE WHEN value < 0 THEN 0
+                WHEN value >= 1000 THEN 21
+                ELSE CAST(floor(value / 50.0) AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n,
+           CAST(round(min(value), 6) AS DOUBLE) AS lo,
+           CAST(round(max(value), 6) AS DOUBLE) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket + groupBy — the one-pass
+    distributed histogram (each partition buckets locally, partial counts
+    merge; no sort, unlike percentiles)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "bucket", F.width_bucket("value", F.lit(0.0), F.lit(1000.0), F.lit(20))
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).cast("double").alias("lo"),
+            F.round(F.max("value"), 6).cast("double").alias("hi"),
+        )
+    )
+
+
+@query(
     "scalar_array_pack",
     oracle="""
     SELECT p_partkey,
