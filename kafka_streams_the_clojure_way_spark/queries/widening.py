@@ -1,0 +1,307 @@
+"""Second widening pack over SURVEY.md §2.2's absent-category table:
+remaining join types (FULL OUTER, CROSS), the full ranking-window family,
+correlated scalar subqueries, conditional (FILTER-clause) aggregation,
+regexp scalar functions, LATERAL-style explode, and a TPC-H Q10-style
+returned-item report.
+
+Scale conventions follow queries/relational.py: decimal sums for
+order-independent exactness, broadcast hints on dimension sides, unique
+tiebreakers on every window ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_the_clojure_way_spark.queries.registry import query
+from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+
+def _dec(col: F.Column | str, scale: int = 2) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(28,{scale})")
+
+
+# --------------------------------------------------------------------------
+# Ranking-window family (rank / dense_rank / percent_rank / cume_dist)
+# --------------------------------------------------------------------------
+
+@query(
+    "window_rank_pack",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           RANK() OVER w AS price_rank,
+           DENSE_RANK() OVER w AS price_dense_rank,
+           round(PERCENT_RANK() OVER w, 6) AS price_pct_rank,
+           round(CUME_DIST() OVER w, 6) AS price_cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four ranking functions in one pass over a shared window spec
+    (one shuffle + one sort serves all four — Catalyst collapses same-spec
+    windows into a single Window node). Unique tiebreak (orderkey) makes
+    rank == row_number, so percent_rank/cume_dist are exact integer
+    ratios — deterministic across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# FULL OUTER and CROSS joins
+# --------------------------------------------------------------------------
+
+@query(
+    "join_full_outer_nation_activity",
+    oracle="""
+    WITH cust AS (
+        SELECT c_nationkey AS nk, COUNT(*) AS n_building_customers
+        FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+    supp AS (
+        SELECT s_nationkey AS nk, COUNT(*) AS n_rich_suppliers
+        FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
+    SELECT COALESCE(cust.nk, supp.nk) AS nationkey,
+           cust.n_building_customers,
+           supp.n_rich_suppliers
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+)
+def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two filtered per-nation aggregates — nations with
+    building customers but no rich suppliers (and vice versa) survive with
+    NULLs. Scale: both sides pre-aggregate to ≤|nations| rows before the
+    join, so the outer join itself is trivially small; never full-outer-join
+    raw fact tables when an aggregate-then-join gives the same answer."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_building_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_suppliers"))
+    )
+    joined = cust.join(supp, "nk", "full_outer")
+    return joined.select(
+        F.col("nk").cast("int").alias("nationkey"),
+        "n_building_customers",
+        "n_rich_suppliers",
+    )
+
+
+@query(
+    "join_cross_region_pairs",
+    oracle="""
+    SELECT a.r_name AS region_a,
+           b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey < b.r_regionkey
+    """,
+)
+def join_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS join (unordered region pairs). Scale: cross joins are
+    only ever acceptable between bounded dimension tables — Spark plans a
+    BroadcastNestedLoopJoin here; the engine's rule is cross ⇒ both sides
+    must be broadcast-sized, which the plan audit can check."""
+    r = load_table(spark, sf_dir, "region")
+    a = r.select(F.col("r_regionkey").alias("key_a"), F.col("r_name").alias("region_a"))
+    b = r.select(F.col("r_regionkey").alias("key_b"), F.col("r_name").alias("region_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("region_a", "region_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery
+# --------------------------------------------------------------------------
+
+@query(
+    "subq_correlated_above_avg",
+    oracle="""
+    WITH cavg AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                   / COUNT(*) AS cust_avg
+        FROM orders GROUP BY o_custkey)
+    SELECT o.o_orderkey,
+           o.o_custkey,
+           o.o_totalprice,
+           round(cavg.cust_avg, 6) AS cust_avg
+    FROM orders o JOIN cavg ON o.o_custkey = cavg.o_custkey
+    WHERE o.o_totalprice > 1.5 * cavg.cust_avg
+    """,
+)
+def subq_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery ("orders 50% above that customer's
+    average") decorrelated into aggregate-then-rejoin — exactly what
+    Catalyst does to a correlated scalar subquery, written explicitly so
+    the shape is visible. Decimal-exact average makes the >1.5x filter
+    engine-independent. Scale: one shuffle on o_custkey shared by the agg
+    and the join (co-partitioned), no per-row subquery execution."""
+    o = load_table(spark, sf_dir, "orders")
+    cavg = o.groupBy("o_custkey").agg(
+        (F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("cust_avg")
+    )
+    return (
+        o.join(cavg, "o_custkey")
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round("cust_avg", 6).alias("cust_avg"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional aggregation (FILTER clause / count_if)
+# --------------------------------------------------------------------------
+
+@query(
+    "agg_conditional_order_mix",
+    oracle="""
+    SELECT year(o_orderdate) AS order_year,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
+                FILTER (WHERE o_totalprice > 200000) AS DOUBLE) AS big_order_total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_conditional_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SQL FILTER clause ≙ count_if / sum(when)):
+    several differently-filtered measures in ONE scan+shuffle instead of
+    N filtered subqueries — the standard way to avoid re-reading a 100 TB
+    fact table per measure."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.year("o_orderdate").cast("long").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.sum(F.when(F.col("o_totalprice") > 200000, _dec("o_totalprice")))
+        .cast("double")
+        .alias("big_order_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Regexp scalar pack
+# --------------------------------------------------------------------------
+
+@query(
+    "scalar_regexp_pack",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS vowels_masked,
+           CAST(len(regexp_extract_all(p_name, ' ')) AS BIGINT) AS n_spaces,
+           CAST(regexp_matches(p_type, '^(ECONOMY|PROMO)') AS INTEGER) AS is_discount_line
+    FROM part
+    """,
+)
+def scalar_regexp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp function pack (extract / global replace / count / match) —
+    all JVM-side Catalyst expressions (java.util.regex), codegen'd; no
+    Python in the path."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("vowels_masked"),
+        F.regexp_count("p_name", F.lit(" ")).cast("long").alias("n_spaces"),
+        F.col("p_type").rlike("^(ECONOMY|PROMO)").cast("int").alias("is_discount_line"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lateral explode (split -> unnest -> aggregate)
+# --------------------------------------------------------------------------
+
+@query(
+    "explode_part_word_counts",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    """,
+)
+def explode_part_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/table-function surface: split + explode (≙ LATERAL
+    unnest) + aggregate — the word-count shape. Scale: explode multiplies
+    rows BEFORE the shuffle but partial aggregation collapses them
+    map-side, so the shuffle carries only per-partition distinct words."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10-style returned-item report
+# --------------------------------------------------------------------------
+
+@query(
+    "agg_returned_item_report",
+    oracle="""
+    SELECT c.c_custkey,
+           c.c_name,
+           n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS lost_revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def agg_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top-20 customers by revenue lost to returns.
+    Scale: the returnflag filter is pushed to the lineitem scan (~25%
+    selectivity), lineitem⋈orders is the one big shuffle, customer and
+    nation broadcast, and the final ORDER BY+LIMIT runs as
+    TakeOrderedAndProject (per-partition heaps), never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6))
+            .cast("double")
+            .alias("lost_revenue")
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
