@@ -34,6 +34,7 @@ from kafka_streams_the_clojure_way_spark.queries import (  # noqa: E402,F401
     reference_queries,
     relational,
     stats,
+    tpch,
     widening,
 )
 

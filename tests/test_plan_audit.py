@@ -95,3 +95,31 @@ def test_global_topk_is_takeordered(spark):
     p = _plan(spark, "order_top100_orders")
     assert "TakeOrderedAndProject" in p
     assert "Exchange rangepartitioning" not in p
+
+
+def test_tpch_pack_plan_shapes(spark):
+    """The TPC-H-flavored pack's scale claims (queries/tpch.py):
+    dimension sides broadcast, disjunctive part-predicates pushed into
+    the broadcast side's scan, the q21 EXISTS/NOT-EXISTS legs planned as
+    semi/anti joins, and q14's single-scan conditional aggregation."""
+    # q19: broadcast join; the p_brand disjunction reaches the part scan
+    p19 = _plan(spark, "tpch_q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in p19 and "SortMergeJoin" not in p19
+    assert "p_brand" in p19 and re.search(r"PushedFilters: \[[^\]]*Or", p19)
+
+    # q21: one semi + one anti self-join, no per-row subquery
+    p21 = _plan(spark, "tpch_q21_sole_return_suppliers")
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    assert "Subquery" not in p21
+
+    # q14: part broadcast; exactly one shuffle (the month agg) feeding
+    # partial+final HashAggregate
+    p14 = _plan(spark, "tpch_q14_promo_revenue")
+    assert "BroadcastHashJoin" in p14
+    assert len(re.findall(r"HashAggregate", p14)) >= 2
+
+    # q13: COUNT(col) outer-join aggregate keeps zero-order customers;
+    # plan must be a single join (no subquery) with two agg levels
+    p13 = _plan(spark, "tpch_q13_customer_distribution")
+    assert "Join LeftOuter" in p13 or "LeftOuter" in p13
+    assert len(re.findall(r"HashAggregate", p13)) >= 4

@@ -173,30 +173,43 @@ def test_first_seen_dedups_across_micro_batches(spark, tmp_path):
 
 
 def test_watermark_drops_late_events(spark, tmp_path):
-    """Documented late-data semantics, demonstrated: an event arriving in
-    a later micro-batch with event-time older than (max seen - watermark)
-    is DROPPED from its (already emitted) window in append mode. The
-    batch run of the same rows keeps it — exactly the delta a user must
-    understand before turning on watermarks."""
+    """Documented late-data semantics, demonstrated: once a window has
+    been finalized (watermark passed its end and append mode emitted it),
+    a record for that window arriving in a LATER micro-batch is dropped.
+    Note Spark's guarantee is one-directional — a late record arriving in
+    the same batch that evicts its window may still be merged — so the
+    late row here lands in its own batch strictly after the eviction.
+    The batch run of the same rows keeps it — exactly the delta a user
+    must understand before turning on watermarks."""
     base = dt.datetime(2024, 1, 1)
     d = tmp_path / "late_in"
     d.mkdir()
-    # batch 1: events up to 02:00 -> watermark advances to 01:50
+    # batch 0: events at 00:00 and 02:00 -> watermark will advance to 01:50
     spark.createDataFrame(
         [
             (base, "u", 1.0, 0),                               # window 00:00
             (base + dt.timedelta(hours=2), "u", 1.0, 1),       # window 02:00
         ],
         SCHEMA,
-    ).write.parquet(str(d / "f1.parquet"))
-    # batch 2: on-time event + an event 2h late (00:30 < watermark)
+    ).coalesce(1).write.parquet(str(d / "f1.parquet"))
+    # batch 1: on-time event; watermark 01:50 closes + emits window 00:00
     spark.createDataFrame(
-        [
-            (base + dt.timedelta(hours=2, minutes=5), "u", 1.0, 2),
-            (base + dt.timedelta(minutes=30), "u", 1.0, 3),    # LATE
-        ],
+        [(base + dt.timedelta(hours=2, minutes=5), "u", 1.0, 2)],
         SCHEMA,
-    ).write.parquet(str(d / "f2.parquet"))
+    ).coalesce(1).write.parquet(str(d / "f2.parquet"))
+    # batch 2: an event 85 min past the watermark, for the CLOSED window
+    spark.createDataFrame(
+        [(base + dt.timedelta(minutes=30), "u", 1.0, 3)],      # LATE
+        SCHEMA,
+    ).coalesce(1).write.parquet(str(d / "f3.parquet"))
+    # FileStreamSource orders files by modification time; equal mtimes would
+    # let f3's late row slip in before f1/f2 advanced the watermark (flaky).
+    # Pin strictly increasing mtimes so maxFilesPerTrigger=1 replays in order.
+    import os
+
+    for i, sub in enumerate(["f1.parquet", "f2.parquet", "f3.parquet"]):
+        for part in (d / sub).glob("*.parquet"):
+            os.utime(part, (1_700_000_000 + i * 600, 1_700_000_000 + i * 600))
 
     stream = W.tumbling(
         spark.readStream.schema(SCHEMA)
@@ -215,6 +228,13 @@ def test_watermark_drops_late_events(spark, tmp_path):
     }
     # the 00:00 window closed with ONE event — the late seq=3 was dropped
     assert got.get(base) == 1
+    # and the state operator counted exactly that one drop
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1
 
     batch = W.tumbling(spark.read.parquet(str(d / "*")), "ts", "1 hour", "user")
     bgot = {r.window_start: r.n_events for r in batch.collect()}
