@@ -317,3 +317,422 @@ def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q4 shape: order-priority count with a correlated date-shifted EXISTS
+# --------------------------------------------------------------------------
+
+@query(
+    "tpch_q04_priority_slow_ships",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q04_priority_slow_ships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (commitdate/receiptdate absent -> adapted: a line
+    shipped >30 days after the order date): count orders per priority
+    having at least one slow-shipping line. The correlated EXISTS with a
+    cross-table date condition becomes a left-semi join whose non-equi
+    part rides along as a residual on the equi join. Scale: one shuffle
+    on orderkey for the semi join; the priority agg's key space is 5."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    slow = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return slow.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 shape: local-supplier revenue per nation in one region/year
+# --------------------------------------------------------------------------
+
+@query(
+    "tpch_q05_local_supplier_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q05_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 1996 revenue served by suppliers in the customer's
+    own nation, for ASIA nations. Six-table join where the supplier join
+    carries the customer-nation equality as a second equi-key. Scale: the
+    big fact-fact joins (orders⋈lineitem on orderkey) shuffle once;
+    supplier/nation/region are broadcast dims, and the region filter
+    prunes nations before any fact is touched."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            s,
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(n, n.n_nationkey == c.c_nationkey)
+        .join(r, r.r_regionkey == n.n_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 shape: pure scan-aggregate with tight pushed-down predicates
+# --------------------------------------------------------------------------
+
+@query(
+    "tpch_q06_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue delta if 1997's 5-7%% discounts were dropped.
+    The whole query is scan→filter→global agg: every predicate reaches
+    the parquet reader as a pushed filter (shipdate range, discount
+    range, quantity bound — see tests/test_plan_audit.py), and partial
+    aggregation means NO shuffle at all, just a 1-row-per-task gather.
+    At 100 TB this is the min-round-trip pattern: I/O-bound, zero
+    exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount"), 6))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 shape: bilateral shipping volume between two nations, per year
+# --------------------------------------------------------------------------
+
+@query(
+    "tpch_q07_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS volume
+    FROM supplier s
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between NATION_1 and NATION_2 in both
+    directions, by ship year. The nation dimension joins twice under
+    different roles (supplier's vs customer's nation) with a disjunctive
+    pair predicate evaluated after both. Scale: both nation joins are
+    broadcasts; the orderkey shuffle of lineitem⋈orders dominates and the
+    pair filter cuts the agg input to two nations' traffic first."""
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, F.col("n1_key") == s.s_nationkey)
+        .join(n2, F.col("n2_key") == c.c_nationkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("volume"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 shape: one nation's market share inside a region, per year
+# --------------------------------------------------------------------------
+
+@query(
+    "tpch_q08_market_share",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+           round(
+             CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                           THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                     AS DECIMAL(28,6))
+                           ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(28,6))) AS DOUBLE), 6) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n2.n_regionkey
+    WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+    GROUP BY 1
+    """,
+)
+def tpch_q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of ECONOMY-part revenue
+    sold to EUROPE customers, per order year. Numerator and denominator
+    come out of one pass via conditional aggregation (no self-join), the
+    same single-shuffle trick as Q14. Scale: part/supplier/nation/region
+    all broadcast; the only wide exchange is lineitem⋈orders, then a
+    tiny per-year agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    )
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"),
+            F.col("n_regionkey").alias("n2_region"),
+        )
+    )
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    nation3 = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+        F.lit(0).cast("decimal(28,6)")
+    )
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(p, p.p_partkey == li.l_partkey)
+        .join(n1, F.col("n1_key") == s.s_nationkey)
+        .join(n2, F.col("n2_key") == c.c_nationkey)
+        .join(r, r.r_regionkey == F.col("n2_region"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nation3).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 shape: product-line profit by supplier nation and year
+# --------------------------------------------------------------------------
+
+@query(
+    "tpch_q09_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS profit,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp table -> profit reduces to discounted
+    revenue): revenue on '%gear%' parts by supplier nation and order
+    year. Substring LIKE can't prune parquet row groups, but it still
+    runs in the scan operator pre-join and shrinks the broadcast. Scale:
+    same skeleton as Q8 — one orderkey shuffle, dims broadcast, agg keys
+    (nation × year) tiny."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    )
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(p, p.p_partkey == li.l_partkey)
+        .join(n, n.n_nationkey == s.s_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(rev).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 shape: top supplier(s) by windowed revenue (scalar-max subquery)
+# --------------------------------------------------------------------------
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH srev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(28,6))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-10-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(srev.total_rev AS DOUBLE) AS total_rev
+    FROM supplier s
+    JOIN srev ON srev.l_suppkey = s.s_suppkey
+    WHERE srev.total_rev = (SELECT MAX(total_rev) FROM srev)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue over 1997Q4.
+    The view + scalar MAX subquery becomes agg → 1-row broadcast max →
+    equality filter; ties all surface (exactly Q15's semantics), and the
+    decimal revenue makes the equality well-defined. Scale: the revenue
+    agg feeds BOTH the max subquery and the probe side; the explicit
+    l_suppkey null-filter keeps the two subtrees canonically identical so
+    exchange reuse computes the scan+agg once (asserted in
+    tests/test_plan_audit.py). The max is a broadcast of one row, never a
+    driver collect."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_suppkey").isNotNull()
+    )
+    srev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)).alias(
+            "total_rev_dec"
+        )
+    )
+    mx = srev.agg(F.max("total_rev_dec").alias("max_rev"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        srev.join(F.broadcast(mx))
+        .filter(F.col("total_rev_dec") == F.col("max_rev"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev_dec").cast("double").alias("total_rev"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 shape: large-quantity orders (HAVING subquery join-back)
+# --------------------------------------------------------------------------
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, bulk.sum_qty
+    FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 300) bulk
+    JOIN orders o   ON o.o_orderkey = bulk.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders totalling >300 units, with their customer.
+    The IN-(GROUP BY ... HAVING) subquery is expressed directly as
+    aggregate→filter→join-back. l_quantity values are small integers so
+    the double SUM is exact and order-independent. Scale: the qty agg
+    shuffles on l_orderkey and its survivor set is tiny (<1%% of
+    orders), so the join back to orders broadcasts the AGGREGATED side —
+    the asymmetry AQE would also discover at runtime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    bulk = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(bulk), o.o_orderkey == bulk.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )

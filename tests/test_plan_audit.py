@@ -123,3 +123,44 @@ def test_tpch_pack_plan_shapes(spark):
     p13 = _plan(spark, "tpch_q13_customer_distribution")
     assert "Join LeftOuter" in p13 or "LeftOuter" in p13
     assert len(re.findall(r"HashAggregate", p13)) >= 4
+
+
+def test_tpch_pack2_plan_shapes(spark):
+    """Scale claims of the second TPC-H pack (queries/tpch.py): Q6's
+    predicates all reach the parquet scan with zero exchanges, the
+    multi-join shapes broadcast every dimension, and Q18 broadcasts the
+    aggregated (tiny) side of its join-back."""
+    # q6: pure scan→agg — every predicate pushed, no shuffle exchange
+    p6 = _plan(spark, "tpch_q06_forecast_revenue")
+    # (toString truncates the PushedFilters list, so check the prefix and
+    # the full predicate's presence in the Filter node)
+    m = re.search(r"PushedFilters: \[([^\]]*)", p6)
+    assert m and "l_shipda" in m.group(1)
+    assert "l_discount" in p6 and "l_quantity" in p6
+    assert "Exchange hashpartitioning" not in p6
+    assert "Join" not in p6
+
+    # q5/q7/q8/q9: dims broadcast; exactly the fact-fact joins sort-merge
+    for q in [
+        "tpch_q05_local_supplier_revenue",
+        "tpch_q07_nation_volume",
+        "tpch_q08_market_share",
+        "tpch_q09_product_profit",
+    ]:
+        p = _plan(spark, q)
+        assert "BroadcastHashJoin" in p, q
+
+    # q18: the HAVING-aggregate side is broadcast into the join-back
+    p18 = _plan(spark, "tpch_q18_large_orders")
+    assert "BroadcastHashJoin" in p18
+    # q15: the per-supplier revenue agg feeds both the max subquery and
+    # the probe side — AQE must compute it ONCE (ReusedExchange), not
+    # scan lineitem twice. Needs the executed (final) adaptive plan.
+    df15 = QUERIES["tpch_q15_top_supplier"](spark, SF)
+    df15.collect()
+    p15 = df15._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p15
+
+    # q4: EXISTS planned as a semi join
+    p4 = _plan(spark, "tpch_q04_priority_slow_ships")
+    assert "LeftSemi" in p4
