@@ -130,3 +130,32 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for spark.sql() use."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, *partition_cols: str, fmt: str = "parquet", **options
+) -> None:
+    """Write a hive-style partitioned dataset (``path/col=value/...``).
+
+    THE layout decision at 100 TB: partition by the dominant filter
+    dimension (almost always ingest date/hour) so partition pruning turns
+    full-corpus scans into per-slice scans, and so retention/backfill is
+    a directory drop instead of a rewrite. Keep partition cardinality in
+    the thousands, not millions — each partition should hold >=1 full
+    row group (~128 MiB), else metadata and small files dominate.
+    """
+    (
+        df.write.mode("overwrite")
+        .options(**options)
+        .partitionBy(*partition_cols)
+        .format(fmt)
+        .save(path)
+    )
+
+
+def read_partitioned(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Read a hive-style partitioned dataset. Partition columns come back
+    as real columns; filters on them prune directories BEFORE any file
+    I/O (``PartitionFilters`` in the scan node), and equi-joins against a
+    filtered dimension prune at runtime via dynamic partition pruning."""
+    return spark.read.options(**options).parquet(path)
