@@ -324,3 +324,50 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assets = wrap_binary_assets(docs, "payload", "video/mp4")
     return sample_frames(assets).select("doc_id", "frame_idx", "frame_len")
+
+
+# --------------------------------------------------------------------------
+# Near-dup clustering (iterative connected components over LSH pairs)
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_cluster_assignments",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM (
+            {D.minhash_lsh_pairs_sql(threshold=_JACCARD_THRESHOLD)}
+        ) p
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS node, LEAST(u, MIN(v)) AS cluster_id
+        FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    MinHash-LSH verified pair graph (operators/graph.py, hash-min label
+    propagation — driver-side loop control, data never collected), every
+    document labeled with min-doc_id-of-component; singletons label
+    themselves. Keeping canonicals is then `doc_id == cluster_id`. The
+    oracle computes the same fixpoint as a DuckDB recursive CTE
+    transitive closure — exact, because component ids are
+    order-independent."""
+    from kafka_streams_the_clojure_way_spark.operators import graph as G
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=_JACCARD_THRESHOLD)
+    return G.cluster_assignments(docs.select("doc_id"), pairs)

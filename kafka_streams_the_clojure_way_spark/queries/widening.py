@@ -305,3 +305,75 @@ def agg_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Value-window family (lag / lead / first_value / last_value / nth_value)
+# --------------------------------------------------------------------------
+
+@query(
+    "window_value_pack",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice)  OVER w  AS prev_price,
+           lead(o_totalprice) OVER w  AS next_price,
+           first_value(o_totalprice) OVER wf AS first_price,
+           last_value(o_totalprice)  OVER wf AS last_price,
+           nth_value(o_totalprice, 2) OVER wf AS second_price
+    FROM orders
+    WINDOW
+      w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-window family in one pass: lag/lead (physical-offset
+    frame) and first/last/nth_value (explicit full frame — last_value
+    under the DEFAULT frame is the current row, a classic silent bug, so
+    the frame is always spelled out). All five share ONE window sort:
+    same partition keys + ordering => Catalyst evaluates them in a single
+    Window node, one shuffle + one sort total. Ordering carries
+    o_orderkey as the unique tiebreaker (SURVEY §5 determinism rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multiset (ALL-variant) set operations
+# --------------------------------------------------------------------------
+
+@query(
+    "set_ops_all_pack",
+    oracle="""
+    WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+         b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'F')
+    SELECT 'intersect_all' AS op, k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) t
+    UNION ALL
+    SELECT 'except_all' AS op, k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) t
+    """,
+)
+def set_ops_all_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops (SURVEY §2.2 "set ops beyond union"):
+    intersectAll / exceptAll preserve DUPLICATE CARDINALITY (bag
+    semantics — min(count_a, count_b) and count_a - count_b resp.),
+    which the plain intersect/except queries deliberately lose. Spark
+    plans both as a count-aggregate + generate, one shuffle each on the
+    value — no join explosion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_linestatus") == "F").select(F.col("l_suppkey").alias("k"))
+    return (
+        a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "k")
+        .unionByName(a.exceptAll(b).select(F.lit("except_all").alias("op"), "k"))
+    )

@@ -164,3 +164,11 @@ def test_tpch_pack2_plan_shapes(spark):
     # q4: EXISTS planned as a semi join
     p4 = _plan(spark, "tpch_q04_priority_slow_ships")
     assert "LeftSemi" in p4
+
+
+def test_window_value_pack_single_window_node(spark):
+    """lag/lead/first/last/nth share partition keys + ordering, so they
+    must collapse into ONE Window node — one shuffle, one sort."""
+    p = _plan(spark, "window_value_pack")
+    assert len(re.findall(r"\bWindow \[", p)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
