@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_streams_the_clojure_way_spark.functions import portable as P
 from kafka_streams_the_clojure_way_spark.operators import dedup as D
 from kafka_streams_the_clojure_way_spark.operators import similarity as S
 from kafka_streams_the_clojure_way_spark.operators import text as T
@@ -371,3 +372,55 @@ def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, threshold=_JACCARD_THRESHOLD)
     return G.cluster_assignments(docs.select("doc_id"), pairs)
+
+
+# --------------------------------------------------------------------------
+# Sampling (training-data subset selection)
+# --------------------------------------------------------------------------
+
+_SAMPLE_SALT = "sample:v1:"
+_SAMPLE_PCT = 10  # keep hash-bucket < 10 of 100 => deterministic ~10%
+
+
+@query(
+    "sample_hash_documents",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ({P.hash60_sql(f"'{_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)")} % 100)
+          < {_SAMPLE_PCT}
+    """,
+)
+def sample_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling — THE sampling primitive for training
+    corpora: md5-bucket on a salted key gives a sample that is (a)
+    reproducible across runs/engines (bit-exact oracle), (b) stable
+    under repartition (row-position-independent, unlike TABLESAMPLE /
+    rand(seed)), and (c) consistent across tables — the same salt+key
+    rule applied to a second corpus selects ALIGNED subsets, so joins
+    between sampled tables still work. Changing the salt string draws a
+    fresh independent sample. Pure per-row predicate: pipelined into the
+    scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        P.hash60(F.concat(F.lit(_SAMPLE_SALT), F.col("doc_id").cast("string"))) % 100
+    )
+    return docs.filter(bucket < _SAMPLE_PCT).select("doc_id", "lang", "n_chars")
+
+
+_STRATA_FRACTIONS = {"en": 0.25, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.5}
+
+
+@query("sample_stratified_documents")
+def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-language) Bernoulli sampling via ``sampleBy`` —
+    rebalances a skewed corpus by downsampling the dominant stratum
+    (here: keep 25% of `en`, most of the rest). Seeded => deterministic
+    within Spark, but the RNG stream is engine-specific, so the driver
+    records the rows-only check; the per-stratum rate bounds and the
+    determinism are pytest-gated (tests/test_sampling.py). Per-row
+    filter, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.sampleBy("lang", _STRATA_FRACTIONS, seed=42).select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -377,3 +377,80 @@ def set_ops_all_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "k")
         .unionByName(a.exceptAll(b).select(F.lit("except_all").alias("op"), "k"))
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill with last-observation-carried-forward
+# --------------------------------------------------------------------------
+
+@query(
+    "timeseries_gapfill_locf",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, date_trunc('hour', ts) AS hr,
+               CAST(value AS DECIMAL(28,6)) AS v
+        FROM events
+        WHERE event_type = 'purchase' AND user_id % 50 = 0
+    ),
+    hourly AS (
+        SELECT user_id, hr, SUM(v) AS v FROM f GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx FROM hourly GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+        FROM bounds
+    ),
+    j AS (
+        SELECT g.user_id, g.hr, h.v
+        FROM grid g LEFT JOIN hourly h
+          ON h.user_id = g.user_id AND h.hr = g.hr
+    )
+    SELECT user_id, hr,
+           CAST(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS v_filled,
+           (v IS NULL) AS was_gap
+    FROM j
+    """,
+)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per user with gaps filled by
+    last-observation-carried-forward: per-user hour grid via
+    sequence()+explode (generated ON the executors — never a driver-side
+    date loop), left join of the sparse hourly sums, then
+    last(ignorenulls) over an ordered window. Scale: the grid generation
+    is embarrassingly parallel per user; the LOCF window shuffles once
+    on user_id — same partitioning as the hourly agg, so AQE can chain
+    them without a second exchange of the raw events."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 50 == 0)
+    )
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("v"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    j = grid.join(hourly, ["user_id", "hr"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "hr",
+        F.last("v", ignorenulls=True).over(w).cast("double").alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
