@@ -50,10 +50,12 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # init = one propagation round fused in: label(u) = min(u, direct
+    # neighbors) — distinct nodes fall out of the same groupBy for free,
+    # and dense (clique-ish) near-dup graphs hit the fixpoint immediately
     labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.least(F.col("node"), F.min("v")).alias("component"))
         .localCheckpoint()
     )
     prev_sum = None

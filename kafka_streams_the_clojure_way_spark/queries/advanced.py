@@ -321,3 +321,54 @@ def window_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("spend_30d"),
     )
+
+
+@query(
+    "cogroup_customer_order_stats",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+               AS spend_cents
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def cogroup_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cogroup(...).applyInPandas`` — the two-sided grouped-UDF surface:
+    both tables shuffle once on the key, and the UDF receives the
+    customer group and its order group as two aligned pandas frames
+    (arbitrary Python join/agg logic per key — the escape hatch for
+    custom merge semantics no SQL join expresses). Here the logic is
+    deliberately SQL-expressible (count + integer-cents sum) so the
+    oracle checks values exactly; integer cents avoid pandas-vs-SQL
+    float summation-order drift. Scale: each key's groups must fit one
+    task — true for per-customer orders; the dominant cost is the same
+    single co-partitioned shuffle a sort-merge join would pay."""
+    import pandas as pd
+
+    def stats(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            # orders for a customer key absent from `customer` — cannot
+            # happen under referential integrity; emit nothing
+            return pd.DataFrame(
+                {"c_custkey": [], "n_orders": [], "spend_cents": []}
+            ).astype({"c_custkey": "int64", "n_orders": "int64", "spend_cents": "int64"})
+        cents = (right["o_totalprice"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(left["c_custkey"].iloc[0])],
+                "n_orders": [int(len(right))],
+                "spend_cents": [int(cents.sum())],
+            }
+        )
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            stats, schema="c_custkey long, n_orders long, spend_cents long"
+        )
+    )
