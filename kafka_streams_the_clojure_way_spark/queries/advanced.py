@@ -372,3 +372,82 @@ def cogroup_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             stats, schema="c_custkey long, n_orders long, spend_cents long"
         )
     )
+
+
+@query(
+    "scalar_map_pack",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS prio_val,
+           2 AS n_entries,
+           'priority,status' AS keys_sorted,
+           CASE WHEN o_orderstatus = 'F' THEN 'final'
+                ELSE o_orderstatus END AS status_val
+    FROM orders
+    """,
+)
+def scalar_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType function pack: construct (``create_map``), lookup
+    (``element_at``), introspect (``map_keys``/``size``), and rewrite
+    (``transform_values`` higher-order lambda) — all JVM-side Catalyst
+    expressions. The oracle states the expected VALUES directly (DuckDB's
+    MAP dialect differs; the point is Spark's map semantics produce
+    exactly these scalars), so the compare is still value-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    rewritten = F.transform_values(
+        m, lambda k, v: F.when((k == "status") & (v == "F"), F.lit("final")).otherwise(v)
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "priority").alias("prio_val"),
+        F.size(m).alias("n_entries"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(rewritten, "status").alias("status_val"),
+    )
+
+
+@query(
+    "udtf_word_positions",
+    oracle="""
+    WITH t AS (
+        SELECT p_partkey, string_split(p_name, ' ') AS ws,
+               unnest(generate_series(0, len(string_split(p_name, ' ')) - 1))
+                   AS pos
+        FROM part)
+    SELECT p_partkey, ws[CAST(pos AS INT) + 1] AS word,
+           CAST(pos AS INT) AS pos,
+           len(ws[CAST(pos AS INT) + 1]) AS word_len
+    FROM t
+    """,
+)
+def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (user-defined TABLE function, the §2.2 'UDTF surface'
+    row): one input row -> N output rows with per-row Python logic, used
+    via ``lateralJoin``. The tokenize-with-positions logic is
+    deliberately SQL-expressible (unnest WITH ORDINALITY) so the oracle
+    is exact. Scale: UDTFs run row-at-a-time in Python workers — keep
+    them OFF the hot path (this engine's splitting ops use JVM-side
+    split/explode, see explode_part_word_counts); the UDTF exists for
+    logic that genuinely needs imperative Python per group of emitted
+    rows."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int, word_len: int")
+    class WordPositions:
+        def eval(self, name: str):
+            for i, w in enumerate((name or "").split(" ")):
+                yield w, i, len(w)
+
+    spark.udtf.register("word_positions", WordPositions)
+    p = load_table(spark, sf_dir, "part")
+    p.select("p_partkey", "p_name").createOrReplaceTempView("part_names")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, t.word, t.pos, t.word_len
+        FROM part_names p, LATERAL word_positions(p.p_name) t
+        """
+    )
