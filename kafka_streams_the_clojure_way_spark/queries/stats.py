@@ -158,3 +158,27 @@ def text_top_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), F.col("shingle_hash"))
         .limit(20)
     )
+
+
+@query("agg_hll_sketch_union")
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg /
+    hll_union_agg): per-event-type user sketches, then a UNION of the
+    sketches re-estimated as the global distinct count. THIS — not a
+    one-shot approx_count_distinct — is the 100 TB pattern: sketches are
+    stored per partition/day as binary columns, and any rollup
+    (day→month, type→all) is a cheap sketch union instead of a rescan of
+    the raw corpus. No DuckDB oracle (sketch binaries are
+    engine-specific) — the driver records rows-only; the estimate error
+    against exact distincts is gated in tests/test_approx.py."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("user_sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias(
+            "distinct_users_unioned"
+        ),
+        F.sum("n_events").alias("n_events"),
+    )

@@ -159,3 +159,27 @@ def read_partitioned(spark: SparkSession, path: str, **options) -> DataFrame:
     I/O (``PartitionFilters`` in the scan node), and equi-joins against a
     filtered dimension prune at runtime via dynamic partition pruning."""
     return spark.read.options(**options).parquet(path)
+
+
+def write_range_sorted(
+    df: DataFrame, path: str, col: str, num_files: int, **options
+) -> None:
+    """Write parquet range-clustered on ``col``: repartitionByRange gives
+    each output file a disjoint value range and sortWithinPartitions
+    orders rows inside, so every file AND every row group carries tight
+    min/max statistics for ``col``.
+
+    This is the layout lever that makes point/range predicates on a
+    NON-partition column cheap at 100 TB: the reader skips whole files
+    and row groups from footer stats alone (no data I/O), the same win
+    partition pruning gives the partition column. Pick ``col`` = the
+    second-most-filtered dimension after the partition key. Cost: one
+    range-partitioning shuffle (sampling pass + exchange) at write time.
+    """
+    (
+        df.repartitionByRange(num_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .options(**options)
+        .parquet(path)
+    )

@@ -33,3 +33,20 @@ def test_approx_percentile_within_rank_error(spark):
         F.expr(f"percentile(o_totalprice, {0.5 + 2 * eps})").alias("hi"),
     ).collect()[0]
     assert row.lo <= row.approx <= row.hi, (row, n)
+
+
+def test_hll_sketch_union_error_bound(spark):
+    """The unioned per-type sketches' global estimate must sit within the
+    lgK=14 HLL error envelope (~0.8% rsd, gate at 4 sigma) of the exact
+    distinct count — and the union must NOT double-count users appearing
+    under several event types."""
+    from kafka_streams_the_clojure_way_spark.queries import QUERIES
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    sf = "/root/testdata/sf0.01"
+    est = QUERIES["agg_hll_sketch_union"](spark, sf).collect()[0]
+    exact = load_table(spark, sf, "events").select("user_id").distinct().count()
+    assert abs(est.distinct_users_unioned - exact) <= max(4 * 0.008 * exact, 2.0), (
+        est.distinct_users_unioned,
+        exact,
+    )
