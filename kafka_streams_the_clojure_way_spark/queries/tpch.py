@@ -736,3 +736,48 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice", "sum_qty",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q16 shape: distinct supplier count per part attribute, NOT IN exclusion
+# --------------------------------------------------------------------------
+
+@query(
+    "tpch_q16_part_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 14, 23, 45, 9, 19, 36, 49)
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type
+    """,
+)
+def tpch_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (complaint suppliers -> negative-balance
+    suppliers): distinct suppliers per brand/type over selected sizes,
+    excluding a NOT IN subquery. NOT IN is the null-aware anti join —
+    semantically distinct from NOT EXISTS (one NULL in the subquery
+    empties the result), and Catalyst plans it as a broadcast null-aware
+    anti join (asserted in tests/test_plan_audit.py). Expressed through
+    the SQL frontend because the DataFrame API has no NOT-IN-subquery
+    form — exactly what the frontend is for. Scale: the exclusion list
+    broadcasts; COUNT(DISTINCT) adds its usual expand+two-level agg on
+    (brand, type, suppkey)."""
+    from kafka_streams_the_clojure_way_spark.sources.files import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size IN (1, 14, 23, 45, 9, 19, 36, 49)
+          AND l.l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type
+        """
+    )

@@ -172,3 +172,11 @@ def test_window_value_pack_single_window_node(spark):
     p = _plan(spark, "window_value_pack")
     assert len(re.findall(r"\bWindow \[", p)) == 1
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_not_in_plans_null_aware_anti_join(spark):
+    """NOT IN (subquery) must plan as a broadcast NULL-aware anti join
+    (the trailing `true` flag on the LeftAnti BHJ) — not a cartesian
+    null-check. Distinct from NOT EXISTS' plain LeftAnti."""
+    p = _plan(spark, "tpch_q16_part_supplier_counts")
+    assert re.search(r"LeftAnti, BuildRight, true", p), p[:2000]
