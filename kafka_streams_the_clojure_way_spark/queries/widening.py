@@ -454,3 +454,41 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).cast("double").alias("v_filled"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# Running DISTINCT count over a window (collect_set workaround)
+# --------------------------------------------------------------------------
+
+@query(
+    "window_running_distinct_types",
+    oracle="""
+    SELECT user_id, event_id,
+           count(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS n_distinct_types
+    FROM events
+    WHERE user_id % 20 = 0
+    """,
+)
+def window_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user distinct event-type count. Spark forbids DISTINCT
+    aggregates over windows, so the engine's idiom is
+    ``size(collect_set(x)) OVER w`` — set semantics give exactly the
+    distinct count and the result is tie-order-independent even though
+    collect_set itself is unordered. Scale: state per row is the growing
+    set — bounded here by the event-type vocabulary (tiny); for
+    high-cardinality x use the dense_rank-sum decomposition instead of
+    an unbounded set."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_distinct_types"),
+    )
