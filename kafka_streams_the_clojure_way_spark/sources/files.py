@@ -36,10 +36,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     idempotent, and required even when the caller built its own session —
     the driver harness does):
 
-    - ``spark.sql.legacy.parquet.nanosAsLong``: `events.ts` is parquet
-      TIMESTAMP(NANOS), which Spark 4 refuses natively
-      ([PARQUET_TYPE_ILLEGAL]); with the legacy conf it arrives as
-      BIGINT epoch-nanos and we rebuild a micros TimestampType column.
+    - ``spark.sql.legacy.parquet.nanosAsLong``: when `events.ts` is
+      parquet TIMESTAMP(NANOS) (some generator versions), Spark 4 refuses
+      it natively ([PARQUET_TYPE_ILLEGAL]); with the legacy conf it
+      arrives as BIGINT epoch-nanos and we rebuild a micros
+      TimestampType column. Generators that write micros/millis land as a
+      native timestamp already, so the rebuild is gated on the loaded
+      dtype actually being bigint.
     - UTC session time zone: date/time rendering must agree with the
       DuckDB oracle, which treats the naive parquet timestamps as-is.
     """
@@ -47,7 +50,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Normalize to TimestampType (ltz): the engine's time functions
+            # (unix_micros, window, watermarks) expect it, and with the UTC
+            # session zone the naive values are preserved bit-for-bit.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
