@@ -781,3 +781,252 @@ def tpch_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         GROUP BY p.p_brand, p.p_type
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Q2 shape: minimum-cost supplier per part in one region
+# --------------------------------------------------------------------------
+
+@query(
+    "tpch_q02_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS supplycost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    eps AS (
+        SELECT ps.l_partkey, ps.supplycost,
+               s.s_name, s.s_acctbal, n.n_name
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT p.p_partkey, p.p_name, e.s_name, e.n_name, e.s_acctbal,
+           round(e.supplycost, 6) AS min_cost_r
+    FROM part p
+    JOIN eps e ON e.l_partkey = p.p_partkey
+    WHERE p.p_size = 15 AND p.p_type = 'PROMO'
+      AND e.supplycost = (SELECT MIN(e2.supplycost) FROM eps e2
+                          WHERE e2.l_partkey = p.p_partkey)
+    """,
+)
+def tpch_q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (ref absent per SURVEY §2.2 — no joins in core.clj;
+    partsupp absent from the testdata, so the part-supplier relation is
+    derived: min observed unit price per (part, supplier) from lineitem).
+    For size-15 PROMO parts, the EUROPE supplier(s) offering the minimum
+    cost. The correlated MIN subquery is expressed as a window-min over
+    the part partition: one window node instead of the self-join+agg a
+    naive decorrelation produces — same result because the correlation
+    key (partkey) equals the window partition key. Scale: ps aggregates
+    lineitem in one shuffle on (partkey, suppkey); supplier/nation/
+    region/filtered-part are all broadcast; the window repartitions only
+    the ~9-parts-worth of surviving rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    eps = (
+        ps.join(s, s.s_suppkey == ps.l_suppkey)
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(r, F.col("r_regionkey") == F.col("n_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eps.join(p, p.p_partkey == eps.l_partkey)
+        .withColumn("__min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("__min_cost"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            F.round("supplycost", 6).alias("min_cost_r"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape: important part values for suppliers of given nations
+# --------------------------------------------------------------------------
+
+@query(
+    "tpch_q11_important_part_values",
+    oracle="""
+    WITH val AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(28,6))) AS pvalue
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_3', 'NATION_7')
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(pvalue AS DOUBLE) AS part_value
+    FROM val
+    WHERE pvalue > (SELECT SUM(pvalue) * 0.0008 FROM val)
+    """,
+)
+def tpch_q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp value -> lineitem revenue attributed to
+    two nations' suppliers): parts whose revenue exceeds a fraction of
+    the group total. The scalar aggregate subquery becomes a 1-row
+    broadcast cross join against the grouped frame — the grouped frame is
+    computed ONCE and reused for both the total and the filter (Catalyst
+    plans a ReusedExchange under AQE rather than scanning lineitem
+    twice). Scale: the supplier/nation filter broadcasts into the fact
+    scan, one shuffle on l_partkey, and the threshold side is one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sel = F.broadcast(
+        s.join(n, n.n_nationkey == s.s_nationkey)
+        .filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(sel, sel.s_suppkey == li.l_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6))
+            .alias("pvalue")
+        )
+    )
+    thresh = val.agg((F.sum("pvalue") * 0.0008).alias("__threshold"))
+    return (
+        val.crossJoin(F.broadcast(thresh))
+        .filter(F.col("pvalue") > F.col("__threshold"))
+        .select("l_partkey", F.col("pvalue").cast("double").alias("part_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 shape: order-priority mix by return flag for one ship year
+# --------------------------------------------------------------------------
+
+@query(
+    "tpch_q12_priority_by_returnflag",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag IN ('A', 'R')
+      AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def tpch_q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode absent -> returned/available flags):
+    how many urgent-or-high vs other-priority lines shipped in 1998 per
+    return flag. The classic join-then-conditional-aggregate: both
+    measures come from one pass via CASE inside SUM. Scale: the
+    returnflag + shipdate predicates push to the lineitem scan before
+    the orderkey shuffle; the output key space is 2."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 shape: dominant suppliers of promo parts in one ship year
+# --------------------------------------------------------------------------
+
+@query(
+    "tpch_q20_dominant_promo_suppliers",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT l_partkey, SUM(supp_qty) AS part_qty FROM pq GROUP BY 1)
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT pq.l_suppkey
+        FROM pq JOIN tot ON tot.l_partkey = pq.l_partkey
+        WHERE pq.supp_qty > 0.5 * tot.part_qty)
+    """,
+)
+def tpch_q20_dominant_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty absent -> dominance: a supplier who
+    shipped more than half of a promo part's 1997 volume). The nested
+    IN-with-correlated-aggregate becomes: grouped quantities, a
+    window-sum for the per-part total (partition key = correlation key,
+    so no self-join), share filter, then a left-semi join into supplier.
+    supp_qty sums are exact (quantities are integral doubles), so the
+    0.5 * total comparison is deterministic on both engines. Scale: one
+    shuffle on (partkey, suppkey), window over the same partkey — AQE
+    coalesces the tiny post-filter exchanges; supplier/nation broadcast."""
+    from pyspark.sql.window import Window
+
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pq = (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    dominant = (
+        pq.withColumn(
+            "part_qty", F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
+        )
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        s.join(dominant, dominant.l_suppkey == s.s_suppkey, "left_semi")
+        .join(n, n.n_nationkey == s.s_nationkey)
+        .select("s_name", "n_name")
+    )

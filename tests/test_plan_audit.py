@@ -180,3 +180,32 @@ def test_not_in_plans_null_aware_anti_join(spark):
     null-check. Distinct from NOT EXISTS' plain LeftAnti."""
     p = _plan(spark, "tpch_q16_part_supplier_counts")
     assert re.search(r"LeftAnti, BuildRight, true", p), p[:2000]
+
+
+def test_tpch_pack3_plan_shapes(spark):
+    """Scale claims of the Q2/Q11/Q12/Q20 pack (queries/tpch.py): the
+    correlated-MIN and correlated-total shapes must use a single Window
+    over the correlation key (no decorrelation self-join of the grouped
+    frame), dimension sides broadcast, and Q12's lineitem predicates
+    reach the scan before the orderkey shuffle."""
+    import re
+
+    # q2: window-min decorrelation — exactly one Window node, dims broadcast
+    p2 = _plan(spark, "tpch_q02_min_cost_supplier")
+    assert len(re.findall(r"\bWindow \[", p2)) == 1
+    assert "BroadcastHashJoin" in p2 and "SortMergeJoin" not in p2
+
+    # q11: grouped frame reused for total + filter (scalar side broadcast)
+    p11 = _plan(spark, "tpch_q11_important_part_values")
+    assert "BroadcastNestedLoopJoin" in p11 or "BroadcastHashJoin" in p11
+
+    # q12: returnflag + shipdate predicates pushed to the lineitem scan
+    # (several scans in the plan — check every PushedFilters list)
+    p12 = _plan(spark, "tpch_q12_priority_by_returnflag")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)", p12))
+    assert "l_returnflag" in pushed or "l_shipda" in pushed, p12[:2000]
+
+    # q20: window-sum share filter then semi join; no self-join of pq
+    p20 = _plan(spark, "tpch_q20_dominant_promo_suppliers")
+    assert len(re.findall(r"\bWindow \[", p20)) == 1
+    assert "LeftSemi" in p20
