@@ -219,3 +219,112 @@ def fingerprint_sql(text: str = "text") -> str:
         f"list_transform({toks}, t -> {tok_hash})), "
         f"(acc, h) -> (acc * {FP_BASE} + h) % {MERSENNE_31})"
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rules (repetition + structure signals)
+# --------------------------------------------------------------------------
+
+#: Rule thresholds (Gopher, Rae et al. 2021 §A1.1, adapted to the corpus:
+#: the synthetic docs are single-line, so line-level rules are replaced by
+#: the token-diversity rule that catches the same repetition failure mode).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_WORD_LEN = (3.0, 10.0)
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_DISTINCT_RATIO = 0.2
+
+
+def gopher_quality(df: DataFrame, text: str = "text") -> DataFrame:
+    """Per-document quality-rule flags: word-count bounds, mean word
+    length, symbol-to-word ratio, distinct-token ratio, and the composite
+    keep/drop decision. Row-local Catalyst expressions only — pipelined
+    into the scan, no shuffle, no Python."""
+    toks = tokens_col(F.col(text))
+    n_words = F.array_size(toks).cast("long")
+    n_words_d = F.greatest(n_words, F.lit(1)).cast("double")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_wl = F.round(sum_len.cast("double") / n_words_d, 6)
+    n_symbols = (
+        F.length(text) - F.length(F.regexp_replace(F.col(text), PUNCT_CLASS, ""))
+    ).cast("double")
+    symbol_ratio = F.round(n_symbols / n_words_d, 6)
+    distinct_ratio = F.round(
+        F.array_size(F.array_distinct(toks)).cast("double") / n_words_d, 6
+    )
+    lo, hi = GOPHER_MEAN_WORD_LEN
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_wl.between(lo, hi)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (distinct_ratio >= GOPHER_MIN_DISTINCT_RATIO)
+    )
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": mean_wl,
+            "symbol_word_ratio": symbol_ratio,
+            "distinct_token_ratio": distinct_ratio,
+            "quality_keep": keep,
+        }
+    )
+
+
+def gopher_quality_sql(text: str = "text") -> dict[str, str]:
+    toks = tokens_sql(text)
+    n_words = f"CAST(len({toks}) AS BIGINT)"
+    n_words_d = f"CAST(greatest({n_words}, 1) AS DOUBLE)"
+    sum_len = f"list_sum(list_transform({toks}, t -> length(t)))"
+    mean_wl = f"round(coalesce(CAST({sum_len} AS DOUBLE), 0) / {n_words_d}, 6)"
+    n_symbols = (
+        f"CAST(length({text}) - length(regexp_replace({text}, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)"
+    )
+    symbol_ratio = f"round({n_symbols} / {n_words_d}, 6)"
+    distinct_ratio = f"round(CAST(len(list_distinct({toks})) AS DOUBLE) / {n_words_d}, 6)"
+    lo, hi = GOPHER_MEAN_WORD_LEN
+    keep = (
+        f"({n_words} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}"
+        f" AND {mean_wl} BETWEEN {lo} AND {hi}"
+        f" AND {symbol_ratio} <= {GOPHER_MAX_SYMBOL_RATIO}"
+        f" AND {distinct_ratio} >= {GOPHER_MIN_DISTINCT_RATIO})"
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_word_ratio": symbol_ratio,
+        "distinct_token_ratio": distinct_ratio,
+        "quality_keep": keep,
+    }
+
+
+# --------------------------------------------------------------------------
+# Benchmark contamination (n-gram overlap against a held-out probe set)
+# --------------------------------------------------------------------------
+
+CONTAM_NGRAM = 5
+
+
+def shingles_col(text: Column, k: int = CONTAM_NGRAM) -> Column:
+    """Distinct k-token shingles of a document (empty array when the
+    document is shorter than k tokens)."""
+    toks = tokens_col(text)
+    n = F.array_size(toks)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            )
+        )
+    )
+
+
+def shingles_sql(expr: str, k: int = CONTAM_NGRAM) -> str:
+    toks = tokens_sql(expr)
+    return (
+        f"CASE WHEN len({toks}) < {k} THEN [] "
+        f"ELSE list_distinct(list_transform(range(1, len({toks}) - {k - 2}), "
+        f"i -> array_to_string({toks}[i:i+{k - 1}], ' '))) END"
+    )

@@ -424,3 +424,86 @@ def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.sampleBy("lang", _STRATA_FRACTIONS, seed=42).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@query(
+    "text_gopher_quality_flags",
+    oracle=_select_sql(T.gopher_quality_sql(), "documents"),
+)
+def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021 §A1.1 adapted): word
+    count bounds, mean word length, symbol-to-word ratio, distinct-token
+    ratio, composite keep/drop. The filter every web-scale corpus applies
+    before training; row-local expressions, no shuffle, pipelined into
+    the scan at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.gopher_quality(docs).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "distinct_token_ratio",
+        "quality_keep",
+    )
+
+
+_BENCH_SOURCE = "src0"  # held-out "benchmark" slice of the corpus
+
+
+@query(
+    "text_ngram_contamination",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source, {T.shingles_sql('text')} AS shingles
+        FROM documents
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM sh
+        WHERE source = '{_BENCH_SOURCE}'
+    ),
+    corpus AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+        WHERE source <> '{_BENCH_SOURCE}'
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           round(CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS contamination_frac
+    FROM corpus c LEFT JOIN bench b ON b.s = c.s
+    GROUP BY c.doc_id
+    """,
+)
+def text_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination check: the fraction of each document's
+    distinct 5-gram shingles that also appear in a held-out probe set
+    (here: the '{src0}' source slice stands in for an eval benchmark).
+    The standard pre-training hygiene step (GPT-3 appendix C / PaLM §7).
+    Scale: the benchmark shingle set is tiny (eval suites are KBs-MBs) —
+    broadcast it; the corpus side explodes to one row per distinct
+    shingle and aggregates straight back to doc_id, so the only shuffle
+    is the final per-doc count at benchmark-set-independent width."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", "source", T.shingles_col(F.col("text")).alias("shingles"))
+    bench = (
+        sh.filter(F.col("source") == _BENCH_SOURCE)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus = sh.filter(F.col("source") != _BENCH_SOURCE).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    hit = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+    return (
+        corpus.join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            hit.alias("n_contaminated"),
+            F.round(hit.cast("double") / F.count(F.lit(1)), 6).alias(
+                "contamination_frac"
+            ),
+        )
+    )
