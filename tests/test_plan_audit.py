@@ -209,3 +209,52 @@ def test_tpch_pack3_plan_shapes(spark):
     p20 = _plan(spark, "tpch_q20_dominant_promo_suppliers")
     assert len(re.findall(r"\bWindow \[", p20)) == 1
     assert "LeftSemi" in p20
+
+
+def test_contamination_benchmark_side_broadcast(spark):
+    """text_ngram_contamination promises the benchmark shingle set is
+    broadcast — the corpus side must never shuffle on the shingle string
+    (only the final per-doc aggregate shuffles, on doc_id)."""
+    p = _plan(spark, "text_ngram_contamination")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # at most ONE exchange on the shingle string — the distinct() inside
+    # the tiny benchmark build side; the exploded corpus must go straight
+    # from Generate into the broadcast probe.
+    assert len(re.findall(r"Exchange hashpartitioning\(s#", p)) <= 1, p[:2000]
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime row-level filtering: a selective dimension filter on one
+    side of a shuffle join must inject a bloom-filter probe into the
+    fact-side scan (Spark's runtime filtering, the row-group-skipping
+    complement to dynamic partition pruning). Thresholds are lowered to
+    make the kB-scale test tables eligible — at 100 TB the defaults
+    (10 MB creation side) trigger on real dimension filters."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        # the probe side must look "big enough to be worth filtering" —
+        # the default is 10GB, far above the kB-scale test scan
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in p.lower() or "might_contain" in p.lower(), p[:3000]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
