@@ -551,3 +551,45 @@ def time_bucket_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(_dec("value")).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "json_variant_shred",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_min,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_max,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_sum,
+           CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant-typed JSON (Spark 4): parse events.props ONCE into a
+    VariantType column, then extract typed paths with try_variant_get.
+    Versus per-path get_json_object (json_props_by_key), the payload is
+    parsed a single time into a binary-encoded variant no matter how many
+    paths are read — the difference between O(paths) and O(1) JSON parses
+    per row, which is THE semi-structured-scan cost at 100 TB. Missing
+    paths yield NULL (counted here), not errors."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    missing = F.try_variant_get(v, "$.missing", "string")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").alias("k_sum"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0)).alias("n_missing"),
+        )
+    )

@@ -102,3 +102,65 @@ def running_totals(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithState (Spark 4): composite keyed state beyond the single
+# tuple applyInPandasWithState allows — here a MapState used as a per-key
+# SET, the state shape a running-distinct operator actually needs.
+# --------------------------------------------------------------------------
+
+DISTINCT_TYPES_SCHEMA = "key string, n_types long"
+
+
+class _DistinctTypesProcessor:
+    """StatefulProcessor: per key, remember every event type ever seen
+    (MapState as a set) and emit the updated distinct count per batch."""
+
+    def init(self, handle) -> None:
+        self._types = handle.getMapState("types", "t string", "seen int")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        for pdf in rows:
+            for t in pdf["t"].dropna().unique():
+                if not self._types.containsKey((str(t),)):
+                    self._types.updateValue((str(t),), (1,))
+        n = sum(1 for _ in self._types.keys())
+        yield pd.DataFrame({"key": [key[0]], "n_types": [n]})
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def distinct_types_seen(df: DataFrame, key_col: str, type_col: str) -> DataFrame:
+    """How many distinct ``type_col`` values each key has EVER produced,
+    updated every micro-batch — running cardinality per key. State is a
+    MapState set (one entry per distinct type), so memory is O(distinct
+    types per key), not O(events); at genuinely high-cardinality domains
+    swap the exact set for an HLL sketch in a ValueState (operators/
+    sketches pattern). Batch mode degrades to count_distinct — the
+    parity test."""
+    src = df.select(F.col(key_col).alias("key"), F.col(type_col).alias("t"))
+    if not df.isStreaming:
+        return src.groupBy("key").agg(F.count_distinct("t").alias("n_types"))
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc = type(
+        "DistinctTypesProcessor",
+        (_DistinctTypesProcessor, StatefulProcessor),
+        {},
+    )()
+    return src.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=DISTINCT_TYPES_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

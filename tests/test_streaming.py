@@ -118,3 +118,80 @@ def test_streaming_merge_fan_in(spark, tmp_path):
     drain(query)
     got = sorted(r.amount for r in spark.sql("SELECT * FROM fanin_test").collect())
     assert got == [500, 700]
+
+
+def test_transform_with_state_distinct_types(spark, tmp_path):
+    """transformWithState (Spark 4) with MapState-as-set: per-key distinct
+    event types accumulate ACROSS restarts (state checkpointed), and the
+    streaming totals equal the batch count_distinct twin.
+
+    The streaming leg needs python protobuf (the transformWithState state
+    protocol); where it's absent only the batch twin is exercised."""
+    import pytest
+    from pyspark.sql.types import StringType
+
+    from kafka_streams_the_clojure_way_spark.streaming.state import (
+        distinct_types_seen,
+    )
+
+    schema = StructType(
+        [
+            StructField("user", StringType()),
+            StructField("etype", StringType()),
+        ]
+    )
+    in_dir = tmp_path / "tws_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "tws_ckpt")
+    out_dir = str(tmp_path / "tws_out")
+
+    def run_once(tag):
+        stream = distinct_types_seen(
+            spark.readStream.schema(schema).parquet(f"{in_dir}/*"), "user", "etype"
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain(q)
+
+    spark.createDataFrame(
+        [("a", "click"), ("a", "view"), ("b", "click"), ("a", "click")], schema
+    ).write.parquet(str(in_dir / "f1.parquet"))
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        batch = distinct_types_seen(
+            spark.read.parquet(f"{in_dir}/*"), "user", "etype"
+        ).collect()
+        assert {r.key: r.n_types for r in batch} == {"a": 2, "b": 1}
+        pytest.skip("python protobuf unavailable: transformWithState streaming leg skipped")
+
+    run_once("r1")
+
+    # second file while the query is down; restart must REMEMBER a's
+    # {click,view} so a third distinct type yields 3, and b's repeat
+    # type must NOT bump its count
+    spark.createDataFrame(
+        [("a", "purchase"), ("b", "click")], schema
+    ).write.parquet(str(in_dir / "f2.parquet"))
+    run_once("r2")
+
+    latest = {}
+    for r in spark.read.parquet(out_dir).collect():
+        latest[r.key] = max(latest.get(r.key, 0), r.n_types)
+    assert latest == {"a": 3, "b": 1}
+
+    # batch twin parity
+    batch = distinct_types_seen(
+        spark.read.parquet(f"{in_dir}/*"), "user", "etype"
+    ).collect()
+    assert {r.key: r.n_types for r in batch} == latest
