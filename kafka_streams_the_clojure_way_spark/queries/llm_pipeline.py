@@ -507,3 +507,113 @@ def text_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_CHUNK_TOKENS = 50
+_CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {T.tokens_sql('text')} AS toks,
+               CAST(len({T.tokens_sql('text')}) AS BIGINT) AS n
+        FROM documents
+    ),
+    shaped AS (
+        SELECT doc_id, toks, n,
+               CASE WHEN n <= {_CHUNK_TOKENS} THEN 1
+                    ELSE CAST(ceil(CAST(n - {_CHUNK_TOKENS} AS DOUBLE)
+                                   / {_CHUNK_STRIDE}) AS BIGINT) + 1
+               END AS n_chunks
+        FROM tok
+    )
+    SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_id,
+           array_to_string(
+               toks[(u.i * {_CHUNK_STRIDE} + 1):(u.i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS})],
+               ' ') AS chunk_text,
+           CAST(least(n - u.i * {_CHUNK_STRIDE}, {_CHUNK_TOKENS}) AS BIGINT)
+               AS chunk_tokens
+    FROM shaped, UNNEST(range(0, n_chunks)) AS u(i)
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the step that turns documents
+    into model-context-sized pieces (RAG indexing, long-doc training):
+    {chunk} tokens per chunk, stride {stride} (so consecutive chunks
+    share the boundary tokens and no split point loses context). One
+    narrow posexplode per doc — output rows ~ n_tokens/stride per doc,
+    no shuffle at all; the chunker runs scan-side at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens_col(F.col("text"))
+    n = F.array_size(toks).cast("long")
+    n_chunks = F.when(n <= _CHUNK_TOKENS, F.lit(1).cast("long")).otherwise(
+        F.ceil((n - _CHUNK_TOKENS).cast("double") / _CHUNK_STRIDE).cast("long") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, (i * _CHUNK_STRIDE + 1).cast("int"), _CHUNK_TOKENS), " "
+        ),
+    )
+    return (
+        docs.select("doc_id", n.alias("n"), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "chunk_text",
+            F.least(
+                F.col("n") - F.col("chunk_id") * _CHUNK_STRIDE, F.lit(_CHUNK_TOKENS)
+            ).cast("long").alias("chunk_tokens"),
+        )
+    )
+
+
+_PACK_BUDGET = 512  # tokens per training sequence
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               CAST(len({T.tokens_sql('text')}) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens AS BIGINT) AS stream_offset,
+           CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id
+    FROM tok
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate each source's token stream in
+    deterministic doc_id order and cut it into fixed {budget}-token
+    training sequences — each doc gets the pack it STARTS in plus its
+    offset in the stream (docs may straddle pack boundaries; that is the
+    standard concat-then-split packing used for pre-training batches).
+    One running-sum window per source — a single shuffle on the source
+    key; at 100 TB, partition the corpus by (source, date) first and the
+    window runs per partition without a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    n_tokens = F.array_size(T.tokens_col(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("stream_offset", (cum - F.col("n_tokens")).cast("long"))
+        .withColumn(
+            "pack_id", F.floor(F.col("stream_offset") / _PACK_BUDGET).cast("long")
+        )
+    )
