@@ -483,8 +483,11 @@ def text_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the benchmark shingle set is tiny (eval suites are KBs-MBs) —
     broadcast it; the corpus side explodes to one row per distinct
     shingle and aggregates straight back to doc_id, so the only shuffle
-    is the final per-doc count at benchmark-set-independent width."""
-    docs = load_table(spark, sf_dir, "documents")
+    is the final per-doc count at benchmark-set-independent width.
+    Shingle construction is CPU-bound per row, so the input is
+    parallelism-guarded (single-row-group test files would otherwise run
+    it in one task; a no-op on well-split corpora)."""
+    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
     sh = docs.select("doc_id", "source", T.shingles_col(F.col("text")).alias("shingles"))
     bench = (
         sh.filter(F.col("source") == _BENCH_SOURCE)
