@@ -193,3 +193,61 @@ def write_range_sorted(
         .options(**options)
         .parquet(path)
     )
+
+
+def _interleave_bits(a, b, bits: int):
+    """Morton (Z-order) interleave of two ``bits``-bit bucket ids, built
+    as a constant-depth JVM expression tree (no UDF)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int,
+    *,
+    bits: int = 8,
+    **options,
+) -> None:
+    """Write parquet Z-order-clustered on TWO columns: bucketize each
+    column against sampled quantile boundaries (``approxQuantile`` — the
+    same sample-based step Delta's OPTIMIZE ZORDER runs), Morton-
+    interleave the bucket ids, then range-partition + sort on the Z key.
+
+    Where ``write_range_sorted`` gives ONE column tight min/max file
+    stats, Z-order gives BOTH columns moderately tight stats in every
+    file, so point/range predicates on either (or both) skip most files
+    and row groups from footer stats alone. This is the multi-dimension
+    layout lever at 100 TB when two filter dimensions matter and neither
+    is the partition key. Cost: one quantile sample pass + one range
+    shuffle at write time.
+    """
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    qa, qb = df.stat.approxQuantile([col_a, col_b], probs, 0.001)
+
+    def bucket(col: str, bounds: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in bounds])
+        # index of the first boundary >= value == count of boundaries < value
+        return F.array_size(F.filter(arr, lambda x: x < F.col(col).cast("double")))
+
+    zkey = _interleave_bits(
+        bucket(col_a, qa).cast("long"), bucket(col_b, qb).cast("long"), bits
+    )
+    (
+        df.withColumn("__zkey", zkey)
+        .repartitionByRange(num_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .options(**options)
+        .parquet(path)
+    )
