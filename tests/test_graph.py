@@ -71,4 +71,24 @@ def test_cluster_assignments_includes_singletons(spark):
 def test_non_convergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(12)], "src long, dst long")
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(df, max_iter=1)
+        # local_max_edges=0 forces the distributed loop — the guard under test
+        connected_components(df, max_iter=1, local_max_edges=0)
+
+
+def test_local_and_distributed_paths_agree(spark):
+    """The union-find fast path and the hash-min loop must label every
+    node identically (same min-id-of-component contract)."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {
+        (r.node, r.component) for r in connected_components(df).collect()
+    }
+    dist = {
+        (r.node, r.component)
+        # sparse random graphs are path-y: allow diameter-many rounds
+        for r in connected_components(df, local_max_edges=0, max_iter=60).collect()
+    }
+    assert local == dist and len(local) > 0
