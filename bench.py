@@ -4,8 +4,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
 Each query is forced with a noop write (full computation, no driver-side
-collect bottleneck). A warmup query amortizes JVM/codegen startup so the
-numbers measure the plans, not the JIT.
+collect bottleneck). A warmup query amortizes JVM/codegen startup, and
+each query is timed as the min of two runs so one-time costs (codegen of
+large expression trees, executor-side pandas import) don't masquerade as
+plan cost — the numbers measure the plans, not the JIT.
 """
 
 from __future__ import annotations
@@ -35,9 +37,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
-        t0 = time.time()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            force(fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -489,14 +489,23 @@ def text_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     it in one task; a no-op on well-split corpora)."""
     docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
     sh = docs.select("doc_id", "source", T.shingles_col(F.col("text")).alias("shingles"))
+    # explode_outer, NOT explode: plain explode makes the optimizer infer
+    # a size(shingles)>0 filter and push it below the parallelism-guard
+    # exchange — re-evaluating the whole shingle transform in the (narrow)
+    # scan stage. outer + isNotNull keeps the heavy expression strictly
+    # post-exchange. (Same result: empty-shingle docs yield a null row,
+    # dropped here.)
     bench = (
         sh.filter(F.col("source") == _BENCH_SOURCE)
-        .select(F.explode("shingles").alias("s"))
+        .select(F.explode_outer("shingles").alias("s"))
+        .filter(F.col("s").isNotNull())
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    corpus = sh.filter(F.col("source") != _BENCH_SOURCE).select(
-        "doc_id", F.explode("shingles").alias("s")
+    corpus = (
+        sh.filter(F.col("source") != _BENCH_SOURCE)
+        .select("doc_id", F.explode_outer("shingles").alias("s"))
+        .filter(F.col("s").isNotNull())
     )
     hit = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
     return (
