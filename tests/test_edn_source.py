@@ -1,0 +1,72 @@
+"""EDN file format (Python DataSource): the reference's native serde
+(jackdaw.serdes.edn, core.clj:24-26) as a first-class Spark format —
+read, write round-trip, keyword↔column mapping, and the reference
+pipeline running directly on EDN input."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import LongType, StructField, StructType
+
+from kafka_streams_the_clojure_way_spark import pipelines as P
+from kafka_streams_the_clojure_way_spark.sources.edn import (
+    infer_edn_schema,
+    parse_edn,
+    register,
+)
+
+PURCHASES_EDN = """\
+{:purchase-id 1 :user-id 1 :amount 10 :quantity 1}
+{:purchase-id 2 :user-id 2 :amount 500 :quantity 1}
+{:purchase-id 3 :user-id 3 :amount 50 :quantity 2}
+{:purchase-id 4 :user-id 4 :amount 1000 :quantity 9}
+"""
+
+SCHEMA = StructType(
+    [
+        StructField("purchase_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("amount", LongType()),
+        StructField("quantity", LongType()),
+    ]
+)
+
+
+def test_parse_edn_subset():
+    v, _ = parse_edn('{:a 1 :b-c "x" :d [1 2.5 nil] :e true :f #{3}}')
+    got = {str(k): val for k, val in v.items()}
+    assert got == {"a": 1, "b-c": "x", "d": [1, 2.5, None], "e": True, "f": [3]}
+
+
+def test_edn_read_and_reference_pipeline(spark, tmp_path):
+    # ≙ core.clj:171-184 amounts 10/500/50/1000 -> exactly 2 survivors,
+    # straight off EDN files with no conversion step.
+    f = tmp_path / "purchases.edn"
+    f.write_text(PURCHASES_EDN)
+    register(spark)
+    df = spark.read.format("edn").schema(SCHEMA).load(str(f))
+    out = df.transform(P.large_purchases).orderBy("amount").collect()
+    assert [(r.user_id, r.amount) for r in out] == [(2, 500), (4, 1000)]
+
+
+def test_edn_write_round_trip(spark, tmp_path):
+    f = tmp_path / "in.edn"
+    f.write_text(PURCHASES_EDN)
+    register(spark)
+    df = spark.read.format("edn").schema(SCHEMA).load(str(f))
+    out_dir = str(tmp_path / "out")
+    df.write.format("edn").mode("append").save(out_dir)
+    back = spark.read.format("edn").schema(SCHEMA).load(out_dir + "/*.edn")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_edn_schema_inference(tmp_path):
+    f = tmp_path / "s.edn"
+    f.write_text('{:user-id 7 :amount 1.5 :name "x" :ok true}\n')
+    s = infer_edn_schema(str(f))
+    got = {fld.name: type(fld.dataType).__name__ for fld in s.fields}
+    assert got == {
+        "user_id": "LongType",
+        "amount": "DoubleType",
+        "name": "StringType",
+        "ok": "BooleanType",
+    }
