@@ -251,3 +251,26 @@ def write_zorder(
         .options(**options)
         .parquet(path)
     )
+
+
+def overwrite_partitions(df: DataFrame, path: str, *partition_cols: str, **options) -> None:
+    """Incremental backfill write: overwrite ONLY the hive partitions
+    present in ``df``, leaving every other partition untouched (dynamic
+    partition overwrite).
+
+    This is how a 100 TB partitioned corpus is corrected/reprocessed:
+    recompute one day/source slice and swap just those directories —
+    static overwrite mode would drop the whole table first. Session-conf
+    driven, so it is pinned here per-write rather than globally."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .options(**options)
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

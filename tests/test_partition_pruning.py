@@ -82,3 +82,36 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:3000]
     assert joined.count() > 0
+
+
+def test_dynamic_partition_overwrite_touches_only_written_slices(spark, tmp_path):
+    """overwrite_partitions must replace only the partitions present in
+    the incoming frame — the incremental-backfill contract (static
+    overwrite would empty the rest of the table)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.sources.files import (
+        load_table,
+        overwrite_partitions,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, SF, "orders")
+    write_partitioned(orders, path, "o_orderstatus")
+    before = spark.read.parquet(path)
+    other_before = before.filter(F.col("o_orderstatus") != "F").count()
+    assert other_before > 0
+
+    # "reprocess" one slice: keep only half the F rows
+    fixed = (
+        spark.read.parquet(path)
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0))
+    )
+    fixed_n = fixed.count()
+    overwrite_partitions(fixed, path, "o_orderstatus")
+
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("o_orderstatus") == "F").count() == fixed_n
+    # untouched partitions intact
+    assert after.filter(F.col("o_orderstatus") != "F").count() == other_before

@@ -148,3 +148,58 @@ def test_asof_join_matches_bruteforce(spark, inputs):
         key=lambda t: (t[0], t[1], t[2]),
     )
     assert got_rows == _py_asof(lrows, rrows)
+
+
+# --------------------------------------------------------------------------
+# Chunker invariants vs a plain-Python reference implementation
+# --------------------------------------------------------------------------
+
+def _ref_chunks(tokens: list[str], size: int, stride: int) -> list[list[str]]:
+    if len(tokens) <= size:
+        return [tokens]
+    n_chunks = -(-(len(tokens) - size) // stride) + 1
+    return [tokens[i * stride : i * stride + size] for i in range(n_chunks)]
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=4), min_size=1, max_size=180
+    )
+)
+def test_chunker_covers_every_token_with_exact_overlap(spark, tokens):
+    """text_chunk_windows semantics on arbitrary token streams: chunks
+    tile the document at the configured stride, the last chunk reaches
+    the final token, and chunk token counts match the closed form."""
+    import pandas as pd
+
+    from kafka_streams_the_clojure_way_spark.queries.llm_pipeline import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+        text_chunk_windows,
+    )
+
+    text = " ".join(tokens)
+    sf_dir = None  # we bypass load_table by monkey-building the frame
+
+    # run the registered query's expression path on a literal frame
+    import kafka_streams_the_clojure_way_spark.queries.llm_pipeline as LP
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    orig = LP.load_table
+    try:
+        LP.load_table = lambda _s, _d, _n: df
+        got = (
+            text_chunk_windows(spark, sf_dir)
+            .orderBy("chunk_id")
+            .collect()
+        )
+    finally:
+        LP.load_table = orig
+
+    expected = _ref_chunks([t.lower() for t in tokens], _CHUNK_TOKENS, _CHUNK_STRIDE)
+    assert len(got) == len(expected)
+    for row, exp in zip(got, expected):
+        assert row.chunk_text == " ".join(exp)
+        assert row.chunk_tokens == len(exp)
