@@ -21,6 +21,7 @@ optimizes across the whole chain (fusion, pushdown, pruning).
 
 from __future__ import annotations
 
+import itertools
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,9 +80,24 @@ def compile_topology(
             frame = _merge_parents(name, [compiled[p] for p in ups])
         if ent["type"] == "stream" and ent.get("xform") is not None:
             frame = frame.transform(ent["xform"])
+        elif ent["type"] == "stream" and ent.get("sql") is not None:
+            frame = _apply_sql(spark, frame, ent["sql"])
         compiled[name] = frame
 
     return compiled
+
+
+_view_counter = itertools.count()
+
+
+def _apply_sql(spark: SparkSession, frame: DataFrame, sql: str) -> DataFrame:
+    """Run a SQL transform against the entity's merged input, exposed as
+    ``__input__``. A unique temp view per application keeps concurrent
+    compiles (and re-compiles of the same topology) from colliding; works
+    identically on streaming frames (temp views are mode-agnostic)."""
+    vname = f"__topology_input_{next(_view_counter)}"
+    frame.createOrReplaceTempView(vname)
+    return spark.sql(sql.replace("__input__", vname))
 
 
 def sink_entities(topology: Topology) -> list[str]:

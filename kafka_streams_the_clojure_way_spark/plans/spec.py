@@ -22,7 +22,10 @@ Entity types:
   input); ≙ willa ``:topic`` entities (core.clj:140-142).
 - ``stream`` — a transform node carrying an optional ``xform`` pipeline
   (``DataFrame -> DataFrame``); ≙ willa ``:kstream`` + ``::w/xform``
-  (core.clj:144-147). Missing xform = identity.
+  (core.clj:144-147). Missing xform = identity. Alternatively a
+  ``sql`` string transform (``SELECT ... FROM __input__``) — the SQL
+  frontend woven into the topology DSL; ``__input__`` names the merged
+  parent frame. ``xform`` and ``sql`` are mutually exclusive.
 - ``table``  — reserved for changelog/KTable-like entities (not exercised
   by the reference; accepted for forward-compat).
 
@@ -71,11 +74,21 @@ def validate_topology(topology: Topology) -> Topology:
             raise TopologyError(
                 f"entity {name!r} has invalid type {etype!r}; expected one of {sorted(VALID_TYPES)}"
             )
-        if etype == "topic" and ent.get("xform") is not None:
-            raise TopologyError(f"topic entity {name!r} must not carry an xform")
+        if etype == "topic" and (
+            ent.get("xform") is not None or ent.get("sql") is not None
+        ):
+            raise TopologyError(f"topic entity {name!r} must not carry an xform/sql")
         xform = ent.get("xform")
         if xform is not None and not callable(xform):
             raise TopologyError(f"entity {name!r} xform must be callable (DataFrame -> DataFrame)")
+        sql = ent.get("sql")
+        if sql is not None:
+            if not isinstance(sql, str) or "__input__" not in sql:
+                raise TopologyError(
+                    f"entity {name!r} sql must be a string referencing __input__"
+                )
+            if xform is not None:
+                raise TopologyError(f"entity {name!r} has both xform and sql")
 
     adjacency: dict[str, list[str]] = {name: [] for name in entities}
     indegree: dict[str, int] = {name: 0 for name in entities}

@@ -195,3 +195,30 @@ def test_transform_with_state_distinct_types(spark, tmp_path):
         spark.read.parquet(f"{in_dir}/*"), "user", "etype"
     ).collect()
     assert {r.key: r.n_types for r in batch} == latest
+
+
+def test_streaming_sql_entity(spark, tmp_path):
+    """SQL-string entities compile on STREAMING inputs too (temp views
+    are mode-agnostic) — same survivors as core.clj:171-184."""
+    rows = [(i, i, amount, 1) for i, amount in enumerate([10, 500, 50, 1000])]
+    spark.createDataFrame(rows, PURCHASE_SCHEMA).write.parquet(str(tmp_path / "in"))
+    topo = {
+        "entities": {
+            "topic/in": {"type": "topic"},
+            "stream/large": {
+                "type": "stream",
+                "sql": "SELECT user_id, amount FROM __input__ WHERE amount >= 100",
+            },
+            "topic/out": {"type": "topic"},
+        },
+        "workflow": [["topic/in", "stream/large"], ["stream/large", "topic/out"]],
+    }
+    stream_in = spark.readStream.schema(PURCHASE_SCHEMA).parquet(str(tmp_path / "in"))
+    compiled = compile_topology(spark, topo, {"topic/in": stream_in})
+    query = start_memory_sink(compiled["topic/out"], "sql_entity_test")
+    drain(query)
+    got = sorted(
+        (r.user_id, r.amount)
+        for r in spark.sql("SELECT * FROM sql_entity_test").collect()
+    )
+    assert got == [(1, 500), (3, 1000)]

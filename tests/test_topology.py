@@ -128,3 +128,78 @@ def test_fan_in_merges_streams(spark):
         },
     )
     assert sorted(r["v"] for r in out["stream/all"]) == [1, 7]
+
+
+def test_sql_entity_matches_xform_entity(spark):
+    """A SQL-string stream entity must compute exactly what the
+    equivalent xform pipeline computes (SQL frontend inside the
+    topology DSL)."""
+    from kafka_streams_the_clojure_way_spark import pipelines as P
+    from kafka_streams_the_clojure_way_spark.plans import compile_topology
+
+    rows = [(i, i % 3, 90 + i * 7, 1) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "purchase_id long, user_id long, amount long, quantity long"
+    )
+
+    def topo(entity):
+        return {
+            "entities": {
+                "topic/in": {"type": "topic"},
+                "stream/large": entity,
+                "topic/out": {"type": "topic"},
+            },
+            "workflow": [["topic/in", "stream/large"], ["stream/large", "topic/out"]],
+        }
+
+    via_xform = compile_topology(
+        spark, topo({"type": "stream", "xform": P.large_purchases}), {"topic/in": df}
+    )["topic/out"]
+    via_sql = compile_topology(
+        spark,
+        topo(
+            {
+                "type": "stream",
+                "sql": "SELECT user_id, amount FROM __input__ WHERE amount >= 100",
+            }
+        ),
+        {"topic/in": df},
+    )["topic/out"]
+    assert sorted(map(tuple, via_sql.collect())) == sorted(
+        map(tuple, via_xform.collect())
+    )
+
+
+def test_sql_entity_validation(spark):
+    import pytest
+
+    from kafka_streams_the_clojure_way_spark.plans.spec import (
+        TopologyError,
+        validate_topology,
+    )
+
+    base = {
+        "entities": {
+            "topic/in": {"type": "topic"},
+            "stream/s": {"type": "stream", "sql": "SELECT 1"},  # no __input__
+            "topic/out": {"type": "topic"},
+        },
+        "workflow": [["topic/in", "stream/s"], ["stream/s", "topic/out"]],
+    }
+    with pytest.raises(TopologyError, match="__input__"):
+        validate_topology(base)
+
+    both = {
+        "entities": {
+            "topic/in": {"type": "topic"},
+            "stream/s": {
+                "type": "stream",
+                "sql": "SELECT * FROM __input__",
+                "xform": lambda d: d,
+            },
+            "topic/out": {"type": "topic"},
+        },
+        "workflow": [["topic/in", "stream/s"], ["stream/s", "topic/out"]],
+    }
+    with pytest.raises(TopologyError, match="both"):
+        validate_topology(both)
