@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -325,7 +326,54 @@ class EdnDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return EdnWriter(schema, self.options)
 
+    def simpleStreamReader(self, schema: StructType):
+        return EdnStreamReader(schema, self.options)
+
 
 def register(spark) -> None:
     """Idempotently register the ``edn`` format on a session."""
     spark.dataSource.register(EdnDataSource)
+
+
+# --------------------------------------------------------------------------
+# Streaming reader: tail a directory of EDN-lines files
+# --------------------------------------------------------------------------
+
+class EdnStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch source over a directory of EDN files — the brokerless
+    twin of the reference's EDN Kafka topics: each newly arrived file is
+    one batch of records. Offsets are the sorted list of files already
+    consumed (files are immutable once written, the same assumption
+    Spark's own file source makes); exactly-once follows from offset
+    replay via ``readBetweenOffsets``."""
+
+    def __init__(self, schema: StructType, options):
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("edn stream requires a path")
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _rows_for(self, files) -> list[tuple]:
+        # materialized list, not a generator: the simple-stream harness
+        # pickles the prefetched batch for replay
+        rows: list[tuple] = []
+        for f in files:
+            with open(f, encoding="utf-8") as fh:
+                for line in fh:
+                    if line.strip():
+                        rec, _ = parse_edn(line)
+                        rows.append(record_to_row(rec, self._schema))
+        return rows
+
+    def read(self, start: dict):
+        seen = set(start.get("files", []))
+        now = [f for f in _expand(self._path) if f not in seen]
+        end = {"files": sorted(seen | set(now))}
+        return self._rows_for(sorted(now)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        delta = sorted(set(end.get("files", [])) - set(start.get("files", [])))
+        return self._rows_for(delta)

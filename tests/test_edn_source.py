@@ -70,3 +70,44 @@ def test_edn_schema_inference(tmp_path):
         "name": "StringType",
         "ok": "BooleanType",
     }
+
+
+def test_edn_stream_reader(spark, tmp_path):
+    """readStream.format('edn'): files arriving between availableNow runs
+    are consumed exactly once, offsets checkpointed across restarts."""
+    from kafka_streams_the_clojure_way_spark.sources.memory import drain
+
+    in_dir = tmp_path / "stream_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    register(spark)
+
+    def run_once():
+        stream = (
+            spark.readStream.format("edn").schema(SCHEMA).load(str(in_dir / "*.edn"))
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain(q)
+
+    (in_dir / "a.edn").write_text("{:purchase-id 1 :user-id 1 :amount 10 :quantity 1}\n")
+    run_once()
+    (in_dir / "b.edn").write_text(
+        "{:purchase-id 2 :user-id 2 :amount 500 :quantity 1}\n"
+    )
+    run_once()
+
+    got = sorted(
+        (r.purchase_id, r.amount) for r in spark.read.parquet(out_dir).collect()
+    )
+    # each record exactly once despite a.edn existing during both runs
+    assert got == [(1, 10), (2, 500)]
