@@ -1,0 +1,126 @@
+"""Scale probe: replicate the sf0.1 tables Nx (default 10x, key-shifted so
+join/group cardinalities scale realistically) into a MULTI-FILE layout
+under /tmp, then time headline queries at both scales and report the
+wall-clock scaling factor per query.
+
+Purpose: the driver's test parquet is one row group per table, so every
+scan stage is structurally single-task — this probe is the evidence that
+the same plans parallelize when the file layout allows it (the 100 TB
+situation), and that runtime grows sub-linearly in data size on local[32].
+
+Usage: python scripts/scale_probe.py [replication] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kafka_streams_the_clojure_way_spark import get_spark  # noqa: E402
+from kafka_streams_the_clojure_way_spark.queries import QUERIES  # noqa: E402
+from kafka_streams_the_clojure_way_spark.sources.files import load_table  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+
+#: (table, key columns to shift per replica so ids stay unique and joins
+#: scale in rows, not in duplicate-key fanout)
+SHIFTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    # dimensions stay fixed — exactly the 100 TB shape (facts grow, dims don't)
+    "customer": [],
+    "supplier": [],
+    "part": [],
+    "nation": [],
+    "region": [],
+}
+
+PROBE_QUERIES = [
+    "agg_pricing_summary",          # scan-bound global agg (TPC-H Q1)
+    "tpch_q05_local_supplier_revenue",  # 6-table join
+    "window_top3_orders_per_customer",  # window + partial top-k
+    "join_revenue_by_nation",       # broadcast dim join + agg
+    "dedup_minhash_lsh_pairs",      # CPU-bound signatures + LSH self-join
+    "text_ngram_contamination",     # explode + broadcast probe + re-agg
+]
+
+
+def build_replica(spark, out_dir: str, factor: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for table, keys in SHIFTS.items():
+        src = load_table(spark, BASE_SF, table)
+        if keys and factor > 1:
+            offsets = {k: src.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+            parts = []
+            for i in range(factor):
+                rep = src
+                for k, off in offsets.items():
+                    rep = rep.withColumn(k, F.col(k) + F.lit(i * off))
+                parts.append(rep)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            # multi-file layout: the parallel unit the driver testdata lacks
+            out.repartition(32).write.mode("overwrite").parquet(
+                f"{out_dir}/{table}.parquet"
+            )
+        else:
+            src.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name in PROBE_QUERIES:
+        fn = QUERIES[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_json = sys.argv[2] if len(sys.argv) > 2 else ""
+    # local-mode driver == the executors: give it a production-shaped heap
+    # (the default 1g cannot hold 10x broadcast builds; any real cluster
+    # sizes driver/executor memory far above that)
+    spark = get_spark(
+        "kstcw-scale-probe", extra_conf={"spark.driver.memory": "16g"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    replica = f"/tmp/kstcw_scale_{factor}x"
+    build_replica(spark, replica, factor)
+
+    base = time_queries(spark, BASE_SF)
+    big = time_queries(spark, replica)
+    report = {
+        "replication": factor,
+        "base_sec": base,
+        "replicated_sec": big,
+        "scaling_factor": {
+            k: round(big[k] / base[k], 2) if base[k] > 0 else None for k in base
+        },
+    }
+    line = json.dumps(report)
+    print(line)
+    if out_json:
+        with open(out_json, "w") as fh:
+            fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
