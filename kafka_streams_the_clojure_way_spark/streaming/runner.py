@@ -55,3 +55,33 @@ class TopologyRunner:
             if query.isActive:
                 query.stop()
         self.queries.clear()
+
+
+def with_observability(
+    df: DataFrame, name: str, metrics: dict[str, "F.Column"] | None = None
+) -> DataFrame:
+    """Attach named ``observe()`` metrics to a (streaming or batch) frame.
+
+    Metrics ride the existing jobs (accumulator-style aggregates inside
+    the plan — no extra pass, no shuffle) and surface per micro-batch in
+    ``StreamingQueryProgress.observedMetrics[name]`` — the production
+    answer to "how many records and were they sane" that does NOT cost a
+    second aggregation of a 100 TB stream. Default metrics: row count.
+    """
+    from pyspark.sql import functions as F
+
+    metrics = metrics or {}
+    cols = [F.count(F.lit(1)).alias("n_rows")] + [
+        c.alias(k) for k, c in metrics.items()
+    ]
+    return df.observe(name, *cols)
+
+
+def last_observed(query: StreamingQuery, name: str) -> dict | None:
+    """The most recent observed-metrics row for ``name`` on a query, as a
+    plain dict (None before the first completed micro-batch)."""
+    progress = query.lastProgress
+    if not progress:
+        return None
+    row = progress.get("observedMetrics", {}).get(name)
+    return dict(row.asDict()) if row is not None else None

@@ -222,3 +222,27 @@ def test_streaming_sql_entity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sql_entity_test").collect()
     )
     assert got == [(1, 500), (3, 1000)]
+
+
+def test_observe_metrics_surface_in_progress(spark, tmp_path):
+    """with_observability: per-micro-batch counts + invariant metrics ride
+    the streaming job (no second pass) and surface via lastProgress."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.streaming.runner import (
+        last_observed,
+        with_observability,
+    )
+
+    rows = [(i, i, amount, 1) for i, amount in enumerate([10, 500, 50, 1000])]
+    spark.createDataFrame(rows, PURCHASE_SCHEMA).write.parquet(str(tmp_path / "in"))
+    stream_in = spark.readStream.schema(PURCHASE_SCHEMA).parquet(str(tmp_path / "in"))
+    observed = with_observability(
+        stream_in.transform(P.large_purchases),
+        "large_tx",
+        {"max_amount": F.max("amount"), "n_null_user": F.count_if(F.col("user_id").isNull())},
+    )
+    query = start_memory_sink(observed, "observe_test")
+    drain(query)
+    got = last_observed(query, "large_tx")
+    assert got == {"n_rows": 2, "max_amount": 1000, "n_null_user": 0}
