@@ -82,9 +82,25 @@ def compile_topology(
             frame = frame.transform(ent["xform"])
         elif ent["type"] == "stream" and ent.get("sql") is not None:
             frame = _apply_sql(spark, frame, ent["sql"])
+        elif ent["type"] == "table":
+            frame = _compact_table(frame, ent["key"], ent["seq"])
         compiled[name] = frame
 
     return compiled
+
+
+def _compact_table(frame: DataFrame, key: str, seq: str) -> DataFrame:
+    """KTable semantics: latest record per ``key`` by ``seq``. One
+    max_by aggregate — a single shuffle on the key in batch; in
+    streaming the SAME expression is an update-mode stateful aggregate
+    (state = one packed row per key, the changelog-compaction memory
+    model). Ties on ``seq`` resolve to an arbitrary contender, exactly
+    like log compaction with duplicate offsets — give seq a unique
+    tiebreaker if that matters."""
+    from pyspark.sql import functions as F
+
+    packed = F.max_by(F.struct(*frame.columns), F.col(seq))
+    return frame.groupBy(key).agg(packed.alias("__latest")).select("__latest.*")
 
 
 _view_counter = itertools.count()

@@ -26,8 +26,12 @@ Entity types:
   ``sql`` string transform (``SELECT ... FROM __input__``) — the SQL
   frontend woven into the topology DSL; ``__input__`` names the merged
   parent frame. ``xform`` and ``sql`` are mutually exclusive.
-- ``table``  — reserved for changelog/KTable-like entities (not exercised
-  by the reference; accepted for forward-compat).
+- ``table``  — a changelog/KTable-like entity: the latest record per
+  ``key`` (ordered by ``seq``) of its merged input — Kafka Streams'
+  KTable compaction semantics, not exercised by the reference but part
+  of the engine stack it sits on. Requires ``key`` and ``seq`` column
+  names; works in batch (max_by aggregate) and streaming (update-mode
+  aggregate) identically.
 
 Multiple in-edges to one entity mean merge-at-that-node (unionByName), the
 reference's implicit fan-in (core.clj:152-153).
@@ -74,6 +78,12 @@ def validate_topology(topology: Topology) -> Topology:
             raise TopologyError(
                 f"entity {name!r} has invalid type {etype!r}; expected one of {sorted(VALID_TYPES)}"
             )
+        if etype == "table":
+            for req in ("key", "seq"):
+                if not isinstance(ent.get(req), str) or not ent[req]:
+                    raise TopologyError(
+                        f"table entity {name!r} requires a {req!r} column name"
+                    )
         if etype == "topic" and (
             ent.get("xform") is not None or ent.get("sql") is not None
         ):

@@ -246,3 +246,49 @@ def test_observe_metrics_surface_in_progress(spark, tmp_path):
     drain(query)
     got = last_observed(query, "large_tx")
     assert got == {"n_rows": 2, "max_amount": 1000, "n_null_user": 0}
+
+
+def test_streaming_table_entity_update_mode(spark, tmp_path):
+    """The SAME table entity compiles on a streaming input: update-mode
+    stateful aggregate whose state is the compacted table; a second
+    micro-batch with a newer record for an existing key replaces it."""
+    schema = "user_id long, ts long, val string"
+    in_dir = tmp_path / "tbl_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "tbl_ckpt")
+    out: dict[int, tuple] = {}
+
+    topo = {
+        "entities": {
+            "topic/in": {"type": "topic"},
+            "table/users": {"type": "table", "key": "user_id", "seq": "ts"},
+        },
+        "workflow": [["topic/in", "table/users"]],
+    }
+
+    def run_once():
+        stream_in = spark.readStream.schema(schema).parquet(f"{in_dir}/*")
+        tbl = compile_topology(spark, topo, {"topic/in": stream_in})["table/users"]
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                out[r.user_id] = (r.ts, r.val)
+
+        q = (
+            tbl.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain(q)
+
+    spark.createDataFrame(
+        [(1, 10, "a1"), (2, 11, "b1")], schema
+    ).write.parquet(str(in_dir / "f1.parquet"))
+    run_once()
+    spark.createDataFrame([(1, 20, "a2")], schema).write.parquet(
+        str(in_dir / "f2.parquet")
+    )
+    run_once()
+    assert out == {1: (20, "a2"), 2: (11, "b1")}

@@ -203,3 +203,46 @@ def test_sql_entity_validation(spark):
     }
     with pytest.raises(TopologyError, match="both"):
         validate_topology(both)
+
+
+def test_table_entity_compacts_to_latest_per_key(spark):
+    """KTable semantics: the table entity holds each key's latest record
+    by seq, across a merged (fan-in) input."""
+    from kafka_streams_the_clojure_way_spark.plans import compile_topology
+
+    a = spark.createDataFrame(
+        [(1, 10, "a1"), (2, 11, "b1")], "user_id long, ts long, val string"
+    )
+    b = spark.createDataFrame(
+        [(1, 20, "a2"), (3, 5, "c1")], "user_id long, ts long, val string"
+    )
+    topo = {
+        "entities": {
+            "topic/a": {"type": "topic"},
+            "topic/b": {"type": "topic"},
+            "table/users": {"type": "table", "key": "user_id", "seq": "ts"},
+        },
+        "workflow": [["topic/a", "table/users"], ["topic/b", "table/users"]],
+    }
+    out = compile_topology(spark, topo, {"topic/a": a, "topic/b": b})["table/users"]
+    got = sorted(map(tuple, out.collect()))
+    assert got == [(1, 20, "a2"), (2, 11, "b1"), (3, 5, "c1")]
+
+
+def test_table_entity_validation(spark):
+    import pytest
+
+    from kafka_streams_the_clojure_way_spark.plans.spec import (
+        TopologyError,
+        validate_topology,
+    )
+
+    topo = {
+        "entities": {
+            "topic/a": {"type": "topic"},
+            "table/t": {"type": "table", "key": "user_id"},  # missing seq
+        },
+        "workflow": [["topic/a", "table/t"]],
+    }
+    with pytest.raises(TopologyError, match="seq"):
+        validate_topology(topo)
