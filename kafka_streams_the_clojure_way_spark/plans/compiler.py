@@ -76,6 +76,13 @@ def compile_topology(
                     f"source entity {name!r} has no in-edges and no bound input DataFrame"
                 )
             frame = inputs[name]
+        elif ent["type"] == "join":
+            if len(ups) != 2:
+                raise TopologyError(
+                    f"join entity {name!r} needs exactly 2 parents, has {len(ups)}"
+                )
+            left, right = (compiled[p] for p in ups)
+            frame = left.join(right, on=list(ent["on"]), how=ent.get("how", "inner"))
         else:
             frame = _merge_parents(name, [compiled[p] for p in ups])
         if ent["type"] == "stream" and ent.get("xform") is not None:

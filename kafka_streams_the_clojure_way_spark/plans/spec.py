@@ -26,6 +26,11 @@ Entity types:
   ``sql`` string transform (``SELECT ... FROM __input__``) — the SQL
   frontend woven into the topology DSL; ``__input__`` names the merged
   parent frame. ``xform`` and ``sql`` are mutually exclusive.
+- ``join``   — a two-parent equi-join entity: ``on`` (list of column
+  names) and optional ``how`` (default ``inner``). Parent ORDER in the
+  workflow decides left/right. The KStream⋈KTable enrichment pattern
+  the engine stack offers (jackdaw exposes js/join) but the reference
+  never exercises (SURVEY §2.2 "Joins: absent").
 - ``table``  — a changelog/KTable-like entity: the latest record per
   ``key`` (ordered by ``seq``) of its merged input — Kafka Streams'
   KTable compaction semantics, not exercised by the reference but part
@@ -48,7 +53,7 @@ from __future__ import annotations
 from collections import deque
 from typing import Any
 
-VALID_TYPES = frozenset({"topic", "stream", "table"})
+VALID_TYPES = frozenset({"topic", "stream", "table", "join"})
 
 Topology = dict[str, Any]
 
@@ -78,6 +83,17 @@ def validate_topology(topology: Topology) -> Topology:
             raise TopologyError(
                 f"entity {name!r} has invalid type {etype!r}; expected one of {sorted(VALID_TYPES)}"
             )
+        if etype == "join":
+            on = ent.get("on")
+            if not isinstance(on, (list, tuple)) or not on or not all(
+                isinstance(c, str) and c for c in on
+            ):
+                raise TopologyError(
+                    f"join entity {name!r} requires on=[column, ...]"
+                )
+            how = ent.get("how", "inner")
+            if how not in {"inner", "left", "right", "full", "left_semi", "left_anti"}:
+                raise TopologyError(f"join entity {name!r} has invalid how={how!r}")
         if etype == "table":
             for req in ("key", "seq"):
                 if not isinstance(ent.get(req), str) or not ent[req]:

@@ -246,3 +246,59 @@ def test_table_entity_validation(spark):
     }
     with pytest.raises(TopologyError, match="seq"):
         validate_topology(topo)
+
+
+def test_join_entity_enriches_stream_with_table(spark):
+    """join entity: purchases stream enriched with the users table
+    (workflow parent order = left/right), composed with a table entity
+    compacting the user changelog first."""
+    from kafka_streams_the_clojure_way_spark.plans import compile_topology
+
+    purchases = spark.createDataFrame(
+        [(1, 1, 500), (2, 2, 40), (3, 9, 700)],
+        "purchase_id long, user_id long, amount long",
+    )
+    user_log = spark.createDataFrame(
+        [(1, 10, "ada"), (1, 20, "ada2"), (2, 5, "bob")],
+        "user_id long, ts long, name string",
+    )
+    topo = {
+        "entities": {
+            "topic/purchases": {"type": "topic"},
+            "topic/user-log": {"type": "topic"},
+            "table/users": {"type": "table", "key": "user_id", "seq": "ts"},
+            "join/enriched": {"type": "join", "on": ["user_id"], "how": "left"},
+            "topic/out": {"type": "topic"},
+        },
+        "workflow": [
+            ["topic/user-log", "table/users"],
+            ["topic/purchases", "join/enriched"],
+            ["table/users", "join/enriched"],
+            ["join/enriched", "topic/out"],
+        ],
+    }
+    out = compile_topology(
+        spark, topo, {"topic/purchases": purchases, "topic/user-log": user_log}
+    )["topic/out"]
+    got = {r.purchase_id: (r.amount, r.name) for r in out.collect()}
+    assert got == {1: (500, "ada2"), 2: (40, "bob"), 3: (700, None)}
+
+
+def test_join_entity_validation(spark):
+    import pytest
+
+    from kafka_streams_the_clojure_way_spark.plans.spec import (
+        TopologyError,
+        validate_topology,
+    )
+
+    topo = {
+        "entities": {
+            "topic/a": {"type": "topic"},
+            "topic/b": {"type": "topic"},
+            "join/j": {"type": "join", "on": [], "how": "inner"},
+        },
+        "workflow": [["topic/a", "join/j"], ["topic/b", "join/j"]],
+    }
+    with pytest.raises(TopologyError, match="on="):
+        validate_topology(topo)
