@@ -149,3 +149,78 @@ def ref_topology_large_transactions(spark: SparkSession, sf_dir: str) -> DataFra
         },
     )
     return compiled["topic/large-transaction-made"]
+
+
+@query(
+    "ref_topology_enriched_purchases",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id AS purchase_id, user_id,
+               CAST(floor(value) AS BIGINT) AS amount
+        FROM events WHERE event_type = 'purchase'
+          AND floor(value) >= 100
+    ),
+    latest_error AS (
+        SELECT user_id,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_error_us
+        FROM events WHERE event_type = 'error'
+        GROUP BY user_id
+    )
+    SELECT p.purchase_id, p.user_id, p.amount, le.last_error_us
+    FROM purchases p
+    LEFT JOIN latest_error le ON le.user_id = p.user_id
+    """,
+)
+def ref_topology_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full topology DSL in one dataflow: a sql-transform stream
+    entity (large purchases), a table entity (each user's LATEST error
+    event — KTable compaction), and a join entity (stream⋈table
+    enrichment, left) — all declared as data and compiled in batch mode.
+    Extends the reference's topology (core.clj:139-157) with the
+    KStream⋈KTable pattern its stack offers but never exercises. The
+    oracle is the equivalent SQL: compaction ≡ per-user max, join ≡
+    LEFT JOIN."""
+    from kafka_streams_the_clojure_way_spark.plans import compile_topology
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", F.unix_micros("ts").alias("last_error_us"))
+    )
+    topo = {
+        "entities": {
+            "topic/purchases": {"type": "topic"},
+            "topic/error-log": {"type": "topic"},
+            "stream/large": {
+                "type": "stream",
+                "sql": "SELECT purchase_id, user_id, amount FROM __input__ "
+                "WHERE amount >= 100",
+            },
+            "table/last-error": {
+                "type": "table",
+                "key": "user_id",
+                "seq": "last_error_us",
+            },
+            "join/enriched": {"type": "join", "on": ["user_id"], "how": "left"},
+            "topic/out": {"type": "topic"},
+        },
+        "workflow": [
+            ["topic/purchases", "stream/large"],
+            ["topic/error-log", "table/last-error"],
+            ["stream/large", "join/enriched"],
+            ["table/last-error", "join/enriched"],
+            ["join/enriched", "topic/out"],
+        ],
+    }
+    compiled = compile_topology(
+        spark,
+        topo,
+        inputs={
+            "topic/purchases": purchases_stream(spark, sf_dir),
+            "topic/error-log": errors,
+        },
+    )
+    # join on=user_id puts the key first; realign to the declared shape
+    return compiled["topic/out"].select(
+        "purchase_id", "user_id", "amount", "last_error_us"
+    )
