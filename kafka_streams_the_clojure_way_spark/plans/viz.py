@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from kafka_streams_the_clojure_way_spark.plans.spec import Topology, validate_topology
 
-_SHAPES = {"topic": "cylinder", "stream": "box", "table": "component"}
+_SHAPES = {"topic": "cylinder", "stream": "box", "table": "component", "join": "diamond"}
 
 
 def to_dot(topology: Topology, *, name: str = "topology") -> str:
@@ -20,7 +20,14 @@ def to_dot(topology: Topology, *, name: str = "topology") -> str:
     for ent_name, ent in sorted(topology["entities"].items()):
         shape = _SHAPES.get(ent["type"], "box")
         label = ent_name.replace('"', r"\"")
-        lines.append(f'  "{label}" [shape={shape}];')
+        extra = ""
+        if ent["type"] == "join":
+            extra = f' xlabel="{ent.get("how", "inner")} on {",".join(ent["on"])}"'
+        elif ent["type"] == "table":
+            extra = f' xlabel="latest by {ent["seq"]} per {ent["key"]}"'
+        elif ent.get("sql") is not None:
+            extra = ' xlabel="sql"'
+        lines.append(f'  "{label}" [shape={shape}{extra}];')
     for src, dst in topology["workflow"]:
         lines.append(f'  "{src}" -> "{dst}";')
     lines.append("}")
