@@ -240,9 +240,16 @@ class _EdnFilePartition(InputPartition):
 
 
 class EdnReader(DataSourceReader):
+    """``mode`` option: ``failfast`` (default) raises on the first
+    malformed line; ``permissive`` drops malformed lines and non-map
+    records — at a 100 TB corpus a handful of torn lines must not kill
+    the job (count them with an observe() metric on a parse-marker
+    column if loss accounting matters)."""
+
     def __init__(self, schema: StructType, options):
         self._schema = schema
         self._path = options.get("path")
+        self._permissive = options.get("mode", "failfast").lower() == "permissive"
         if not self._path:
             raise ValueError("edn datasource requires a path")
 
@@ -251,12 +258,18 @@ class EdnReader(DataSourceReader):
         return [_EdnFilePartition(f) for f in _expand(self._path)]
 
     def read(self, partition: _EdnFilePartition) -> Iterator[tuple]:
-        with open(partition.file_path, encoding="utf-8") as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
+        for line in open(partition.file_path, encoding="utf-8"):
+            if not line.strip():
+                continue
+            try:
                 rec, _ = parse_edn(line)
-                yield record_to_row(rec, self._schema)
+                if not isinstance(rec, dict):
+                    raise ValueError(f"EDN record is not a map: {line[:80]!r}")
+            except Exception:
+                if self._permissive:
+                    continue
+                raise
+            yield record_to_row(rec, self._schema)
 
 
 class _EdnCommit(WriterCommitMessage):

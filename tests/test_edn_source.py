@@ -111,3 +111,27 @@ def test_edn_stream_reader(spark, tmp_path):
     )
     # each record exactly once despite a.edn existing during both runs
     assert got == [(1, 10), (2, 500)]
+
+
+def test_edn_permissive_mode_drops_malformed_lines(spark, tmp_path):
+    f = tmp_path / "dirty.edn"
+    f.write_text(
+        "{:purchase-id 1 :user-id 1 :amount 10 :quantity 1}\n"
+        "{:purchase-id 2 :user-id 2 :amount 500\n"  # torn line
+        "[1 2 3]\n"  # not a map
+        "{:purchase-id 3 :user-id 3 :amount 50 :quantity 2}\n"
+    )
+    register(spark)
+    ok = (
+        spark.read.format("edn")
+        .schema(SCHEMA)
+        .option("mode", "permissive")
+        .load(str(f))
+    )
+    assert sorted(r.purchase_id for r in ok.collect()) == [1, 3]
+
+    import pytest
+
+    strict = spark.read.format("edn").schema(SCHEMA).load(str(f))
+    with pytest.raises(Exception):
+        strict.collect()

@@ -203,3 +203,44 @@ def test_chunker_covers_every_token_with_exact_overlap(spark, tokens):
     for row, exp in zip(got, expected):
         assert row.chunk_text == " ".join(exp)
         assert row.chunk_tokens == len(exp)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.integers(min_value=1, max_value=900),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pack_sequences_offsets_are_contiguous_per_source(spark, docs):
+    """text_pack_sequences invariants on arbitrary corpora: per source,
+    stream offsets are the exact running sum in doc_id order (no gaps,
+    no overlap) and pack_id == offset // budget."""
+    import kafka_streams_the_clojure_way_spark.queries.llm_pipeline as LP
+
+    rows = [
+        (i, src, "w " * n_tok)  # n_tok whitespace tokens ("w" repeated)
+        for i, (src, n_tok) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    orig = LP.load_table
+    try:
+        LP.load_table = lambda _s, _d, _n: df
+        got = LP.text_pack_sequences(spark, None).collect()
+    finally:
+        LP.load_table = orig
+
+    by_source: dict[str, list] = {}
+    for r in sorted(got, key=lambda r: r.doc_id):
+        by_source.setdefault(r.source, []).append(r)
+    for rs in by_source.values():
+        expected_offset = 0
+        for r in rs:
+            assert r.stream_offset == expected_offset
+            assert r.pack_id == expected_offset // 512
+            expected_offset += r.n_tokens
