@@ -474,3 +474,45 @@ def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part_names p, LATERAL word_positions(p.p_name) t
         """
     )
+
+
+@query(
+    "udaf_geomean_prices",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           round(exp(avg(ln(p_retailprice))), 6) AS geomean_price
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def udaf_geomean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A true UDAF: a series-to-scalar pandas_udf (Arrow-batched grouped
+    aggregate) computing the geometric mean of part prices per brand —
+    the aggregate form of the reference's everything-is-a-Clojure-fn
+    surface (core.clj:79-118). Runs as partial aggregation like any
+    built-in agg (AggregateInPandas below one key shuffle). Log-space
+    mean + round(6) keeps the float result stable across engines'
+    summation orders."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: the module's `from __future__ import
+    # annotations` stringifies type hints, so signature inference can't
+    # see Series -> scalar here
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(prices):
+        import numpy as np
+
+        return float(np.exp(np.log(prices.to_numpy()).mean()))
+
+    # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg
+    # node, so the row count is a pandas aggregate too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(prices):
+        return len(prices)
+
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        n_rows("p_retailprice").alias("n_parts"),
+        F.round(geomean("p_retailprice"), 6).alias("geomean_price"),
+    )
