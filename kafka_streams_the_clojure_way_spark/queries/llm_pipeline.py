@@ -629,3 +629,75 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pack_id", F.floor(F.col("stream_offset") / _PACK_BUDGET).cast("long")
         )
     )
+
+
+_TFIDF_TOPK = 3
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({T.tokens_sql('text')}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf_r
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf_r DESC, term ASC) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf_r, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_TFIDF_TOPK}
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{k} TF-IDF terms — the classic two-pass corpus
+    operator (keyword extraction / topic labeling). Pass 1 aggregates
+    term and document frequencies; pass 2 joins them back and ranks per
+    doc. Scale: tf shuffles on (doc_id, term), df on term; the df table
+    (vocabulary-sized, millions of rows at worst) broadcasts back into
+    the scored join; ranking is a WindowGroupLimit partial top-k, so
+    only <=k rows per doc survive the final exchange. Ranking on the
+    ROUNDED score (ties broken by term) keeps row selection identical
+    across engines' last-ulp log differences."""
+    from pyspark.sql.window import Window
+
+    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode_outer(T.tokens_col(F.col("text"))).alias("term")
+    ).filter(F.col("term").isNotNull())
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf_r"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_r").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_TOPK)
+        .withColumn("rnk", F.col("rnk").cast("long"))
+    )
