@@ -29,6 +29,7 @@ from kafka_streams_the_clojure_way_spark.queries.registry import (
 # Import for registration side effects — each module fills the registry.
 from kafka_streams_the_clojure_way_spark.queries import (  # noqa: E402,F401
     advanced,
+    analytics,
     extended,
     llm_pipeline,
     reference_queries,
