@@ -258,3 +258,18 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_tfidf_and_funnel_plan_shapes(spark):
+    """TF-IDF must rank via WindowGroupLimit (only <=k rows per doc cross
+    the final exchange) with the vocabulary side broadcast; the funnel's
+    three user_id stages must not multiply shuffles (every exchange is on
+    user_id, and there are at most 3)."""
+    p = _plan(spark, "text_tfidf_top_terms")
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+
+    pf = _plan(spark, "funnel_view_to_purchase")
+    ex = re.findall(r"Exchange hashpartitioning\((\w+)#", pf)
+    assert ex and all(c == "user_id" for c in ex), ex
+    assert len(ex) <= 4, pf[:2000]
