@@ -409,3 +409,107 @@ def cosine_topk_pandas(
         k=k,
         rank_col="rank",
     ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF index: build once, probe with partition pruning
+# --------------------------------------------------------------------------
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = IVF_CENTROID_MOD,
+) -> None:
+    """Materialize the IVF index ``ivf_topk`` computes on the fly:
+    ``path/centroids`` (the coarse quantizer) and ``path/postings``
+    hive-PARTITIONED BY CELL. The expensive parts — the assignment pass
+    and one shuffle into the cell layout — run exactly once; after that
+    every probe is a partition-pruned scan of ~n_probe/n_cells of the
+    corpus with no assignment work and no full-corpus shuffle. This is
+    the build/serve split every production ANN system makes (FAISS
+    train+add vs search)."""
+    from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
+    from kafka_streams_the_clojure_way_spark.sources.files import (
+        with_min_parallelism,
+        write_partitioned,
+    )
+
+    cents = corpus.filter(F.col(id_col) % centroid_mod == 1).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+    scored = with_min_parallelism(corpus).join(F.broadcast(cents)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        F.col("cent_id"),
+        cosine(F.col(vec_col), F.col("cent_vec")).alias("__cos"),
+    )
+    postings = top_k_per_key(
+        scored,
+        keys=["neighbor_id"],
+        order_by=[F.col("__cos").desc(), F.col("cent_id")],
+        k=1,
+        rank_col="__r",
+    ).select("neighbor_id", "vec", F.col("cent_id").alias("cell"))
+    write_partitioned(postings, f"{path}/postings", "cell")
+
+
+def ivf_index_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    n_probe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Probe a persisted IVF index: queries pick their ``n_probe`` best
+    cells against the (broadcast) centroid table, then join the postings
+    ON THE PARTITION COLUMN — dynamic partition pruning turns that into
+    a scan of only the probed cell directories. Same output contract as
+    ``ivf_topk``."""
+    from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
+
+    cents = F.broadcast(
+        spark.read.parquet(f"{index_path}/centroids").select(
+            F.col("cent_id"), F.col("cent_vec")
+        )
+    )
+    q = queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec"))
+    probe = top_k_per_key(
+        q.join(cents).select(
+            query_id,
+            "__qvec",
+            "cent_id",
+            cosine(F.col("__qvec"), F.col("cent_vec")).alias("__cos"),
+        ),
+        keys=[query_id],
+        order_by=[F.col("__cos").desc(), F.col("cent_id")],
+        k=n_probe,
+        rank_col="__cr",
+    ).select(query_id, "__qvec", F.col("cent_id").alias("cell"))
+
+    postings = spark.read.parquet(f"{index_path}/postings")
+    scored = (
+        postings.join(F.broadcast(probe), "cell")
+        .filter(F.col("neighbor_id") != F.col(query_id))
+        .withColumn("cosine", cosine(F.col("__qvec"), F.col("vec")))
+    )
+    return top_k_per_key(
+        scored.select(query_id, "neighbor_id", "cosine"),
+        keys=[query_id],
+        order_by=[F.col("cosine").desc(), F.col("neighbor_id")],
+        k=k,
+        rank_col="rank",
+    ).select(
+        query_id,
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cosine", 6).alias("cosine_r"),
+    )

@@ -40,3 +40,35 @@ def test_ann_recall_at_10(spark, exact_topk, variant, floor):
     # join (recall ~n_probe/n_cells at random), not grading the dataset.
     assert mean_recall >= floor, f"{variant} mean recall@10 = {mean_recall:.3f}"
     assert len(recalls) == len(exact_topk)
+
+
+def test_persisted_ivf_index_matches_inline_ivf(spark, tmp_path):
+    """build-once/probe-many IVF: the persisted index must return the
+    SAME neighbors as the inline ivf_topk, and the probe's postings scan
+    must be partition-pruned to the probed cells (dynamic partition
+    pruning on the cell directory column)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.operators import similarity as S
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    corpus = load_table(spark, SF, "embeddings")
+    queries = corpus.filter(F.col("vec_id") % 97 == 1)
+
+    inline = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in S.ivf_topk(corpus, queries, 5).collect()
+    }
+
+    path = str(tmp_path / "ivf_index")
+    S.build_ivf_index(corpus, path)
+    probe_df = S.ivf_index_topk(spark, path, queries, 5)
+    persisted = {
+        (r.query_id, r.rank): r.neighbor_id for r in probe_df.collect()
+    }
+    assert persisted == inline and len(persisted) > 0
+
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan or "PartitionFilters: [isnotnull(cell" in plan, (
+        plan[:3000]
+    )
