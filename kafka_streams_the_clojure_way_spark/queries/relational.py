@@ -100,7 +100,9 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
 )
 def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DISTINCT as an operator (dedup on all projected columns)."""
+    """DISTINCT as an operator (dedup on all projected columns): plans as
+    a partial+final HashAggregate on the projection, so the shuffle
+    carries unique pairs, not the table — exact dedup at any scale."""
     return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
 
 
@@ -139,7 +141,9 @@ def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over event type x user bucket (all 4 grouping sets)."""
+    """CUBE over event type x user bucket: Expand emits all 4 grouping
+    sets in ONE pass over the input (cost = sets x rows map-side, still
+    a single shuffle on the grouping-id key) — no per-set rescans."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "user_bucket", F.col("user_id") % 7
     )
@@ -418,7 +422,9 @@ def order_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct semantics)."""
+    """INTERSECT (distinct semantics): Catalyst rewrites it to a
+    left-semi join over distinct inputs — one key shuffle per side, the
+    same plan a hand-written semi join would get."""
     c = load_table(spark, sf_dir, "customer")
     a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
@@ -434,7 +440,8 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct semantics)."""
+    """EXCEPT (distinct semantics): rewritten to a left-anti join over
+    distinct inputs — exclusion without materializing either set."""
     c = load_table(spark, sf_dir, "customer")
     a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
