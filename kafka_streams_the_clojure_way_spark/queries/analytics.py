@@ -128,3 +128,97 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_users",
         )
     )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@query(
+    "session_pattern_conversions",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us, event_type, event_id
+        FROM events
+    ),
+    marked AS (
+        SELECT *,
+               CASE WHEN us - LAG(us) OVER w > {_SESSION_GAP_US}
+                    OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    ),
+    seqs AS (
+        SELECT user_id, session_no,
+               list(event_type ORDER BY us, event_id) AS seq
+        FROM sess GROUP BY user_id, session_no
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN list_position(seq, 'purchase') > 0
+                          AND list_position(seq, 'view') > 0
+                          AND list_position(seq, 'view')
+                              < list_position(seq, 'purchase')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS view_then_purchase,
+           CAST(SUM(CASE WHEN seq[1] = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS error_first
+    FROM seqs
+    """,
+)
+def session_pattern_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence analysis without a pattern engine:
+    gaps-and-islands sessionization (30-min inactivity), each session's
+    ordered event-type sequence built as an array (sorted by (ts,
+    event_id) — collect_list alone is shuffle-order-dependent), then
+    subsequence predicates on the array (first 'view' precedes first
+    'purchase'; session opens with 'error'). Shape: two windows + one
+    groupBy, all on the user_id partitioning; the sequence arrays are
+    session-sized, never corpus-sized."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lag_us = F.lag("us").over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            lag_us.isNull() | ((F.col("us") - lag_us) > _SESSION_GAP_US), 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    seqs = (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("us", "event_id", "event_type"))
+            ).alias("__ordered")
+        )
+        .select(
+            F.transform(F.col("__ordered"), lambda s: s["event_type"]).alias("seq")
+        )
+    )
+    pos_view = F.array_position(F.col("seq"), "view")
+    pos_purchase = F.array_position(F.col("seq"), "purchase")
+    return seqs.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(
+            F.when(
+                (pos_view > 0) & (pos_purchase > 0) & (pos_view < pos_purchase), 1
+            ).otherwise(0)
+        ).alias("view_then_purchase"),
+        F.sum(
+            F.when(F.element_at("seq", 1) == "error", 1).otherwise(0)
+        ).alias("error_first"),
+    )

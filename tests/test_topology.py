@@ -302,3 +302,30 @@ def test_join_entity_validation(spark):
     }
     with pytest.raises(TopologyError, match="on="):
         validate_topology(topo)
+
+
+def test_empty_input_flows_through_topology(spark):
+    """Zero-row inputs must compile and produce zero-row outputs at every
+    entity — no special-casing of the empty relation anywhere (table
+    compaction and joins included)."""
+    from kafka_streams_the_clojure_way_spark.plans import compile_topology
+
+    schema = "user_id long, ts long, val string"
+    empty = spark.createDataFrame([], schema)
+    topo = {
+        "entities": {
+            "topic/a": {"type": "topic"},
+            "table/t": {"type": "table", "key": "user_id", "seq": "ts"},
+            "join/j": {"type": "join", "on": ["user_id"], "how": "left"},
+            "topic/out": {"type": "topic"},
+        },
+        "workflow": [
+            ["topic/a", "table/t"],
+            ["topic/a", "join/j"],
+            ["table/t", "join/j"],
+            ["join/j", "topic/out"],
+        ],
+    }
+    compiled = compile_topology(spark, topo, {"topic/a": empty})
+    for name, df in compiled.items():
+        assert df.count() == 0, name
