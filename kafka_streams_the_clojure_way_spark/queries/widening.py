@@ -492,3 +492,34 @@ def window_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_id",
         F.size(F.collect_set("event_type").over(w)).alias("n_distinct_types"),
     )
+
+
+@query(
+    "window_share_of_customer_spend",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           round(CAST(CAST(o_totalprice AS DECIMAL(28,2)) AS DOUBLE)
+                 / CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
+                        OVER (PARTITION BY o_custkey) AS DOUBLE), 6)
+               AS spend_share
+    FROM orders
+    """,
+)
+def window_share_of_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each order's share of its customer's total spend —
+    the unordered-window shape (SUM OVER (PARTITION BY) with no ORDER BY
+    and no frame), which plans as a single Window node WITHOUT a sort:
+    one shuffle on the key, no ordering pass, unlike every running-total
+    query. Denominator goes through DECIMAL so the group total is
+    order-exact before the rounded double division."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(28,2)")
+    total = F.sum(dec).over(Window.partitionBy("o_custkey"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(dec.cast("double") / total.cast("double"), 6).alias("spend_share"),
+    )

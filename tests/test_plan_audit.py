@@ -273,3 +273,31 @@ def test_tfidf_and_funnel_plan_shapes(spark):
     ex = re.findall(r"Exchange hashpartitioning\((\w+)#", pf)
     assert ex and all(c == "user_id" for c in ex), ex
     assert len(ex) <= 4, pf[:2000]
+
+
+def test_no_accidental_cartesian_products(spark):
+    """Sweep EVERY registered query's physical plan: no cartesian /
+    unconditioned nested-loop join may appear unless the query is
+    explicitly about one. A dropped join condition silently becomes an
+    O(n*m) plan — this catches it at CI time across the whole registry."""
+    allowed = {
+        "join_cross_region_pairs",  # deliberately a cross join
+        # IVF coarse quantization IS an all-pairs scoring of every vector
+        # against the (tiny, broadcast) centroid table — BNLJ by design
+        "sim_ivf_ann_topk",
+    }
+    offenders = {}
+    for name in sorted(QUERIES):
+        if name in allowed:
+            continue
+        try:
+            p = _plan(spark, name)
+        except Exception:
+            continue  # non-plannable here (e.g. needs extra env) — other tests cover
+        if "CartesianProduct" in p:
+            offenders[name] = "CartesianProduct"
+        # BroadcastNestedLoopJoin is fine only for 1-row scalar sides
+        # (threshold joins); flag the unconditioned inner form
+        if re.search(r"BroadcastNestedLoopJoin BuildRight, Inner\s*$", p, re.M):
+            offenders.setdefault(name, "unconditioned BNLJ")
+    assert not offenders, offenders
