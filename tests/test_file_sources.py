@@ -46,3 +46,27 @@ def test_json_round_trip(spark, tmp_path):
     write_table(_frame(spark), path, "json")
     back = read_json(spark, path, schema=SCHEMA)
     assert _collected(back) == sorted(ROWS)
+
+
+def test_schema_evolution_merge_across_partitions(spark, tmp_path):
+    """Schema drift across a partitioned dataset's lifetime: old files
+    lack a column added later. mergeSchema=true reconciles at read time
+    (missing column = NULL in old slices) — the survival requirement for
+    any multi-year 100 TB corpus where backfills and new fields coexist."""
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame([(1, 10.0)], "id long, value double")
+    new = spark.createDataFrame(
+        [(2, 20.0, "en")], "id long, value double, lang string"
+    )
+    old.write.parquet(str(tmp_path / "ds" / "day=1"))
+    new.write.parquet(str(tmp_path / "ds" / "day=2"))
+
+    merged = spark.read.option("mergeSchema", True).parquet(str(tmp_path / "ds"))
+    assert set(merged.columns) == {"id", "value", "lang", "day"}
+    rows = {r.id: (r.lang, r.day) for r in merged.collect()}
+    assert rows == {1: (None, 1), 2: ("en", 2)}
+
+    # the new column is still prunable/pushable on the merged scan
+    got = merged.filter(F.col("lang") == "en").select("id").collect()
+    assert [r.id for r in got] == [2]
