@@ -701,3 +701,74 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TFIDF_TOPK)
         .withColumn("rnk", F.col("rnk").cast("long"))
     )
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM (
+            {D.minhash_lsh_pairs_sql(threshold=_JACCARD_THRESHOLD)}
+        ) p
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS node, LEAST(u, MIN(v)) AS cluster_id
+        FROM reach GROUP BY u
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               {T.quality_scores_sql()['quality_score']} AS q
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, cluster_id, q AS quality_r,
+           CAST(cs AS BIGINT) AS cluster_size
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+              ORDER BY q DESC, doc_id ASC) AS rn,
+              COUNT(*) OVER (PARTITION BY cluster_id) AS cs
+          FROM scored) t
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL step, end to end: near-dup pairs ->
+    connected components -> keep the highest-QUALITY document per
+    cluster (not the min-id one — canonical selection should keep the
+    best copy, the policy real corpus dedup ships). Tie-break on doc_id
+    keeps selection deterministic. Shape on top of clustering: one join
+    to attach quality, one WindowGroupLimit top-1 per cluster. Oracle:
+    the recursive-CTE transitive closure + the same quality formula."""
+    from pyspark.sql.window import Window
+
+    from kafka_streams_the_clojure_way_spark.operators import graph as G
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=_JACCARD_THRESHOLD)
+    clusters = G.cluster_assignments(docs.select("doc_id"), pairs)
+    scored = (
+        T.quality_scores(docs)
+        .select("doc_id", F.col("quality_score").alias("quality_r"))
+        .join(clusters, "doc_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.col("quality_r").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "quality_r", "cluster_size")
+    )
