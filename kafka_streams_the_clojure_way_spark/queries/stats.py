@@ -182,3 +182,54 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_events").alias("n_events"),
     )
+
+
+@query(
+    "agg_linear_trend",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 AS DECIMAL(38,6)) AS x,
+               CAST(CAST(value AS DECIMAL(28,6)) AS DECIMAL(38,6)) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DECIMAL(38,6)) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_points,
+           round(CAST((n * sxy - sx * sy) AS DOUBLE)
+                 / CAST((n * sxx - sx * sx) AS DOUBLE), 9) AS slope_per_hour
+    FROM s
+    """,
+)
+def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend (value vs. epoch-hour) per event type, via the
+    closed-form slope over EXACT decimal sums — the built-in regr_slope
+    accumulates doubles and is summation-order-dependent, so a
+    distributed run and a single-threaded oracle disagree in the last
+    ulps; decimal Sx/Sy/Sxy/Sxx make every intermediate exact and only
+    the final division floats. One partial+final aggregate, no shuffle
+    of raw points beyond the 5-per-group sums."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.expr("unix_micros(ts) div 3600000000").cast("decimal(38,6)")
+    y = F.col("value").cast("decimal(28,6)").cast("decimal(38,6)")
+    pts = ev.select("event_type", x.alias("x"), y.alias("y"))
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,6)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_points"),
+        F.round(num / den, 9).alias("slope_per_hour"),
+    )
