@@ -523,3 +523,34 @@ def window_share_of_customer_spend(spark: SparkSession, sf_dir: str) -> DataFram
         "o_custkey",
         F.round(dec.cast("double") / total.cast("double"), 6).alias("spend_share"),
     )
+
+
+@query(
+    "agg_boolean_bitwise_pack",
+    oracle="""
+    SELECT event_type,
+           bool_and(value >= 0)  AS all_nonneg,
+           bool_or(value > 990)  AS any_huge,
+           CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_even_users,
+           CAST(bit_and(CAST(user_id % 256 AS BIGINT)) AS BIGINT) AS flags_and,
+           CAST(bit_or(CAST(user_id % 256 AS BIGINT))  AS BIGINT) AS flags_or,
+           CAST(bit_xor(CAST(event_id AS BIGINT))      AS BIGINT) AS ids_xor
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_boolean_bitwise_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean (every/any/count_if) and bitwise (bit_and/or/xor)
+    aggregates in one grouped pass — the flag-rollup family (feature
+    masks, permission bits, xor checksums). All commutative/associative,
+    so partial aggregation collapses them map-side; outputs are
+    booleans and longs, bit-identical by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.every(F.col("value") >= 0).alias("all_nonneg"),
+        F.some(F.col("value") > 990).alias("any_huge"),
+        F.count_if(F.col("user_id") % 2 == 0).alias("n_even_users"),
+        F.bit_and(F.col("user_id") % 256).alias("flags_and"),
+        F.bit_or(F.col("user_id") % 256).alias("flags_or"),
+        F.bit_xor("event_id").alias("ids_xor"),
+    )
