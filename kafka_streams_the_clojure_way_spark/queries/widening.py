@@ -407,7 +407,8 @@ def set_ops_all_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM grid g LEFT JOIN hourly h
           ON h.user_id = g.user_id AND h.hr = g.hr
     )
-    SELECT user_id, hr,
+    SELECT user_id,
+           CAST(epoch_us(hr) AS BIGINT) AS hr_us,
            CAST(last_value(v IGNORE NULLS) OVER (
                PARTITION BY user_id ORDER BY hr
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -448,9 +449,12 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hr")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # epoch micros, not a raw timestamp column: PySpark renders
+    # TimestampType in the PROCESS time zone at collect time, so a raw
+    # hr column hash-mismatches the oracle on any non-UTC host
     return j.select(
         "user_id",
-        "hr",
+        F.unix_micros("hr").alias("hr_us"),
         F.last("v", ignorenulls=True).over(w).cast("double").alias("v_filled"),
         F.col("v").isNull().alias("was_gap"),
     )
