@@ -44,6 +44,11 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    families: dict[str, float] = {}
+    for name, sec in timings.items():
+        fam = name.split("_", 1)[0]
+        families[fam] = round(families.get(fam, 0.0) + sec, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -52,6 +57,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "families": families,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

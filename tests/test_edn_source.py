@@ -135,3 +135,43 @@ def test_edn_permissive_mode_drops_malformed_lines(spark, tmp_path):
     strict = spark.read.format("edn").schema(SCHEMA).load(str(f))
     with pytest.raises(Exception):
         strict.collect()
+
+
+def test_edn_to_topology_to_edn_round_trip(spark, tmp_path):
+    """The reference's whole story on its native format: EDN records in,
+    declarative topology (filter >= 100, project), EDN records out —
+    no Kafka, no JSON, no conversion step anywhere."""
+    from kafka_streams_the_clojure_way_spark.plans import compile_topology
+
+    f = tmp_path / "in.edn"
+    f.write_text(PURCHASES_EDN)
+    register(spark)
+    df = spark.read.format("edn").schema(SCHEMA).load(str(f))
+    topo = {
+        "entities": {
+            "topic/in": {"type": "topic"},
+            "stream/large": {
+                "type": "stream",
+                "sql": "SELECT user_id, amount FROM __input__ WHERE amount >= 100",
+            },
+            "topic/out": {"type": "topic"},
+        },
+        "workflow": [["topic/in", "stream/large"], ["stream/large", "topic/out"]],
+    }
+    out = compile_topology(spark, topo, {"topic/in": df})["topic/out"]
+    out_dir = str(tmp_path / "out_edn")
+    out.write.format("edn").mode("append").save(out_dir)
+
+    lines = []
+    import glob as g
+
+    for part in sorted(g.glob(f"{out_dir}/*.edn")):
+        lines += [ln for ln in open(part).read().splitlines() if ln.strip()]
+    recs = sorted(
+        ({str(k): v for k, v in parse_edn(ln)[0].items()} for ln in lines),
+        key=lambda d: d["amount"],
+    )
+    assert recs == [
+        {"user-id": 2, "amount": 500},
+        {"user-id": 4, "amount": 1000},
+    ]
