@@ -558,3 +558,52 @@ def agg_boolean_bitwise_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(F.col("user_id") % 256).alias("flags_or"),
         F.bit_xor("event_id").alias("ids_xor"),
     )
+
+
+_MONTH_SPINE_SQL = """
+WITH RECURSIVE bounds AS (
+    SELECT date_trunc('month', MIN(o_orderdate)) AS mn,
+           date_trunc('month', MAX(o_orderdate)) AS mx
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+),
+spine(mon) AS (
+    SELECT mn FROM bounds
+    UNION ALL
+    SELECT mon + INTERVAL 1 MONTH FROM spine
+    WHERE mon < (SELECT mx FROM bounds)
+),
+monthly AS (
+    SELECT date_trunc('month', o_orderdate) AS mon,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+)
+SELECT CAST({epoch}(s.mon) AS BIGINT) AS month_us,
+       CAST(COALESCE(m.n_orders, 0) AS BIGINT) AS n_orders,
+       (m.mon IS NULL) AS empty_month
+FROM spine s LEFT JOIN monthly m ON m.mon = s.mon
+"""
+
+
+@query(
+    "sql_recursive_month_spine",
+    oracle=_MONTH_SPINE_SQL.format(epoch="epoch_us"),
+)
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE, UNION ALL form) through the
+    SQL frontend: the calendar-spine utility every warehouse needs —
+    generate every month between the first and last order date, left
+    join the monthly counts, keep empty months as zero rows (a plain
+    GROUP BY silently drops them). Spine bounded to one year: every
+    recursion level is a driver-coordinated step, so depth is a LATENCY
+    knob, not just a limit (12 levels here vs the 100-level default cap);
+    the identical SQL text runs on DuckDB (only the epoch function name
+    differs)."""
+    from kafka_streams_the_clojure_way_spark.sources.files import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_MONTH_SPINE_SQL.format(epoch="unix_micros"))
