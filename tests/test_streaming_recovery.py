@@ -82,3 +82,36 @@ def test_restart_resumes_state_without_reprocessing(spark, tmp_path):
     assert set(second) == {"a", "c"}
     assert second["a"] == (17.0, 2)  # 10.0 (from state) + 7.0
     assert second["c"] == (1.0, 1)
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """Keyed state on the RocksDB provider — the production choice once
+    state outgrows the JVM heap (the default HDFS-backed provider keeps
+    every key in executor memory; RocksDB spills to local disk with
+    changelog checkpointing). Same operator, same results."""
+    provider = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try:
+        in_dir = tmp_path / "rocks_in"
+        in_dir.mkdir()
+        spark.createDataFrame(
+            [(BASE, "a", 10.0, 1), (BASE, "b", 5.0, 2)], SCHEMA
+        ).write.parquet(str(in_dir / "f1.parquet"))
+        first = _run_once(
+            spark, in_dir, str(tmp_path / "rocks_ckpt"), str(tmp_path / "out1")
+        )
+        assert first == {"a": (10.0, 1), "b": (5.0, 1)}
+
+        spark.createDataFrame(
+            [(BASE, "a", 7.0, 3)], SCHEMA
+        ).write.parquet(str(in_dir / "f2.parquet"))
+        second = _run_once(
+            spark, in_dir, str(tmp_path / "rocks_ckpt"), str(tmp_path / "out2")
+        )
+        assert second["a"] == (17.0, 2)  # state carried in RocksDB
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
