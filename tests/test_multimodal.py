@@ -76,3 +76,47 @@ def test_feature_histogram_normalized(spark):
     assert abs(sum(out.features) - 1.0) < 1e-9
     # bytes 0..15 mod 8 -> uniform histogram
     assert all(abs(f - 1 / FEATURE_DIM) < 1e-9 for f in out.features)
+
+
+def test_map_in_arrow_matches_jvm_vector_math(spark):
+    """mapInArrow (Spark 4 Arrow-native batch UDF): per-vector L2 norm
+    computed in numpy over Arrow record batches must match the JVM-side
+    sequential-fold expression bit-for-bit (same left-to-right summation
+    order — numpy's pairwise np.sum would NOT match; that discipline is
+    the whole cross-engine determinism story)."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def norms(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            vecs = batch.column("embedding").to_pylist()
+            out = []
+            for v in vecs:
+                acc = 0.0
+                for x in v:  # sequential fold == F.aggregate order
+                    acc += float(x) * float(x)
+                out.append(acc)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, type=pa.float64())], ["vec_id", "sq_norm"]
+            )
+
+    arrow_side = {
+        r.vec_id: r.sq_norm
+        for r in emb.mapInArrow(norms, "vec_id long, sq_norm double").collect()
+    }
+
+    vec_d = F.col("embedding").cast("array<double>")
+    jvm = emb.select(
+        "vec_id",
+        F.aggregate(
+            vec_d, F.lit(0.0), lambda acc, x: acc + x * x
+        ).alias("sq_norm"),
+    )
+    jvm_side = {r.vec_id: r.sq_norm for r in jvm.collect()}
+    assert arrow_side == jvm_side and len(arrow_side) == 500
