@@ -103,3 +103,68 @@ def test_stream_static_join_broadcasts(spark, tmp_path):
     drain(q)
     got = _key_set(spark.sql("SELECT seq, tier FROM sstatic_join"), ["seq", "tier"])
     assert got == expected and len(got) == 20  # u2 rows drop (inner join)
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: unmatched left rows must be HELD
+    while they could still match, then emitted with nulls once the
+    watermark passes the join window — the semantics that make outer
+    streaming joins safe (no premature nulls, no unbounded state)."""
+    left_dir = tmp_path / "l"
+    right_dir = tmp_path / "r"
+    left_dir.mkdir(); right_dir.mkdir()
+    ckpt = str(tmp_path / "louter_ckpt")
+    out_dir = str(tmp_path / "louter_out")
+
+    def run_once():
+        left = spark.readStream.schema(SCHEMA).parquet(f"{left_dir}/*")
+        right = spark.readStream.schema(SCHEMA).parquet(f"{right_dir}/*")
+        joined = stream_stream_join(
+            left,
+            right,
+            "user",
+            left_ts="ts",
+            right_ts="ts",
+            watermark="5 minutes",
+            within="10 minutes",
+            how="left_outer",
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain(q)
+
+    # batch 1: one matchable and one never-matched left row
+    spark.createDataFrame(
+        [(BASE, "match", 1.0, 1), (BASE, "lonely", 2.0, 2)], SCHEMA
+    ).write.parquet(str(left_dir / "f1.parquet"))
+    spark.createDataFrame(
+        [(BASE + dt.timedelta(minutes=5), "match", 9.0, 3)], SCHEMA
+    ).write.parquet(str(right_dir / "f1.parquet"))
+    run_once()
+
+    # batch 2: only a late-epoch heartbeat that pushes the watermark far
+    # past BASE+10m, forcing the lonely row's null emission
+    far = BASE + dt.timedelta(hours=2)
+    spark.createDataFrame([(far, "wm", 0.0, 9)], SCHEMA).write.parquet(
+        str(left_dir / "f2.parquet")
+    )
+    spark.createDataFrame([(far, "wm2", 0.0, 10)], SCHEMA).write.parquet(
+        str(right_dir / "f2.parquet")
+    )
+    run_once()
+
+    rows = spark.read.parquet(out_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user, []).append(r)
+    assert len(by_user["match"]) == 1 and by_user["match"][0].r_value == 9.0
+    lonely = by_user["lonely"]
+    assert len(lonely) == 1 and lonely[0].r_value is None
