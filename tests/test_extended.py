@@ -63,3 +63,37 @@ def test_interval_join_bucketing_catches_cross_bucket_pairs(spark):
     )
     got = sorted((r.id_a, r.id_b) for r in pairs.collect())
     assert got == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_polymorphic_udtf_analyze_schema(spark):
+    """Spark 4 polymorphic UDTF: output schema computed by analyze() from
+    the call's literal argument — here an n-gram splitter whose column
+    count follows n. The static-schema UDTF (udtf_word_positions) covers
+    the LATERAL query path; this covers the dynamic-schema API."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"w{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            toks = text.split()
+            for i in range(len(toks) - n + 1):
+                yield tuple(toks[i : i + n])
+
+    ngrams = udtf(NGrams)
+    spark.udtf.register("test_ngrams", ngrams)
+
+    two = spark.sql(
+        "SELECT * FROM test_ngrams('a b c d', 2)"
+    ).collect()
+    assert [tuple(r) for r in two] == [("a", "b"), ("b", "c"), ("c", "d")]
+    three = spark.sql("SELECT * FROM test_ngrams('a b c d', 3)").collect()
+    assert [tuple(r) for r in three] == [("a", "b", "c"), ("b", "c", "d")]
+    assert three[0].__fields__ == ["w0", "w1", "w2"]
