@@ -72,3 +72,46 @@ def test_persisted_ivf_index_matches_inline_ivf(spark, tmp_path):
     assert "dynamicpruning" in plan or "PartitionFilters: [isnotnull(cell" in plan, (
         plan[:3000]
     )
+
+
+def test_streaming_ann_serving_on_persisted_index(spark, tmp_path):
+    """Online similarity serving: a STREAM of query vectors probed
+    against the persisted IVF index inside foreachBatch (each micro-batch
+    is a plain batch frame, so the partition-pruned probe plan is reused
+    as-is) — the standard micro-batch inference pattern. Results must
+    equal the same probe run in batch."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.operators import similarity as S
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+    from kafka_streams_the_clojure_way_spark.sources.memory import drain
+
+    corpus = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "serve_index")
+    S.build_ivf_index(corpus, path)
+
+    queries = corpus.filter(F.col("vec_id") % 151 == 1)
+    expected = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in S.ivf_index_topk(spark, path, queries, 3).collect()
+    }
+
+    qdir = tmp_path / "qstream"
+    qdir.mkdir()
+    queries.write.parquet(str(qdir / "batch1.parquet"))
+    got = {}
+
+    def probe(batch_df, batch_id):
+        for r in S.ivf_index_topk(spark, path, batch_df, 3).collect():
+            got[(r.query_id, r.rank)] = r.neighbor_id
+
+    q = (
+        spark.readStream.schema(corpus.schema)
+        .parquet(f"{qdir}/*")
+        .writeStream.foreachBatch(probe)
+        .option("checkpointLocation", str(tmp_path / "serve_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q)
+    assert got == expected and len(got) > 0
