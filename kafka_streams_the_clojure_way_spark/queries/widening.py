@@ -607,3 +607,33 @@ def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_MONTH_SPINE_SQL.format(epoch="unix_micros"))
+
+
+@query(
+    "scalar_ansi_safety_pack",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN user_id % 5 = 0 THEN NULL
+                ELSE round(CAST(value AS DOUBLE) / (user_id % 5), 6)
+           END AS safe_ratio,
+           CASE WHEN user_id % 5 = 0 THEN NULL
+                ELSE CAST(event_id // (user_id % 5) AS BIGINT)
+           END AS safe_intdiv,
+           (user_id % 5 = 0) AS was_div_zero
+    FROM events
+    """,
+)
+def scalar_ansi_safety_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safety (Spark 4 runs ANSI by default, where x/0 THROWS
+    mid-job): the try_* family turns per-row failures into NULLs so one
+    poisoned row can't kill a 100 TB job — while keeping real overflow
+    and type errors loud elsewhere. DuckDB has no try_divide, so the
+    oracle encodes the identical semantics with explicit CASE guards."""
+    ev = load_table(spark, sf_dir, "events")
+    div = F.col("user_id") % 5
+    return ev.select(
+        "event_id",
+        F.round(F.try_divide(F.col("value"), div), 6).alias("safe_ratio"),
+        F.try_divide(F.col("event_id"), div).cast("long").alias("safe_intdiv"),
+        (div == 0).alias("was_div_zero"),
+    )
