@@ -637,3 +637,53 @@ def scalar_ansi_safety_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.col("event_id"), div).cast("long").alias("safe_intdiv"),
         (div == 0).alias("was_div_zero"),
     )
+
+
+@query(
+    "window_rolling_anomaly",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, event_id,
+               CAST(value AS DECIMAL(28,6)) AS v,
+               SUM(CAST(value AS DECIMAL(28,6))) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s,
+               COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id,
+           round(CAST(s AS DOUBLE) / n, 6) AS trailing_mean,
+           (CAST(v AS DOUBLE) > 2.0 * CAST(s AS DOUBLE) / n) AS is_spike
+    FROM w
+    """,
+)
+def window_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly flags: each purchase against its user's trailing
+    5-event mean (ROWS frame, (ts, event_id) tiebreak for deterministic
+    frames), spike = value > 2x the mean. The trailing sum goes through
+    DECIMAL so the frame aggregate is exact regardless of how either
+    engine walks the frame; only the final mean division floats. One
+    window, one shuffle on user_id — the streaming-adjacent monitoring
+    shape in batch form."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    v = F.col("value").cast("decimal(28,6)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), F.col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+    )
+    s = F.sum(v).over(w)
+    n = F.count(F.lit(1)).over(w)
+    mean = s.cast("double") / n
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(mean, 6).alias("trailing_mean"),
+        (v.cast("double") > 2.0 * mean).alias("is_spike"),
+    )
