@@ -772,3 +772,48 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "cluster_id", "quality_r", "cluster_size")
     )
+
+
+_WSAMPLE_SALT = "wsample:v1:"
+_WSAMPLE_DENOM = 1_000_000  # hash-unit resolution
+
+
+@query(
+    "sample_weighted_documents",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               ({P.hash60_sql(f"'{_WSAMPLE_SALT}' || CAST(doc_id AS VARCHAR)")}
+                % {_WSAMPLE_DENOM}) AS u,
+               least({T.quality_scores_sql()['quality_score']} / 100.0, 1.0)
+                   AS keep_p
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, round(keep_p, 6) AS keep_p_r
+    FROM scored
+    WHERE u < keep_p * {_WSAMPLE_DENOM}
+    """,
+)
+def sample_weighted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted (importance) sampling: each document survives
+    with probability = its quality score (capped at 1), decided by the
+    salted portable hash instead of an RNG — so the draw is reproducible
+    across runs AND engines (oracle-exact, unlike sampleBy's
+    engine-specific RNG stream), stable under repartition, and
+    re-drawable by changing the salt. The modern curation move (quality
+    classifiers gating what enters training) as a pure per-row
+    predicate: pipelined into the scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = P.hash60(
+        F.concat(F.lit(_WSAMPLE_SALT), F.col("doc_id").cast("string"))
+    ) % _WSAMPLE_DENOM
+    scored = T.quality_scores(docs).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        u.alias("u"),
+        F.least(F.col("quality_score") / 100.0, F.lit(1.0)).alias("keep_p"),
+    )
+    return scored.filter(
+        F.col("u") < F.col("keep_p") * _WSAMPLE_DENOM
+    ).select("doc_id", "lang", "n_chars", F.round("keep_p", 6).alias("keep_p_r"))
