@@ -817,3 +817,72 @@ def sample_weighted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(
         F.col("u") < F.col("keep_p") * _WSAMPLE_DENOM
     ).select("doc_id", "lang", "n_chars", F.round("keep_p", 6).alias("keep_p_r"))
+
+
+_MIX_SALT = "mixture:v1:"
+
+
+@query(
+    "sample_mixture_rebalance",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               CAST(len({T.tokens_sql('text')}) AS BIGINT) AS n_tokens,
+               ({P.hash60_sql(f"'{_MIX_SALT}' || CAST(doc_id AS VARCHAR)")}
+                % {_WSAMPLE_DENOM}) AS u
+        FROM documents
+    ),
+    totals AS (
+        SELECT source, SUM(n_tokens) AS s_tokens FROM tok GROUP BY source
+    ),
+    grand AS (
+        SELECT SUM(s_tokens) AS t_tokens,
+               COUNT(*) AS n_sources
+        FROM totals
+    ),
+    rates AS (
+        SELECT t.source,
+               least(1.0, (CAST(g.t_tokens AS DOUBLE) / g.n_sources)
+                          / CAST(t.s_tokens AS DOUBLE)) AS rate
+        FROM totals t CROSS JOIN grand g
+    )
+    SELECT k.doc_id, k.source, k.n_tokens, round(r.rate, 6) AS rate_r
+    FROM tok k JOIN rates r ON r.source = k.source
+    WHERE k.u < r.rate * {_WSAMPLE_DENOM}
+    """,
+)
+def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: compute per-source keep rates FROM the
+    corpus (each source downsampled toward an equal share of total
+    tokens), then gate each document on the salted portable hash — the
+    mixture step every pre-training data pipeline runs, fully
+    deterministic and oracle-exact. Shape: one per-source aggregate
+    (tiny), rates broadcast back, per-row predicate; the corpus is never
+    shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = P.hash60(
+        F.concat(F.lit(_MIX_SALT), F.col("doc_id").cast("string"))
+    ) % _WSAMPLE_DENOM
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.array_size(T.tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        u.alias("u"),
+    )
+    totals = tok.groupBy("source").agg(F.sum("n_tokens").alias("s_tokens"))
+    grand = totals.agg(
+        F.sum("s_tokens").alias("t_tokens"), F.count(F.lit(1)).alias("n_sources")
+    )
+    rates = totals.crossJoin(F.broadcast(grand)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.col("t_tokens").cast("double") / F.col("n_sources"))
+            / F.col("s_tokens").cast("double"),
+        ).alias("rate"),
+    )
+    return (
+        tok.join(F.broadcast(rates), "source")
+        .filter(F.col("u") < F.col("rate") * _WSAMPLE_DENOM)
+        .select("doc_id", "source", "n_tokens", F.round("rate", 6).alias("rate_r"))
+    )
