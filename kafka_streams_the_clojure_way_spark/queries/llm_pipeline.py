@@ -886,3 +886,79 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("rate") * _WSAMPLE_DENOM)
         .select("doc_id", "source", "n_tokens", F.round("rate", 6).alias("rate_r"))
     )
+
+
+_CONTAM_CUTOFF = 0.5
+
+
+@query(
+    "curated_training_set",
+    oracle=f"""
+    WITH canon AS (
+        SELECT MIN(doc_id) AS keep_id
+        FROM documents
+        GROUP BY ('0x' || substring(md5(text), 1, 15))::BIGINT
+    ),
+    flags AS (
+        SELECT doc_id, source,
+               {T.gopher_quality_sql()['quality_keep']} AS quality_keep
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source, {T.shingles_sql('text')} AS shingles
+        FROM documents
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM sh
+        WHERE source = '{_BENCH_SOURCE}'
+    ),
+    contam AS (
+        SELECT c.doc_id,
+               round(CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS contamination_frac
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+              WHERE source <> '{_BENCH_SOURCE}') c
+        LEFT JOIN bench b ON b.s = c.s
+        GROUP BY c.doc_id
+    )
+    SELECT f.doc_id, f.source,
+           COALESCE(ct.contamination_frac, 0.0) AS contamination_r
+    FROM flags f
+    JOIN canon k ON k.keep_id = f.doc_id
+    LEFT JOIN contam ct ON ct.doc_id = f.doc_id
+    WHERE f.quality_keep
+      AND f.source <> '{_BENCH_SOURCE}'
+      AND COALESCE(ct.contamination_frac, 0.0) < {_CONTAM_CUTOFF}
+    """,
+)
+def curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel END TO END in one Catalyst plan: exact-dedup
+    canonical (left-semi on min-id per content hash) ∧ Gopher quality
+    keep ∧ benchmark contamination below {cutoff} — the composition every
+    training-data pipeline ships, here as ONE declarative query so the
+    optimizer shares the documents scan across stages instead of three
+    pipeline passes. Each stage is separately oracle-locked by its own
+    registry query; this locks the composition."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        exact_dedup_groups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    flags = T.gopher_quality(docs).select("doc_id", "source", "quality_keep")
+    contam = text_ngram_contamination(spark, sf_dir).select(
+        "doc_id", "contamination_frac"
+    )
+    return (
+        flags.join(canon, "doc_id", "left_semi")
+        .join(contam, "doc_id", "left")
+        .withColumn(
+            "contamination_r", F.coalesce(F.col("contamination_frac"), F.lit(0.0))
+        )
+        .filter(
+            F.col("quality_keep")
+            & (F.col("source") != _BENCH_SOURCE)
+            & (F.col("contamination_r") < _CONTAM_CUTOFF)
+        )
+        .select("doc_id", "source", "contamination_r")
+    )
