@@ -935,10 +935,11 @@ def curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation funnel END TO END in one Catalyst plan: exact-dedup
     canonical (left-semi on min-id per content hash) ∧ Gopher quality
     keep ∧ benchmark contamination below {cutoff} — the composition every
-    training-data pipeline ships, here as ONE declarative query so the
-    optimizer shares the documents scan across stages instead of three
-    pipeline passes. Each stage is separately oracle-locked by its own
-    registry query; this locks the composition."""
+    training-data pipeline ships, here as ONE declarative query: the
+    stages fuse into a single job — narrow scans of the same file on
+    each join branch, no intermediate materialization and no driver
+    round-trips between stages. Each stage is separately oracle-locked
+    by its own registry query; this locks the composition."""
     from kafka_streams_the_clojure_way_spark.operators.dedup import (
         exact_dedup_groups,
     )
