@@ -600,3 +600,59 @@ def json_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("m").isNull(), 1).otherwise(0)).alias("n_missing"),
         )
     )
+
+
+@query(
+    "join_asof_tolerance_1h",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           epoch_us(e.ts) AS error_ts_us,
+           CASE WHEN p.ts IS NOT NULL
+                 AND e.ts - p.ts <= INTERVAL 1 HOUR
+                THEN p.purchase_value END AS recent_purchase_value,
+           (p.ts IS NOT NULL AND e.ts - p.ts <= INTERVAL 1 HOUR)
+               AS within_tolerance
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT user_id, ts, value AS purchase_value
+                    FROM events WHERE event_type = 'purchase') p
+    ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with TOLERANCE (pandas merge_asof's `tolerance`, kdb
+    wj): the most recent prior purchase counts only when it happened
+    within 1 hour of the error — stale matches become NULL. The bound is
+    applied AFTER the as-of window pass (carry the matched right ts as a
+    value column, then a row-local check), so the plan is identical to
+    the unbounded as-of: one union + one running window, no range-join
+    blowup."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.unix_micros("ts").alias("p_ts_us"),
+    )
+    joined = asof_join(
+        errors,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["purchase_value", "p_ts_us"],
+    )
+    within = F.col("p_ts_us").isNotNull() & (
+        F.unix_micros("ts") - F.col("p_ts_us") <= 3600 * 1_000_000
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("error_ts_us"),
+        F.when(within, F.col("purchase_value")).alias("recent_purchase_value"),
+        within.alias("within_tolerance"),
+    )
