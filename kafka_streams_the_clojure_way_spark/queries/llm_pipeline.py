@@ -963,3 +963,47 @@ def curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "contamination_r")
     )
+
+
+_KSAMPLE_SALT = "ksample:v1:"
+_KSAMPLE_K = 20
+
+
+@query(
+    "sample_fixed_k_per_lang",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang, n_chars,
+               {P.hash60_sql(f"'{_KSAMPLE_SALT}' || CAST(doc_id AS VARCHAR)")}
+                   AS hk
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY hk ASC, doc_id ASC) AS rn
+        FROM h
+    )
+    SELECT doc_id, lang, n_chars, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_KSAMPLE_K}
+    """,
+)
+def sample_fixed_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sample: exactly {k} documents per language,
+    chosen as the k SMALLEST salted-hash values — the deterministic
+    equivalent of per-group reservoir sampling (same marginal
+    distribution, but reproducible across runs/engines and stable under
+    repartition; a fresh draw is a new salt). Plans as a WindowGroupLimit
+    partial top-k: each task keeps at most k rows per language before the
+    shuffle, so the exchange carries k*|strata| rows no matter the corpus
+    size."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hk = P.hash60(F.concat(F.lit(_KSAMPLE_SALT), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(F.col("hk").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", "n_chars", hk.alias("hk"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KSAMPLE_K)
+        .select("doc_id", "lang", "n_chars", F.col("rn").cast("long").alias("rn"))
+    )
