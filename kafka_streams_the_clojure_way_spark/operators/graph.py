@@ -30,11 +30,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-#: Below this many (directed) edges the whole graph fits trivially on the
-#: driver and a union-find beats N distributed rounds of fixed job
-#: overhead. 2M edges = ~32 MB of longs — far under any driver heap; the
-#: distributed loop remains the path for genuinely large graphs.
-LOCAL_CC_MAX_EDGES = 2_000_000
+#: Below this many (directed) edges the whole graph fits on the driver and
+#: a union-find beats N distributed rounds of fixed job overhead. Sized
+#: against PYTHON object overhead, not raw longs: the union-find is a dict
+#: of boxed ints plus toLocalIterator Row objects — realistically
+#: ~200-400 bytes per edge, so 300k edges ≈ 60-120 MB of driver heap, a
+#: safe fraction of a default driver. The distributed min-label loop is
+#: the path for anything larger.
+LOCAL_CC_MAX_EDGES = 300_000
 
 
 def _local_union_find(rows) -> dict[int, int]:

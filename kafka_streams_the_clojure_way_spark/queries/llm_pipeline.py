@@ -284,17 +284,41 @@ def multimodal_asset_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_assets(assets)
 
 
-@query("multimodal_feature_histogram")
+@query(
+    "multimodal_feature_histogram",
+    oracle="""
+    WITH counts AS (
+        SELECT doc_id,
+               unicode(substr(text, CAST(i AS INTEGER), 1)) % 8 AS bin,
+               COUNT(*) AS c
+        FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+        GROUP BY doc_id, bin
+    ),
+    bins AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS bin)
+    SELECT d.doc_id,
+           b.bin,
+           ROUND(CAST(COALESCE(c.c, 0) AS DOUBLE) / length(d.text), 9) AS frac
+    FROM documents d
+    CROSS JOIN bins b
+    LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = b.bin
+    """,
+)
 def multimodal_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-histogram feature vectors (array<double>, dim 8) per asset via
-    numpy-over-Arrow mapInPandas — the feature-extraction plumbing a real
-    encoder would slot into. Non-SQL (binary manipulation) => rows-only
-    driver check; value-level tests live in tests/test_multimodal.py."""
+    """Byte-histogram feature vectors (dim 8) per asset via numpy-over-Arrow
+    mapInPandas — the feature-extraction plumbing a real encoder would slot
+    into. The vector is exploded to (doc_id, bin, frac) scalar rows
+    (registry discipline: no nested output types) and — because the stub
+    featurizer is a pure byte histogram and the corpus is ASCII — the
+    Pandas-UDF path gets a FULL value oracle: DuckDB recomputes the same
+    histogram from code points. frac is the same IEEE-754 division of the
+    same integers in both engines, so round(.,9) is deterministic."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "payload", F.encode(F.col("text"), "UTF-8")
     )
     assets = wrap_binary_assets(docs, "payload", "image/png")
-    return extract_features(assets)
+    return extract_features(assets).select(
+        "doc_id", F.posexplode("features").alias("bin", "frac")
+    ).select("doc_id", "bin", F.round("frac", 9).alias("frac"))
 
 
 @query(

@@ -37,6 +37,9 @@ ENGINE_CONF: dict[str, str] = {
     # without tiny-task overhead.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.ui.enabled": "false",
+    # Progress bars write \r-control lines that corrupt stdout capture
+    # (the driver parses bench.py's single JSON stdout line).
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

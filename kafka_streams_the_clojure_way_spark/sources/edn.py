@@ -273,30 +273,65 @@ class EdnReader(DataSourceReader):
 
 
 class _EdnCommit(WriterCommitMessage):
-    pass
+    def __init__(self, temp_file: str, final_name: str):
+        self.temp_file = temp_file
+        self.final_name = final_name
 
 
 class EdnWriter(DataSourceWriter):
-    def __init__(self, schema: StructType, options):
+    """Task-temp + driver-commit protocol (same shape as Hadoop's
+    FileOutputCommitter v1): every task writes to a per-attempt temp file
+    under ``_temporary-<write_id>/``; ``commit()`` renames the successful
+    attempts into place and — only then, for overwrite mode — removes
+    pre-existing part files. Aborted/speculative attempts never leave
+    partial files in the visible directory, appends can't clobber earlier
+    appends (the write UUID is part of every final name), and a crashed
+    job leaves the previous contents intact. Assumes a shared filesystem
+    between executors and driver (true for local mode and any
+    NFS/object-store mount; on HDFS/S3 a real deployment would swap in
+    Spark's native committers)."""
+
+    def __init__(self, schema: StructType, options, overwrite: bool = False):
+        import uuid
+
         self._schema = schema
         self._path = options.get("path")
-        os.makedirs(self._path, exist_ok=True)
+        if not self._path:
+            raise ValueError("edn datasource requires a path")
+        self._overwrite = overwrite
+        self._write_id = uuid.uuid4().hex[:12]
+        self._tmp_dir = os.path.join(self._path, f"_temporary-{self._write_id}")
+        os.makedirs(self._tmp_dir, exist_ok=True)
 
     def write(self, iterator) -> WriterCommitMessage:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        out = os.path.join(self._path, f"part-{pid:05d}.edn")
-        with open(out, "w", encoding="utf-8") as fh:
+        ctx = TaskContext.get()
+        os.makedirs(self._tmp_dir, exist_ok=True)  # executor-side, shared FS
+        final_name = f"part-{ctx.partitionId():05d}-{self._write_id}.edn"
+        temp = os.path.join(
+            self._tmp_dir, f"{final_name}.attempt-{ctx.taskAttemptId()}"
+        )
+        with open(temp, "w", encoding="utf-8") as fh:
             for row in iterator:
                 fh.write(dump_edn_record(row.asDict()) + "\n")
-        return _EdnCommit()
+        return _EdnCommit(temp, final_name)
 
     def commit(self, messages):
-        return None
+        import glob as _glob
+        import shutil
+
+        if self._overwrite:
+            for old in _glob.glob(os.path.join(self._path, "*.edn")):
+                os.remove(old)
+        for m in messages:
+            os.replace(m.temp_file, os.path.join(self._path, m.final_name))
+        shutil.rmtree(self._tmp_dir, ignore_errors=True)
 
     def abort(self, messages):
-        return None
+        import shutil
+
+        shutil.rmtree(self._tmp_dir, ignore_errors=True)
 
 
 def dump_edn_value(v: Any) -> str:
@@ -337,7 +372,7 @@ class EdnDataSource(DataSource):
         return EdnReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
-        return EdnWriter(schema, self.options)
+        return EdnWriter(schema, self.options, overwrite)
 
     def simpleStreamReader(self, schema: StructType):
         return EdnStreamReader(schema, self.options)

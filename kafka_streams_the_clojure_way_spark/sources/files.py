@@ -78,10 +78,17 @@ def with_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> Da
     this: partial aggregation exists precisely to avoid shuffling the
     fact table.
     """
+    import pyspark
+
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     try:
         # JVM-side probe: ~4x cheaper than df.rdd (which builds the whole
         # Python-serializer RDD conversion just to read a partition count).
+        # PRIVATE API, validated on pyspark 3.x/4.x (`Dataset.rdd` exists
+        # on both); gated so an incompatible future major version degrades
+        # to the public path instead of surprising.
+        if int(pyspark.__version__.split(".")[0]) > 4:
+            raise AttributeError("unvalidated Spark major; use public path")
         current = df._jdf.rdd().getNumPartitions()
     except Exception:  # pragma: no cover - private-API fallback
         current = df.rdd.getNumPartitions()
@@ -286,8 +293,12 @@ def compact_files(
     streaming micro-batch and every backfill adds a few): at 100 TB the
     scan's task count — and the NameNode/listing pressure — follows file
     count, not data size. Sizing from the actual on-disk bytes keeps the
-    rewrite a pure coalesce of row groups. Writes to a temp dir first and
-    swaps, so a failed compaction never corrupts the dataset."""
+    rewrite a pure coalesce of row groups. Writes to a temp dir first,
+    renames the old data aside, renames the new data in, THEN deletes the
+    old — a crash at any step leaves either the old or the new complete
+    dataset on disk (the rename-aside window is still not safe for
+    concurrent readers; pause reads or use a table format with atomic
+    commits for that)."""
     import shutil
 
     total_bytes = sum(
@@ -298,6 +309,7 @@ def compact_files(
     )
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + ".__compact_tmp__"
+    old = path.rstrip("/") + ".__compact_old__"
     (
         spark.read.parquet(path)
         .repartition(n_files)
@@ -305,6 +317,13 @@ def compact_files(
         .options(**options)
         .parquet(tmp)
     )
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    if os.path.exists(old):  # leftover from a prior crash after swap
+        shutil.rmtree(old)
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(old, path)  # roll back: old data returns to place
+        raise
+    shutil.rmtree(old)
     return n_files

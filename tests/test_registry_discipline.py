@@ -51,3 +51,25 @@ def _alias_whitelist(sql: str) -> set[str]:
     for m in re.finditer(r"\)\s*(?:AS\s+)?([a-z_][a-z0-9_]*)", sql, re.I):
         out.add(m.group(1).lower())
     return out
+
+
+def test_no_nested_types_in_registered_outputs(spark):
+    """The driver's correctness hasher canonicalizes rows by repr and
+    pandas-sorts columns — array/map/struct-typed output columns crash it
+    (round-1: scalar_array_pack, multimodal_feature_histogram). Rule:
+    every registered query's output schema is scalars only; serialize
+    nested values (array_join / to_json / explode) before returning."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sf = "/root/testdata/sf0.001"
+    bad = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf)
+        nested = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nested:
+            bad[name] = nested
+    assert not bad, f"nested-typed output columns: {bad}"
