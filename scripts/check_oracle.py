@@ -46,8 +46,17 @@ def values_equal(a, b):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import json
+
+    argv = sys.argv[1:]
+    json_path = None
+    for a in list(argv):
+        if a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+            argv.remove(a)
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    report: dict[str, dict] = {}
 
     import duckdb
 
@@ -73,12 +82,17 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            report[name] = {"status": "spark_error", "err": str(exc)[:500]}
             print(f"FAIL  {name}: spark error: {exc}")
             continue
         spark_sec = time.time() - t0
 
         if name not in ORACLES:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{spark_sec:.1f}s]")
+            report[name] = {
+                "status": "rows_only" if srows else "rows_only_empty",
+                "rows": len(srows), "sec": round(spark_sec, 3),
+            }
             if not srows:
                 failures.append(name)
             continue
@@ -89,6 +103,7 @@ def main() -> int:
             orows = [tuple(r) for r in rel.fetchall()]
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            report[name] = {"status": "oracle_error", "err": str(exc)[:500]}
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
 
@@ -96,10 +111,12 @@ def main() -> int:
         oc, orw = normalize(orows, ocols)
         if sc != oc:
             failures.append(name)
+            report[name] = {"status": "schema_mismatch", "spark_cols": sc, "oracle_cols": oc}
             print(f"FAIL  {name}: columns differ spark={sc} duck={oc}")
             continue
         if len(sr) != len(orw):
             failures.append(name)
+            report[name] = {"status": "rowcount_mismatch", "spark_rows": len(sr), "oracle_rows": len(orw)}
             print(f"FAIL  {name}: rowcount spark={len(sr)} duck={len(orw)}")
             continue
         bad = None
@@ -115,13 +132,34 @@ def main() -> int:
                 break
         if bad:
             failures.append(name)
+            report[name] = {"status": "value_mismatch", "rows": len(sr),
+                            "example": [repr(bad[0])[:300], repr(bad[1])[:300]]}
             print(f"FAIL  {name}: value mismatch\n  spark={bad[0]}\n  duck ={bad[1]}")
-        elif not exact:
-            print(f"WARN~ {name}: {len(sr)} rows, equal within 1e-9 but NOT bit-exact [{spark_sec:.1f}s]")
         else:
-            print(f"OK    {name}: {len(sr)} rows, bit-exact [{spark_sec:.1f}s]")
+            report[name] = {
+                "status": "exact" if exact else "within_1e-9",
+                "rows": len(sr), "bit_exact": exact, "sec": round(spark_sec, 3),
+            }
+            if not exact:
+                print(f"WARN~ {name}: {len(sr)} rows, equal within 1e-9 but NOT bit-exact [{spark_sec:.1f}s]")
+            else:
+                print(f"OK    {name}: {len(sr)} rows, bit-exact [{spark_sec:.1f}s]")
         if not sr:
             print(f"WARN  {name}: empty result set — weak test")
+
+    if json_path:
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(report),
+            "n_exact": sum(1 for r in report.values() if r["status"] == "exact"),
+            "n_rows_only": sum(1 for r in report.values() if r["status"].startswith("rows_only")),
+            "n_failures": len(failures),
+            "failures": failures,
+            "queries": report,
+        }
+        with open(json_path, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
