@@ -28,6 +28,11 @@ from pyspark.sql import functions as F
 
 from kafka_streams_the_clojure_way_spark.sources.files import with_min_parallelism
 
+#: Hard cap on the driver-collected query side of cosine_topk_pandas.
+#: 1e5 rows x (say) 768 float64 dims ≈ 600 MB broadcast per task — already
+#: at the edge; anything larger must use the distributed paths.
+MAX_PANDAS_QUERY_ROWS = 100_000
+
 EMBED_DIM = 64
 
 #: deterministic pseudo-random hyperplanes: LCG((p * DIM + d)) mapped to
@@ -368,10 +373,23 @@ def cosine_topk_pandas(
     corpus partition computes a local top-k, and a final per-query top-k
     merges partials — the canonical distributed k-NN reduction. Results
     match brute_force_topk up to FP reassociation (numpy SIMD sums), so
-    this one is benchmarked, not oracle-hashed."""
+    this one is benchmarked, not oracle-hashed.
+
+    The query set is driver-materialized and shipped whole to every task:
+    it must be a bounded probe set, never a second corpus. Enforced below
+    (limit+count probe, not just documented) so passing a large frame
+    fails fast instead of OOMing the driver."""
     import numpy as np
     import pandas as pd
 
+    n_probe_rows = queries.limit(MAX_PANDAS_QUERY_ROWS + 1).count()
+    if n_probe_rows > MAX_PANDAS_QUERY_ROWS:
+        raise ValueError(
+            f"cosine_topk_pandas query set exceeds {MAX_PANDAS_QUERY_ROWS} rows "
+            f"(got >{MAX_PANDAS_QUERY_ROWS}); it is driver-collected and "
+            "broadcast to every task — use lsh_topk/ivf_topk for "
+            "corpus-sized query sides"
+        )
     qpd = queries.select(id_col, vec_col).toPandas()
     qids = qpd[id_col].to_numpy()
     qmat = np.stack(qpd[vec_col].to_numpy()).astype("float64")

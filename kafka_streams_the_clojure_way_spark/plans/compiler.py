@@ -22,6 +22,7 @@ optimizes across the whole chain (fusion, pushdown, pruning).
 from __future__ import annotations
 
 import itertools
+import re
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -112,15 +113,26 @@ def _compact_table(frame: DataFrame, key: str, seq: str) -> DataFrame:
 
 _view_counter = itertools.count()
 
+# ``__input__`` as an identifier token: not preceded/followed by a word
+# character or quote, so occurrences inside quoted SQL string literals
+# ('...__input__...') are left alone.
+_INPUT_TOKEN = re.compile(r"(?<![\w'\"])__input__(?![\w'\"])")
+
 
 def _apply_sql(spark: SparkSession, frame: DataFrame, sql: str) -> DataFrame:
     """Run a SQL transform against the entity's merged input, exposed as
     ``__input__``. A unique temp view per application keeps concurrent
     compiles (and re-compiles of the same topology) from colliding; works
-    identically on streaming frames (temp views are mode-agnostic)."""
+    identically on streaming frames (temp views are mode-agnostic). The
+    view is dropped immediately after planning — DataFrames are analyzed
+    eagerly, so the view's plan is already inlined and nothing leaks into
+    the session catalog."""
     vname = f"__topology_input_{next(_view_counter)}"
     frame.createOrReplaceTempView(vname)
-    return spark.sql(sql.replace("__input__", vname))
+    try:
+        return spark.sql(_INPUT_TOKEN.sub(vname, sql))
+    finally:
+        spark.catalog.dropTempView(vname)
 
 
 def sink_entities(topology: Topology) -> list[str]:

@@ -104,6 +104,16 @@ def validate_topology(topology: Topology) -> Topology:
             ent.get("xform") is not None or ent.get("sql") is not None
         ):
             raise TopologyError(f"topic entity {name!r} must not carry an xform/sql")
+        if etype in {"join", "table"} and (
+            ent.get("xform") is not None or ent.get("sql") is not None
+        ):
+            # The compiler applies xform/sql only on stream entities; a
+            # join/table carrying one would be silently ignored — reject
+            # instead (chain a stream entity after the join/table).
+            raise TopologyError(
+                f"{etype} entity {name!r} must not carry an xform/sql; "
+                "chain a stream entity after it"
+            )
         xform = ent.get("xform")
         if xform is not None and not callable(xform):
             raise TopologyError(f"entity {name!r} xform must be callable (DataFrame -> DataFrame)")

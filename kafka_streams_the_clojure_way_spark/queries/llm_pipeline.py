@@ -450,6 +450,47 @@ def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRATA_BUCKETS = 10_000  # per-stratum keep threshold resolution (0.01%)
+
+
+@query(
+    "sample_stratified_hash_documents",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ({P.hash60_sql(f"'{_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)")}
+           % {_STRATA_BUCKETS}) <
+          CASE lang
+              {' '.join(f"WHEN '{lang}' THEN {int(frac * _STRATA_BUCKETS)}"
+                        for lang, frac in _STRATA_FRACTIONS.items())}
+              ELSE 0
+          END
+    """,
+)
+def sample_stratified_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling, deterministic form: per-language keep rates
+    applied via the salted portable hash instead of ``sampleBy``'s RNG —
+    same rebalancing semantics as sample_stratified_documents but
+    reproducible across runs, engines, AND partitionings, so it carries a
+    bit-exact oracle (the RNG variant stays registered as the rows-only
+    representative of Spark's native sampler). The hash bucket is
+    compared against a per-stratum threshold (resolution 0.01%); strata
+    absent from the fraction map are dropped, matching sampleBy. Pure
+    per-row predicate, pipelined into the scan — no shuffle at any
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        P.hash60(F.concat(F.lit(_SAMPLE_SALT), F.col("doc_id").cast("string")))
+        % _STRATA_BUCKETS
+    )
+    threshold = F.lit(0)
+    for lang, frac in _STRATA_FRACTIONS.items():
+        threshold = F.when(
+            F.col("lang") == lang, F.lit(int(frac * _STRATA_BUCKETS))
+        ).otherwise(threshold)
+    return docs.filter(bucket < threshold).select("doc_id", "lang", "n_chars")
+
+
 @query(
     "text_gopher_quality_flags",
     oracle=_select_sql(T.gopher_quality_sql(), "documents"),

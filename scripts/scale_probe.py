@@ -54,12 +54,41 @@ PROBE_QUERIES = [
 ]
 
 
+#: Columns drawn from one shared key domain must shift by ONE shared
+#: offset, or cross-table joins (orders ⋈ lineitem) only match inside
+#: replica 0 and the probe measures a structurally different join.
+KEY_DOMAINS = {
+    ("orders", "o_orderkey"): "orderkey",
+    ("lineitem", "l_orderkey"): "orderkey",
+}
+
+
+def _domain_offsets(spark, factor: int) -> dict[str, int]:
+    """One offset per shared key domain: max over every participating
+    column, so referential integrity holds across replicas."""
+    if factor <= 1:
+        return {}
+    maxes: dict[str, int] = {}
+    for (table, col), domain in KEY_DOMAINS.items():
+        m = load_table(spark, BASE_SF, table).agg(F.max(col)).collect()[0][0]
+        maxes[domain] = max(maxes.get(domain, 0), m)
+    return {d: m + 1 for d, m in maxes.items()}
+
+
 def build_replica(spark, out_dir: str, factor: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
+    shared = _domain_offsets(spark, factor)
     for table, keys in SHIFTS.items():
         src = load_table(spark, BASE_SF, table)
         if keys and factor > 1:
-            offsets = {k: src.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+            offsets = {
+                k: (
+                    shared[KEY_DOMAINS[(table, k)]]
+                    if (table, k) in KEY_DOMAINS
+                    else src.agg(F.max(k)).collect()[0][0] + 1
+                )
+                for k in keys
+            }
             parts = []
             for i in range(factor):
                 rep = src

@@ -58,3 +58,19 @@ def test_pandas_topk_matches_exact(spark):
         for r in S.cosine_topk_pandas(corpus, queries, k=5).collect()
     }
     assert exact == fast
+
+
+def test_cosine_topk_pandas_rejects_oversized_query_set(spark, monkeypatch):
+    """The pandas path driver-collects the query side; a corpus-sized
+    query frame must fail fast, not OOM the driver."""
+    import pytest
+
+    import pyspark.sql.functions as F
+
+    monkeypatch.setattr(S, "MAX_PANDAS_QUERY_ROWS", 5)
+    df = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="query set exceeds"):
+        S.cosine_topk_pandas(df, df, k=3)

@@ -292,3 +292,60 @@ def test_streaming_table_entity_update_mode(spark, tmp_path):
     )
     run_once()
     assert out == {1: (20, "a2"), 2: (11, "b1")}
+
+
+def test_distinct_types_processor_mapstate_logic():
+    """The transformWithState streaming leg needs python protobuf (absent
+    in this container — documented can't-fix, the skip above). This test
+    exercises the SAME _DistinctTypesProcessor.handleInputRows logic
+    against a faithful MapState fake: accumulation across micro-batches,
+    repeat types not double-counted, per-key isolation via separate
+    handles — so the processor semantics are verified even where the
+    wire protocol can't run."""
+    import pandas as pd
+
+    from kafka_streams_the_clojure_way_spark.streaming.state import (
+        _DistinctTypesProcessor,
+    )
+
+    class FakeMapState:
+        def __init__(self):
+            self._m = {}
+
+        def containsKey(self, k):
+            return k in self._m
+
+        def updateValue(self, k, v):
+            self._m[k] = v
+
+        def keys(self):
+            return iter(self._m)
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeMapState()
+
+        def getMapState(self, name, key_schema, value_schema):
+            return self.state
+
+    proc = _DistinctTypesProcessor()
+    proc.init(FakeHandle())
+
+    def emit(types):
+        out = list(
+            proc.handleInputRows(("a",), iter([pd.DataFrame({"t": types})]), None)
+        )
+        assert len(out) == 1
+        return int(out[0]["n_types"].iloc[0])
+
+    assert emit(["click", "view", "click"]) == 2   # batch 1: dedup within batch
+    assert emit(["click"]) == 2                    # batch 2: repeat, no bump
+    assert emit(["purchase", None]) == 3           # batch 3: new type; nulls dropped
+
+    # a fresh key's processor starts empty (per-key state isolation)
+    proc2 = _DistinctTypesProcessor()
+    proc2.init(FakeHandle())
+    out = list(
+        proc2.handleInputRows(("b",), iter([pd.DataFrame({"t": ["x"]})]), None)
+    )
+    assert int(out[0]["n_types"].iloc[0]) == 1

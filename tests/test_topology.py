@@ -329,3 +329,81 @@ def test_empty_input_flows_through_topology(spark):
     compiled = compile_topology(spark, topo, {"topic/a": empty})
     for name, df in compiled.items():
         assert df.count() == 0, name
+
+
+def test_to_dot_annotates_experiment_outputs(spark):
+    """≙ core.clj:237-244: view-topology over a run experiment renders
+    every entity WITH its output rows. The annotated dot must carry the
+    actual experiment values, left-justified per row, and truncate with
+    an explicit marker."""
+    topo = flagship_topology()
+    outputs = run_experiment(
+        spark,
+        topo,
+        inputs={
+            "topic/purchase-made": [
+                {"purchase_id": 1, "user_id": 2, "amount": 200, "quantity": 1}
+            ],
+            "topic/humble-donation-made": [
+                {"user_id": 3, "donation_amount_cents": 15000, "donation_date": "2019-01-02"}
+            ],
+        },
+    )
+    dot = to_dot(topo, outputs=outputs)
+    # annotated node labels carry the experiment values
+    assert "amount=200" in dot and "amount=150" in dot
+    assert "user_id=3" in dot
+    # every entity node still renders, and plain rendering is unchanged
+    for name in topo["entities"]:
+        assert name in dot
+    assert "\\l" in dot  # left-justified row lines
+    plain = to_dot(topo)
+    assert "amount=200" not in plain
+
+    # truncation marker: cap at 1 row on a 2-row sink
+    dot1 = to_dot(topo, outputs=outputs, max_rows=1)
+    assert "more row(s)" in dot1
+
+
+def test_sql_entity_literal_token_untouched_and_no_view_leak(spark):
+    """The __input__ rewrite must be token-aware (occurrences inside SQL
+    string literals survive) and must not leak temp views into the
+    session catalog after compile."""
+    rows = [{"v": 1}, {"v": -2}]
+    topo = {
+        "entities": {
+            "topic/in": {"type": "topic"},
+            "stream/tagged": {
+                "type": "stream",
+                "sql": "SELECT v, '__input__' AS tag FROM __input__ WHERE v > 0",
+            },
+        },
+        "workflow": [["topic/in", "stream/tagged"]],
+    }
+    before = {v.name for v in spark.catalog.listTables()}
+    compiled = compile_topology(
+        spark, topo, {"topic/in": spark.createDataFrame(rows)}
+    )
+    got = [r.asDict() for r in compiled["stream/tagged"].collect()]
+    assert got == [{"v": 1, "tag": "__input__"}]
+    after = {v.name for v in spark.catalog.listTables()}
+    assert not {t for t in after - before if t.startswith("__topology_input")}
+
+
+def test_sql_on_join_or_table_entity_rejected():
+    """The compiler only applies xform/sql on stream entities; carrying
+    one on a join/table used to be silently ignored — now rejected."""
+    topo = {
+        "entities": {
+            "topic/a": {"type": "topic"},
+            "topic/b": {"type": "topic"},
+            "join/j": {
+                "type": "join",
+                "on": ["k"],
+                "sql": "SELECT * FROM __input__",
+            },
+        },
+        "workflow": [["topic/a", "join/j"], ["topic/b", "join/j"]],
+    }
+    with pytest.raises(TopologyError, match="must not carry an xform/sql"):
+        validate_topology(topo)
