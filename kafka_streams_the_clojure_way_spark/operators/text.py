@@ -328,3 +328,150 @@ def shingles_sql(expr: str, k: int = CONTAM_NGRAM) -> str:
         f"ELSE list_distinct(list_transform(range(1, len({toks}) - {k - 2}), "
         f"i -> array_to_string({toks}[i:i+{k - 1}], ' '))) END"
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition signature (Gopher-style repetitive-content flags)
+# --------------------------------------------------------------------------
+
+REP_NGRAM = 5  # duplicate-n-gram size for the repetition fraction
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Repetitive-content signature per document (Rae et al. 2021 §A1.1
+    adapted to an unlined corpus): the fraction of all bigrams taken by
+    the single most frequent bigram (``top_bigram_frac``) and the
+    duplicate fraction of 5-grams (``dup_5gram_frac``) — the two signals
+    that catch boilerplate/looping text that per-token quality scores
+    miss.
+
+    Scale: n-gram construction is a per-row Catalyst expression; the
+    counts are two explode→count aggregations keyed by (doc, gram), both
+    shuffles carrying one row per DISTINCT gram per doc (partial
+    aggregation collapses repeats map-side — the repetitive docs this
+    operator flags are exactly the ones that compress best). Documents
+    shorter than 2 (bigrams) tokens drop out; shorter than 5 get a NULL
+    dup_5gram_frac via the left join — same semantics in the SQL twin.
+    """
+    toks = tokens_col(F.col(text))
+    d = df.select(F.col(id_col), toks.alias("__w"))
+    grams = d.select(
+        id_col,
+        F.expr(
+            "zip_with(slice(__w, 1, size(__w) - 1), slice(__w, 2, size(__w) - 1),"
+            " (a, b) -> concat(a, ' ', b))"
+        ).alias("__bi"),
+        F.expr(
+            f"CASE WHEN size(__w) >= {REP_NGRAM} THEN "
+            f"transform(sequence(1, size(__w) - {REP_NGRAM - 1}),"
+            f" i -> array_join(slice(__w, i, {REP_NGRAM}), ' ')) "
+            "ELSE array() END"
+        ).alias("__five"),
+    )
+    # explode_outer + isNotNull (not plain explode): see text_ngram_contamination
+    bi = (
+        grams.select(id_col, F.explode_outer("__bi").alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .groupBy(id_col, "bg")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.sum("count").alias("n_bigrams"),
+            F.max("count").alias("top_bigram_n"),
+        )
+    )
+    five = (
+        grams.select(id_col, F.explode_outer("__five").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_5grams"),
+            F.count_distinct("g").alias("__d5"),
+        )
+    )
+    return bi.join(five, id_col, "left").select(
+        id_col,
+        "n_bigrams",
+        "top_bigram_n",
+        F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
+        "n_5grams",
+        F.round(1 - F.col("__d5") / F.col("n_5grams"), 6).alias("dup_5gram_frac"),
+    )
+
+
+def repetition_stats_sql(table: str = "documents", id_col: str = "doc_id", text: str = "text") -> str:
+    toks = tokens_sql(text)
+    return f"""
+    WITH toks AS (SELECT {id_col}, {toks} AS w FROM {table}),
+    bi AS (
+        SELECT {id_col}, w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] AS bg
+        FROM toks, unnest(range(1, len(w))) AS t(i)
+    ),
+    bic AS (SELECT {id_col}, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    bstats AS (
+        SELECT {id_col}, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(MAX(c) AS BIGINT) AS top_bigram_n
+        FROM bic GROUP BY 1
+    ),
+    fv AS (
+        SELECT {id_col},
+               array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + {REP_NGRAM - 1}], ' ') AS g
+        FROM toks, unnest(range(1, len(w) - {REP_NGRAM - 2})) AS t(i)
+        WHERE len(w) >= {REP_NGRAM}
+    ),
+    fstats AS (
+        SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_5grams,
+               COUNT(DISTINCT g) AS d5
+        FROM fv GROUP BY 1
+    )
+    SELECT b.{id_col}, b.n_bigrams, b.top_bigram_n,
+           round(CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams, 6) AS top_bigram_frac,
+           f.n_5grams,
+           round(1 - CAST(f.d5 AS DOUBLE) / f.n_5grams, 6) AS dup_5gram_frac
+    FROM bstats b LEFT JOIN fstats f USING ({id_col})
+    """
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (emails / URLs / phone numbers)
+# --------------------------------------------------------------------------
+
+#: Patterns restricted to the syntax subset Java regex and RE2 (DuckDB)
+#: interpret identically: no backreferences, no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL_RE = r"https?://[^\s]+"
+PII_PHONE_RE = r"\+?[0-9][0-9 ()\-]{6,}[0-9]"
+
+_PII_ORDER = (  # applied sequentially; order matters (URLs may contain digits)
+    ("email", PII_EMAIL_RE, "<EMAIL>"),
+    ("url", PII_URL_RE, "<URL>"),
+    ("phone", PII_PHONE_RE, "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text: str = "text") -> DataFrame:
+    """Redact emails, URLs, and phone numbers; emit per-kind match counts
+    and the scrubbed text as ``clean``. The training-corpus hygiene pass
+    every pipeline needs before release. Pure per-row regex — pipelined
+    into the scan, no shuffle, no Python. Counts are taken on the
+    progressively scrubbed text (emails on the original, URLs after
+    email redaction, phones after URL redaction) so the three patterns
+    can't double-count one span; the SQL twin applies the identical
+    order."""
+    out = df
+    col = F.col(text)
+    for kind, pat, repl in _PII_ORDER:
+        out = out.withColumn(f"n_{kind}s", F.regexp_count(col, F.lit(pat)))
+        col = F.regexp_replace(col, pat, repl)
+    return out.withColumn("clean", col)
+
+
+def pii_scrub_sql(text: str = "text") -> dict[str, str]:
+    """Column expr -> SQL, in output order (``n_emails``...``clean``)."""
+    out: dict[str, str] = {}
+    col = text
+    for kind, pat, repl in _PII_ORDER:
+        out[f"n_{kind}s"] = f"len(regexp_extract_all({col}, '{pat}'))"
+        col = f"regexp_replace({col}, '{pat}', '{repl}', 'g')"
+    out["clean"] = col
+    return out

@@ -512,6 +512,59 @@ def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_repetition_flags", oracle=T.repetition_stats_sql())
+def text_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetitive-content signature (Gopher §A1.1 adapted): top-bigram
+    coverage fraction and duplicate-5-gram fraction per document — the
+    boilerplate/looping-text signals per-token quality scores miss.
+    N-gram construction is CPU-heavy per row, so the input is
+    parallelism-guarded like the other n-gram operators; both count
+    aggregations shuffle one row per distinct gram per doc."""
+    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
+    return T.repetition_stats(docs)
+
+
+# Deterministic PII fabrication: the synthetic corpus carries no real
+# PII (verified), so the demo query plants one email/URL/phone per doc —
+# the operator itself is generic and the oracle checks the scrub result
+# value-exactly, varying per doc_id.
+_PII_SUFFIX_SPARK = (
+    " contact user{0}@example.com via https://ex.com/doc/{0} or +1 (555) 010-{1}"
+)
+
+
+@query(
+    "text_pii_scrub",
+    oracle=(
+        "WITH aug AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com via https://ex.com/doc/' || CAST(doc_id AS VARCHAR)"
+        " || ' or +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " AS text FROM documents) "
+        + _select_sql(T.pii_scrub_sql(), "aug")
+    ),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/URLs/phones) with per-kind counts — the
+    hygiene pass before any corpus release. Patterns live in the
+    Java-regex ∩ RE2 subset so Spark and the DuckDB oracle interpret
+    them identically; applied in a fixed order on progressively scrubbed
+    text so spans can't double-count. Pure per-row regex, pipelined into
+    the scan. The corpus is synthetic (zero real PII), so the query
+    plants one deterministic email/URL/phone per document and the oracle
+    verifies the scrubbed text value-exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid, F.lit("@example.com via https://ex.com/doc/"),
+        sid, F.lit(" or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return T.pii_scrub(docs.withColumn("text", aug)).select(
+        "doc_id", "n_emails", "n_urls", "n_phones", "clean"
+    )
+
+
 _BENCH_SOURCE = "src0"  # held-out "benchmark" slice of the corpus
 
 

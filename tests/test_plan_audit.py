@@ -301,3 +301,46 @@ def test_no_accidental_cartesian_products(spark):
         if re.search(r"BroadcastNestedLoopJoin BuildRight, Inner\s*$", p, re.M):
             offenders.setdefault(name, "unconditioned BNLJ")
     assert not offenders, offenders
+
+
+def test_runtime_bloom_filter_prunes_fact_fact_join(spark):
+    """Runtime bloom-filter injection (SPARK-32268): when a selective
+    filter sits on one side of a shuffle join, Spark builds a bloom
+    filter of the filtered side's join keys and applies it as a
+    might_contain predicate on the OTHER side's scan — at 100 TB this
+    prunes most of the probe-side shuffle for selective fact-fact joins,
+    the case broadcast can't cover. Thresholds here are forced low only
+    because the test tables are tiny; the assertion is that the feature
+    engages on our plans at all (a Spark-version or conf regression
+    would silently drop it)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:3000]
+        assert "bloom_filter_agg" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
