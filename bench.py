@@ -43,6 +43,11 @@ def main() -> None:
             force(fn(spark, sf_dir))
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # Drop caches the query may have built (dedup/sim pipelines cache
+        # signature frames): accumulated cache blocks from 100+ queries
+        # otherwise build executor-memory pressure that skews later
+        # queries' timings (measured ~5% total drift across a run).
+        spark.catalog.clearCache()
 
     families: dict[str, float] = {}
     for name, sec in timings.items():

@@ -14,7 +14,7 @@ SF = "/root/testdata/sf0.01"
 def test_approx_count_distinct_within_rsd(spark):
     ev = load_table(spark, SF, "events")
     row = ev.agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
         F.countDistinct("user_id").alias("exact"),
     ).collect()[0]
     # HLL++ rsd is a standard deviation, not a hard bound — allow 5 sigma
