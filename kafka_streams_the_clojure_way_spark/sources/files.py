@@ -309,7 +309,6 @@ def compact_files(
     )
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + ".__compact_tmp__"
-    old = path.rstrip("/") + ".__compact_old__"
     (
         spark.read.parquet(path)
         .repartition(n_files)
@@ -317,6 +316,18 @@ def compact_files(
         .options(**options)
         .parquet(tmp)
     )
+    _swap_dataset(path, tmp)
+    return n_files
+
+
+def _swap_dataset(path: str, tmp: str) -> None:
+    """Replace ``path`` with ``tmp`` via rename-aside: old data is moved
+    out of the way, new data renamed in, old deleted last — a crash at
+    any step leaves a complete dataset (old or new) at ``path``. Not
+    concurrent-reader safe (see compact_files docstring)."""
+    import shutil
+
+    old = path.rstrip("/") + ".__swap_old__"
     if os.path.exists(old):  # leftover from a prior crash after swap
         shutil.rmtree(old)
     os.rename(path, old)
@@ -326,4 +337,55 @@ def compact_files(
         os.rename(old, path)  # roll back: old data returns to place
         raise
     shutil.rmtree(old)
-    return n_files
+
+
+def upsert_table(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    *,
+    delete_col: str | None = None,
+) -> None:
+    """Apply a batch of keyed updates to a parquet dataset: latest record
+    per key (by ``seq_col``) wins across existing data and updates — the
+    KTable/changelog-compaction semantics of the topology's ``table``
+    entities (plans/compiler._compact_table) applied DURABLY, i.e. the
+    materialized-table leg Kafka Streams gets from RocksDB+changelog.
+
+    ``delete_col``: optional boolean column on ``updates`` marking
+    tombstones — a key whose LATEST record is a tombstone is dropped
+    (Kafka null-value tombstone semantics); the column itself is not
+    persisted.
+
+    Scale notes: one max_by aggregate per upsert — a single shuffle on
+    the key over (current ∪ updates), exactly the changelog-compaction
+    shape. For TB-scale tables with small update batches, partition the
+    dataset (write_partitioned) and restrict the read+rewrite to the
+    partitions the update batch touches; a real lakehouse deployment
+    would use a table format with row-level merge instead of the
+    dataset swap. Not concurrent-reader safe (rename-aside swap).
+    """
+    tombstone = delete_col or "__tombstone"
+    ups = updates if delete_col else updates.withColumn(tombstone, F.lit(False))
+    if os.path.exists(path):
+        current = spark.read.parquet(path).withColumn(tombstone, F.lit(False))
+        merged = current.unionByName(ups)
+    else:
+        merged = ups
+    data_cols = [c for c in merged.columns if c != tombstone]
+    packed = F.max_by(F.struct(*merged.columns), F.col(seq_col))
+    latest = (
+        merged.groupBy(*key_cols)
+        .agg(packed.alias("__latest"))
+        .select("__latest.*")
+        .filter(~F.col(tombstone))
+        .select(*data_cols)
+    )
+    if not os.path.exists(path):
+        latest.write.parquet(path)
+        return
+    tmp = path.rstrip("/") + ".__upsert_tmp__"
+    latest.write.mode("overwrite").parquet(tmp)
+    _swap_dataset(path, tmp)

