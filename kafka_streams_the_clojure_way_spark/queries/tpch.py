@@ -6,9 +6,10 @@ join with join-side predicates, disjunctive filter pushdown, correlated
 aggregate subqueries, EXISTS/NOT-EXISTS self-joins, and scalar subquery
 broadcast.
 
-Scale conventions follow queries/relational.py: decimal sums for
-order-independent exactness, broadcast hints on dimension sides, never a
-global sort without a LIMIT.
+Scale conventions follow queries/relational.py: order-independent exact
+money sums (fixed-point longs via operators.relational.fixed_point_sums
+on the revenue-heavy shapes, DECIMAL casts elsewhere), broadcast hints on
+dimension sides, never a global sort without a LIMIT.
 """
 
 from __future__ import annotations
@@ -88,22 +89,25 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: % of revenue from PROMO parts, by ship month.
     Both measures come out of ONE scan+join+shuffle via conditional
     aggregation. Scale: part is the dimension side -> broadcast; the only
-    shuffle is the final month-keyed agg (tiny key space), and the decimal
-    sums make the ratio order-independent before the double division."""
+    shuffle is the final month-keyed agg (tiny key space), and the
+    fixed-point long sums (see fixed_point_sums) keep the ratio
+    order-independent — exactly the decimal semantics, codegen speed."""
+    from kafka_streams_the_clojure_way_spark.operators.relational import (
+        fixed_point_sums,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     p = F.broadcast(load_table(spark, sf_dir, "part"))
-    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
-    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
-        F.lit(0).cast("decimal(28,6)")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    joined = li.join(p, li.l_partkey == p.p_partkey).withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
     )
-    return (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
-        .agg(
-            F.round(
-                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
-            ).alias("promo_pct")
-        )
+    return fixed_point_sums(
+        joined, ["ship_month"], {"__promo": (promo, 6), "__rev": (rev, 6)}
+    ).select(
+        "ship_month",
+        F.round(100.0 * F.col("__promo") / F.col("__rev"), 6).alias("promo_pct"),
     )
 
 
@@ -395,8 +399,12 @@ def tpch_q05_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     r = F.broadcast(
         load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     )
-    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
-    return (
+    from kafka_streams_the_clojure_way_spark.operators.relational import (
+        fixed_point_sums,
+    )
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .join(
@@ -405,9 +413,8 @@ def tpch_q05_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .join(n, n.n_nationkey == c.c_nationkey)
         .join(r, r.r_regionkey == n.n_regionkey)
-        .groupBy("n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+    return fixed_point_sums(joined, ["n_name"], {"revenue": (rev, 6)})
 
 
 # --------------------------------------------------------------------------
@@ -495,23 +502,27 @@ def tpch_q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
         )
     )
-    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    from kafka_streams_the_clojure_way_spark.operators.relational import (
+        fixed_point_sums,
+    )
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
-    return (
+    joined = (
         li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
         .join(n1, F.col("n1_key") == s.s_nationkey)
         .join(n2, F.col("n2_key") == c.c_nationkey)
         .filter(pair)
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").alias("l_year"),
-        )
-        .agg(F.sum(rev).cast("double").alias("volume"))
+        .withColumn("l_year", F.year("l_shipdate"))
+    )
+    return fixed_point_sums(
+        joined,
+        ["supp_nation", "cust_nation", "l_year"],
+        {"volume": (rev, 6)},
     )
 
 
@@ -570,11 +581,13 @@ def tpch_q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = F.broadcast(
         load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     )
-    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
-    nation3 = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
-        F.lit(0).cast("decimal(28,6)")
+    from kafka_streams_the_clojure_way_spark.operators.relational import (
+        fixed_point_sums,
     )
-    return (
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation3 = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0))
+    joined = (
         li.join(o, o.o_orderkey == li.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
         .join(s, s.s_suppkey == li.l_suppkey)
@@ -582,12 +595,13 @@ def tpch_q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n1, F.col("n1_key") == s.s_nationkey)
         .join(n2, F.col("n2_key") == c.c_nationkey)
         .join(r, r.r_regionkey == F.col("n2_region"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(
-            F.round(
-                F.sum(nation3).cast("double") / F.sum(rev).cast("double"), 6
-            ).alias("mkt_share")
-        )
+        .withColumn("o_year", F.year("o_orderdate"))
+    )
+    return fixed_point_sums(
+        joined, ["o_year"], {"__n3": (nation3, 6), "__rev": (rev, 6)}
+    ).select(
+        "o_year",
+        F.round(F.col("__n3") / F.col("__rev"), 6).alias("mkt_share"),
     )
 
 
@@ -626,17 +640,21 @@ def tpch_q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     )
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
-    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
-    return (
+    from kafka_streams_the_clojure_way_spark.operators.relational import (
+        fixed_point_sums,
+    )
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
         li.join(o, o.o_orderkey == li.l_orderkey)
         .join(s, s.s_suppkey == li.l_suppkey)
         .join(p, p.p_partkey == li.l_partkey)
         .join(n, n.n_nationkey == s.s_nationkey)
-        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(
-            F.sum(rev).cast("double").alias("profit"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
+        .withColumn("nation", F.col("n_name"))
+        .withColumn("o_year", F.year("o_orderdate"))
+    )
+    return fixed_point_sums(
+        joined, ["nation", "o_year"], {"profit": (rev, 6)}, count_alias="n_lines"
     )
 
 
