@@ -254,6 +254,39 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, _queries_frame(spark, sf_dir), k=10)
 
 
+_QUANT_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, {S.quantize_sql('embedding')} AS qq
+               FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
+    c AS (SELECT vec_id AS neighbor_id, {S.quantize_sql('embedding')} AS qc
+          FROM embeddings),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               {S.quantized_cosine_sql('q.qq', 'c.qc')} AS qcosine
+        FROM q JOIN c ON c.neighbor_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qcosine DESC, neighbor_id) AS rank,
+               round(qcosine, 6) AS qcosine_r
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, qcosine_r FROM ranked WHERE rank <= 10
+"""
+
+
+@query("sim_quantized_topk", oracle=_QUANT_ORACLE)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 over int8-QUANTIZED embeddings: 4x less scan bandwidth and
+    ANN memory than float32 — the standard first compression tier for
+    100 TB embedding stores. Quantized cosine reduces to integer dot
+    products (scales cancel), so unlike float accumulation this ANN
+    variant is bit-reproducible and carries a FULL value oracle. Same
+    broadcast-probe/streamed-corpus shape as the brute-force baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.quantized_topk(emb, _queries_frame(spark, sf_dir), k=10)
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------

@@ -85,3 +85,51 @@ def last_observed(query: StreamingQuery, name: str) -> dict | None:
         return None
     row = progress.get("observedMetrics", {}).get(name)
     return dict(row.asDict()) if row is not None else None
+
+
+def materialize_table(
+    stream: DataFrame,
+    path: str,
+    key_cols: list[str],
+    seq_col: str,
+    *,
+    checkpoint: str,
+    delete_col: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuously materialize a changelog stream as a durable
+    latest-per-key parquet table — the full Kafka Streams KTable story
+    (RocksDB state + changelog topic -> queryable store) rebuilt on
+    Structured Streaming: each micro-batch is applied with
+    ``upsert_table`` (latest-by-``seq_col`` wins, optional tombstones),
+    so the on-disk table is always a compacted view of everything
+    consumed so far, and the checkpoint makes restarts resume exactly
+    where they left off (micro-batch replay is idempotent because the
+    merge is keyed and seq-guarded — a replayed batch can't regress a
+    newer row).
+
+    Scale: per batch this is one keyed shuffle over (current table ∪
+    batch). Right-sized for dimension/entity tables (the KTable use
+    case); for fact-scale state use a partitioned layout and restrict
+    the rewrite to touched partitions (see upsert_table notes).
+    """
+    from kafka_streams_the_clojure_way_spark.sources.files import upsert_table
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_table(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            key_cols,
+            seq_col,
+            delete_col=delete_col,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -74,3 +74,39 @@ def test_cosine_topk_pandas_rejects_oversized_query_set(spark, monkeypatch):
     )
     with pytest.raises(ValueError, match="query set exceeds"):
         S.cosine_topk_pandas(df, df, k=3)
+
+
+def test_quantize_codes_in_int8_range_and_zero_safe(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            {"vec_id": 0, "embedding": [1.0, -0.5, 0.25, 0.0]},
+            {"vec_id": 1, "embedding": [0.0, 0.0, 0.0, 0.0]},  # zero vector
+            {"vec_id": 2, "embedding": [-2.0, 2.0, 1.0, -1.0]},
+        ]
+    )
+    rows = {
+        r.vec_id: r.q
+        for r in df.select("vec_id", S.quantize(F.col("embedding")).alias("q")).collect()
+    }
+    # floor(x/scale + .5): negative exact halves round UP (-63.5 -> -63),
+    # the same convention both engines compute
+    assert rows[0] == [127, -63, 32, 0]
+    assert rows[1] == [0, 0, 0, 0]            # no div-by-zero
+    assert rows[2] == [-127, 127, 64, -63]
+    assert all(-127 <= c <= 127 for codes in rows.values() for c in codes)
+
+
+def test_quantized_topk_recall_against_exact(spark):
+    """int8 quantization must preserve most of the exact top-k (the
+    documented trade-off is rank jitter near ties, not lost neighbors)."""
+    emb = _emb(
+        spark,
+        [[1.0, 0.1 * i] + [0.01 * ((i * 7) % 5)] for i in range(40)],
+    )
+    exact = S.brute_force_topk(emb, emb.filter("vec_id < 3"), k=5)
+    quant = S.quantized_topk(emb, emb.filter("vec_id < 3"), k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    q = {(r.query_id, r.neighbor_id) for r in quant.collect()}
+    assert len(e & q) / len(e) >= 0.8

@@ -349,3 +349,49 @@ def test_distinct_types_processor_mapstate_logic():
         proc2.handleInputRows(("b",), iter([pd.DataFrame({"t": ["x"]})]), None)
     )
     assert int(out[0]["n_types"].iloc[0]) == 1
+
+
+def test_materialize_table_compacts_across_restarts(spark, tmp_path):
+    """The durable KTable leg: a changelog stream materializes to a
+    latest-per-key parquet table; a restart resumes from the checkpoint
+    and later-seq updates (including across the restart) win; tombstones
+    drop keys."""
+    from pyspark.sql.types import IntegerType, StringType
+
+    from kafka_streams_the_clojure_way_spark.streaming.runner import (
+        materialize_table,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("v", StringType()),
+            StructField("seq", IntegerType()),
+        ]
+    )
+    in_dir = tmp_path / "chg_in"
+    in_dir.mkdir()
+    table = str(tmp_path / "ktable")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(f"{in_dir}/*")
+        q = materialize_table(
+            stream, table, ["k"], "seq", checkpoint=ckpt, available_now=True
+        )
+        drain(q)
+
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], schema
+    ).write.parquet(str(in_dir / "f1.parquet"))
+    run_once()
+    got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+    assert got == {1: "a", 2: "b"}
+
+    # new file while the query is down: restart must apply only the delta
+    spark.createDataFrame(
+        [(2, "b2", 20), (3, "c", 20), (1, "stale", 5)], schema
+    ).write.parquet(str(in_dir / "f2.parquet"))
+    run_once()
+    got = {r.k: (r.v, r.seq) for r in spark.read.parquet(table).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 20), 3: ("c", 20)}
