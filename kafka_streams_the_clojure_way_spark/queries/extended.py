@@ -256,6 +256,43 @@ def agg_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_metadata_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_custkey) AS min_o_custkey,
+           MAX(o_custkey) AS max_o_custkey,
+           MIN(o_totalprice) AS min_o_totalprice,
+           MAX(o_totalprice) AS max_o_totalprice
+    FROM orders
+    """,
+)
+def agg_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table stats answered from parquet FOOTER metadata (aggregate
+    pushdown, SPARK-34952): count + key/price ranges with zero data
+    pages read — at 100 TB, a metadata operation instead of a full scan
+    for the "how big / what range" queries every pipeline runs. The scan
+    node carries PushedAggregation (plan-audit-pinned); the values are
+    identical to the full-scan answer, so the oracle is a plain
+    aggregate."""
+    import os
+
+    from kafka_streams_the_clojure_way_spark.sources.files import metadata_stats
+
+    return metadata_stats(
+        spark,
+        os.path.join(sf_dir, "orders.parquet"),
+        min_cols=("o_custkey", "o_totalprice"),
+        max_cols=("o_custkey", "o_totalprice"),
+    ).select(
+        "n_rows",
+        "min_o_custkey",
+        "max_o_custkey",
+        "min_o_totalprice",
+        "max_o_totalprice",
+    )
+
+
 @query("agg_approx_distinct_users")
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distincts — THE distinct-count operator at

@@ -389,3 +389,44 @@ def upsert_table(
     tmp = path.rstrip("/") + ".__upsert_tmp__"
     latest.write.mode("overwrite").parquet(tmp)
     _swap_dataset(path, tmp)
+
+
+def metadata_stats(
+    spark: SparkSession,
+    path: str,
+    *,
+    min_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
+    count_alias: str | None = "n_rows",
+) -> DataFrame:
+    """COUNT/MIN/MAX answered from parquet FOOTER STATISTICS — zero data
+    pages read (SPARK-34952 aggregate pushdown). At 100 TB this is the
+    difference between a metadata operation and a full scan for the
+    "how big is this table / what's the key range" queries every
+    pipeline runs constantly.
+
+    Pushdown requires the v2 parquet source and kicks in only for
+    filterless, group-less count/min/max over top-level columns; the two
+    confs are applied for THIS read and restored (the built plan keeps
+    its v2 relation). If a column's type lacks footer stats support the
+    plan silently degrades to a normal scan — same answer, full cost —
+    so the plan-audit test pins PushedAggregation on the plan."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.sources.useV1SourceList", "spark.sql.parquet.aggregatePushdown")
+    }
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        aggs = []
+        if count_alias:
+            aggs.append(F.count(F.lit(1)).alias(count_alias))
+        aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
+        aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
+        return spark.read.parquet(path).agg(*aggs)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -344,3 +344,20 @@ def test_runtime_bloom_filter_prunes_fact_fact_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_metadata_stats_aggregate_pushed_to_footer(spark):
+    """metadata_stats must answer count/min/max from parquet footer
+    statistics: the v2 scan node carries PushedAggregation — if a Spark
+    upgrade or conf change silently degrades this to a full scan, the
+    answer stays right but the 100 TB cost story breaks; pin the plan."""
+    from kafka_streams_the_clojure_way_spark.sources.files import metadata_stats
+
+    df = metadata_stats(
+        spark, f"{SF}/orders.parquet", min_cols=("o_custkey",), max_cols=("o_custkey",)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PushedAggregation: \[([^\]]*)\]", plan)
+    assert m and "COUNT" in m.group(1).upper() and "MIN" in m.group(1).upper(), (
+        plan[:2000]
+    )
