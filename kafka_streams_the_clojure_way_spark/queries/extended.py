@@ -279,17 +279,14 @@ def agg_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_streams_the_clojure_way_spark.sources.files import metadata_stats
 
+    # No trailing .select(): a further transform would re-plan outside
+    # the helper's conf scope and silently lose the pushdown (the
+    # driver's compare sorts columns by name, so order doesn't matter).
     return metadata_stats(
         spark,
         os.path.join(sf_dir, "orders.parquet"),
         min_cols=("o_custkey", "o_totalprice"),
         max_cols=("o_custkey", "o_totalprice"),
-    ).select(
-        "n_rows",
-        "min_o_custkey",
-        "max_o_custkey",
-        "min_o_totalprice",
-        "max_o_totalprice",
     )
 
 

@@ -407,8 +407,12 @@ def metadata_stats(
 
     Pushdown requires the v2 parquet source and kicks in only for
     filterless, group-less count/min/max over top-level columns; the two
-    confs are applied for THIS read and restored (the built plan keeps
-    its v2 relation). If a column's type lacks footer stats support the
+    confs are applied for THIS read and restored. The PHYSICAL plan is
+    forced inside the conf scope (V2ScanRelationPushDown is an optimizer
+    rule that reads the conf at optimization time, not at read time), so
+    the returned frame keeps its pushed plan — but any further transform
+    re-plans under the restored confs and loses the pushdown; consume
+    this frame as-is. If a column's type lacks footer stats support the
     plan silently degrades to a normal scan — same answer, full cost —
     so the plan-audit test pins PushedAggregation on the plan."""
     saved = {
@@ -423,7 +427,9 @@ def metadata_stats(
             aggs.append(F.count(F.lit(1)).alias(count_alias))
         aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
         aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
-        return spark.read.parquet(path).agg(*aggs)
+        df = spark.read.parquet(path).agg(*aggs)
+        df._jdf.queryExecution().executedPlan()  # plan under scoped confs
+        return df
     finally:
         for k, v in saved.items():
             if v is None:
