@@ -208,3 +208,57 @@ def top_k_per_key(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    *,
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Snapshot diff between two dataset versions: one row per key with
+    status ``added`` / ``removed`` / ``changed`` (``unchanged`` included
+    only on request) — the audit step between corpus revisions (what did
+    the new crawl/filter change?) and the input to incremental
+    reprocessing (recompute only ``added``+``changed``).
+
+    Comparison is null-safe equality (``<=>``) over ``compare_cols``
+    (default: all shared non-key columns). Plan shape: one full-outer
+    shuffle join on the keys — no column-hash precomputation needed, the
+    comparison runs inside the join's projection; at 100 TB co-partition
+    or bucket both snapshots on the key to make it a zero-exchange
+    sort-merge.
+
+    Sides are disambiguated by RENAMING columns (``__o_``/``__n_``
+    prefixes), not ``Dataset.alias``: the common call derives both
+    snapshots from the SAME scan (table vs transformed table), where
+    attribute-id collisions make alias-qualified references ambiguous."""
+    shared = [c for c in old.columns if c in set(new.columns)]
+    compare = compare_cols or [c for c in shared if c not in set(key_cols)]
+    cols = list(key_cols) + list(compare)
+    o = old.select([F.col(c).alias(f"__o_{c}") for c in cols])
+    n = new.select([F.col(c).alias(f"__n_{c}") for c in cols])
+    cond = [
+        F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}")) for k in key_cols
+    ]
+    same = F.lit(True)
+    for c in compare:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    status = (
+        F.when(F.col(f"__o_{key_cols[0]}").isNull(), F.lit("added"))
+        .when(F.col(f"__n_{key_cols[0]}").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out = o.join(n, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"__o_{k}"), F.col(f"__n_{k}")).alias(k)
+            for k in key_cols
+        ],
+        status.alias("status"),
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out

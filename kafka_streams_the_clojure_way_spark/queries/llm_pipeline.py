@@ -545,6 +545,58 @@ def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "diff_documents_revision",
+    oracle="""
+    WITH newv AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END
+                   AS text
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, text
+        FROM documents WHERE doc_id % 17 = 0
+    ),
+    d AS (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM documents o FULL OUTER JOIN newv n ON n.doc_id = o.doc_id
+    )
+    SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+    """,
+)
+def diff_documents_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-revision diff (operators.relational.dataset_diff): which
+    documents a new corpus version added / removed / changed — the audit
+    step between crawl or filter revisions, and the work-list for
+    incremental reprocessing (recompute embeddings/signatures only for
+    added+changed). The 'new version' here is derived deterministically
+    from the corpus (drop %11, edit %13, add %17 under shifted ids) so
+    the full-outer-join diff gets an exact oracle. One keyed shuffle;
+    bucket both snapshots on doc_id at scale for a zero-exchange diff."""
+    from kafka_streams_the_clojure_way_spark.operators.relational import (
+        dataset_diff,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    newv = (
+        docs.filter(did % 11 != 0)
+        .withColumn(
+            "text",
+            F.when(did % 13 == 0, F.concat(F.col("text"), F.lit(" [rev2]")))
+            .otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(did % 17 == 0).withColumn("doc_id", did + 10_000_000)
+        )
+    )
+    return dataset_diff(docs, newv, ["doc_id"], compare_cols=["text"])
+
+
 @query("text_repetition_flags", oracle=T.repetition_stats_sql())
 def text_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetitive-content signature (Gopher §A1.1 adapted): top-bigram

@@ -56,9 +56,17 @@ def test_semi_join_stays_semi(spark):
 
 
 def test_pricing_summary_partial_aggregation(spark):
+    """Q1 runs the fixed-point two-phase shape: phase 1 partial-sums LONG
+    units map-side (so the first exchange carries one row per (group,
+    partition), never raw rows), phase 2 merges partials as decimal.
+    Two exchanges total, both partial-aggregated; long sums stay inside
+    whole-stage codegen (no per-row BigDecimal)."""
     plan = _plan(spark, "agg_pricing_summary")
     assert "partial_sum" in plan
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    # the pre-shuffle partial agg sums longs, not decimals
+    first_partial = plan.index("partial_sum")
+    assert "HashAggregate" in plan[:first_partial + 200]
 
 
 def test_whole_stage_codegen_covers_scalar_pack(spark):

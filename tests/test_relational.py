@@ -58,3 +58,29 @@ def test_top_k_per_key_deterministic_with_ties(spark):
         df, keys=["k"], order_by=[F.col("v").desc(), F.col("id")], k=2
     ).collect()
     assert sorted((r.id, r.rn) for r in out) == [(1, 1), (2, 2)]
+
+
+def test_dataset_diff_statuses(spark):
+    from kafka_streams_the_clojure_way_spark.operators.relational import (
+        dataset_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1), (4, None, 1)],
+        "k int, v string, extra int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 9), (3, "c2", 1), (4, None, 1), (5, "e", 1)],
+        "k int, v string, extra int",
+    )
+    # compare only v: 'extra' drift must not count as a change
+    got = {r.k: r.status for r in dataset_diff(old, new, ["k"], compare_cols=["v"]).collect()}
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+    # null-safe equality: (4, None) == (4, None) -> unchanged, excluded
+    full = {
+        r.k: r.status
+        for r in dataset_diff(
+            old, new, ["k"], compare_cols=["v"], include_unchanged=True
+        ).collect()
+    }
+    assert full[4] == "unchanged" and full[2] == "unchanged"
