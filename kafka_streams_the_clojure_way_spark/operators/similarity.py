@@ -644,3 +644,51 @@ def quantized_topk(
         F.col("rank").cast("long").alias("rank"),
         F.round("qcosine", 6).alias("qcosine_r"),
     )
+
+
+def quantized_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Two-stage retrieval — THE production ANN pattern: stage 1 scans
+    the corpus in int8 (quantized_topk, 4x less bandwidth) for
+    ``n_candidates`` per query; stage 2 re-scores only those candidates
+    with exact float cosine and keeps the top ``k``. Final ranks carry
+    full float precision while the corpus-sized work stays quantized;
+    the candidate pool bounds the quality loss (a true top-k member is
+    lost only if quantization pushes it below rank ``n_candidates``).
+    The stage-2 join touches |queries| x n_candidates rows — broadcast-
+    sized by construction."""
+    cand = quantized_topk(
+        corpus, queries, n_candidates,
+        id_col=id_col, vec_col=vec_col, query_id=query_id,
+    ).select(query_id, "neighbor_id")
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec"))
+    )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    scored = (
+        cand.join(qv, query_id)
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", cosine(F.col("__qvec"), F.col("__cvec")))
+    )
+    from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
+
+    return top_k_per_key(
+        scored.select(query_id, "neighbor_id", "cosine"),
+        keys=[query_id],
+        order_by=[F.col("cosine").desc(), F.col("neighbor_id")],
+        k=k,
+        rank_col="rank",
+    ).select(
+        query_id,
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cosine", 6).alias("cosine_r"),
+    )

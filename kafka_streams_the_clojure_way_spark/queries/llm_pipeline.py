@@ -287,6 +287,48 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantized_topk(emb, _queries_frame(spark, sf_dir), k=10)
 
 
+_RERANK_CANDIDATES = 50
+
+_RERANK_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                      {S.quantize_sql('embedding')} AS qq
+               FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cvec,
+                 {S.quantize_sql('embedding')} AS qc
+          FROM embeddings),
+    stage1 AS (
+        SELECT q.query_id, c.neighbor_id, q.qvec, c.cvec,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {S.quantized_cosine_sql('q.qq', 'c.qc')} DESC,
+                                           c.neighbor_id) AS qrank
+        FROM q JOIN c ON c.neighbor_id != q.query_id
+    ),
+    rerank AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY {S.cosine_sql('qvec', 'cvec')} DESC,
+                                           neighbor_id) AS rank,
+               round({S.cosine_sql('qvec', 'cvec')}, 6) AS cosine_r
+        FROM stage1 WHERE qrank <= {_RERANK_CANDIDATES}
+    )
+    SELECT query_id, neighbor_id, rank, cosine_r FROM rerank WHERE rank <= 10
+"""
+
+
+@query("sim_quantized_rerank_topk", oracle=_RERANK_ORACLE)
+def sim_quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (int8 scan -> float re-rank) — the production
+    ANN pattern: the corpus-sized pass runs on quantized vectors (4x
+    bandwidth), exact float cosine touches only 50 candidates per query.
+    Both stages are deterministic (integer stage-1 scores, identical
+    float folds), so the COMPOSED pipeline carries a full value oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.quantized_rerank_topk(
+        emb, _queries_frame(spark, sf_dir), k=10,
+        n_candidates=_RERANK_CANDIDATES,
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------

@@ -110,3 +110,19 @@ def test_quantized_topk_recall_against_exact(spark):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     q = {(r.query_id, r.neighbor_id) for r in quant.collect()}
     assert len(e & q) / len(e) >= 0.8
+
+
+def test_quantized_rerank_recovers_exact_topk(spark):
+    """Re-ranking 50 int8 candidates with float cosine should recover
+    (essentially all of) the exact top-5: stage-1 quantization error only
+    loses a true neighbor if it falls below the candidate pool."""
+    emb = _emb(
+        spark,
+        [[1.0, 0.1 * i, 0.05 * ((i * 3) % 7)] for i in range(60)],
+    )
+    probes = emb.filter("vec_id < 3")
+    exact = S.brute_force_topk(emb, probes, k=5)
+    rerank = S.quantized_rerank_topk(emb, probes, k=5, n_candidates=20)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    q = {(r.query_id, r.neighbor_id) for r in rerank.collect()}
+    assert len(e & q) / len(e) >= 0.95
