@@ -361,3 +361,29 @@ def test_metadata_stats_aggregate_pushed_to_footer(spark):
     assert m and "COUNT" in m.group(1).upper() and "MIN" in m.group(1).upper(), (
         plan[:2000]
     )
+
+
+def test_join_strategy_hints_obeyed(spark):
+    """Join-strategy knobs the engine relies on at scale: SHUFFLE_HASH
+    skips both sort passes when one side comfortably fits a hash table
+    per partition (sort-merge's sorts dominate for medium x large);
+    MERGE forces sort-merge where hash tables would spill. A Spark
+    regression in hint handling would silently flip these strategies."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders")
+        hashed = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        assert "ShuffledHashJoin" in hashed._jdf.queryExecution().executedPlan().toString()
+        merged = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        assert "SortMergeJoin" in merged._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
