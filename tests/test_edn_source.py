@@ -175,3 +175,27 @@ def test_edn_to_topology_to_edn_round_trip(spark, tmp_path):
         {"user-id": 2, "amount": 500},
         {"user-id": 4, "amount": 1000},
     ]
+
+
+def test_edn_write_overwrite_clears_previous_parts(spark, tmp_path):
+    """The advisor's round-1 scenario: overwrite into a dir holding a
+    LARGER previous write must not leave stale part files mixed in, and
+    two appends must not clobber each other (unique per-write names)."""
+    out = str(tmp_path / "edn_out")
+    big = spark.createDataFrame([{"v": i} for i in range(10)]).repartition(4)
+    big.write.format("edn").mode("append").save(out)
+    small = spark.createDataFrame([{"v": 99}]).repartition(1)
+    small.write.format("edn").mode("overwrite").save(out)
+    back = spark.read.format("edn").schema("v long").load(f"{out}/*.edn")
+    assert [r.v for r in back.collect()] == [99]
+
+    # append after overwrite: both writes survive side by side
+    small2 = spark.createDataFrame([{"v": 100}]).repartition(1)
+    small2.write.format("edn").mode("append").save(out)
+    back2 = spark.read.format("edn").schema("v long").load(f"{out}/*.edn")
+    assert sorted(r.v for r in back2.collect()) == [99, 100]
+
+    # no temp dirs or attempt files left behind
+    import os
+    leftovers = [f for f in os.listdir(out) if not f.endswith(".edn")]
+    assert leftovers == []
