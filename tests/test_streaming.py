@@ -395,3 +395,64 @@ def test_materialize_table_compacts_across_restarts(spark, tmp_path):
     run_once()
     got = {r.k: (r.v, r.seq) for r in spark.read.parquet(table).collect()}
     assert got == {1: ("a", 10), 2: ("b2", 20), 3: ("c", 20)}
+
+
+def test_edn_stream_through_topology_to_materialized_table(spark, tmp_path):
+    """Capstone wiring of the full reference story, brokerless: EDN-lines
+    'topics' (the reference's serde) stream through a declarative
+    topology (filter xform ≙ core.clj:79-80) into a DURABLY materialized
+    latest-per-user table (the KTable the reference stack keeps in
+    RocksDB). A second file arriving after a restart updates the table
+    through the same checkpoint."""
+    from kafka_streams_the_clojure_way_spark.plans.compiler import compile_topology
+    from kafka_streams_the_clojure_way_spark.sources.edn import register
+    from kafka_streams_the_clojure_way_spark.streaming.runner import (
+        materialize_table,
+    )
+
+    register(spark)
+    in_dir = tmp_path / "topic_purchase"
+    in_dir.mkdir()
+    (in_dir / "a.edn").write_text(
+        "{:purchase-id 1 :user-id 7 :amount 50 :quantity 1}\n"
+        "{:purchase-id 2 :user-id 7 :amount 200 :quantity 1}\n"
+        "{:purchase-id 3 :user-id 8 :amount 150 :quantity 2}\n"
+    )
+    schema = (
+        "purchase_id long, user_id long, amount long, quantity long"
+    )
+    table = str(tmp_path / "large_by_user")
+    ckpt = str(tmp_path / "ckpt")
+    topo = {
+        "entities": {
+            "topic/purchase-made": {"type": "topic"},
+            "stream/large": {
+                "type": "stream",
+                "sql": "SELECT * FROM __input__ WHERE amount >= 100",
+            },
+        },
+        "workflow": [["topic/purchase-made", "stream/large"]],
+    }
+
+    def run_once():
+        stream_in = (
+            spark.readStream.format("edn").schema(schema).load(str(in_dir))
+        )
+        compiled = compile_topology(spark, topo, {"topic/purchase-made": stream_in})
+        q = materialize_table(
+            compiled["stream/large"], table, ["user_id"], "purchase_id",
+            checkpoint=ckpt, available_now=True,
+        )
+        drain(q)
+
+    run_once()
+    got = {r.user_id: r.amount for r in spark.read.parquet(table).collect()}
+    assert got == {7: 200, 8: 150}
+
+    (in_dir / "b.edn").write_text(
+        "{:purchase-id 4 :user-id 8 :amount 500 :quantity 1}\n"
+        "{:purchase-id 5 :user-id 9 :amount 20 :quantity 1}\n"  # filtered
+    )
+    run_once()
+    got = {r.user_id: r.amount for r in spark.read.parquet(table).collect()}
+    assert got == {7: 200, 8: 500}
