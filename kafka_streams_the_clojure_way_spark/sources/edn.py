@@ -241,15 +241,25 @@ class _EdnFilePartition(InputPartition):
 
 class EdnReader(DataSourceReader):
     """``mode`` option: ``failfast`` (default) raises on the first
-    malformed line; ``permissive`` drops malformed lines and non-map
+    malformed line; ``permissive`` tolerates malformed lines and non-map
     records — at a 100 TB corpus a handful of torn lines must not kill
-    the job (count them with an observe() metric on a parse-marker
-    column if loss accounting matters)."""
+    the job. Loss accounting follows Spark's own convention: declare a
+    ``_corrupt_record`` string column in the schema and permissive mode
+    lands each unparseable raw line there (data columns null) instead of
+    silently dropping it — filter/count that column for an exact audit.
+    Without the column, permissive drops bad lines."""
+
+    CORRUPT_COL = "_corrupt_record"
 
     def __init__(self, schema: StructType, options):
         self._schema = schema
         self._path = options.get("path")
         self._permissive = options.get("mode", "failfast").lower() == "permissive"
+        self._corrupt_idx = (
+            schema.names.index(self.CORRUPT_COL)
+            if self.CORRUPT_COL in schema.names
+            else None
+        )
         if not self._path:
             raise ValueError("edn datasource requires a path")
 
@@ -266,9 +276,13 @@ class EdnReader(DataSourceReader):
                 if not isinstance(rec, dict):
                     raise ValueError(f"EDN record is not a map: {line[:80]!r}")
             except Exception:
-                if self._permissive:
-                    continue
-                raise
+                if not self._permissive:
+                    raise
+                if self._corrupt_idx is not None:
+                    row = [None] * len(self._schema.names)
+                    row[self._corrupt_idx] = line.rstrip("\n")
+                    yield tuple(row)
+                continue
             yield record_to_row(rec, self._schema)
 
 

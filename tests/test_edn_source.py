@@ -199,3 +199,42 @@ def test_edn_write_overwrite_clears_previous_parts(spark, tmp_path):
     import os
     leftovers = [f for f in os.listdir(out) if not f.endswith(".edn")]
     assert leftovers == []
+
+
+def test_edn_permissive_corrupt_record_column(spark, tmp_path):
+    """Spark's corrupt-record convention on the EDN source: with a
+    _corrupt_record column declared, permissive mode lands unparseable
+    lines there (data columns null) for exact loss accounting; without
+    it they are dropped; failfast raises."""
+    import pytest
+
+    f = tmp_path / "mixed.edn"
+    f.write_text(
+        '{:v 1}\n'
+        '{:v 2 UNCLOSED\n'
+        '[:not-a-map 3]\n'
+        '{:v 4}\n'
+    )
+    with_corrupt = (
+        spark.read.format("edn")
+        .schema("v long, _corrupt_record string")
+        .option("mode", "permissive")
+        .load(str(f))
+        .collect()
+    )
+    good = sorted(r.v for r in with_corrupt if r.v is not None)
+    bad = [r._corrupt_record for r in with_corrupt if r.v is None]
+    assert good == [1, 4]
+    assert len(bad) == 2 and "UNCLOSED" in bad[0]
+
+    dropped = (
+        spark.read.format("edn")
+        .schema("v long")
+        .option("mode", "permissive")
+        .load(str(f))
+        .collect()
+    )
+    assert sorted(r.v for r in dropped) == [1, 4]
+
+    with pytest.raises(Exception):
+        spark.read.format("edn").schema("v long").load(str(f)).collect()
