@@ -244,3 +244,48 @@ def test_pack_sequences_offsets_are_contiguous_per_source(spark, docs):
             assert r.stream_offset == expected_offset
             assert r.pack_id == expected_offset // 512
             expected_offset += r.n_tokens
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),                      # group key
+            st.integers(min_value=-10**9, max_value=10**9),             # cents
+            st.integers(min_value=-10**12, max_value=10**12),           # micros
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_parts=st.integers(min_value=1, max_value=5),
+)
+def test_fixed_point_sums_bit_identical_to_decimal(spark, rows, n_parts):
+    """fixed_point_sums must equal SUM(CAST(x AS DECIMAL)) CAST DOUBLE
+    bit-for-bit on any true fixed-point data, for any partitioning —
+    the invariant every converted money query (Q1/Q5/Q7/Q8/Q9/Q10/Q14)
+    rests on."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.operators.relational import (
+        fixed_point_sums,
+    )
+
+    data = [(k, c / 100.0, m / 1_000_000.0) for k, c, m in rows]
+    df = spark.createDataFrame(data, "k int, a double, b double").repartition(n_parts)
+    got = {
+        r.k: (r.sum_a, r.sum_b, r.n)
+        for r in fixed_point_sums(
+            df, ["k"], {"sum_a": ("a", 2), "sum_b": ("b", 6)}, count_alias="n"
+        ).collect()
+    }
+    want = {
+        r.k: (r.sum_a, r.sum_b, r.n)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum(F.col("a").cast("decimal(28,2)")).cast("double").alias("sum_a"),
+            F.sum(F.col("b").cast("decimal(28,6)")).cast("double").alias("sum_b"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
