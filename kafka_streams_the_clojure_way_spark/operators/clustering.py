@@ -1,0 +1,197 @@
+"""Deterministic k-means over embedding columns (SURVEY §7 M5 extension;
+the trained coarse quantizer operators/similarity.py's IVF path points at:
+"production would k-means — the plan shape is identical").
+
+Everything here is engineered to be DETERMINISTIC and ENGINE-PORTABLE so
+the iterative algorithm carries a full DuckDB value oracle — rare for
+clustering, and exactly the property a reproducible data pipeline wants:
+
+- init: the k lowest-id vectors, cluster ids 0..k-1 by id order;
+- assignment: per-row squared-L2 via the same sequential fold both
+  engines compute, ties broken by cluster id — no cross-row float
+  accumulation, so per-row determinism is enough;
+- update: per-dimension means via INTEGER unit sums
+  (``floor(x * 1e9 + 0.5)`` longs — the fixed_point_sums trick), so the
+  only cross-row float hazard (summation order) is eliminated; the mean
+  is the same two double divisions in both engines.
+
+Scale shape per iteration: one broadcast of k centroids, one argmin over
+a k-way projected cross (k rows per vector, k small), one explode to
+(cluster, dim) partial sums — all map-side-combining shuffles; centroids
+(k x dim doubles) collect to the driver between rounds, like the
+connected-components label collect. Iterations are a fixed count, not
+convergence-tested, to keep the oracle a finite unrolled SQL chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: integer-unit scale for centroid mean sums (9 dp — embeddings are
+#: unit-scale floats, so units stay far inside long range)
+MEAN_UNITS = 1_000_000_000
+
+
+def _sq_dist(vec, cent) -> "F.Column":
+    """Sequential-fold squared L2 — same fold the SQL twin computes."""
+    return F.aggregate(
+        F.zip_with(vec, cent, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sq_dist_sql(vec: str, cent: str) -> str:
+    zipped = f"list_zip({vec}, {cent})"
+    diffs = f"list_transform({zipped}, p -> (p[1] - p[2]) * (p[1] - p[2]))"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {diffs}),"
+        " (acc, v) -> acc + v)"
+    )
+
+
+def kmeans_assignments(
+    corpus: DataFrame,
+    *,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) after ``n_iter`` deterministic Lloyd iterations."""
+    from kafka_streams_the_clojure_way_spark.operators.relational import (
+        top_k_per_key,
+    )
+    from kafka_streams_the_clojure_way_spark.sources.files import (
+        with_min_parallelism,
+    )
+
+    spark = corpus.sparkSession
+    vecs = with_min_parallelism(corpus).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    dim = len(vecs.select("__v").first()["__v"])
+
+    # init: k lowest-id vectors, cluster ids assigned in id order
+    seed = [
+        row["__v"]
+        for row in vecs.orderBy(id_col).limit(k).collect()
+    ]
+    centroids = list(seed)
+
+    def assign(cents: list[list[float]]) -> DataFrame:
+        cent_df = F.broadcast(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                f"__cluster int, __c array<double>",
+            )
+        )
+        scored = vecs.join(cent_df).select(
+            id_col,
+            "__v",
+            "__cluster",
+            _sq_dist(F.col("__v"), F.col("__c")).alias("__d"),
+        )
+        return top_k_per_key(
+            scored,
+            keys=[id_col],
+            order_by=[F.col("__d").asc(), F.col("__cluster").asc()],
+            k=1,
+            rank_col="__r",
+        ).select(id_col, "__v", F.col("__cluster").alias("cluster"))
+
+    for _ in range(n_iter):
+        assigned = assign(centroids)
+        units = F.floor(F.col("__x") * MEAN_UNITS + F.lit(0.5)).cast("long")
+        sums = (
+            assigned.select("cluster", F.posexplode("__v").alias("__dim", "__x"))
+            .withColumn("__u", units)
+            .groupBy("cluster", "__dim")
+            .agg(F.sum("__u").alias("__su"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for row in sums:
+            by_cluster.setdefault(row["cluster"], {})[row["__dim"]] = (
+                float(row["__su"]) / MEAN_UNITS / row["__n"]
+            )
+        # empty clusters keep their previous centroid (deterministic)
+        centroids = [
+            [by_cluster[ci][d] for d in range(dim)] if ci in by_cluster else centroids[ci]
+            for ci in range(k)
+        ]
+
+    return assign(centroids).select(id_col, "cluster")
+
+
+def kmeans_sql(
+    table: str = "embeddings",
+    *,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin: the same iterations unrolled as a CTE chain, built
+    from the same constants so the two engines cannot drift."""
+    vd = f"CAST({vec_col} AS DOUBLE[])"
+    parts = [
+        f"""v AS (SELECT {id_col}, {vd} AS v FROM {table}),
+    c0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS cluster, v AS c
+        FROM (SELECT {id_col}, v FROM v ORDER BY {id_col} LIMIT {k})
+    )"""
+    ]
+    for it in range(n_iter):
+        prev = f"c{it}"
+        parts.append(
+            f"""a{it} AS (
+        SELECT {id_col}, v, cluster FROM (
+            SELECT v.{id_col}, v.v, {prev}.cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.{id_col}
+                       ORDER BY {_sq_dist_sql('v.v', f'{prev}.c')}, {prev}.cluster
+                   ) AS r
+            FROM v CROSS JOIN {prev}
+        ) WHERE r = 1
+    )"""
+        )
+        parts.append(
+            f"""s{it} AS (
+        SELECT cluster, CAST(i AS INTEGER) AS dim,
+               CAST(SUM(CAST(floor(v[CAST(i AS INTEGER)] * {MEAN_UNITS} + 0.5)
+                             AS BIGINT)) AS BIGINT) AS su,
+               COUNT(*) AS n
+        FROM a{it}, unnest(range(1, len(v) + 1)) AS t(i)
+        GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"""m{it} AS (
+        SELECT cluster,
+               list(CAST(su AS DOUBLE) / {MEAN_UNITS} / n ORDER BY dim) AS c
+        FROM s{it} GROUP BY cluster
+    )"""
+        )
+        # empty clusters fall back to the previous centroid
+        parts.append(
+            f"""c{it + 1} AS (
+        SELECT p.cluster, COALESCE(m.c, p.c) AS c
+        FROM {prev} p LEFT JOIN m{it} m ON m.cluster = p.cluster
+    )"""
+        )
+    final = f"c{n_iter}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT {id_col}, cluster FROM (
+        SELECT v.{id_col}, {final}.cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.{id_col}
+                   ORDER BY {_sq_dist_sql('v.v', f'{final}.c')}, {final}.cluster
+               ) AS r
+        FROM v CROSS JOIN {final}
+    ) WHERE r = 1"""
+    )

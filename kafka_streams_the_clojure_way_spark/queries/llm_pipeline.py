@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_the_clojure_way_spark.functions import portable as P
+from kafka_streams_the_clojure_way_spark.operators import clustering as C
 from kafka_streams_the_clojure_way_spark.operators import dedup as D
 from kafka_streams_the_clojure_way_spark.operators import similarity as S
 from kafka_streams_the_clojure_way_spark.operators import text as T
@@ -285,6 +286,24 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-probe/streamed-corpus shape as the brute-force baseline."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.quantized_topk(emb, _queries_frame(spark, sf_dir), k=10)
+
+
+@query("cluster_kmeans_embeddings", oracle=C.kmeans_sql())
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means (k=8, 3 Lloyd iterations) over the embedding
+    corpus — the trained coarse quantizer the IVF path stubs with an id
+    subset, and the semantic grouping a mixture-balanced training set
+    needs. Fully deterministic by construction (id-ordered init, per-row
+    sequential-fold distances, INTEGER-unit mean sums — no cross-row
+    float accumulation anywhere), so the whole iterative algorithm
+    carries a bit-exact oracle: the identical iterations unrolled as a
+    DuckDB CTE chain generated from the same constants."""
+    from kafka_streams_the_clojure_way_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assignments(emb)
 
 
 _RERANK_CANDIDATES = 50

@@ -1,0 +1,64 @@
+"""Deterministic k-means: repartition-invariance (the property the
+bit-exact oracle rests on), non-trivial partitioning, and inertia
+improvement over the init assignment."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_the_clojure_way_spark.operators.clustering import (
+    kmeans_assignments,
+)
+from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmeans_deterministic_under_repartition(spark):
+    emb = load_table(spark, SF, "embeddings")
+    a = {r.vec_id: r.cluster for r in kmeans_assignments(emb, k=4, n_iter=2).collect()}
+    b = {
+        r.vec_id: r.cluster
+        for r in kmeans_assignments(emb.repartition(7), k=4, n_iter=2).collect()
+    }
+    assert a == b
+    assert len(a) == emb.count()
+
+
+def test_kmeans_partitions_data_and_reduces_inertia(spark):
+    from kafka_streams_the_clojure_way_spark.operators.clustering import _sq_dist
+
+    emb = load_table(spark, SF, "embeddings")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    def inertia(assign_df, cents_df):
+        joined = (
+            assign_df.join(vecs, "vec_id")
+            .join(cents_df, "cluster")
+            .select(_sq_dist(F.col("v"), F.col("c")).alias("d"))
+        )
+        return joined.agg(F.sum("d")).collect()[0][0]
+
+    final = kmeans_assignments(emb, k=4, n_iter=3)
+    sizes = [r["count"] for r in final.groupBy("cluster").count().collect()]
+    assert len(sizes) >= 2 and max(sizes) < emb.count()  # not one blob
+
+    # inertia of the trained assignment must beat assigning everything
+    # to the single best init centroid pool (k=1 degenerate baseline)
+    one = kmeans_assignments(emb, k=1, n_iter=1)
+    seed0 = vecs.orderBy("vec_id").limit(1).select(F.col("v").alias("c"))
+    trained_cents = (
+        final.join(vecs, "vec_id")
+        .select("cluster", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
+            ).alias("c")
+        )
+    )
+    i_trained = inertia(final, trained_cents)
+    i_one = inertia(one.withColumn("cluster", F.lit(0)), seed0.withColumn("cluster", F.lit(0)))
+    assert i_trained < i_one
