@@ -306,6 +306,49 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assignments(emb)
 
 
+_CLUSTER_SAMPLE_K = 32
+_CLUSTER_SAMPLE_SALT = "cluster-sample:v1:"
+
+
+@query(
+    "sample_cluster_balanced_embeddings",
+    oracle=f"""
+    SELECT vec_id, cluster, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster
+                   ORDER BY {P.hash60_sql(f"'{_CLUSTER_SAMPLE_SALT}' || CAST(vec_id AS VARCHAR)")},
+                            vec_id
+               ) AS rn
+        FROM ({C.kmeans_sql()}) AS assignments
+    ) WHERE rn <= {_CLUSTER_SAMPLE_K}
+    """,
+)
+def sample_cluster_balanced_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full semantic-curation flow composed: deterministic k-means
+    clusters the embedding corpus, then a fixed-size per-CLUSTER sample
+    (k smallest salted hashes, the per-group reservoir equivalent)
+    rebalances the mixture so no semantic cluster dominates the training
+    set — cluster-balanced selection à la DoReMi/cluster-based dedup
+    pipelines, end-to-end oracle-exact. Plans as the k-means rounds plus
+    ONE WindowGroupLimit partial top-k: the exchange carries at most
+    k x |clusters| rows regardless of corpus size."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = C.kmeans_assignments(emb)
+    hk = P.hash60(
+        F.concat(F.lit(_CLUSTER_SAMPLE_SALT), F.col("vec_id").cast("string"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("hk").asc(), F.col("vec_id").asc())
+    return (
+        assign.withColumn("hk", hk)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CLUSTER_SAMPLE_K)
+        .select("vec_id", "cluster", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 _RERANK_CANDIDATES = 50
 
 _RERANK_ORACLE = f"""
