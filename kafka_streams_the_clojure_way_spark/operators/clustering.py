@@ -195,3 +195,46 @@ def kmeans_sql(
         FROM v CROSS JOIN {final}
     ) WHERE r = 1"""
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    *,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    path: str | None = None,
+) -> DataFrame:
+    """Train and return the centroid table ``(cent_id, cent_vec)`` —
+    the artifact the IVF build consumes (similarity.build_ivf_index's
+    coarse quantizer slot). With ``path``, centroids are persisted as
+    parquet: train once, reuse across index builds and probe sessions.
+    Same deterministic iterations as kmeans_assignments."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    assigned = kmeans_assignments(
+        corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    cents = (
+        assigned.join(vecs, id_col)
+        .select("cluster", F.posexplode("__v").alias("__dim", "__x"))
+        .withColumn("__u", F.floor(F.col("__x") * MEAN_UNITS + F.lit(0.5)).cast("long"))
+        .groupBy("cluster", "__dim")
+        .agg(F.sum("__u").alias("__su"), F.count(F.lit(1)).alias("__n"))
+        .groupBy("cluster")
+        .agg(
+            F.expr(
+                f"transform(array_sort(collect_list(struct(__dim, "
+                f"CAST(__su AS DOUBLE) / {MEAN_UNITS} / __n AS m))), s -> s.m)"
+            ).alias("cent_vec")
+        )
+        .select(F.col("cluster").alias("cent_id"), "cent_vec")
+    )
+    if path:
+        cents.write.mode("overwrite").parquet(path)
+        return corpus.sparkSession.read.parquet(path)
+    return cents

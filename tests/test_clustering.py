@@ -62,3 +62,16 @@ def test_kmeans_partitions_data_and_reduces_inertia(spark):
     i_trained = inertia(final, trained_cents)
     i_one = inertia(one.withColumn("cluster", F.lit(0)), seed0.withColumn("cluster", F.lit(0)))
     assert i_trained < i_one
+
+
+def test_kmeans_fit_persists_centroid_table(spark, tmp_path):
+    from kafka_streams_the_clojure_way_spark.operators.clustering import kmeans_fit
+
+    emb = load_table(spark, SF, "embeddings")
+    out = str(tmp_path / "centroids")
+    cents = kmeans_fit(emb, k=4, n_iter=2, path=out).collect()
+    assert len(cents) == 4
+    dim = len(cents[0].cent_vec)
+    assert all(len(r.cent_vec) == dim for r in cents)
+    reread = spark.read.parquet(out)
+    assert reread.count() == 4 and set(reread.columns) == {"cent_id", "cent_vec"}
