@@ -285,6 +285,138 @@ def minhash_lsh_pairs_sql(
     """
 
 
+def minhash_lsh_pairs_between(
+    probe_df: DataFrame,
+    build_df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """INCREMENTAL near-dup: band-join a (small) probe batch against a
+    (large) corpus — candidates are probe x corpus only, never
+    corpus x corpus. This is the production shape for continuous
+    ingestion: the corpus side's signature/banding table is computed
+    once and persisted (it is ~1% of corpus bytes — see
+    ``minhash_lsh_pairs``'s cache note); each arriving batch re-signs
+    only itself and probes, so per-batch cost is O(batch + matching
+    bands), independent of corpus size. The probe banding frame is
+    broadcast when the batch is small, turning the candidate join into a
+    map-side join against the corpus banding scan.
+
+    Returns (probe_id, corpus_id, jaccard) pairs with
+    jaccard >= threshold. Ids need not be disjoint; self-pairs
+    (probe_id == corpus_id) are dropped."""
+
+    def _sigs(df: DataFrame) -> DataFrame:
+        return (
+            with_min_parallelism(df)
+            .select(F.col(id_col), shingle_hashes(F.col(text)).alias("sh"))
+            .withColumn("sig", minhash_from_hashes(F.col("sh")))
+        )
+
+    def _banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            _band_key(F.col("sig"), b).alias("bkey"),
+                        )
+                        for b in range(LSH_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+        )
+
+    psigs = _sigs(probe_df).cache()
+    csigs = _sigs(build_df).cache()
+    a = _banded(psigs).alias("a")
+    b = _banded(csigs).alias("b")
+    # plain equi-join: AQE promotes it to a broadcast join at runtime when
+    # the probe batch's banding frame is small (the common incremental case)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("probe_id"),
+            F.col(f"b.{id_col}").alias("corpus_id"),
+        )
+        .dropDuplicates(["probe_id", "corpus_id"])
+    )
+    sh_a = psigs.select(F.col(id_col).alias("probe_id"), F.col("sh").alias("sh_a"))
+    sh_b = csigs.select(F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_b"))
+    cand = cand.join(sh_a, "probe_id").join(sh_b, "corpus_id")
+    inter = F.array_size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (
+        F.array_size("sh_a").cast("double")
+        + F.array_size("sh_b").cast("double")
+        - inter
+    )
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("probe_id", "corpus_id", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_between_sql(
+    probe_pred: str,
+    build_pred: str,
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB twin of ``minhash_lsh_pairs_between`` with the two sides
+    selected from ``table`` by predicate."""
+    sig = minhash_signature_sql(text)
+    sh = shingle_hashes_sql(text)
+    band_structs = ", ".join(
+        f"struct_pack(band := {b}, bkey := {_band_key_sql('sig', b)})"
+        for b in range(LSH_BANDS)
+    )
+    jac = (
+        "round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)"
+        " / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6)"
+    )
+    return f"""
+    WITH psig AS (
+        SELECT {id_col}, {sh} AS sh, {sig} AS sig FROM {table}
+        WHERE {probe_pred}
+    ),
+    csig AS (
+        SELECT {id_col}, {sh} AS sh, {sig} AS sig FROM {table}
+        WHERE {build_pred}
+    ),
+    pband AS (
+        SELECT {id_col}, sh, u.band AS band, u.bkey AS bkey
+        FROM psig, unnest([{band_structs}]) AS t(u)
+    ),
+    cband AS (
+        SELECT {id_col}, sh, u.band AS band, u.bkey AS bkey
+        FROM csig, unnest([{band_structs}]) AS t(u)
+    ),
+    cand AS (
+        SELECT DISTINCT a.{id_col} AS probe_id, b.{id_col} AS corpus_id,
+               a.sh AS sh_a, b.sh AS sh_b
+        FROM pband a JOIN cband b
+          ON a.band = b.band AND a.bkey = b.bkey
+         AND a.{id_col} != b.{id_col}
+    )
+    SELECT probe_id, corpus_id, {jac} AS jaccard
+    FROM cand
+    WHERE {jac} >= {threshold}
+    """
+
+
 # --------------------------------------------------------------------------
 # simhash
 # --------------------------------------------------------------------------

@@ -105,6 +105,65 @@ def join_interval_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Graph analytics: triangle counting
+# --------------------------------------------------------------------------
+
+@query(
+    "graph_triangle_parts",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem WHERE l_orderkey % 8 = 0),
+    edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri) t
+    GROUP BY node
+    """,
+)
+def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-purchase graph (parts are
+    adjacent when some order contains both): the classic market-basket /
+    community-density graph analytic, and the repo's representative of
+    the two-self-join graph-pattern class (GraphX triangleCount shape).
+
+    The operator (operators/graph.triangle_counts) re-orients every edge
+    low-degree -> high-degree before the wedge join, which is the
+    standard hub-blowup fix: total wedge work is O(m^1.5) instead of
+    sum(deg^2) — the difference between finishing and not on a 100 TB
+    graph with celebrity nodes. The graph is built from a deterministic
+    12.5% order sample (orderkey mod 8) purely to keep BENCH proportionate:
+    the co-purchase graph densifies quadratically with orders per part,
+    and the full-corpus graph belongs in a dedicated job, not a 130-query
+    sweep. Oracle: the naive three-way self-join on id-ordered edges
+    (fine at oracle SF; counts each triangle once)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from kafka_streams_the_clojure_way_spark.operators.graph import triangle_counts
+
+    op = (
+        li.filter(F.col("l_orderkey") % 8 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .dropDuplicates()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .dropDuplicates()
+    )
+    return triangle_counts(edges)
+
+
+# --------------------------------------------------------------------------
 # Edit distance (blocked)
 # --------------------------------------------------------------------------
 

@@ -162,6 +162,34 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCR_NEW_MOD = 10  # doc_id % 10 == 0 -> the "arriving batch"
+
+
+@query(
+    "dedup_incremental_new_docs",
+    oracle=D.minhash_lsh_pairs_between_sql(
+        probe_pred=f"doc_id % {_INCR_NEW_MOD} = 0",
+        build_pred=f"doc_id % {_INCR_NEW_MOD} != 0",
+        threshold=_JACCARD_THRESHOLD,
+    ),
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the continuous-ingestion shape: an arriving
+    batch (here a deterministic 10% slice) probes the existing corpus
+    for near-dups WITHOUT ever re-joining corpus x corpus. Per-batch
+    cost is O(batch + matching bands) no matter how big the corpus is;
+    in production the corpus side of operators/dedup.py's
+    minhash_lsh_pairs_between is a persisted signature table, so only
+    the batch is ever re-hashed. This is what turns the one-shot dedup
+    sweep into a pipeline a 100 TB corpus can actually keep running."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _INCR_NEW_MOD != 0)
+    return D.minhash_lsh_pairs_between(
+        new, corpus, threshold=_JACCARD_THRESHOLD
+    )
+
+
 @query("dedup_simhash_pairs", oracle=D.simhash_pairs_sql())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(60) near-dup pairs with 4x15-bit banding: hamming<=3 is
@@ -1007,6 +1035,67 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TFIDF_TOPK)
         .withColumn("rnk", F.col("rnk").cast("long"))
+    )
+
+
+_UNIGRAM_HEAD_K = 64  # Zipf head vocabulary broadcast size
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({T.tokens_sql('text')}) AS tok FROM documents
+    ),
+    uni AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM uni)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(avg(log10(u.cnt / tot.n)), 6) AS avg_logprob_r,
+           round(min(log10(u.cnt / tot.n)), 6) AS min_logprob_r
+    FROM tok t JOIN uni u USING (tok) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model scoring — the classic KenLM-style
+    perplexity proxy for training-data quality filtering, built from the
+    corpus itself (pass 1: unigram counts; pass 2: per-doc mean/min token
+    log-probability). Low avg_logprob = jargon/noise; min_logprob flags
+    the single rarest token (typo/garbage detector).
+
+    Scale shape: the token->count join is Zipf-skewed — 'the' alone can
+    be ~5% of all token instances, so a plain shuffle join puts the head
+    keys on single reducers no matter how many partitions. The split here
+    is the standard fix: the top-{_UNIGRAM_HEAD_K} head vocabulary (tiny,
+    covers most instances) BROADCASTS so head tokens never shuffle, and
+    only the near-uniform tail shuffles on token. At 100 TB the full
+    vocabulary (billions of distinct tokens) cannot broadcast, but the
+    head always can — the split is what makes the plan scale-safe, not a
+    micro-optimization. Rounding avg/min to 6 keeps engines' last-ulp
+    log10 differences out of the hash (same trick as tfidf/geomean)."""
+    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode_outer(T.tokens_col(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = uni.agg(F.sum("cnt").cast("double").alias("n"))
+    head = uni.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(
+        _UNIGRAM_HEAD_K
+    )
+    tail = uni.join(F.broadcast(head.select("tok")), "tok", "left_anti")
+    scored = tok.join(F.broadcast(head), "tok").unionByName(
+        tok.join(tail, "tok")
+    )
+    lp = F.log10(F.col("cnt") / F.col("n"))
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(lp), 6).alias("avg_logprob_r"),
+            F.round(F.min(lp), 6).alias("min_logprob_r"),
+        )
     )
 
 

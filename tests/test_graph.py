@@ -92,3 +92,67 @@ def test_local_and_distributed_paths_agree(spark):
         for r in connected_components(df, local_max_edges=0, max_iter=60).collect()
     }
     assert local == dist and len(local) > 0
+
+
+# --------------------------------------------------------------------------
+# triangle_counts
+# --------------------------------------------------------------------------
+
+def _brute_triangles(edges):
+    """Per-node triangle counts by brute force over the canonical edge set."""
+    from itertools import combinations
+
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in es for n in e})
+    counts = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def _tri_check(spark, edges):
+    from kafka_streams_the_clojure_way_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def test_triangles_k4(spark):
+    """K4: 4 triangles, every node in exactly 3."""
+    _tri_check(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+
+
+def test_triangles_hub_star_has_none(spark):
+    """A star (celebrity hub) has no triangles — and the degree
+    orientation must not manufacture any."""
+    _tri_check(spark, [(0, i) for i in range(1, 30)])
+
+
+def test_triangles_hub_plus_rim(spark):
+    """Wheel graph: hub + cycle rim. Each rim edge closes exactly one
+    triangle with the hub; rim nodes sit in 2, the hub in all of them.
+    Exercises the skewed-degree orientation path (hub degree >> rim)."""
+    rim = [(i, i % 8 + 1) for i in range(1, 9)]
+    spokes = [(0, i) for i in range(1, 9)]
+    _tri_check(spark, rim + spokes)
+
+
+def test_triangles_dedup_and_orientation_insensitive(spark):
+    """Duplicate edges, reversed orientations, and self-loops must not
+    change counts."""
+    base = [(1, 2), (2, 3), (1, 3)]
+    noisy = base + [(2, 1), (3, 2), (1, 1), (3, 1), (1, 2)]
+    from kafka_streams_the_clojure_way_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(noisy, "u long, v long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_random_graph(spark):
+    rng = random.Random(13)
+    edges = list({tuple(sorted((rng.randrange(30), rng.randrange(30)))) for _ in range(120)})
+    _tri_check(spark, [e for e in edges if e[0] != e[1]])

@@ -285,6 +285,10 @@ def test_no_accidental_cartesian_products(spark):
         # IVF coarse quantization IS an all-pairs scoring of every vector
         # against the (tiny, broadcast) centroid table — BNLJ by design
         "sim_ivf_ann_topk",
+        # Lloyd assignment scores every vector against the k-row broadcast
+        # centroid table each round — same tiny-broadcast BNLJ shape
+        "cluster_kmeans_embeddings",
+        "sample_cluster_balanced_embeddings",
     }
     offenders = {}
     for name in sorted(QUERIES):
