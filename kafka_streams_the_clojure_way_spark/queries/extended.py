@@ -349,6 +349,37 @@ def agg_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fingerprint_oracle() -> str:
+    from kafka_streams_the_clojure_way_spark.operators.relational import (
+        dataset_fingerprint_sql,
+    )
+
+    return dataset_fingerprint_sql(
+        ["doc_id", "lang", "n_chars", "text"], "documents", group_by=["source"]
+    )
+
+
+@query("meta_corpus_fingerprint", oracle=_fingerprint_oracle())
+def meta_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine dataset CHECKSUM, per source: the migration /
+    replication validation primitive. Copying 100 TB between systems (or
+    re-encoding parquet, or switching engines) ends with exactly this
+    query on both sides: per-group row counts + order-insensitive
+    portable-hash sums; equal outputs = bit-identical content, and a
+    divergent group names the slice to re-ship. Pure scan + map-side
+    partial agg — the shuffle carries one decimal per (group, mapper).
+    The oracle IS the other engine running the same fingerprint, which is
+    the whole point."""
+    from kafka_streams_the_clojure_way_spark.operators.relational import (
+        dataset_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dataset_fingerprint(
+        docs, ["doc_id", "lang", "n_chars", "text"], group_by=["source"]
+    )
+
+
 @query("agg_approx_distinct_users")
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distincts — THE distinct-count operator at

@@ -131,14 +131,17 @@ def read_json(
 
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
-    """Write a frame as parquet (default) / csv / json. Parquet is the
-    only sane interchange at scale (columnar, statistics, pushdown);
+    """Write a frame as parquet (default) / orc / csv / json. Parquet is
+    the primary interchange at scale (columnar, statistics, pushdown);
+    orc is the peer columnar format for ecosystems standardized on it;
     csv/json exist for edge interop."""
     writer = df.write.mode("overwrite").options(**options)
     if fmt == "csv":
         writer.option("header", True).csv(path)
     elif fmt == "json":
         writer.json(path)
+    elif fmt == "orc":
+        writer.orc(path)
     else:
         writer.parquet(path)
 

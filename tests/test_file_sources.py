@@ -129,3 +129,14 @@ def test_upsert_table_latest_per_key_and_tombstones(spark, tmp_path):
     )
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: "back", 2: "b2", 3: "c", 4: "d"}
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC is the other columnar format Spark ships a native vectorized
+    reader for — write_table/spark.read handle it with the same code
+    path as parquet (format string only)."""
+    path = str(tmp_path / "t_orc")
+    write_table(_frame(spark), path, "orc")
+    back = spark.read.format("orc").load(path)
+    assert _collected(back) == sorted(ROWS)
+    assert dict(back.dtypes)["score"] == "double"

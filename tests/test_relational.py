@@ -84,3 +84,45 @@ def test_dataset_diff_statuses(spark):
         ).collect()
     }
     assert full[4] == "unchanged" and full[2] == "unchanged"
+
+
+def test_dataset_fingerprint_detects_and_locates_divergence(spark):
+    """Equal content (in any row order / partitioning) fingerprints
+    equal; a single changed value flips exactly the affected group's
+    fingerprint while counts stay equal."""
+    from kafka_streams_the_clojure_way_spark.operators.relational import (
+        dataset_fingerprint,
+    )
+
+    rows = [(i, f"v{i}", "g%d" % (i % 3)) for i in range(30)]
+    a = spark.createDataFrame(rows, "id long, val string, grp string")
+    b = spark.createDataFrame(
+        list(reversed(rows)), "id long, val string, grp string"
+    ).repartition(7)
+
+    fa = {r.grp: (r.n_rows, r.fingerprint) for r in
+          dataset_fingerprint(a, ["id", "val"], group_by=["grp"]).collect()}
+    fb = {r.grp: (r.n_rows, r.fingerprint) for r in
+          dataset_fingerprint(b, ["id", "val"], group_by=["grp"]).collect()}
+    assert fa == fb and len(fa) == 3
+
+    tampered = [(i, "v999" if i == 7 else f"v{i}", "g%d" % (i % 3)) for i in range(30)]
+    c = spark.createDataFrame(tampered, "id long, val string, grp string")
+    fc = {r.grp: (r.n_rows, r.fingerprint) for r in
+          dataset_fingerprint(c, ["id", "val"], group_by=["grp"]).collect()}
+    diverged = {g for g in fa if fa[g] != fc[g]}
+    assert diverged == {"g1"}  # 7 % 3 == 1 — the divergence is LOCATED
+    assert all(fa[g][0] == fc[g][0] for g in fa)  # counts alone miss it
+
+
+def test_dataset_fingerprint_null_vs_empty_distinct(spark):
+    """NULL and '' must fingerprint differently (the sentinel encoding)."""
+    from kafka_streams_the_clojure_way_spark.operators.relational import (
+        dataset_fingerprint,
+    )
+
+    a = spark.createDataFrame([(1, None)], "id long, val string")
+    b = spark.createDataFrame([(1, "")], "id long, val string")
+    fa = dataset_fingerprint(a, ["id", "val"]).collect()[0]
+    fb = dataset_fingerprint(b, ["id", "val"]).collect()[0]
+    assert fa.fingerprint != fb.fingerprint
