@@ -29,19 +29,29 @@ def asof_join(
     right_ts: str,
     right_values: list[str],
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for every left row, attach the most recent right row for
-    the same key with ``right_ts <= left_ts`` (``<`` when ``strict``).
+    the same key with ``right_ts <= left_ts`` (``<`` when ``strict``) —
+    or, with ``direction="forward"``, the EARLIEST right row with
+    ``right_ts >= left_ts`` (``>`` when ``strict``), pandas
+    ``merge_asof(direction=...)`` semantics.
 
     Matches DuckDB's ``ASOF JOIN`` (inequality ``>=``) semantics for the
-    non-strict default, so results are oracle-checkable. Left rows with no
-    prior right row keep NULL right values (left-outer as-of).
+    non-strict backward default, so results are oracle-checkable. Left
+    rows with no matching right row keep NULL right values (left-outer
+    as-of).
 
     Implementation: tag both sides, union, and compute
     ``last(right_value, ignorenulls=True)`` over a per-key window ordered
     by (ts, side) — right rows sort before simultaneous left rows unless
-    ``strict``, in which case they sort after.
+    ``strict``, in which case they sort after. ``forward`` is the same
+    single-shuffle carry with the window ordered by ts DESCENDING, so the
+    value carried to a left row is the nearest following right row —
+    still one union + one running window, never a range-join blowup.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
 
     # side marker: right rows must be visible to left rows at the same
@@ -61,9 +71,10 @@ def asof_join(
     ).withColumns({f"__r_{c}": F.lit(None) for c in right_values})
 
     unioned = right_tagged.unionByName(left_tagged, allowMissingColumns=True)
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(ts_order, F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumns(

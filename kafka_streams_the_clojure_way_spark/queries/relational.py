@@ -321,6 +321,50 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_asof_forward_next_purchase",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           epoch_us(e.ts) AS error_ts_us,
+           p.purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT user_id, ts, value AS purchase_value
+                    FROM events WHERE event_type = 'purchase') p
+    ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward'): each
+    error event gets the value of that user's NEXT purchase at or after
+    the error — the did-they-recover / conversion-after-incident shape.
+    Same single-shuffle union + running-window implementation as the
+    backward as-of, with the window ordered by ts DESC; the oracle is
+    DuckDB's native ASOF JOIN with the inequality flipped."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    joined = asof_join(
+        errors,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["purchase_value"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("error_ts_us"),
+        "purchase_value",
+    )
+
+
 # --------------------------------------------------------------------------
 # Window functions, sorts, top-k
 # --------------------------------------------------------------------------

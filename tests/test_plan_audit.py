@@ -391,3 +391,30 @@ def test_join_strategy_hints_obeyed(spark):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_unigram_head_join_broadcasts(spark):
+    """text_unigram_logprob's Zipf-head fix: the head-vocabulary join and
+    the head-exclusion anti-join must both be broadcast (map-side) — only
+    the low-skew tail may shuffle on token."""
+    p = _plan(spark, "text_unigram_logprob")
+    assert p.count("BroadcastHashJoin") >= 2, p[:3000]
+    assert "BroadcastHashJoin LeftAnti" in p or "LeftAnti, BuildRight" in p, p[:3000]
+
+
+def test_fingerprint_is_partial_agg_only(spark):
+    """meta_corpus_fingerprint must be scan -> partial agg -> one
+    exchange on the group key -> final agg: no join, no extra shuffle —
+    the checksum of 100 TB is exactly one pass."""
+    p = _plan(spark, "meta_corpus_fingerprint")
+    assert p.count("Exchange") == 1, p[:3000]
+    assert "Join" not in p, p[:3000]
+    assert p.count("HashAggregate") == 2, p[:3000]  # partial + final
+
+
+def test_triangle_joins_are_equi(spark):
+    """Every join in the triangle pipeline must be an equi-join (hash or
+    sort-merge) — a dropped wedge key would cartesian a 100 TB edge set."""
+    p = _plan(spark, "graph_triangle_parts")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

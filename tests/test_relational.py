@@ -126,3 +126,33 @@ def test_dataset_fingerprint_null_vs_empty_distinct(spark):
     fa = dataset_fingerprint(a, ["id", "val"]).collect()[0]
     fb = dataset_fingerprint(b, ["id", "val"]).collect()[0]
     assert fa.fingerprint != fb.fingerprint
+
+
+def test_asof_join_forward(spark):
+    """Forward as-of: nearest following right row; equality counts
+    unless strict; no following row -> NULL."""
+    from kafka_streams_the_clojure_way_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 5), (2, 1, 11), (3, 2, 1)], "id long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 50), (1, 10, 100), (2, 0, 7)], "k long, ts long, v long"
+    )
+    got = {
+        r.id: r.v
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_values=["v"], direction="forward",
+        ).collect()
+    }
+    assert got == {1: 50, 2: None, 3: None}
+
+    strict = {
+        r.id: r.v
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_values=["v"], direction="forward", strict=True,
+        ).collect()
+    }
+    assert strict == {1: 100, 2: None, 3: None}  # ts==5 excluded -> next is 10
