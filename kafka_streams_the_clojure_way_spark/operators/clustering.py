@@ -68,8 +68,14 @@ def kmeans_assignments(
     )
 
     spark = corpus.sparkSession
-    vecs = with_min_parallelism(corpus).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    # cached: every Lloyd round re-reads this frame (assign + mean agg),
+    # and without the cache each round pays the parquet scan + array cast
+    # again. The frame is id + vector only — the working-set a k-means
+    # job holds in memory by design at any scale.
+    vecs = (
+        with_min_parallelism(corpus)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .cache()
     )
     dim = len(vecs.select("__v").first()["__v"])
 

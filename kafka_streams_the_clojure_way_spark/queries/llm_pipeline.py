@@ -1284,6 +1284,129 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMP_SALT = "tempmix:v1:"
+_TEMP_ALPHA = 0.3  # mC4/T5 operating point
+_TEMP_BUDGET_FRAC = 0.5  # keep half the corpus tokens
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               CAST(len({T.tokens_sql('text')}) AS BIGINT) AS n_tokens,
+               ({P.hash60_sql(f"'{_TEMP_SALT}' || CAST(doc_id AS VARCHAR)")}
+                % {_WSAMPLE_DENOM}) AS u
+        FROM documents
+    ),
+    totals AS (
+        SELECT source, SUM(n_tokens) AS s_tokens FROM tok GROUP BY source
+    ),
+    grand AS (SELECT CAST(SUM(s_tokens) AS DOUBLE) AS t FROM totals),
+    wt AS (
+        SELECT source, s_tokens, g.t,
+               pow(CAST(s_tokens AS DOUBLE) / g.t, {_TEMP_ALPHA}) AS w
+        FROM totals CROSS JOIN grand g
+    ),
+    z AS (SELECT SUM(w) AS z FROM wt),
+    rates AS (
+        SELECT source,
+               round(least(1.0,
+                   ({_TEMP_BUDGET_FRAC} * t) * (w / z.z)
+                   / CAST(s_tokens AS DOUBLE)), 6) AS rate
+        FROM wt CROSS JOIN z
+    )
+    SELECT k.doc_id, k.source, k.n_tokens, r.rate AS rate_r
+    FROM tok k JOIN rates r ON r.source = k.source
+    WHERE k.u < r.rate * {_WSAMPLE_DENOM}
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-scaled source mixture (the mC4/T5 multilingual trick,
+    alpha=0.3): target share of source s is p_s^alpha renormalized —
+    flatter than natural (head sources downsampled, tail sources kept)
+    without going all the way to uniform like sample_mixture_rebalance.
+    Keep rates are computed FROM the corpus to
+    hit a half-of-tokens budget, capped at 1, rounded
+    to 6 places on BOTH engines before gating so the pow() last-ulp
+    difference can't flip a document. Same scale shape as the mixture
+    query: tiny per-source aggregate, rates broadcast back, per-row
+    hash gate — the corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = P.hash60(
+        F.concat(F.lit(_TEMP_SALT), F.col("doc_id").cast("string"))
+    ) % _WSAMPLE_DENOM
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.array_size(T.tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        u.alias("u"),
+    )
+    totals = tok.groupBy("source").agg(F.sum("n_tokens").alias("s_tokens"))
+    grand = totals.agg(F.sum("s_tokens").cast("double").alias("t"))
+    wt = totals.crossJoin(F.broadcast(grand)).select(
+        "source",
+        "s_tokens",
+        "t",
+        F.pow(F.col("s_tokens").cast("double") / F.col("t"), _TEMP_ALPHA).alias("w"),
+    )
+    z = wt.agg(F.sum("w").alias("z"))
+    rates = wt.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.lit(_TEMP_BUDGET_FRAC) * F.col("t"))
+                * (F.col("w") / F.col("z"))
+                / F.col("s_tokens").cast("double"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    return (
+        tok.join(F.broadcast(rates), "source")
+        .filter(F.col("u") < F.col("rate") * _WSAMPLE_DENOM)
+        .select("doc_id", "source", "n_tokens", F.col("rate").alias("rate_r"))
+    )
+
+
+@query(
+    "agg_source_lang_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY source)
+    SELECT c.source,
+           CAST(MAX(t.tot) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           round(-SUM((CAST(n AS DOUBLE) / tot)
+                      * log2(CAST(n AS DOUBLE) / tot)), 6) AS lang_entropy_r
+    FROM c JOIN t ON c.source = t.source
+    GROUP BY c.source
+    """,
+)
+def agg_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-distribution Shannon entropy — the mixture
+    diagnostic that tells a curation pipeline which sources are
+    monolingual (entropy ~0) vs mixed, feeding stratification decisions.
+    Two tiny aggregates over (source, lang) — the corpus shuffles once on
+    a low-cardinality composite key with map-side partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.join(F.broadcast(t), "source")
+        .groupBy("source")
+        .agg(
+            F.max("tot").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("lang_entropy_r"),
+        )
+    )
+
+
 _CONTAM_CUTOFF = 0.5
 
 
