@@ -1407,6 +1407,56 @@ def agg_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_SALT = "split:v1:"
+_SPLIT_VALID_PCT = 5
+_SPLIT_TEST_PCT = 5
+
+
+@query(
+    "sample_train_valid_test_split",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, source,
+               ({P.hash60_sql(f"'{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")}
+                % 100) AS bucket
+        FROM documents
+    )
+    SELECT doc_id, source, bucket,
+           CASE WHEN bucket < {100 - _SPLIT_VALID_PCT - _SPLIT_TEST_PCT}
+                    THEN 'train'
+                WHEN bucket < {100 - _SPLIT_TEST_PCT} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def sample_train_valid_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test assignment (90/5/5) by salted hash
+    of the STABLE id — the split discipline that matters at corpus
+    scale: re-running, repartitioning, or appending new data never
+    reassigns an existing document across the boundary (an RNG split
+    re-deals every row on every run, silently leaking yesterday's test
+    set into today's train). Pure per-row expression — pipelined into
+    the scan, no shuffle, and any table keyed by the same id splits
+    consistently (cross-table alignment for paired text/embedding
+    rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        P.hash60(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string")))
+        % 100
+    )
+    train_hi = 100 - _SPLIT_VALID_PCT - _SPLIT_TEST_PCT
+    valid_hi = 100 - _SPLIT_TEST_PCT
+    return docs.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        F.when(bucket < train_hi, "train")
+        .when(bucket < valid_hi, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 _CONTAM_CUTOFF = 0.5
 
 
