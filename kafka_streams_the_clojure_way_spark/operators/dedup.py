@@ -305,11 +305,21 @@ def minhash_lsh_pairs_between(
 
     Returns (probe_id, corpus_id, jaccard) pairs with
     jaccard >= threshold. Ids need not be disjoint; self-pairs
-    (probe_id == corpus_id) are dropped."""
+    (probe_id == corpus_id) are dropped.
+
+    STREAMING: ``probe_df`` may be a streaming DataFrame (the arriving
+    batches of a continuous-ingestion gate) — every probe-side transform
+    here is a stateless per-row expression plus a stream-static equi-join
+    against the corpus banding, so the whole gate runs inside a single
+    micro-batch with no streaming state except the final candidate
+    ``dropDuplicates`` (bounded by candidates per batch; add a watermark
+    upstream for unbounded runs). Caching/parallelism tweaks only apply
+    to batch frames."""
 
     def _sigs(df: DataFrame) -> DataFrame:
+        base = df if df.isStreaming else with_min_parallelism(df)
         return (
-            with_min_parallelism(df)
+            base
             .select(F.col(id_col), shingle_hashes(F.col(text)).alias("sh"))
             .withColumn("sig", minhash_from_hashes(F.col("sh")))
         )
@@ -332,7 +342,9 @@ def minhash_lsh_pairs_between(
             id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
         )
 
-    psigs = _sigs(probe_df).cache()
+    psigs = _sigs(probe_df)
+    if not probe_df.isStreaming:
+        psigs = psigs.cache()
     csigs = _sigs(build_df).cache()
     a = _banded(psigs).alias("a")
     b = _banded(csigs).alias("b")

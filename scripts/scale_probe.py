@@ -51,6 +51,9 @@ PROBE_QUERIES = [
     "join_revenue_by_nation",       # broadcast dim join + agg
     "dedup_minhash_lsh_pairs",      # CPU-bound signatures + LSH self-join
     "text_ngram_contamination",     # explode + broadcast probe + re-agg
+    "text_unigram_logprob",         # Zipf-split token join (head broadcast)
+    "meta_corpus_fingerprint",      # one-pass partial-agg checksum
+    "graph_triangle_parts",         # two wedge equi-joins (edge set grows ~Nx)
 ]
 
 
