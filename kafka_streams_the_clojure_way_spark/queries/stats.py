@@ -233,3 +233,62 @@ def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_points"),
         F.round(num / den, 9).alias("slope_per_hour"),
     )
+
+
+@query(
+    "agg_mad_outlier_flags",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(MAX(d.med), 6) AS med_r,
+           round(MAX(m.mad), 6) AS mad_r,
+           CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def agg_mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: median + MAD (median absolute
+    deviation) per event type, counting events beyond 3 MAD units — the
+    estimator that, unlike mean/stddev, does not let the outliers it is
+    hunting move the threshold (50% breakdown point). Two grouped exact
+    percentiles with the tiny per-group stats broadcast back between
+    passes; at 100 TB swap percentile for approx_percentile and the
+    shape is unchanged. Exact interpolated percentile is bit-identical
+    to DuckDB quantile_cont (module header note), so even the boundary
+    comparisons agree."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("med"), 6).alias("med_r"),
+            F.round(F.max("mad"), 6).alias("mad_r"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )

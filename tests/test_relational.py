@@ -156,3 +156,40 @@ def test_asof_join_forward(spark):
         ).collect()
     }
     assert strict == {1: 100, 2: None, 3: None}  # ts==5 excluded -> next is 10
+
+
+def test_asof_forward_backward_duality(spark):
+    """forward(ts) must equal backward(-ts) on any input — the mirror
+    identity that pins both directions to one semantics. Seeded random
+    frames with ties and unmatched keys."""
+    import random
+
+    from kafka_streams_the_clojure_way_spark.operators.relational import asof_join
+
+    rng = random.Random(42)
+    left = [(i, rng.randrange(5), rng.randrange(50)) for i in range(120)]
+    # unique (k, ts) on the right: tied right rows are pick-nondeterministic
+    # by as-of semantics, which would make the mirror comparison flaky
+    seen = {(rng.randrange(6), rng.randrange(50)) for _ in range(80)}
+    right = [(k, ts, 100 + i) for i, (k, ts) in enumerate(sorted(seen))]
+    l = spark.createDataFrame(left, "id long, k long, ts long")
+    r = spark.createDataFrame(right, "k long, ts long, v long")
+    l_neg = l.withColumn("ts", -F.col("ts"))
+    r_neg = r.withColumn("ts", -F.col("ts"))
+
+    for strict in (False, True):
+        fwd = {
+            row.id: row.v
+            for row in asof_join(
+                l, r, on="k", left_ts="ts", right_ts="ts",
+                right_values=["v"], direction="forward", strict=strict,
+            ).collect()
+        }
+        bwd_mirror = {
+            row.id: row.v
+            for row in asof_join(
+                l_neg, r_neg, on="k", left_ts="ts", right_ts="ts",
+                right_values=["v"], direction="backward", strict=strict,
+            ).collect()
+        }
+        assert fwd == bwd_mirror and len(fwd) == 120
