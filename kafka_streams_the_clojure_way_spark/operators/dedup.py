@@ -595,3 +595,132 @@ def simhash_pairs_sql(
       ON a.band = b.band AND a.bkey = b.bkey AND a.{id_col} < b.{id_col}
     WHERE bit_count(xor(a.sig, b.sig)) <= {max_dist}
     """
+
+
+# --------------------------------------------------------------------------
+# exact duplicate n-gram spans (substring-level dedup)
+# --------------------------------------------------------------------------
+
+#: word n-gram width for span-level dedup. Lee et al. ("Deduplicating
+#: Training Data Makes Language Models Better", ACL'22) use 50 BPE tokens
+#: over a suffix array; the distributed re-expression below works at any
+#: width — 8 words keeps the operator interesting on the synthetic corpus.
+NGRAM_SPAN_N = 8
+
+
+def duplicate_ngram_spans(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = NGRAM_SPAN_N
+) -> DataFrame:
+    """Maximal duplicated token spans per document: every position whose
+    ``n``-gram occurs more than once in the corpus (any doc, any offset —
+    including elsewhere in the same doc) is "covered"; overlapping covered
+    n-grams merge into maximal ``[span_start, span_end)`` token spans.
+
+    This is the distributed re-expression of suffix-array substring dedup
+    (Lee et al. ACL'22): a suffix array is inherently sequential, but the
+    *covered-position set* it produces is exactly recoverable from n-gram
+    postings, which shard perfectly:
+
+    1. posting list ``(gram_hash, doc, start)`` via a scan-side sliding
+       window (no shuffle, linear output);
+    2. ``groupBy(gram_hash).count()`` — partial aggregation collapses
+       repeated grams map-side, so boilerplate grams (the skew hazard)
+       arrive at the reducer pre-combined;
+    3. inner-join postings to the ``count >= 2`` gram set — a shuffled
+       hash join AQE can skew-split, unlike a count-over-window which
+       would pin each hot gram to one task;
+    4. per-doc gaps-and-islands merge (one shuffle by doc, single Window
+       node: the lag and the running sum share one sort).
+
+    Two shuffles of the posting list + one by doc — no all-pairs join
+    anywhere, so the 100 TB cost is O(corpus tokens), not O(docs^2).
+    """
+    toks = tokens_col(F.col(text))
+    ntok = F.array_size(toks)
+    starts = F.when(ntok >= n, F.sequence(F.lit(0), ntok - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.cast("long").alias("start"),
+            F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("gram_hash"),
+        ),
+    )
+    pos = df.select(F.col(id_col), F.explode(grams).alias("g")).select(
+        id_col, "g.start", "g.gram_hash"
+    )
+    dup_grams = (
+        pos.groupBy("gram_hash").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2)
+    )
+    covered = pos.join(dup_grams, "gram_hash").select(id_col, "start")
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("start")
+    brk = F.when(F.col("start") - F.lag("start").over(w) <= n, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    islands = covered.withColumn("brk", brk).withColumn(
+        "island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(F.min("start").alias("span_start"), (F.max("start") + n).alias("span_end"))
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def duplicate_ngram_spans_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = NGRAM_SPAN_N,
+) -> str:
+    """DuckDB twin of :func:`duplicate_ngram_spans` (same constants)."""
+    toks = tokens_sql(text)
+    return f"""
+    WITH tok AS (
+        SELECT {id_col}, {toks} AS toks FROM {table}
+    ),
+    pos AS (
+        SELECT {id_col}, CAST(u.i AS BIGINT) AS start,
+               ('0x' || substring(
+                    md5(array_to_string(toks[(u.i + 1):(u.i + {n})], ' ')), 1, 15
+                ))::BIGINT AS gram_hash
+        FROM tok, UNNEST(range(0, len(toks) - {n - 1})) AS u(i)
+    ),
+    dup_grams AS (
+        SELECT gram_hash FROM pos GROUP BY gram_hash HAVING count(*) >= 2
+    ),
+    covered AS (
+        SELECT p.{id_col}, p.start FROM pos p JOIN dup_grams USING (gram_hash)
+    ),
+    brk AS (
+        SELECT {id_col}, start,
+               CASE WHEN start - lag(start) OVER (PARTITION BY {id_col} ORDER BY start)
+                         <= {n}
+                    THEN 0 ELSE 1 END AS b
+        FROM covered
+    ),
+    isl AS (
+        SELECT {id_col}, start,
+               SUM(b) OVER (PARTITION BY {id_col} ORDER BY start
+                            ROWS UNBOUNDED PRECEDING) AS island
+        FROM brk
+    )
+    SELECT {id_col}, MIN(start) AS span_start, MAX(start) + {n} AS span_end,
+           MAX(start) + {n} - MIN(start) AS span_tokens
+    FROM isl GROUP BY {id_col}, island
+    """

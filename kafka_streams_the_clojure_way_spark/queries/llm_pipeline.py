@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from kafka_streams_the_clojure_way_spark.functions import portable as P
 from kafka_streams_the_clojure_way_spark.operators import clustering as C
 from kafka_streams_the_clojure_way_spark.operators import dedup as D
+from kafka_streams_the_clojure_way_spark.operators import sketches as SK
 from kafka_streams_the_clojure_way_spark.operators import similarity as S
 from kafka_streams_the_clojure_way_spark.operators import text as T
 from kafka_streams_the_clojure_way_spark.operators.multimodal import (
@@ -196,6 +197,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed caught by >=1 exact band match (Manku et al. WWW'07
     pigeonhole argument) — so candidates again come from an equi-join."""
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_ngram_span_documents", oracle=D.duplicate_ngram_spans_sql())
+def dedup_ngram_span_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al. ACL'22, suffix-array semantics
+    re-expressed as sharded n-gram postings): maximal token spans per doc
+    whose every 8-gram occurs more than once in the corpus. Postings
+    group map-side, candidates come from an AQE-splittable equi-join, and
+    span merging is one gaps-and-islands window per doc — O(tokens), no
+    all-pairs stage."""
+    return D.duplicate_ngram_spans(load_table(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------
@@ -1097,6 +1109,20 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min(lp), 6).alias("min_logprob_r"),
         )
     )
+
+
+@query(
+    "agg_heavy_hitter_tokens",
+    oracle=SK.exact_heavy_hitters_sql("documents", T.tokens_sql("text")),
+)
+def agg_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens with freq >= ceil(N/64)) via the
+    Misra-Gries two-pass: per-partition bounded-memory sketch -> tiny
+    candidate summary -> broadcast-pruned exact recount. The oracle is
+    the full group-by the sketch path avoids shuffling at 100 TB; both
+    produce the identical exact answer."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SK.exact_heavy_hitters(docs, T.tokens_col(F.col("text")))
 
 
 @query(

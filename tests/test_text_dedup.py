@@ -93,3 +93,33 @@ def test_simhash_near_means_small_hamming(spark):
     assert dist <= D.SIMHASH_MAX_DIST
     pairs = D.simhash_pairs(df).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
+
+
+# --------------------------------------------------------------------------
+# duplicate n-gram spans (substring-level dedup)
+# --------------------------------------------------------------------------
+
+def test_duplicate_ngram_spans_shared_phrase(spark):
+    phrase = " ".join(f"p{i}" for i in range(10))          # 10 shared tokens
+    a = "a1 a2 a3 a4 a5 " + phrase + " a6 a7 a8 a9 a10"
+    b = "b1 b2 b3 b4 b5 " + phrase + " b6 b7 b8 b9 b10"
+    c = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"                    # no dup
+    out = D.duplicate_ngram_spans(_docs(spark, [a, b, c])).collect()
+    spans = {(r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in out}
+    # shared 8-grams start at offsets 5..7 -> one maximal span [5, 15) each
+    assert spans == {(0, 5, 15, 10), (1, 5, 15, 10)}
+
+
+def test_duplicate_ngram_spans_self_repetition(spark):
+    phrase = " ".join(f"r{i}" for i in range(8))
+    doc = phrase + " mid1 mid2 mid3 " + phrase
+    out = D.duplicate_ngram_spans(_docs(spark, [doc])).collect()
+    spans = sorted((r.span_start, r.span_end) for r in out)
+    # the 8-gram repeats at offsets 0 and 11; islands merge iff gap <= 8,
+    # and 11 - 0 > 8 -> two separate spans
+    assert spans == [(0, 8), (11, 19)]
+
+
+def test_duplicate_ngram_spans_short_docs_empty(spark):
+    out = D.duplicate_ngram_spans(_docs(spark, ["one two", "one two"])).collect()
+    assert out == []  # shorter than n -> no n-grams, even if exact dups
