@@ -231,3 +231,116 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank (deterministic fixed-point)
+# --------------------------------------------------------------------------
+
+#: integer fixed-point scale for PageRank mass. Every node starts at
+#: PR_UNIT rank units; contributions use integer division, so ranks are
+#: BIGINTs and sums are exact and order-insensitive — no float-summation
+#: drift between runs, partitionings, or engines. Choose unit so that
+#: n_nodes * unit * PR_DAMP_NUM stays < 2^63 (10^12 is safe to ~10^5
+#: nodes; drop to 10^9 for ~10^8-node graphs).
+PR_UNIT = 10**12
+PR_DAMP_NUM = 85   # damping 0.85 as an exact ratio
+PR_DAMP_DEN = 100
+PR_ITERS = 6
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = PR_ITERS,
+    unit: int = PR_UNIT,
+) -> DataFrame:
+    """Fixed-iteration PageRank over directed ``(src, dst)`` edges, in
+    integer fixed-point so the result is bit-reproducible (Page et al.
+    '99 semantics; GraphX's staticPageRank shape).
+
+    rank_0(v) = unit;  contrib(u) = rank(u) div outdeg(u);
+    rank_t+1(v) = ((1-d)*unit) + d * sum(incoming contribs), with d the
+    exact ratio PR_DAMP_NUM/PR_DAMP_DEN and every division an integer
+    floor — floats never appear, so per-node ranks are exact BIGINTs no
+    matter how partial sums are ordered.
+
+    Scale design mirrors connected_components: per-iteration state is
+    one (node, rank) frame shuffled on node; the edge+outdeg frame is
+    computed once and checkpointed; each round is one equi-join + one
+    groupBy; lineage is truncated per round so Catalyst analysis stays
+    O(1) per iteration. Iterations are FIXED (not convergence-tested):
+    the driver loop runs exactly ``iters`` Spark rounds.
+
+    Nodes with no in-edges keep the base mass; dangling nodes (no
+    out-edges) leak their damped mass, as in the uniform-teleport
+    formulation without dangling redistribution.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).dropDuplicates(["src", "dst"])
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    eo = e.join(outdeg, "src").localCheckpoint(eager=False)
+
+    base = ((PR_DAMP_DEN - PR_DAMP_NUM) * unit) // PR_DAMP_DEN
+    rank = nodes.select("node", F.lit(int(unit)).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = eo.join(rank, eo["src"] == rank["node"]).selectExpr(
+            "dst AS node", "r div outdeg AS c"
+        )
+        inc = contrib.groupBy("node").agg(F.sum("c").alias("inc"))
+        rank = (
+            nodes.join(inc, "node", "left")
+            .selectExpr(
+                "node",
+                f"CAST({base} + ({PR_DAMP_NUM} * coalesce(inc, CAST(0 AS BIGINT)))"
+                f" div {PR_DAMP_DEN} AS BIGINT) AS r",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return rank.select("node", F.col("r").alias("rank_units"))
+
+
+def pagerank_sql(
+    edges_sql: str,
+    iters: int = PR_ITERS,
+    unit: int = PR_UNIT,
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the iteration unrolled as a CTE
+    chain (same constants, same integer arithmetic). ``edges_sql`` must
+    select distinct directed (src, dst)."""
+    base = ((PR_DAMP_DEN - PR_DAMP_NUM) * unit) // PR_DAMP_DEN
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "outdeg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg"
+        " FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({unit} AS BIGINT) AS r FROM nodes)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"""r{t + 1} AS (
+        SELECT n.node,
+               CAST({base} + ({PR_DAMP_NUM} * COALESCE(s.inc, 0))
+                    // {PR_DAMP_DEN} AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS inc
+            FROM edges e
+            JOIN r{t} r ON r.node = e.src
+            JOIN outdeg d ON d.node = e.src
+            GROUP BY e.dst
+        ) s ON s.node = n.node
+    )"""
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain}
+    SELECT node, r AS rank_units FROM r{iters}
+    """

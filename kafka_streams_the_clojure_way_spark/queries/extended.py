@@ -163,6 +163,55 @@ def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+_PR_EDGES_SQL = """
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem WHERE l_orderkey % 8 = 0),
+        und AS (
+            SELECT DISTINCT a.p AS u, b.p AS v
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        )
+        SELECT u AS src, v AS dst FROM und
+        UNION ALL
+        SELECT v AS src, u AS dst FROM und
+"""
+
+
+def _pr_oracle() -> str:
+    from kafka_streams_the_clojure_way_spark.operators.graph import pagerank_sql
+
+    return pagerank_sql(_PR_EDGES_SQL)
+
+
+@query("graph_pagerank_parts", oracle=_pr_oracle())
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the same co-purchase part graph as
+    graph_triangle_parts (symmetrized): which parts sit at the center of
+    the purchasing network. The repo's representative of fixed-iteration
+    iterative dataflow — 6 driver-loop rounds of one equi-join + one
+    groupBy each, state checkpointed per round, ranks kept as integer
+    fixed-point BIGINTs so the result (and the DuckDB unrolled-CTE
+    oracle) is bit-exact regardless of partial-sum order. See
+    operators/graph.pagerank for the 100 TB shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from kafka_streams_the_clojure_way_spark.operators.graph import pagerank
+
+    op = (
+        li.filter(F.col("l_orderkey") % 8 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .dropDuplicates()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .dropDuplicates()
+    )
+    edges = und.selectExpr("u AS src", "v AS dst").unionAll(
+        und.selectExpr("v AS src", "u AS dst")
+    )
+    return pagerank(edges)
+
+
 # --------------------------------------------------------------------------
 # Edit distance (blocked)
 # --------------------------------------------------------------------------

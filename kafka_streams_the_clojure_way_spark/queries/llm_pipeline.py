@@ -210,6 +210,49 @@ def dedup_ngram_span_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_ngram_spans(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "dedup_ngram_span_doc_stats",
+    oracle=f"""
+    WITH spans AS ({D.duplicate_ngram_spans_sql()}),
+    per_doc AS (
+        SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len({T.tokens_sql('text')}) AS BIGINT) AS n_tokens,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           round(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+                 / greatest(CAST(len({T.tokens_sql('text')}) AS BIGINT), 1), 6)
+               AS dup_fraction
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_ngram_span_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signal a curation pipeline actually filters on: per-doc count
+    and fraction of tokens inside corpus-duplicated 8-gram spans (Lee et
+    al. drop or clip docs above a dup-fraction threshold). Left join back
+    to the corpus so clean docs report 0 — span extraction shuffles only
+    the covered positions, the join is keyed on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = D.duplicate_ngram_spans(docs)
+    per_doc = spans.groupBy("doc_id").agg(F.sum("span_tokens").alias("dup_tokens"))
+    n_tokens = F.array_size(T.tokens_col(F.col("text"))).cast("long")
+    return (
+        docs.select("doc_id", n_tokens.alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long")).alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

@@ -184,6 +184,35 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_percentile_totalprice")
+def agg_approx_percentile_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (Greenwald-Khanna via percentile_approx,
+    accuracy=1000 -> rank error <= n/1000): p25/p50/p95 order totals per
+    priority. The sketch is single-pass and MERGEABLE — partial sketches
+    combine map-side, so the 100 TB plan is one shuffle of O(accuracy)
+    summaries per group instead of the per-group sort an exact percentile
+    needs. No DuckDB oracle (GK summaries are engine-specific) — the
+    driver records rows-only; the rank-error envelope against exact
+    percentiles is gated in tests/test_approx.py."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.95], 1000
+            ).alias("qs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("qs")[0].alias("p25_approx"),
+            F.col("qs")[1].alias("p50_approx"),
+            F.col("qs")[2].alias("p95_approx"),
+            "n_orders",
+        )
+    )
+
+
 @query(
     "agg_linear_trend",
     oracle="""

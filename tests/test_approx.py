@@ -50,3 +50,29 @@ def test_hll_sketch_union_error_bound(spark):
         est.distinct_users_unioned,
         exact,
     )
+
+
+def test_grouped_approx_percentile_within_rank_error(spark):
+    """Every group's p50 sketch value must sit inside the +-2/accuracy
+    rank window of the exact grouped percentile."""
+    from kafka_streams_the_clojure_way_spark.queries import QUERIES
+
+    got = {
+        r.o_orderpriority: r.p50_approx
+        for r in QUERIES["agg_approx_percentile_totalprice"](spark, SF).collect()
+    }
+    eps = 2.0 / 1000
+    bounds = {
+        r.o_orderpriority: (r.lo, r.hi)
+        for r in load_table(spark, SF, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(f"percentile(o_totalprice, {0.5 - eps})").alias("lo"),
+            F.expr(f"percentile(o_totalprice, {0.5 + eps})").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(bounds)
+    for k, v in got.items():
+        lo, hi = bounds[k]
+        assert lo <= v <= hi, (k, v, lo, hi)

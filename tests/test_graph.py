@@ -156,3 +156,34 @@ def test_triangles_random_graph(spark):
     rng = random.Random(13)
     edges = list({tuple(sorted((rng.randrange(30), rng.randrange(30)))) for _ in range(120)})
     _tri_check(spark, [e for e in edges if e[0] != e[1]])
+
+
+# --------------------------------------------------------------------------
+# PageRank (fixed-point)
+# --------------------------------------------------------------------------
+
+def _directed(spark, pairs):
+    return spark.createDataFrame([{"src": u, "dst": v} for u, v in pairs])
+
+
+def test_pagerank_star_center_dominates(spark):
+    from kafka_streams_the_clojure_way_spark.operators.graph import PR_UNIT, pagerank
+
+    leaves = list(range(1, 6))
+    pairs = [(0, v) for v in leaves] + [(v, 0) for v in leaves]
+    ranks = {r.node: r.rank_units for r in pagerank(_directed(spark, pairs)).collect()}
+    assert ranks[0] > max(ranks[v] for v in leaves)
+    # symmetric leaves get identical ranks (determinism within one run)
+    assert len({ranks[v] for v in leaves}) == 1
+    # total mass never exceeds the initial n*unit (floor division only leaks)
+    assert sum(ranks.values()) <= 6 * PR_UNIT
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from kafka_streams_the_clojure_way_spark.operators.graph import pagerank
+
+    pairs = [(u, v) for u in range(12) for v in range(12) if (u + v) % 3 == 0 and u != v]
+    df = _directed(spark, pairs)
+    base = {(r.node, r.rank_units) for r in pagerank(df).collect()}
+    repart = {(r.node, r.rank_units) for r in pagerank(df.repartition(7)).collect()}
+    assert base == repart
