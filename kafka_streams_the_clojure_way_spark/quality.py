@@ -34,6 +34,25 @@ def validate(df: DataFrame, checks: dict[str, Column]) -> dict[str, int]:
     return dict(obs.get)
 
 
+def constraint_audit(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """The DataFrame form of :func:`validate`: one pass computing every
+    rule's violation count, unpivoted to ``(rule, violations,
+    rows_checked)`` rows — the shape a DQ dashboard or a registered
+    audit query consumes. Same single-scan guarantee: all counters are
+    measures of ONE aggregate; stack() reshapes the 1-row result without
+    touching the data again."""
+    names = list(checks)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__rows"),
+        *[F.count_if(~checks[name]).alias(name) for name in names],
+    )
+    stack_args = ", ".join(f"'{name}', `{name}`" for name in names)
+    return agg.selectExpr(
+        f"stack({len(names)}, {stack_args}) AS (rule, violations)",
+        "__rows AS rows_checked",
+    ).select("rule", F.col("violations").cast("long").alias("violations"), F.col("rows_checked").cast("long").alias("rows_checked"))
+
+
 def enforce(df: DataFrame, checks: dict[str, Column]) -> dict[str, int]:
     """``validate`` + raise ``QualityError`` listing every failed rule."""
     result = validate(df, checks)

@@ -699,3 +699,72 @@ def window_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("trailing_mean"),
         (v.cast("double") > 2.0 * mean).alias("is_spike"),
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality audit (deequ-lite)
+# --------------------------------------------------------------------------
+
+@query(
+    "dq_lineitem_audit",
+    oracle="""
+    WITH rowstats AS (
+        SELECT CAST(count(*) AS BIGINT) AS rows_checked,
+               CAST(count_if(NOT (l_quantity BETWEEN 1 AND 50)) AS BIGINT)
+                   AS qty_in_range,
+               CAST(count_if(NOT (l_discount <= 0.08)) AS BIGINT)
+                   AS discount_le_8pct,
+               CAST(count_if(NOT (l_tax BETWEEN 0 AND 0.08)) AS BIGINT)
+                   AS tax_in_range,
+               CAST(count_if(NOT (l_extendedprice > 0)) AS BIGINT)
+                   AS price_positive,
+               CAST(count_if(NOT (l_returnflag IN ('A', 'N', 'R'))) AS BIGINT)
+                   AS returnflag_domain
+        FROM lineitem
+    )
+    SELECT u.rule, u.violations, rowstats.rows_checked
+    FROM rowstats, (
+        SELECT 'qty_in_range' AS rule, qty_in_range AS violations FROM rowstats
+        UNION ALL SELECT 'discount_le_8pct', discount_le_8pct FROM rowstats
+        UNION ALL SELECT 'tax_in_range', tax_in_range FROM rowstats
+        UNION ALL SELECT 'price_positive', price_positive FROM rowstats
+        UNION ALL SELECT 'returnflag_domain', returnflag_domain FROM rowstats
+    ) u
+    UNION ALL
+    SELECT 'orderkey_in_orders',
+           CAST(count_if(o.o_orderkey IS NULL) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def dq_lineitem_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit (the Deequ pattern, quality.py's
+    one-pass validate surfaced as a registered query): five row-level
+    rules computed as measures of a SINGLE lineitem scan-aggregate plus
+    one referential-integrity rule (every lineitem orderkey resolves in
+    orders — a broadcast-able anti-join count, NOT a per-rule rescan).
+    On the synthetic data discount_le_8pct is genuinely violated, so the
+    audit exercises both zero and non-zero counts."""
+    from kafka_streams_the_clojure_way_spark.quality import constraint_audit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    rules = {
+        "qty_in_range": F.col("l_quantity").between(1, 50),
+        "discount_le_8pct": F.col("l_discount") <= 0.08,
+        "tax_in_range": F.col("l_tax").between(0, 0.08),
+        "price_positive": F.col("l_extendedprice") > 0,
+        "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+    }
+    row_audit = constraint_audit(li, rules)
+    ri = (
+        li.join(
+            F.broadcast(o.select("o_orderkey")),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        .crossJoin(F.broadcast(li.agg(F.count(F.lit(1)).cast("long").alias("rows_checked"))))
+        .select(F.lit("orderkey_in_orders").alias("rule"), "violations", "rows_checked")
+    )
+    return row_audit.unionByName(ri)

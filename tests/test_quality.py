@@ -41,3 +41,22 @@ def test_enforce_raises_listing_failed_rules(spark):
     # all-passing rules return the counters
     ok = enforce(c, {"custkey_nonneg": F.col("c_custkey") >= 0})
     assert ok["custkey_nonneg"] == 0 and ok["__rows"] > 0
+
+
+def test_constraint_audit_frame_matches_validate(spark):
+    from kafka_streams_the_clojure_way_spark.quality import constraint_audit, validate
+
+    df = spark.createDataFrame(
+        [{"x": 1, "y": "a"}, {"x": -2, "y": "b"}, {"x": 3, "y": None}]
+    )
+    checks = {"x_positive": F.col("x") > 0, "y_not_null": F.col("y").isNotNull()}
+    frame = {
+        r.rule: (r.violations, r.rows_checked)
+        for r in constraint_audit(df, checks).collect()
+    }
+    flat = validate(df, checks)
+    assert frame == {
+        "x_positive": (flat["x_positive"], flat["__rows"]),
+        "y_not_null": (flat["y_not_null"], flat["__rows"]),
+    }
+    assert frame["x_positive"] == (1, 3) and frame["y_not_null"] == (1, 3)
