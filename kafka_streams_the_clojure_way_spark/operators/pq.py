@@ -1,0 +1,317 @@
+"""Product quantization (PQ) for vector search (Jegou, Douze, Schmid,
+TPAMI 2011 "Product Quantization for Nearest Neighbor Search"): split
+each embedding into M subvectors, vector-quantize every subspace with a
+K-entry codebook, and answer queries by Asymmetric Distance Computation
+(ADC) — the query stays float, each corpus vector collapses to M small
+codes, and its approximate L2 distance is a sum of M table lookups.
+
+Why this exists at 100 TB: PQ compresses a 64-dim float vector (256 B+)
+to M log2(K) bits (4 bytes here) — the memory/bandwidth tier that makes
+billion-vector scans feasible, and the residual-quantizer IVF-PQ (FAISS'
+workhorse) composes this with operators/similarity.py's IVF routing:
+route to cells, then ADC-scan only the probed cells' codes.
+
+Everything is deterministic and engine-portable, like operators/
+clustering.py (the same discipline extended per-subspace):
+
+- codebooks: grouped Lloyd k-means over (subspace, subvector) rows —
+  init is the K lowest-id vectors per subspace, assignment the same
+  sequential-fold L2 with (distance, code) tie-break, means via integer
+  unit sums. ALL subspaces train in the SAME Spark jobs (the subspace id
+  is just another grouping key), so M multiplies row counts, not
+  driver-loop rounds.
+- ADC distances: each (query, subspace, code) lookup value is rounded to
+  integer units (``floor(d * 1e9 + 0.5)``), so the per-pair sum of M
+  lookups is exact BIGINT arithmetic — order-insensitive, hence
+  groupBy-safe and bit-identical to the DuckDB unrolled-CTE oracle.
+
+Scale shape of the query path: corpus codes (one narrow row per vector)
+equi-join a BROADCAST lookup table (n_queries x M x K rows — tiny by
+construction), then one partial-aggregating groupBy(query, vector) and a
+partial top-k. No all-pairs float math ever touches the corpus side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_the_clojure_way_spark.operators.clustering import (
+    MEAN_UNITS,
+    _sq_dist,
+    _sq_dist_sql,
+)
+
+PQ_M = 4          # subspaces
+PQ_K = 16         # codes per subspace (4-bit codes)
+PQ_ITERS = 2      # Lloyd rounds per subspace (fixed, oracle-unrollable)
+ADC_UNITS = 1_000_000_000  # integer-unit scale for ADC lookup values
+
+
+def _subvector_frame(corpus: DataFrame, id_col: str, vec_col: str, m: int, subdim: int) -> DataFrame:
+    """(id, s, sub) — one row per (vector, subspace), built scan-side."""
+    vec = F.col(vec_col).cast("array<double>")
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(vec, s * subdim + 1, subdim).alias("sub"),
+            )
+            for s in range(m)
+        ]
+    )
+    return corpus.select(F.col(id_col), F.explode(slices).alias("e")).select(
+        id_col, F.col("e.s").alias("s"), F.col("e.sub").alias("sub")
+    )
+
+
+def pq_model(
+    corpus: DataFrame,
+    *,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[tuple[int, int, list[float]]], DataFrame]:
+    """Train PQ codebooks and encode the corpus.
+
+    Returns ``(codebook_rows, codes)``: ``codebook_rows`` is the tiny
+    trained model as ``(s, code, centroid)`` tuples (M*K rows — the
+    artifact a production job persists), ``codes`` a DataFrame
+    ``(id, s, code)`` of corpus assignments.
+    """
+    from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
+    from kafka_streams_the_clojure_way_spark.sources.files import with_min_parallelism
+
+    spark = corpus.sparkSession
+    dim = len(
+        corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
+        .first()["__v"]
+    )
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    subdim = dim // m
+    subs = _subvector_frame(
+        with_min_parallelism(corpus), id_col, vec_col, m, subdim
+    ).cache()
+
+    # init: the k lowest-id vectors seed every subspace's codebook, code
+    # ids assigned in id order (the clustering.py convention, per-s)
+    seed = subs.filter(
+        F.col(id_col).isin(
+            [r[0] for r in corpus.select(id_col).orderBy(id_col).limit(k).collect()]
+        )
+    ).collect()
+    order = sorted({row[id_col] for row in seed})
+    code_of_id = {vid: i for i, vid in enumerate(order)}
+    codebook: dict[tuple[int, int], list[float]] = {
+        (row["s"], code_of_id[row[id_col]]): list(row["sub"]) for row in seed
+    }
+
+    def assign(cb: dict[tuple[int, int], list[float]]) -> DataFrame:
+        cb_df = F.broadcast(
+            spark.createDataFrame(
+                [(s, c, v) for (s, c), v in sorted(cb.items())],
+                "s int, code int, c array<double>",
+            )
+        )
+        scored = subs.join(cb_df, "s").select(
+            id_col, "s", "sub", "code",
+            _sq_dist(F.col("sub"), F.col("c")).alias("__d"),
+        )
+        return top_k_per_key(
+            scored,
+            keys=[id_col, "s"],
+            order_by=[F.col("__d").asc(), F.col("code").asc()],
+            k=1,
+            rank_col="__r",
+        ).select(id_col, "s", "sub", "code")
+
+    for _ in range(n_iter):
+        sums = (
+            assign(codebook)
+            .select("s", "code", F.posexplode("sub").alias("__dim", "__x"))
+            .withColumn(
+                "__u", F.floor(F.col("__x") * MEAN_UNITS + F.lit(0.5)).cast("long")
+            )
+            .groupBy("s", "code", "__dim")
+            .agg(F.sum("__u").alias("__su"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for row in sums:
+            means.setdefault((row["s"], row["code"]), {})[row["__dim"]] = (
+                float(row["__su"]) / MEAN_UNITS / row["__n"]
+            )
+        codebook = {
+            key: [means[key][d] for d in range(subdim)] if key in means else prev
+            for key, prev in codebook.items()
+        }
+
+    codes = assign(codebook).select(id_col, "s", "code")
+    rows = [(s, c, v) for (s, c), v in sorted(codebook.items())]
+    return rows, codes
+
+
+def adc_topk(
+    codes: DataFrame,
+    codebook_rows: list[tuple[int, int, list[float]]],
+    queries: DataFrame,
+    *,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """ADC top-k: queries stay float, the corpus is its codes.
+
+    Builds the (query, s, code) -> integer-unit distance lookup table
+    (n_queries x M x K rows), broadcasts it against the corpus codes, and
+    partial-top-k's the BIGINT distance sums. Output: (query_id,
+    neighbor_id, rank, adc_units)."""
+    from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
+
+    spark = codes.sparkSession
+    m = 1 + max(s for s, _, _ in codebook_rows)
+    subdim = len(codebook_rows[0][2])
+    cb_df = F.broadcast(
+        spark.createDataFrame(codebook_rows, "s int, code int, c array<double>")
+    )
+    qsubs = _subvector_frame(
+        queries.select(F.col(id_col).alias(query_id), vec_col),
+        query_id, vec_col, m, subdim,
+    )
+    lut = qsubs.join(cb_df, "s").select(
+        query_id, "s", "code",
+        F.floor(_sq_dist(F.col("sub"), F.col("c")) * ADC_UNITS + F.lit(0.5))
+        .cast("long")
+        .alias("du"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col(id_col) != F.col(query_id))
+        .groupBy(query_id, id_col)
+        .agg(F.sum("du").alias("adc_units"))
+    )
+    return top_k_per_key(
+        scored,
+        keys=[query_id],
+        order_by=[F.col("adc_units").asc(), F.col(id_col).asc()],
+        k=top_k,
+        rank_col="rank",
+    ).select(
+        query_id,
+        F.col(id_col).alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "adc_units",
+    )
+
+
+def pq_topk_sql(
+    table: str = "embeddings",
+    *,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = PQ_ITERS,
+    subdim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 50,
+    top_k: int = 10,
+) -> str:
+    """DuckDB twin: grouped-kmeans training unrolled as one CTE chain
+    (the subspace id rides every key), then the same integer-unit ADC."""
+    dist = _sq_dist_sql("sub.sub", "c.c")
+    parts = [
+        f"""v AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS vv FROM {table}),
+    sub AS (
+        SELECT {id_col}, CAST(t.s AS INTEGER) AS s,
+               vv[(CAST(t.s AS INTEGER) * {subdim} + 1):((CAST(t.s AS INTEGER) + 1) * {subdim})] AS sub
+        FROM v, UNNEST(range(0, {m})) AS t(s)
+    ),
+    seed AS (
+        SELECT {id_col}, ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS code
+        FROM (SELECT {id_col} FROM v ORDER BY {id_col} LIMIT {k})
+    ),
+    c0 AS (
+        SELECT sub.s, seed.code, sub.sub AS c
+        FROM seed JOIN sub USING ({id_col})
+    )"""
+    ]
+    for it in range(n_iter):
+        prev = f"c{it}"
+        parts.append(
+            f"""a{it} AS (
+        SELECT {id_col}, s, sub, code FROM (
+            SELECT sub.{id_col}, sub.s, sub.sub, c.code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sub.{id_col}, sub.s
+                       ORDER BY {dist}, c.code
+                   ) AS r
+            FROM sub JOIN {prev} c ON c.s = sub.s
+        ) WHERE r = 1
+    )"""
+        )
+        parts.append(
+            f"""s{it} AS (
+        SELECT s, code, CAST(i AS INTEGER) AS dim,
+               CAST(SUM(CAST(floor(sub[CAST(i AS INTEGER)] * {MEAN_UNITS} + 0.5)
+                             AS BIGINT)) AS BIGINT) AS su,
+               COUNT(*) AS n
+        FROM a{it}, unnest(range(1, len(sub) + 1)) AS t2(i)
+        GROUP BY 1, 2, 3
+    )"""
+        )
+        parts.append(
+            f"""m{it} AS (
+        SELECT s, code, list(CAST(su AS DOUBLE) / {MEAN_UNITS} / n ORDER BY dim) AS c
+        FROM s{it} GROUP BY s, code
+    )"""
+        )
+        parts.append(
+            f"""c{it + 1} AS (
+        SELECT p.s, p.code, COALESCE(m.c, p.c) AS c
+        FROM {prev} p LEFT JOIN m{it} m ON m.s = p.s AND m.code = p.code
+    )"""
+        )
+    final = f"c{n_iter}"
+    parts.append(
+        f"""codes AS (
+        SELECT {id_col}, s, code FROM (
+            SELECT sub.{id_col}, sub.s, c.code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sub.{id_col}, sub.s
+                       ORDER BY {dist}, c.code
+                   ) AS r
+            FROM sub JOIN {final} c ON c.s = sub.s
+        ) WHERE r = 1
+    )"""
+    )
+    parts.append(
+        f"""lut AS (
+        SELECT sub.{id_col} AS query_id, sub.s, c.code,
+               CAST(floor({dist} * {ADC_UNITS} + 0.5) AS BIGINT) AS du
+        FROM sub JOIN {final} c ON c.s = sub.s
+        WHERE sub.{id_col} % {query_mod} = 0
+    )"""
+    )
+    parts.append(
+        f"""adc AS (
+        SELECT l.query_id, cd.{id_col} AS neighbor_id,
+               CAST(SUM(l.du) AS BIGINT) AS adc_units
+        FROM codes cd JOIN lut l ON l.s = cd.s AND l.code = cd.code
+        WHERE cd.{id_col} != l.query_id
+        GROUP BY 1, 2
+    )"""
+    )
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH {chain}
+    SELECT query_id, neighbor_id, rank, adc_units FROM (
+        SELECT query_id, neighbor_id, adc_units,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_units, neighbor_id) AS rank
+        FROM adc
+    ) WHERE rank <= {top_k}
+    """

@@ -474,6 +474,29 @@ def sim_quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle() -> str:
+    from kafka_streams_the_clojure_way_spark.operators.pq import pq_topk_sql
+
+    return pq_topk_sql(query_mod=_QUERY_MOD)
+
+
+@query("sim_pq_adc_topk", oracle=_pq_oracle())
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. TPAMI'11): 4 subspaces x
+    16 codes trained by a grouped deterministic Lloyd pass (all
+    subspaces share the same Spark jobs), corpus collapsed to 4-byte
+    codes, queries answered by ADC — a broadcast (query, subspace, code)
+    lookup table joined against the codes, distances summed as exact
+    integer units so even this approximate index carries a full value
+    oracle. The 32x-compression memory tier FAISS-style IVF-PQ builds
+    on; see operators/pq.py for the 100 TB shape."""
+    from kafka_streams_the_clojure_way_spark.operators.pq import adc_topk, pq_model
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook, codes = pq_model(emb)
+    return adc_topk(codes, codebook, _queries_frame(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------

@@ -115,3 +115,40 @@ def test_streaming_ann_serving_on_persisted_index(spark, tmp_path):
     )
     drain(q)
     assert got == expected and len(got) > 0
+
+
+def test_pq_adc_recall_at_10(spark):
+    """PQ approximates L2 (not cosine), so its gate compares against an
+    exact L2 top-10 computed inline. 4x4-bit codes = 32x compression on
+    isotropic noise is the worst case for PQ (no subspace structure to
+    quantize); measured mean recall ~0.2 — the floor catches a broken
+    code/LUT join (random recall would be 10/2000 = 0.005), not the
+    dataset."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    pq = _topk_sets(QUERIES["sim_pq_adc_topk"](spark, SF))
+    emb = (
+        QUERIES["sim_pq_adc_topk"].__globals__["load_table"](spark, SF, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0).selectExpr(
+        "vec_id AS query_id", "v AS qv"
+    )
+    d = F.aggregate(
+        F.zip_with("v", "qv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("neighbor_id").asc()
+    )
+    exact = _topk_sets(
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 10")
+    )
+    recalls = [len(pq.get(k, set()) & v) / len(v) for k, v in exact.items()]
+    assert len(recalls) == len(exact) > 0
+    assert sum(recalls) / len(recalls) >= 0.10
