@@ -418,3 +418,51 @@ def test_triangle_joins_are_equi(spark):
     p = _plan(spark, "graph_triangle_parts")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ngram_span_plan_shape(spark):
+    """Span dedup: the postings count must partial-aggregate (map-side
+    combine collapses boilerplate grams before the shuffle), the
+    candidate join must be equi, and the lag + running-sum island merge
+    must share ONE sort + one shuffle by doc (two Window nodes riding a
+    single Sort/Exchange — lag's frame and the running sum's frame are
+    distinct physical nodes, but the expensive part is not repeated)."""
+    p = _plan(spark, "dedup_ngram_span_documents")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("Window") == 2, p[:3000]
+    assert len(re.findall(r"Sort \[doc_id", p)) == 1, p[:3000]
+
+
+def test_heavy_hitter_recount_broadcasts(spark):
+    """The Misra-Gries recount pass must broadcast the tiny candidate
+    set against the exploded token stream — a shuffled join here would
+    re-create the full-vocabulary shuffle the sketch exists to avoid."""
+    p = _plan(spark, "agg_heavy_hitter_tokens")
+    assert "BroadcastHashJoin" in p, p[:3000]
+    assert "SortMergeJoin" not in p, p[:3000]
+
+
+def test_pagerank_joins_are_equi(spark):
+    """Every per-iteration join in the PageRank loop must be an
+    equi-join — the contribution join keys on src, the rank update on
+    node; a dropped key would cartesian the edge set each round."""
+    p = _plan(spark, "graph_pagerank_parts")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pq_adc_lut_broadcasts(spark):
+    """PQ's ADC join must broadcast the (query, subspace, code) lookup
+    table against the corpus codes — the corpus side must never shuffle
+    for a probe-set-sized LUT."""
+    p = _plan(spark, "sim_pq_adc_topk")
+    assert "BroadcastHashJoin" in p, p[:3000]
+
+
+def test_dq_audit_rules_are_one_scan(spark):
+    """The five row-level DQ rules must be measures of a single
+    aggregate (count_if columns of one scan) and the referential rule a
+    broadcast anti-join — never one scan per rule."""
+    p = _plan(spark, "dq_lineitem_audit")
+    assert len(re.findall(r"FileScan parquet .*lineitem", p)) <= 3, p[:3000]
+    assert "LeftAnti" in p, p[:3000]
