@@ -48,8 +48,15 @@ PQ_ITERS = 2      # Lloyd rounds per subspace (fixed, oracle-unrollable)
 ADC_UNITS = 1_000_000_000  # integer-unit scale for ADC lookup values
 
 
-def _subvector_frame(corpus: DataFrame, id_col: str, vec_col: str, m: int, subdim: int) -> DataFrame:
-    """(id, s, sub) — one row per (vector, subspace), built scan-side."""
+def _subvector_frame(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    subdim: int,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, [extra...,] s, sub) — one row per (vector, subspace)."""
     vec = F.col(vec_col).cast("array<double>")
     slices = F.array(
         *[
@@ -60,8 +67,8 @@ def _subvector_frame(corpus: DataFrame, id_col: str, vec_col: str, m: int, subdi
             for s in range(m)
         ]
     )
-    return corpus.select(F.col(id_col), F.explode(slices).alias("e")).select(
-        id_col, F.col("e.s").alias("s"), F.col("e.sub").alias("sub")
+    return corpus.select(F.col(id_col), *extra, F.explode(slices).alias("e")).select(
+        id_col, *extra, F.col("e.s").alias("s"), F.col("e.sub").alias("sub")
     )
 
 
@@ -208,31 +215,25 @@ def adc_topk(
     )
 
 
-def pq_topk_sql(
-    table: str = "embeddings",
-    *,
-    m: int = PQ_M,
-    k: int = PQ_K,
-    n_iter: int = PQ_ITERS,
-    subdim: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_mod: int = 50,
-    top_k: int = 10,
-) -> str:
-    """DuckDB twin: grouped-kmeans training unrolled as one CTE chain
-    (the subspace id rides every key), then the same integer-unit ADC."""
+def _sub_cte_sql(source: str, id_col: str, m: int, subdim: int, extra: str = "") -> str:
+    """``sub`` CTE body: slice a ``(id, [extra,] vv DOUBLE[])`` source
+    into one row per (vector, subspace)."""
+    return f"""sub AS (
+        SELECT {id_col}, {extra + ', ' if extra else ''}CAST(t.s AS INTEGER) AS s,
+               vv[(CAST(t.s AS INTEGER) * {subdim} + 1):((CAST(t.s AS INTEGER) + 1) * {subdim})] AS sub
+        FROM {source}, UNNEST(range(0, {m})) AS t(s)
+    )"""
+
+
+def _pq_train_ctes(id_col: str, k: int, n_iter: int) -> list[str]:
+    """Grouped-kmeans training chain over a CTE named ``sub``
+    (id, s, sub) -> codebook CTE ``c{n_iter}`` (s, code, c) plus a
+    ``codes`` CTE (id, s, code). Same constants as :func:`pq_model`."""
     dist = _sq_dist_sql("sub.sub", "c.c")
     parts = [
-        f"""v AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS vv FROM {table}),
-    sub AS (
-        SELECT {id_col}, CAST(t.s AS INTEGER) AS s,
-               vv[(CAST(t.s AS INTEGER) * {subdim} + 1):((CAST(t.s AS INTEGER) + 1) * {subdim})] AS sub
-        FROM v, UNNEST(range(0, {m})) AS t(s)
-    ),
-    seed AS (
+        f"""seed AS (
         SELECT {id_col}, ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS code
-        FROM (SELECT {id_col} FROM v ORDER BY {id_col} LIMIT {k})
+        FROM (SELECT DISTINCT {id_col} FROM sub ORDER BY {id_col} LIMIT {k})
     ),
     c0 AS (
         SELECT sub.s, seed.code, sub.sub AS c
@@ -288,26 +289,10 @@ def pq_topk_sql(
         ) WHERE r = 1
     )"""
     )
-    parts.append(
-        f"""lut AS (
-        SELECT sub.{id_col} AS query_id, sub.s, c.code,
-               CAST(floor({dist} * {ADC_UNITS} + 0.5) AS BIGINT) AS du
-        FROM sub JOIN {final} c ON c.s = sub.s
-        WHERE sub.{id_col} % {query_mod} = 0
-    )"""
-    )
-    parts.append(
-        f"""adc AS (
-        SELECT l.query_id, cd.{id_col} AS neighbor_id,
-               CAST(SUM(l.du) AS BIGINT) AS adc_units
-        FROM codes cd JOIN lut l ON l.s = cd.s AND l.code = cd.code
-        WHERE cd.{id_col} != l.query_id
-        GROUP BY 1, 2
-    )"""
-    )
-    chain = ",\n    ".join(parts)
-    return f"""
-    WITH {chain}
+    return parts
+
+
+_RANKED_ADC_SELECT = """
     SELECT query_id, neighbor_id, rank, adc_units FROM (
         SELECT query_id, neighbor_id, adc_units,
                ROW_NUMBER() OVER (PARTITION BY query_id
@@ -315,3 +300,236 @@ def pq_topk_sql(
         FROM adc
     ) WHERE rank <= {top_k}
     """
+
+
+def pq_topk_sql(
+    table: str = "embeddings",
+    *,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = PQ_ITERS,
+    subdim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 50,
+    top_k: int = 10,
+) -> str:
+    """DuckDB twin of pq_model + adc_topk: grouped-kmeans training
+    unrolled as one CTE chain (the subspace id rides every key), then
+    the same integer-unit ADC."""
+    dist = _sq_dist_sql("sub.sub", "c.c")
+    final = f"c{n_iter}"
+    parts = [
+        f"v AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS vv FROM {table})",
+        _sub_cte_sql("v", id_col, m, subdim),
+        *_pq_train_ctes(id_col, k, n_iter),
+        f"""lut AS (
+        SELECT sub.{id_col} AS query_id, sub.s, c.code,
+               CAST(floor({dist} * {ADC_UNITS} + 0.5) AS BIGINT) AS du
+        FROM sub JOIN {final} c ON c.s = sub.s
+        WHERE sub.{id_col} % {query_mod} = 0
+    )""",
+        f"""adc AS (
+        SELECT l.query_id, cd.{id_col} AS neighbor_id,
+               CAST(SUM(l.du) AS BIGINT) AS adc_units
+        FROM codes cd JOIN lut l ON l.s = cd.s AND l.code = cd.code
+        WHERE cd.{id_col} != l.query_id
+        GROUP BY 1, 2
+    )""",
+    ]
+    chain = ",\n    ".join(parts)
+    return "\n    WITH " + chain + _RANKED_ADC_SELECT.format(top_k=top_k)
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: coarse routing + residual product quantization
+# --------------------------------------------------------------------------
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    top_k: int = 10,
+    n_probe: int = 3,
+    centroid_mod: int = 17,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ (Jegou et al. TPAMI'11 §V; the FAISS ``IVFx,PQy`` index):
+    route every vector to its best coarse cell (operators/similarity.py's
+    IVF conventions — deterministic ``id % centroid_mod == 1`` centroid
+    subset, cosine routing, (score, cell) tie-break), then
+    product-quantize the RESIDUAL ``x - centroid(cell)`` — residuals are
+    centered, so the same codebook budget quantizes them far better than
+    raw vectors.
+
+    Query path: each query probes its ``n_probe`` best cells and builds a
+    per-(query, cell) integer-unit LUT against the residual codebooks;
+    candidates come from the (cell, s, code) equi-join — only probed
+    cells' codes are touched, and a neighbor matches through exactly one
+    cell, so the BIGINT sum over its m subspace rows is the full ADC
+    distance. Everything stays bit-exact for the same reasons as
+    :func:`adc_topk`.
+
+    At 100 TB: codes partition BY CELL (the build_ivf_index layout), so
+    probing is a partition-pruned scan of 4-byte codes — the billion-
+    vector memory tier."""
+    from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
+    from kafka_streams_the_clojure_way_spark.operators.similarity import cosine
+    from kafka_streams_the_clojure_way_spark.sources.files import with_min_parallelism
+
+    vd = F.col(vec_col).cast("array<double>")
+    cents = F.broadcast(
+        corpus.filter(F.col(id_col) % centroid_mod == 1).select(
+            F.col(id_col).alias("__cent_id"), vd.alias("__cent")
+        )
+    )
+
+    def best_cells(side: DataFrame, sid: str, n: int) -> DataFrame:
+        scored = side.join(cents).select(
+            sid, "__v", "__cent_id", "__cent",
+            cosine(F.col("__v"), F.col("__cent")).alias("__cos"),
+        )
+        return top_k_per_key(
+            scored,
+            keys=[sid],
+            order_by=[F.col("__cos").desc(), F.col("__cent_id").asc()],
+            k=n,
+            rank_col="__crank",
+        ).select(
+            sid,
+            F.col("__cent_id").alias("cell"),
+            F.zip_with("__v", "__cent", lambda x, c: x - c).alias("__res"),
+        )
+
+    corpus_res = best_cells(
+        with_min_parallelism(corpus).select(F.col(id_col), vd.alias("__v")),
+        id_col,
+        1,
+    )
+    codebook, codes = pq_model(
+        corpus_res, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col="__res"
+    )
+    codes = codes.join(corpus_res.select(id_col, "cell"), id_col)
+
+    probe_res = best_cells(
+        queries.select(F.col(id_col).alias(query_id), vd.alias("__v")),
+        query_id,
+        n_probe,
+    )
+    subdim = len(codebook[0][2])
+    qsubs = _subvector_frame(
+        probe_res, query_id, "__res", m, subdim, extra=("cell",)
+    )
+    cb_df = F.broadcast(
+        codes.sparkSession.createDataFrame(codebook, "s int, code int, c array<double>")
+    )
+    lut = qsubs.join(cb_df, "s").select(
+        query_id, "cell", "s", "code",
+        F.floor(_sq_dist(F.col("sub"), F.col("c")) * ADC_UNITS + F.lit(0.5))
+        .cast("long")
+        .alias("du"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "s", "code"])
+        .filter(F.col(id_col) != F.col(query_id))
+        .groupBy(query_id, id_col)
+        .agg(F.sum("du").alias("adc_units"))
+    )
+    return top_k_per_key(
+        scored,
+        keys=[query_id],
+        order_by=[F.col("adc_units").asc(), F.col(id_col).asc()],
+        k=top_k,
+        rank_col="rank",
+    ).select(
+        query_id,
+        F.col(id_col).alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "adc_units",
+    )
+
+
+def ivfpq_topk_sql(
+    table: str = "embeddings",
+    *,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = PQ_ITERS,
+    subdim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 50,
+    top_k: int = 10,
+    n_probe: int = 3,
+    centroid_mod: int = 17,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_topk` — IVF routing CTEs (the
+    ivf_topk_sql conventions) feeding the shared PQ training chain over
+    residuals, then the per-(query, cell) LUT ADC."""
+    from kafka_streams_the_clojure_way_spark.operators.similarity import cosine_sql
+
+    cos_cent = cosine_sql("s.vv", "c.cv")
+    dist = _sq_dist_sql("sub.sub", "c.c")
+    final = f"c{n_iter}"
+    residual = (
+        "list_transform(list_zip(vv, cent_vec), p -> p[1] - p[2])"
+    )
+    parts = [
+        f"allv AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS vv FROM {table})",
+        f"""cents AS (
+        SELECT {id_col} AS cent_id, vv AS cv FROM allv
+        WHERE {id_col} % {centroid_mod} = 1
+    )""",
+        f"""corpus_scored AS (
+        SELECT s.{id_col}, s.vv, c.cent_id, c.cv AS cent_vec,
+               ROW_NUMBER() OVER (PARTITION BY s.{id_col}
+                                  ORDER BY {cos_cent} DESC, c.cent_id) AS crank
+        FROM allv s, cents c
+    )""",
+        f"""res AS (
+        SELECT {id_col}, cent_id AS cell, {residual} AS vv
+        FROM corpus_scored WHERE crank = 1
+    )""",
+        _sub_cte_sql("res", id_col, m, subdim),
+        *_pq_train_ctes(id_col, k, n_iter),
+        f"""query_scored AS (
+        SELECT s.{id_col} AS query_id, s.vv, c.cent_id, c.cv AS cent_vec,
+               ROW_NUMBER() OVER (PARTITION BY s.{id_col}
+                                  ORDER BY {cos_cent} DESC, c.cent_id) AS crank
+        FROM allv s, cents c
+        WHERE s.{id_col} % {query_mod} = 0
+    )""",
+        f"""qres AS (
+        SELECT query_id, cent_id AS cell, {residual} AS vv
+        FROM query_scored WHERE crank <= {n_probe}
+    )""",
+        f"""qsub AS (
+        SELECT query_id, cell, CAST(t.s AS INTEGER) AS s,
+               vv[(CAST(t.s AS INTEGER) * {subdim} + 1):((CAST(t.s AS INTEGER) + 1) * {subdim})] AS sub
+        FROM qres, UNNEST(range(0, {m})) AS t(s)
+    )""",
+        f"""lut AS (
+        SELECT sub.query_id, sub.cell, sub.s, c.code,
+               CAST(floor({dist} * {ADC_UNITS} + 0.5) AS BIGINT) AS du
+        FROM qsub sub JOIN {final} c ON c.s = sub.s
+    )""",
+        f"""cellcodes AS (
+        SELECT codes.{id_col}, res.cell, codes.s, codes.code
+        FROM codes JOIN res ON res.{id_col} = codes.{id_col}
+    )""",
+        f"""adc AS (
+        SELECT l.query_id, cd.{id_col} AS neighbor_id,
+               CAST(SUM(l.du) AS BIGINT) AS adc_units
+        FROM cellcodes cd
+        JOIN lut l ON l.cell = cd.cell AND l.s = cd.s AND l.code = cd.code
+        WHERE cd.{id_col} != l.query_id
+        GROUP BY 1, 2
+    )""",
+    ]
+    chain = ",\n    ".join(parts)
+    return "\n    WITH " + chain + _RANKED_ADC_SELECT.format(top_k=top_k)

@@ -497,6 +497,28 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adc_topk(codes, codebook, _queries_frame(spark, sf_dir))
 
 
+def _ivfpq_oracle() -> str:
+    from kafka_streams_the_clojure_way_spark.operators.pq import ivfpq_topk_sql
+
+    return ivfpq_topk_sql(query_mod=_QUERY_MOD)
+
+
+@query("sim_ivfpq_topk", oracle=_ivfpq_oracle())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the FAISS-workhorse composition, end to end: coarse
+    cells route every vector (sim_ivf_ann_topk's deterministic
+    centroids), product quantization encodes the RESIDUAL x - centroid,
+    and queries probe 3 cells with per-(query, cell) integer-unit ADC
+    lookup tables. Candidates come from a (cell, subspace, code)
+    equi-join against a broadcast LUT — probed cells only, 4-byte codes
+    only — yet the whole composed index is bit-exact against one DuckDB
+    CTE chain. See operators/pq.py."""
+    from kafka_streams_the_clojure_way_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, _queries_frame(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
