@@ -1690,3 +1690,87 @@ def sample_fixed_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _KSAMPLE_K)
         .select("doc_id", "lang", "n_chars", F.col("rn").cast("long").alias("rn"))
     )
+
+
+@query(
+    "scd2_documents_history",
+    oracle=f"""
+    WITH newv AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END
+                   AS text
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, text
+        FROM documents WHERE doc_id % 17 = 0
+    ),
+    j AS (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               o.text AS otext, n.text AS ntext
+        FROM documents o FULL OUTER JOIN newv n ON n.doc_id = o.doc_id
+    )
+    SELECT doc_id, {P.hash60_sql('otext')} AS content_hash,
+           CAST(1 AS BIGINT) AS valid_from, CAST(2 AS BIGINT) AS valid_to,
+           FALSE AS is_current
+    FROM j WHERE otext IS NOT NULL AND (ntext IS NULL OR ntext <> otext)
+    UNION ALL
+    SELECT doc_id, {P.hash60_sql('otext')},
+           CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+    FROM j WHERE otext IS NOT NULL AND ntext = otext
+    UNION ALL
+    SELECT doc_id, {P.hash60_sql('ntext')},
+           CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+    FROM j WHERE ntext IS NOT NULL AND (otext IS NULL OR ntext <> otext)
+    """,
+)
+def scd2_documents_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: applying a corpus revision (the
+    diff_documents_revision synthesis — %13 changed, %11 removed, %17
+    added) produces the full validity history — unchanged rows stay open
+    at version 1, changed/removed rows close at version 2, changed/added
+    rows open a new version-2 row. ONE full-outer join + a conditional
+    row-explode (no per-case rescans), which is the shape that applies a
+    CDC batch to a 100 TB dimension: shuffle both sides once on the key,
+    emit 1-2 history rows per key."""
+    docs = load_table(spark, sf_dir, "documents")
+    newv = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    j = (
+        docs.select("doc_id", F.col("text").alias("otext"))
+        .join(newv.select("doc_id", F.col("text").alias("ntext")), "doc_id", "full_outer")
+    )
+    nul = F.lit(None).cast("long")
+
+    def row(h: F.Column, vf: int, vt, cur: bool) -> F.Column:
+        return F.struct(
+            h.alias("content_hash"),
+            F.lit(vf).cast("long").alias("valid_from"),
+            (nul if vt is None else F.lit(vt).cast("long")).alias("valid_to"),
+            F.lit(cur).alias("is_current"),
+        )
+
+    ho, hn = P.hash60(F.col("otext")), P.hash60(F.col("ntext"))
+    unchanged = F.col("ntext") == F.col("otext")
+    rows = (
+        F.when(F.col("otext").isNull(), F.array(row(hn, 2, None, True)))
+        .when(F.col("ntext").isNull(), F.array(row(ho, 1, 2, False)))
+        .when(unchanged, F.array(row(ho, 1, None, True)))
+        .otherwise(F.array(row(ho, 1, 2, False), row(hn, 2, None, True)))
+    )
+    return j.select("doc_id", F.explode(rows).alias("r")).select(
+        "doc_id", "r.content_hash", "r.valid_from", "r.valid_to", "r.is_current"
+    )

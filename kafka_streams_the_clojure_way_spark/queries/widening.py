@@ -768,3 +768,113 @@ def dq_lineitem_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("orderkey_in_orders").alias("rule"), "violations", "rows_checked")
     )
     return row_audit.unionByName(ri)
+
+
+# --------------------------------------------------------------------------
+# Incremental-maintenance algebra + time-weighted average
+# --------------------------------------------------------------------------
+
+@query(
+    "agg_incremental_merge_parity",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_incremental_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, proven lossless as a
+    registered query: the corpus is split into two batches, each batch
+    is collapsed to a PARTIAL summary (decimal sum / count / min / max —
+    the mergeable algebra), and the partials are MERGED (sum of sums,
+    sum of counts, min of mins, max of maxes; avg derived at read time).
+    The oracle recomputes directly from all rows — the hash-match IS the
+    statement that maintenance(delta1) merge maintenance(delta2) equals
+    full recompute, which is what lets a 100 TB summary refresh by
+    scanning only the day's delta. Non-mergeable aggregates (avg,
+    percentile) must be derived from merged primitives, never stored."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("o_orderpriority").agg(
+            F.sum(_dec("o_totalprice")).alias("rev_sum"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+
+    state1 = partial(o.filter(F.col("o_orderkey") % 2 == 0))
+    state2 = partial(o.filter(F.col("o_orderkey") % 2 == 1))
+    merged = (
+        state1.unionByName(state2)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("rev_sum").alias("rev_sum"),
+            F.sum("n_orders").alias("n_orders"),
+            F.min("min_price").alias("min_price"),
+            F.max("max_price").alias("max_price"),
+        )
+    )
+    rev = F.col("rev_sum").cast("double")
+    return merged.select(
+        "o_orderpriority",
+        rev.alias("revenue"),
+        "n_orders",
+        "min_price",
+        "max_price",
+        F.round(rev / F.col("n_orders"), 6).alias("avg_price"),
+    )
+
+
+@query(
+    "timeseries_time_weighted_value",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, CAST(value AS DECIMAL(12,6)) AS v,
+               CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_us(ts), event_id)
+                    - epoch_us(ts) AS DECIMAL(26,0)) AS dur_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(dur_us) AS BIGINT) AS n_intervals,
+           CAST(CAST(SUM(dur_us) AS DECIMAL(38,0)) AS BIGINT) AS total_dur_us,
+           round(CAST(SUM(v * dur_us) AS DOUBLE)
+                 / CAST(SUM(dur_us) AS DOUBLE), 6) AS twap
+    FROM seq WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def timeseries_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each event's value is held until
+    the user's next event, so the average weighs values by how long they
+    were in force — the correct aggregate for irregularly-sampled
+    series, where a plain avg over-counts bursts. One lead() window per
+    user + one group-by; weights are exact DECIMAL products of
+    microsecond durations (decimal(12,6) x decimal(26,0) multiplies within
+    DuckDB's p1+p2 <= 38 bind rule and Spark's 38-digit cap, so no float summation anywhere before the final
+    division)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(t, F.col("event_id"))
+    seq = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(12,6)").alias("v"),
+        (F.lead(t).over(w) - t).cast("decimal(26,0)").alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    return seq.groupBy("user_id").agg(
+        F.count("dur_us").alias("n_intervals"),
+        F.sum("dur_us").cast("decimal(38,0)").cast("long").alias("total_dur_us"),
+        F.round(
+            F.sum(F.col("v") * F.col("dur_us")).cast("double")
+            / F.sum("dur_us").cast("double"),
+            6,
+        ).alias("twap"),
+    )
