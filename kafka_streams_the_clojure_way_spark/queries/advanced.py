@@ -519,3 +519,56 @@ def udaf_geomean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows("p_retailprice").alias("n_parts"),
         F.round(geomean("p_retailprice"), 6).alias("geomean_price"),
     )
+
+
+@query(
+    "scalar_hof_pack",
+    oracle="""
+    WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
+    SELECT p_partkey,
+           CAST(len(list_filter(toks, w -> length(w) > 5)) AS BIGINT)
+               AS n_long_words,
+           len(list_filter(toks, w -> length(w) > 8)) > 0 AS any_very_long,
+           len(list_filter(toks, w -> length(w) >= 12)) = 0 AS all_short,
+           CAST(list_reduce(
+                   list_prepend(0, list_transform(toks, w -> length(w))),
+                   (a, b) -> a + b) AS BIGINT) AS total_chars,
+           CAST(list_reduce(
+                   list_prepend(0, list_transform(
+                       list_zip(toks, range(1, len(toks) + 1)),
+                       p -> length(p[1]) * p[2])),
+                   (a, b) -> a + b) AS BIGINT) AS pos_weighted_chars
+    FROM t
+    """,
+)
+def scalar_hof_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as first-class registered surface:
+    filter / exists / forall / aggregate(fold) / zip_with — the
+    lambda-expression family that keeps per-row collection logic inside
+    whole-stage codegen instead of a Python UDF. Every output is scalar
+    (counts, booleans, folded sums) so the pack is hashable; the fold is
+    the same sequential reduce DuckDB's list_reduce computes."""
+    p = load_table(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    fold_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    pos_weighted = F.aggregate(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.array_size(toks)),
+            lambda w, i: F.length(w) * i,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return p.select(
+        "p_partkey",
+        F.array_size(F.filter(toks, lambda w: F.length(w) > 5))
+        .cast("long")
+        .alias("n_long_words"),
+        F.exists(toks, lambda w: F.length(w) > 8).alias("any_very_long"),
+        F.forall(toks, lambda w: F.length(w) < 12).alias("all_short"),
+        fold_chars.alias("total_chars"),
+        pos_weighted.alias("pos_weighted_chars"),
+    )

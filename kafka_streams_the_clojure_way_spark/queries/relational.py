@@ -716,3 +716,85 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("purchase_value")).alias("recent_purchase_value"),
         within.alias("within_tolerance"),
     )
+
+
+@query(
+    "join_asof_nearest_purchase",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'error'),
+    p AS (SELECT user_id, ts, value AS purchase_value FROM events
+          WHERE event_type = 'purchase'),
+    b AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               p.ts AS bts, p.purchase_value AS bval
+        FROM e ASOF LEFT JOIN p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+    ),
+    f AS (
+        SELECT e.event_id, p.ts AS fts, p.purchase_value AS fval
+        FROM e ASOF LEFT JOIN p
+          ON e.user_id = p.user_id AND e.ts <= p.ts
+    )
+    SELECT b.event_id, b.user_id, epoch_us(b.ts) AS error_ts_us,
+           CASE WHEN fts IS NULL THEN bval
+                WHEN bts IS NULL THEN fval
+                WHEN epoch_us(b.ts) - epoch_us(bts)
+                     <= epoch_us(fts) - epoch_us(b.ts) THEN bval
+                ELSE fval END AS purchase_value,
+           CASE WHEN fts IS NULL AND bts IS NULL THEN NULL
+                WHEN fts IS NULL THEN 'backward'
+                WHEN bts IS NULL THEN 'forward'
+                WHEN epoch_us(b.ts) - epoch_us(bts)
+                     <= epoch_us(fts) - epoch_us(b.ts) THEN 'backward'
+                ELSE 'forward' END AS matched_direction
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest', ties
+    resolved backward): each error event gets the user's closest-in-time
+    purchase, before OR after. Composed from the backward and forward
+    single-shuffle as-of carries, each also carrying the matched
+    timestamp, then a per-row distance compare — still two windows total
+    on the same key partitioning, never a range-join blowup."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.unix_micros(F.col("ts")).alias("pts_us"),
+    )
+    kw = dict(on="user_id", left_ts="ts", right_ts="ts",
+              right_values=["purchase_value", "pts_us"])
+    back = asof_join(errors, purchases, direction="backward", **kw).select(
+        "event_id", "user_id", "ts",
+        F.col("purchase_value").alias("bval"), F.col("pts_us").alias("bts_us"),
+    )
+    fwd = asof_join(errors, purchases, direction="forward", **kw).select(
+        "event_id",
+        F.col("purchase_value").alias("fval"), F.col("pts_us").alias("fts_us"),
+    )
+    j = back.join(fwd, "event_id")
+    t = F.unix_micros(F.col("ts"))
+    back_wins = (t - F.col("bts_us")) <= (F.col("fts_us") - t)
+    return j.select(
+        "event_id",
+        "user_id",
+        t.alias("error_ts_us"),
+        F.when(F.col("fts_us").isNull(), F.col("bval"))
+        .when(F.col("bts_us").isNull(), F.col("fval"))
+        .when(back_wins, F.col("bval"))
+        .otherwise(F.col("fval"))
+        .alias("purchase_value"),
+        F.when(F.col("fts_us").isNull() & F.col("bts_us").isNull(),
+               F.lit(None).cast("string"))
+        .when(F.col("fts_us").isNull(), F.lit("backward"))
+        .when(F.col("bts_us").isNull(), F.lit("forward"))
+        .when(back_wins, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("matched_direction"),
+    )

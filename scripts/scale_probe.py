@@ -54,6 +54,10 @@ PROBE_QUERIES = [
     "text_unigram_logprob",         # Zipf-split token join (head broadcast)
     "meta_corpus_fingerprint",      # one-pass partial-agg checksum
     "graph_triangle_parts",         # two wedge equi-joins (edge set grows ~Nx)
+    "dedup_ngram_span_documents",   # n-gram postings: map-side combine + equi-join
+    "agg_heavy_hitter_tokens",      # MG sketch pass + broadcast recount
+    "graph_pagerank_parts",         # 6 iterative rounds, state shuffled on node
+    "sim_ivfpq_topk",               # IVF routing + residual PQ + broadcast LUT
 ]
 
 

@@ -289,6 +289,10 @@ def test_no_accidental_cartesian_products(spark):
         # centroid table each round — same tiny-broadcast BNLJ shape
         "cluster_kmeans_embeddings",
         "sample_cluster_balanced_embeddings",
+        # IVF-PQ routes every vector against the same tiny broadcast
+        # centroid table (the sim_ivf_ann_topk shape) before residual
+        # encoding — BNLJ by design
+        "sim_ivfpq_topk",
     }
     offenders = {}
     for name in sorted(QUERIES):

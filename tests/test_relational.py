@@ -193,3 +193,23 @@ def test_asof_forward_backward_duality(spark):
             ).collect()
         }
         assert fwd == bwd_mirror and len(fwd) == 120
+
+
+def test_asof_nearest_tie_breaks_backward(spark):
+    """The registered nearest-as-of picks backward on exact ties: a left
+    row equidistant between two right rows must take the EARLIER one."""
+    from kafka_streams_the_clojure_way_spark.queries import QUERIES  # noqa: F401
+    from kafka_streams_the_clojure_way_spark.operators.relational import asof_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([{"k": 1, "t": 10, "lid": 0}])
+    right = spark.createDataFrame(
+        [{"k": 1, "t": 5, "val": "early"}, {"k": 1, "t": 15, "val": "late"}]
+    )
+    kw = dict(on="k", left_ts="t", right_ts="t", right_values=["val", "rt"])
+    right = right.withColumn("rt", F.col("t"))
+    b = asof_join(left, right, direction="backward", **kw).collect()[0]
+    f = asof_join(left, right, direction="forward", **kw).collect()[0]
+    # both candidates are 5 away; the query's tie rule (<=) picks backward
+    assert b.val == "early" and f.val == "late"
+    assert (10 - b.rt) <= (f.rt - 10)
