@@ -656,12 +656,24 @@ def duplicate_ngram_spans(
     pos = df.select(F.col(id_col), F.explode(grams).alias("g")).select(
         id_col, "g.start", "g.gram_hash"
     )
-    dup_grams = (
-        pos.groupBy("gram_hash").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2)
-    )
-    covered = pos.join(dup_grams, "gram_hash").select(id_col, "start")
-
+    # count-over-window, not groupBy + join-back: a join would force the
+    # posting explode (the expensive gram-hashing scan) to run TWICE —
+    # once under the aggregate, once under the probe side — because the
+    # two exchanges carry different payloads and can't be reused
+    # (measured ~2x slower). One explode, one shuffle on gram_hash, and
+    # the count rides the same partitioning. Tradeoff: an ultra-hot gram
+    # pins its postings to one window task (AQE can split skewed join
+    # reads, not window partitions) — at 100 TB, boilerplate grams past
+    # a frequency cap should be dropped upstream anyway (they mark
+    # template text, not meaningful duplication).
     from pyspark.sql.window import Window
+
+    gw = Window.partitionBy("gram_hash")
+    covered = (
+        pos.withColumn("__cnt", F.count(F.lit(1)).over(gw))
+        .filter(F.col("__cnt") >= 2)
+        .select(id_col, "start")
+    )
 
     w = Window.partitionBy(id_col).orderBy("start")
     brk = F.when(F.col("start") - F.lag("start").over(w) <= n, F.lit(0)).otherwise(

@@ -406,11 +406,15 @@ def ivfpq_topk(
             F.zip_with("__v", "__cent", lambda x, c: x - c).alias("__res"),
         )
 
+    # checkpoint the routed residuals: the frame feeds the PQ trainer
+    # (dim probe + seed + per-iteration scans), the encode pass, AND the
+    # cell map — without truncation the 118-centroid routing window
+    # recomputes ~4x (measured ~25% of query wall-clock)
     corpus_res = best_cells(
         with_min_parallelism(corpus).select(F.col(id_col), vd.alias("__v")),
         id_col,
         1,
-    )
+    ).localCheckpoint(eager=True)
     codebook, codes = pq_model(
         corpus_res, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col="__res"
     )

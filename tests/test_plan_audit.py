@@ -425,15 +425,15 @@ def test_triangle_joins_are_equi(spark):
 
 
 def test_ngram_span_plan_shape(spark):
-    """Span dedup: the postings count must partial-aggregate (map-side
-    combine collapses boilerplate grams before the shuffle), the
-    candidate join must be equi, and the lag + running-sum island merge
-    must share ONE sort + one shuffle by doc (two Window nodes riding a
-    single Sort/Exchange — lag's frame and the running sum's frame are
-    distinct physical nodes, but the expensive part is not repeated)."""
+    """Span dedup: ONE posting explode feeding one gram_hash shuffle
+    (the count rides a window over that partitioning — a groupBy +
+    join-back would recompute the expensive gram-hashing scan twice),
+    no join at all, and the lag + running-sum island merge sharing one
+    sort + one shuffle by doc."""
     p = _plan(spark, "dedup_ngram_span_documents")
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
-    assert p.count("Window") == 2, p[:3000]
+    assert "CartesianProduct" not in p and "Join" not in p
+    assert p.count("Generate explode") == 1, p[:3000]
+    assert p.count("Window") == 3, p[:3000]  # gram count + lag + running sum
     assert len(re.findall(r"Sort \[doc_id", p)) == 1, p[:3000]
 
 
