@@ -493,3 +493,69 @@ def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         cand.filter(F.col("cosine") > _NEARDUP_COS)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
     )
+
+
+@query(
+    "agg_copurchase_lift",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem WHERE l_orderkey % 8 = 0),
+    tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+    item AS (SELECT p, CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY p),
+    pair AS (
+        SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS pair_count
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT pr.u, pr.v, pr.pair_count, ia.cnt AS cnt_u, ib.cnt AS cnt_v,
+               round(CAST(pr.pair_count * t.n_orders AS DOUBLE)
+                     / (ia.cnt * ib.cnt), 6) AS lift
+        FROM pair pr
+        JOIN item ia ON ia.p = pr.u
+        JOIN item ib ON ib.p = pr.v
+        CROSS JOIN tot t
+    )
+    SELECT u, v, pair_count, cnt_u, cnt_v, lift FROM scored
+    ORDER BY pair_count DESC, u, v LIMIT 20
+    """,
+)
+def agg_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (market-basket lift): for the top-20
+    co-purchased part pairs, lift = P(u,v) / (P(u) P(v)) — >1 means the
+    pair co-occurs more than independence predicts. The pair counting is
+    the same self-equi-join as the triangle/PageRank edge build (the
+    Apriori support-counting shape); item supports broadcast back onto
+    pairs; the ratio is computed from exact BIGINT counts so the oracle
+    is bit-exact. Same deterministic 12.5% order sample as the graph
+    queries to keep BENCH proportionate."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 8 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .dropDuplicates()
+    )
+    tot = li.select("o").distinct().agg(F.count(F.lit(1)).alias("n_orders"))
+    item = li.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    ia = item.select(F.col("p").alias("u"), F.col("cnt").alias("cnt_u"))
+    ib = item.select(F.col("p").alias("v"), F.col("cnt").alias("cnt_v"))
+    scored = (
+        pair.join(F.broadcast(ia), "u")
+        .join(F.broadcast(ib), "v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "u", "v", "pair_count", "cnt_u", "cnt_v",
+            F.round(
+                (F.col("pair_count") * F.col("n_orders")).cast("double")
+                / (F.col("cnt_u") * F.col("cnt_v")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("pair_count").desc(), "u", "v").limit(20)
