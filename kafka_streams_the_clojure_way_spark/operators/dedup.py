@@ -608,33 +608,11 @@ def simhash_pairs_sql(
 NGRAM_SPAN_N = 8
 
 
-def duplicate_ngram_spans(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = NGRAM_SPAN_N
+def _gram_postings(
+    df: DataFrame, text: str, id_col: str, n: int
 ) -> DataFrame:
-    """Maximal duplicated token spans per document: every position whose
-    ``n``-gram occurs more than once in the corpus (any doc, any offset —
-    including elsewhere in the same doc) is "covered"; overlapping covered
-    n-grams merge into maximal ``[span_start, span_end)`` token spans.
-
-    This is the distributed re-expression of suffix-array substring dedup
-    (Lee et al. ACL'22): a suffix array is inherently sequential, but the
-    *covered-position set* it produces is exactly recoverable from n-gram
-    postings, which shard perfectly:
-
-    1. posting list ``(gram_hash, doc, start)`` via a scan-side sliding
-       window (no shuffle, linear output);
-    2. ``groupBy(gram_hash).count()`` — partial aggregation collapses
-       repeated grams map-side, so boilerplate grams (the skew hazard)
-       arrive at the reducer pre-combined;
-    3. inner-join postings to the ``count >= 2`` gram set — a shuffled
-       hash join AQE can skew-split, unlike a count-over-window which
-       would pin each hot gram to one task;
-    4. per-doc gaps-and-islands merge (one shuffle by doc, single Window
-       node: the lag and the running sum share one sort).
-
-    Two shuffles of the posting list + one by doc — no all-pairs join
-    anywhere, so the 100 TB cost is O(corpus tokens), not O(docs^2).
-    """
+    """(id, start, gram_hash): one 60-bit-hashed word n-gram per sliding
+    position, built scan-side (narrow explode, no shuffle)."""
     toks = tokens_col(F.col(text))
     ntok = F.array_size(toks)
     starts = F.when(ntok >= n, F.sequence(F.lit(0), ntok - n)).otherwise(
@@ -653,9 +631,48 @@ def duplicate_ngram_spans(
             .alias("gram_hash"),
         ),
     )
-    pos = df.select(F.col(id_col), F.explode(grams).alias("g")).select(
+    return df.select(F.col(id_col), F.explode(grams).alias("g")).select(
         id_col, "g.start", "g.gram_hash"
     )
+
+
+def _gram_postings_sql(table: str, text: str, id_col: str, n: int) -> str:
+    """DuckDB twin of :func:`_gram_postings` as a CTE body."""
+    toks = tokens_sql(text)
+    return f"""(
+        SELECT {id_col}, CAST(u.i AS BIGINT) AS start,
+               ('0x' || substring(
+                    md5(array_to_string(toks[(u.i + 1):(u.i + {n})], ' ')), 1, 15
+                ))::BIGINT AS gram_hash
+        FROM (SELECT {id_col}, {toks} AS toks FROM {table}) t,
+             UNNEST(range(0, len(toks) - {n - 1})) AS u(i)
+    )"""
+
+
+def duplicate_ngram_spans(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = NGRAM_SPAN_N
+) -> DataFrame:
+    """Maximal duplicated token spans per document: every position whose
+    ``n``-gram occurs more than once in the corpus (any doc, any offset —
+    including elsewhere in the same doc) is "covered"; overlapping covered
+    n-grams merge into maximal ``[span_start, span_end)`` token spans.
+
+    This is the distributed re-expression of suffix-array substring dedup
+    (Lee et al. ACL'22): a suffix array is inherently sequential, but the
+    *covered-position set* it produces is exactly recoverable from n-gram
+    postings, which shard perfectly:
+
+    1. posting list ``(gram_hash, doc, start)`` via a scan-side sliding
+       window (no shuffle, linear output);
+    2. duplicate flag via count-over-window on gram_hash (one shuffle of
+       the postings — see the inline note for why not groupBy+join);
+    3. per-doc gaps-and-islands merge (one shuffle by doc, one sort
+       shared by the lag and running-sum windows).
+
+    One shuffle of the posting list + one by doc — no all-pairs join
+    anywhere, so the 100 TB cost is O(corpus tokens), not O(docs^2).
+    """
+    pos = _gram_postings(df, text, id_col, n)
     # count-over-window, not groupBy + join-back: a join would force the
     # posting explode (the expensive gram-hashing scan) to run TWICE —
     # once under the aggregate, once under the probe side — because the
@@ -735,4 +752,125 @@ def duplicate_ngram_spans_sql(
     SELECT {id_col}, MIN(start) AS span_start, MAX(start) + {n} AS span_end,
            MAX(start) + {n} - MIN(start) AS span_tokens
     FROM isl GROUP BY {id_col}, island
+    """
+
+
+#: start offsets stay far below this, so (doc_id, start) orders
+#: identically to doc_id * POS_KEY_BASE + start — a single BIGINT both
+#: engines can take MIN over (portable lexicographic argmin).
+POS_KEY_BASE = 1 << 20
+
+
+def clip_duplicate_spans(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = NGRAM_SPAN_N
+) -> DataFrame:
+    """The TRANSFORMATION half of substring dedup (Lee et al. ACL'22
+    remove duplicated substrings from the training corpus, keeping one
+    occurrence): rebuild every document with duplicated n-gram spans
+    removed, except the CANONICAL occurrence of each gram — the posting
+    with the lexicographically smallest (doc_id, start), encoded as the
+    BIGINT doc_id * 2^20 + start so both engines argmin the same way.
+
+    Pipeline: gram postings -> duplicate flag + canonical key as two
+    window measures over ONE gram_hash shuffle -> removable postings
+    explode to their n covered positions (distinct per doc) -> token
+    positions anti-join the removable set -> ordered re-assembly via
+    sort_array(collect_list(struct(pos, token))). Output is the cleaned
+    corpus: (id, cleaned_text, n_tokens, n_removed_tokens); cleaned_text
+    is whitespace-normalized lowercase (the tokenizer's canonical form).
+    Cost: O(corpus tokens) with one gram shuffle + one doc shuffle —
+    the same bound as span *detection*; nothing is quadratic.
+    """
+    from pyspark.sql.window import Window
+
+    pos = _gram_postings(df, text, id_col, n)
+    gw = Window.partitionBy("gram_hash")
+    pos_key = F.col(id_col) * POS_KEY_BASE + F.col("start")
+    flagged = pos.select(
+        id_col, "start",
+        F.count(F.lit(1)).over(gw).alias("__cnt"),
+        F.min(pos_key).over(gw).alias("__canon"),
+        pos_key.alias("__key"),
+    )
+    removable = flagged.filter(
+        (F.col("__cnt") >= 2) & (F.col("__key") != F.col("__canon"))
+    )
+    rem_positions = (
+        removable.select(
+            id_col, F.explode(F.sequence(F.col("start"), F.col("start") + n - 1)).alias("p")
+        )
+        .dropDuplicates([id_col, "p"])
+    )
+    toks = tokens_col(F.col(text))
+    tokpos = df.select(
+        F.col(id_col), F.posexplode(toks).alias("p", "tok")
+    ).withColumn("p", F.col("p").cast("long"))
+    kept = tokpos.join(rem_positions, [id_col, "p"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(F.col(id_col), F.array_size(tokens_col(F.col(text))).cast("long").alias("n_tokens"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed_tokens"
+            ),
+        )
+    )
+
+
+def clip_duplicate_spans_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = NGRAM_SPAN_N,
+) -> str:
+    """DuckDB twin of :func:`clip_duplicate_spans` (same constants)."""
+    toks = tokens_sql(text)
+    return f"""
+    WITH pos AS {_gram_postings_sql(table, text, id_col, n)},
+    flagged AS (
+        SELECT {id_col}, start,
+               count(*) OVER (PARTITION BY gram_hash) AS cnt,
+               min({id_col} * {POS_KEY_BASE} + start)
+                   OVER (PARTITION BY gram_hash) AS canon,
+               {id_col} * {POS_KEY_BASE} + start AS key
+        FROM pos
+    ),
+    rem AS (
+        SELECT DISTINCT {id_col}, u.p AS p
+        FROM flagged, UNNEST(range(start, start + {n})) AS u(p)
+        WHERE cnt >= 2 AND key != canon
+    ),
+    tokpos AS (
+        SELECT {id_col}, CAST(u.i - 1 AS BIGINT) AS p,
+               toks[CAST(u.i AS INTEGER)] AS tok
+        FROM (SELECT {id_col}, {toks} AS toks FROM {table}) t,
+             UNNEST(range(1, len(toks) + 1)) AS u(i)
+    ),
+    kept AS (
+        SELECT t.{id_col}, t.p, t.tok
+        FROM tokpos t LEFT JOIN rem r ON r.{id_col} = t.{id_col} AND r.p = t.p
+        WHERE r.{id_col} IS NULL
+    ),
+    rebuilt AS (
+        SELECT {id_col}, string_agg(tok, ' ' ORDER BY p) AS cleaned_text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY {id_col}
+    )
+    SELECT d.{id_col}, COALESCE(r.cleaned_text, '') AS cleaned_text,
+           CAST(len({toks}) AS BIGINT) AS n_tokens,
+           CAST(len({toks}) AS BIGINT) - COALESCE(r.n_kept, 0)
+               AS n_removed_tokens
+    FROM {table} d LEFT JOIN rebuilt r ON r.{id_col} = d.{id_col}
     """

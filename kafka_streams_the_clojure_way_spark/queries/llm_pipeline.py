@@ -253,6 +253,18 @@ def dedup_ngram_span_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_clip_duplicate_spans", oracle=D.clip_duplicate_spans_sql())
+def text_clip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transformation half of substring dedup: the corpus REBUILT
+    with duplicated 8-gram spans removed, keeping each gram's canonical
+    (lowest doc_id, start) occurrence — Lee et al.'s "deduplicate the
+    training data", not just flag it. Canonical selection is a window
+    argmin on the same gram_hash shuffle that counts duplicates; token
+    re-assembly is one sort_array(collect_list) per doc. O(corpus
+    tokens) end to end."""
+    return D.clip_duplicate_spans(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

@@ -123,3 +123,24 @@ def test_duplicate_ngram_spans_self_repetition(spark):
 def test_duplicate_ngram_spans_short_docs_empty(spark):
     out = D.duplicate_ngram_spans(_docs(spark, ["one two", "one two"])).collect()
     assert out == []  # shorter than n -> no n-grams, even if exact dups
+
+
+def test_clip_duplicate_spans_keeps_canonical(spark):
+    phrase = " ".join(f"p{i}" for i in range(10))
+    a = "a1 a2 a3 a4 a5 " + phrase + " a6 a7 a8 a9 a10"
+    b = "b1 b2 b3 b4 b5 " + phrase + " b6 b7 b8 b9 b10"
+    out = {r.doc_id: r for r in D.clip_duplicate_spans(_docs(spark, [a, b])).collect()}
+    # doc 0 holds every gram's canonical occurrence -> untouched
+    assert out[0].cleaned_text == a and out[0].n_removed_tokens == 0
+    # doc 1 loses exactly the shared 10-token phrase
+    assert out[1].cleaned_text == "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    assert out[1].n_removed_tokens == 10 and out[1].n_tokens == 20
+
+
+def test_clip_duplicate_spans_self_repetition(spark):
+    phrase = " ".join(f"r{i}" for i in range(8))
+    doc = phrase + " mid " + phrase
+    out = D.clip_duplicate_spans(_docs(spark, [doc])).collect()[0]
+    # first occurrence is canonical; the repeat (offset 9) is removed
+    assert out.cleaned_text == phrase + " mid"
+    assert out.n_removed_tokens == 8
