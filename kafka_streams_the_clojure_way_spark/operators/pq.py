@@ -41,6 +41,9 @@ from kafka_streams_the_clojure_way_spark.operators.clustering import (
     _sq_dist,
     _sq_dist_sql,
 )
+from kafka_streams_the_clojure_way_spark.operators.similarity import (
+    IVF_CENTROID_ID_CAP as CENT_CAP,
+)
 
 PQ_M = 4          # subspaces
 PQ_K = 16         # codes per subspace (4-bit codes)
@@ -384,7 +387,9 @@ def ivfpq_topk(
 
     vd = F.col(vec_col).cast("array<double>")
     cents = F.broadcast(
-        corpus.filter(F.col(id_col) % centroid_mod == 1).select(
+        corpus.filter(
+            (F.col(id_col) % centroid_mod == 1) & (F.col(id_col) < CENT_CAP)
+        ).select(
             F.col(id_col).alias("__cent_id"), vd.alias("__cent")
         )
     )
@@ -487,7 +492,7 @@ def ivfpq_topk_sql(
         f"allv AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS vv FROM {table})",
         f"""cents AS (
         SELECT {id_col} AS cent_id, vv AS cv FROM allv
-        WHERE {id_col} % {centroid_mod} = 1
+        WHERE {id_col} % {centroid_mod} = 1 AND {id_col} < {CENT_CAP}
     )""",
         f"""corpus_scored AS (
         SELECT s.{id_col}, s.vv, c.cent_id, c.cv AS cent_vec,
