@@ -650,7 +650,11 @@ def _gram_postings_sql(table: str, text: str, id_col: str, n: int) -> str:
 
 
 def duplicate_ngram_spans(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = NGRAM_SPAN_N
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = NGRAM_SPAN_N,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Maximal duplicated token spans per document: every position whose
     ``n``-gram occurs more than once in the corpus (any doc, any offset —
@@ -664,33 +668,39 @@ def duplicate_ngram_spans(
 
     1. posting list ``(gram_hash, doc, start)`` via a scan-side sliding
        window (no shuffle, linear output);
-    2. duplicate flag via count-over-window on gram_hash (one shuffle of
-       the postings — see the inline note for why not groupBy+join);
+    2. duplicate flag — count-over-window on gram_hash by default (ONE
+       shuffle and one posting explode; a groupBy + join-back recomputes
+       the gram-hashing explode twice because the two exchanges carry
+       different payloads and can't be reused — measured ~2x slower), or
+       the groupBy + join-back form with ``skew_safe=True`` for corpora
+       where a single boilerplate gram's postings exceed one task (AQE
+       can split skewed JOIN reads but not window partitions; both forms
+       return identical results — parity pytest-gated);
     3. per-doc gaps-and-islands merge (one shuffle by doc, one sort
        shared by the lag and running-sum windows).
 
-    One shuffle of the posting list + one by doc — no all-pairs join
-    anywhere, so the 100 TB cost is O(corpus tokens), not O(docs^2).
+    No all-pairs join anywhere, so the 100 TB cost is O(corpus tokens),
+    not O(docs^2).
     """
     pos = _gram_postings(df, text, id_col, n)
-    # count-over-window, not groupBy + join-back: a join would force the
-    # posting explode (the expensive gram-hashing scan) to run TWICE —
-    # once under the aggregate, once under the probe side — because the
-    # two exchanges carry different payloads and can't be reused
-    # (measured ~2x slower). One explode, one shuffle on gram_hash, and
-    # the count rides the same partitioning. Tradeoff: an ultra-hot gram
-    # pins its postings to one window task (AQE can split skewed join
-    # reads, not window partitions) — at 100 TB, boilerplate grams past
-    # a frequency cap should be dropped upstream anyway (they mark
-    # template text, not meaningful duplication).
     from pyspark.sql.window import Window
 
-    gw = Window.partitionBy("gram_hash")
-    covered = (
-        pos.withColumn("__cnt", F.count(F.lit(1)).over(gw))
-        .filter(F.col("__cnt") >= 2)
-        .select(id_col, "start")
-    )
+    if skew_safe:
+        dup_grams = (
+            pos.groupBy("gram_hash")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .filter(F.col("__cnt") >= 2)
+        )
+        covered = pos.join(dup_grams.hint("shuffle_hash"), "gram_hash").select(
+            id_col, "start"
+        )
+    else:
+        gw = Window.partitionBy("gram_hash")
+        covered = (
+            pos.withColumn("__cnt", F.count(F.lit(1)).over(gw))
+            .filter(F.col("__cnt") >= 2)
+            .select(id_col, "start")
+        )
 
     w = Window.partitionBy(id_col).orderBy("start")
     brk = F.when(F.col("start") - F.lag("start").over(w) <= n, F.lit(0)).otherwise(
@@ -718,18 +728,8 @@ def duplicate_ngram_spans_sql(
     n: int = NGRAM_SPAN_N,
 ) -> str:
     """DuckDB twin of :func:`duplicate_ngram_spans` (same constants)."""
-    toks = tokens_sql(text)
     return f"""
-    WITH tok AS (
-        SELECT {id_col}, {toks} AS toks FROM {table}
-    ),
-    pos AS (
-        SELECT {id_col}, CAST(u.i AS BIGINT) AS start,
-               ('0x' || substring(
-                    md5(array_to_string(toks[(u.i + 1):(u.i + {n})], ' ')), 1, 15
-                ))::BIGINT AS gram_hash
-        FROM tok, UNNEST(range(0, len(toks) - {n - 1})) AS u(i)
-    ),
+    WITH pos AS {_gram_postings_sql(table, text, id_col, n)},
     dup_grams AS (
         SELECT gram_hash FROM pos GROUP BY gram_hash HAVING count(*) >= 2
     ),
@@ -755,10 +755,14 @@ def duplicate_ngram_spans_sql(
     """
 
 
-#: start offsets stay far below this, so (doc_id, start) orders
-#: identically to doc_id * POS_KEY_BASE + start — a single BIGINT both
-#: engines can take MIN over (portable lexicographic argmin).
-POS_KEY_BASE = 1 << 20
+#: (doc_id, start) orders identically to doc_id * POS_KEY_BASE + start —
+#: a single BIGINT both engines can take MIN over (portable
+#: lexicographic argmin) — PROVIDED start < POS_KEY_BASE. 2^26 allows
+#: 67M tokens per document and ~1.4e11 documents before BIGINT overflow;
+#: the Spark side enforces the start bound per row with assert_true (a
+#: silent violation would corrupt canonical selection), so oversized
+#: documents fail loudly instead of clipping wrongly.
+POS_KEY_BASE = 1 << 26
 
 
 def clip_duplicate_spans(
@@ -769,38 +773,60 @@ def clip_duplicate_spans(
     occurrence): rebuild every document with duplicated n-gram spans
     removed, except the CANONICAL occurrence of each gram — the posting
     with the lexicographically smallest (doc_id, start), encoded as the
-    BIGINT doc_id * 2^20 + start so both engines argmin the same way.
+    BIGINT doc_id * 2^26 + start (guarded — see POS_KEY_BASE) so both
+    engines argmin the same way.
+
+    Guarantee: every token position belonging to ANY canonical posting
+    is protected absolutely — removable positions are subtracted by the
+    protected-position set, so a gram's canonical occurrence survives
+    intact even where it overlaps a DIFFERENT duplicated gram's
+    removable occurrence (without the subtraction, overlapping removals
+    could silently destroy every copy of a duplicated sequence).
 
     Pipeline: gram postings -> duplicate flag + canonical key as two
-    window measures over ONE gram_hash shuffle -> removable postings
-    explode to their n covered positions (distinct per doc) -> token
-    positions anti-join the removable set -> ordered re-assembly via
+    window measures over ONE gram_hash shuffle -> removable and
+    protected postings each explode to their n covered positions ->
+    (removable MINUS protected) per doc -> token positions anti-join
+    that set -> ordered re-assembly via
     sort_array(collect_list(struct(pos, token))). Output is the cleaned
     corpus: (id, cleaned_text, n_tokens, n_removed_tokens); cleaned_text
     is whitespace-normalized lowercase (the tokenizer's canonical form).
     Cost: O(corpus tokens) with one gram shuffle + one doc shuffle —
-    the same bound as span *detection*; nothing is quadratic.
+    the same bound as span *detection*; nothing is quadratic. Hot-gram
+    skew note: see duplicate_ngram_spans(skew_safe=...) — the same
+    tradeoff applies to these windows.
     """
     from pyspark.sql.window import Window
 
     pos = _gram_postings(df, text, id_col, n)
     gw = Window.partitionBy("gram_hash")
-    pos_key = F.col(id_col) * POS_KEY_BASE + F.col("start")
+    # assert_true rides inside the key expression (a standalone column
+    # would be pruned away unevaluated): NULL (+0) when in range, loud
+    # failure when a document exceeds POS_KEY_BASE tokens.
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("start") < POS_KEY_BASE,
+            F.lit(f"document longer than POS_KEY_BASE={POS_KEY_BASE} tokens"),
+        ).cast("long"),
+        F.lit(0),
+    )
+    pos_key = F.col(id_col) * POS_KEY_BASE + F.col("start") + guard
     flagged = pos.select(
         id_col, "start",
         F.count(F.lit(1)).over(gw).alias("__cnt"),
         F.min(pos_key).over(gw).alias("__canon"),
         pos_key.alias("__key"),
-    )
-    removable = flagged.filter(
-        (F.col("__cnt") >= 2) & (F.col("__key") != F.col("__canon"))
-    )
-    rem_positions = (
-        removable.select(
-            id_col, F.explode(F.sequence(F.col("start"), F.col("start") + n - 1)).alias("p")
-        )
-        .dropDuplicates([id_col, "p"])
-    )
+    ).filter(F.col("__cnt") >= 2)
+
+    def positions(side: DataFrame) -> DataFrame:
+        return side.select(
+            id_col,
+            F.explode(F.sequence(F.col("start"), F.col("start") + n - 1)).alias("p"),
+        ).dropDuplicates([id_col, "p"])
+
+    removable = positions(flagged.filter(F.col("__key") != F.col("__canon")))
+    protected = positions(flagged.filter(F.col("__key") == F.col("__canon")))
+    rem_positions = removable.join(protected, [id_col, "p"], "left_anti")
     toks = tokens_col(F.col(text))
     tokpos = df.select(
         F.col(id_col), F.posexplode(toks).alias("p", "tok")
@@ -847,10 +873,21 @@ def clip_duplicate_spans_sql(
                {id_col} * {POS_KEY_BASE} + start AS key
         FROM pos
     ),
-    rem AS (
+    removable AS (
         SELECT DISTINCT {id_col}, u.p AS p
         FROM flagged, UNNEST(range(start, start + {n})) AS u(p)
         WHERE cnt >= 2 AND key != canon
+    ),
+    protected AS (
+        SELECT DISTINCT {id_col}, u.p AS p
+        FROM flagged, UNNEST(range(start, start + {n})) AS u(p)
+        WHERE cnt >= 2 AND key = canon
+    ),
+    rem AS (
+        SELECT r.{id_col}, r.p
+        FROM removable r LEFT JOIN protected g
+          ON g.{id_col} = r.{id_col} AND g.p = r.p
+        WHERE g.{id_col} IS NULL
     ),
     tokpos AS (
         SELECT {id_col}, CAST(u.i - 1 AS BIGINT) AS p,

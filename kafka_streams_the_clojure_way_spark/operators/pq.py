@@ -42,7 +42,7 @@ from kafka_streams_the_clojure_way_spark.operators.clustering import (
     _sq_dist_sql,
 )
 from kafka_streams_the_clojure_way_spark.operators.similarity import (
-    IVF_CENTROID_ID_CAP as CENT_CAP,
+    IVF_N_CELLS,
 )
 
 PQ_M = 4          # subspaces
@@ -164,6 +164,61 @@ def pq_model(
     return rows, codes
 
 
+def _adc_lut(
+    qsubs: DataFrame,
+    codebook_rows: list[tuple[int, int, list[float]]],
+    out_cols: list[str],
+) -> DataFrame:
+    """Integer-unit (query[, cell], s, code) -> distance lookup table
+    from query subvectors x a broadcast codebook."""
+    cb_df = F.broadcast(
+        qsubs.sparkSession.createDataFrame(
+            codebook_rows, "s int, code int, c array<double>"
+        )
+    )
+    return qsubs.join(cb_df, "s").select(
+        *out_cols,
+        F.floor(_sq_dist(F.col("sub"), F.col("c")) * ADC_UNITS + F.lit(0.5))
+        .cast("long")
+        .alias("du"),
+    )
+
+
+def _adc_rank(
+    codes: DataFrame,
+    lut: DataFrame,
+    join_keys: list[str],
+    *,
+    top_k: int,
+    id_col: str,
+    query_id: str,
+) -> DataFrame:
+    """Shared ADC tail: broadcast-LUT equi-join on ``join_keys``,
+    self-match filter, BIGINT distance sum, partial top-k. Both the flat
+    PQ scan ([s, code]) and IVF-PQ ([cell, s, code]) end here — one
+    place to fix, not three."""
+    from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
+
+    scored = (
+        codes.join(F.broadcast(lut), join_keys)
+        .filter(F.col(id_col) != F.col(query_id))
+        .groupBy(query_id, id_col)
+        .agg(F.sum("du").alias("adc_units"))
+    )
+    return top_k_per_key(
+        scored,
+        keys=[query_id],
+        order_by=[F.col("adc_units").asc(), F.col(id_col).asc()],
+        k=top_k,
+        rank_col="rank",
+    ).select(
+        query_id,
+        F.col(id_col).alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "adc_units",
+    )
+
+
 def adc_topk(
     codes: DataFrame,
     codebook_rows: list[tuple[int, int, list[float]]],
@@ -180,41 +235,15 @@ def adc_topk(
     (n_queries x M x K rows), broadcasts it against the corpus codes, and
     partial-top-k's the BIGINT distance sums. Output: (query_id,
     neighbor_id, rank, adc_units)."""
-    from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
-
-    spark = codes.sparkSession
     m = 1 + max(s for s, _, _ in codebook_rows)
     subdim = len(codebook_rows[0][2])
-    cb_df = F.broadcast(
-        spark.createDataFrame(codebook_rows, "s int, code int, c array<double>")
-    )
     qsubs = _subvector_frame(
         queries.select(F.col(id_col).alias(query_id), vec_col),
         query_id, vec_col, m, subdim,
     )
-    lut = qsubs.join(cb_df, "s").select(
-        query_id, "s", "code",
-        F.floor(_sq_dist(F.col("sub"), F.col("c")) * ADC_UNITS + F.lit(0.5))
-        .cast("long")
-        .alias("du"),
-    )
-    scored = (
-        codes.join(F.broadcast(lut), ["s", "code"])
-        .filter(F.col(id_col) != F.col(query_id))
-        .groupBy(query_id, id_col)
-        .agg(F.sum("du").alias("adc_units"))
-    )
-    return top_k_per_key(
-        scored,
-        keys=[query_id],
-        order_by=[F.col("adc_units").asc(), F.col(id_col).asc()],
-        k=top_k,
-        rank_col="rank",
-    ).select(
-        query_id,
-        F.col(id_col).alias("neighbor_id"),
-        F.col("rank").cast("long").alias("rank"),
-        "adc_units",
+    lut = _adc_lut(qsubs, codebook_rows, [query_id, "s", "code"])
+    return _adc_rank(
+        codes, lut, ["s", "code"], top_k=top_k, id_col=id_col, query_id=query_id
     )
 
 
@@ -387,9 +416,10 @@ def ivfpq_topk(
 
     vd = F.col(vec_col).cast("array<double>")
     cents = F.broadcast(
-        corpus.filter(
-            (F.col(id_col) % centroid_mod == 1) & (F.col(id_col) < CENT_CAP)
-        ).select(
+        corpus.filter(F.col(id_col) % centroid_mod == 1)
+        .orderBy(id_col)
+        .limit(IVF_N_CELLS)
+        .select(
             F.col(id_col).alias("__cent_id"), vd.alias("__cent")
         )
     )
@@ -434,32 +464,14 @@ def ivfpq_topk(
     qsubs = _subvector_frame(
         probe_res, query_id, "__res", m, subdim, extra=("cell",)
     )
-    cb_df = F.broadcast(
-        codes.sparkSession.createDataFrame(codebook, "s int, code int, c array<double>")
-    )
-    lut = qsubs.join(cb_df, "s").select(
-        query_id, "cell", "s", "code",
-        F.floor(_sq_dist(F.col("sub"), F.col("c")) * ADC_UNITS + F.lit(0.5))
-        .cast("long")
-        .alias("du"),
-    )
-    scored = (
-        codes.join(F.broadcast(lut), ["cell", "s", "code"])
-        .filter(F.col(id_col) != F.col(query_id))
-        .groupBy(query_id, id_col)
-        .agg(F.sum("du").alias("adc_units"))
-    )
-    return top_k_per_key(
-        scored,
-        keys=[query_id],
-        order_by=[F.col("adc_units").asc(), F.col(id_col).asc()],
-        k=top_k,
-        rank_col="rank",
-    ).select(
-        query_id,
-        F.col(id_col).alias("neighbor_id"),
-        F.col("rank").cast("long").alias("rank"),
-        "adc_units",
+    lut = _adc_lut(qsubs, codebook, [query_id, "cell", "s", "code"])
+    return _adc_rank(
+        codes,
+        lut,
+        ["cell", "s", "code"],
+        top_k=top_k,
+        id_col=id_col,
+        query_id=query_id,
     )
 
 
@@ -492,7 +504,7 @@ def ivfpq_topk_sql(
         f"allv AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS vv FROM {table})",
         f"""cents AS (
         SELECT {id_col} AS cent_id, vv AS cv FROM allv
-        WHERE {id_col} % {centroid_mod} = 1 AND {id_col} < {CENT_CAP}
+        WHERE {id_col} % {centroid_mod} = 1 ORDER BY {id_col} LIMIT {IVF_N_CELLS}
     )""",
         f"""corpus_scored AS (
         SELECT s.{id_col}, s.vv, c.cent_id, c.cv AS cent_vec,

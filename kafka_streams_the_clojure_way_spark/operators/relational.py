@@ -336,3 +336,65 @@ def dataset_fingerprint_sql(
         g = ", ".join(group_by)
         return f"SELECT {g}, {sel} FROM {table} GROUP BY {g}"
     return f"SELECT {sel} FROM {table}"
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    *,
+    left_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+) -> DataFrame:
+    """NEAREST as-of join (pandas ``merge_asof(direction='nearest')``,
+    ties resolved BACKWARD): each left row takes the right row closest in
+    time, before or after. Composed from the backward and forward
+    single-shuffle carries of :func:`asof_join` — each also carries the
+    matched right timestamp — joined back on the unique ``left_key`` and
+    resolved by a per-row distance compare. Two windows total on the
+    same key partitioning; never a range-join blowup.
+
+    Output: left columns + ``right_values`` + ``matched_direction``
+    ('backward' | 'forward' | NULL when no right row exists either way).
+    """
+    rts = "__rts_us"
+    right_aug = right.withColumn(rts, F.unix_micros(F.col(right_ts)))
+    kw = dict(
+        on=on, left_ts=left_ts, right_ts=right_ts,
+        right_values=[*right_values, rts],
+    )
+    back = asof_join(left, right_aug, direction="backward", **kw)
+    fwd = asof_join(left, right_aug, direction="forward", **kw)
+    bsel = back.select(
+        *back.columns[: len(back.columns) - len(right_values) - 1],
+        *[F.col(c).alias(f"__b_{c}") for c in right_values],
+        F.col(rts).alias("__bts"),
+    )
+    fsel = fwd.select(
+        left_key,
+        *[F.col(c).alias(f"__f_{c}") for c in right_values],
+        F.col(rts).alias("__fts"),
+    )
+    j = bsel.join(fsel, left_key)
+    t = F.unix_micros(F.col(left_ts))
+    back_wins = (t - F.col("__bts")) <= (F.col("__fts") - t)  # tie -> backward
+    picked = [
+        F.when(F.col("__fts").isNull(), F.col(f"__b_{c}"))
+        .when(F.col("__bts").isNull(), F.col(f"__f_{c}"))
+        .when(back_wins, F.col(f"__b_{c}"))
+        .otherwise(F.col(f"__f_{c}"))
+        .alias(c)
+        for c in right_values
+    ]
+    direction = (
+        F.when(F.col("__fts").isNull() & F.col("__bts").isNull(), F.lit(None).cast("string"))
+        .when(F.col("__fts").isNull(), F.lit("backward"))
+        .when(F.col("__bts").isNull(), F.lit("forward"))
+        .when(back_wins, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("matched_direction")
+    )
+    keep = [c for c in j.columns if not c.startswith("__")]
+    return j.select(*keep, *picked, direction)

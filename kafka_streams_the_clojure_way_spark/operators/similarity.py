@@ -222,15 +222,18 @@ def lsh_topk(
 
 
 IVF_CENTROID_MOD = 17
-#: centroid seed ids are drawn only from [0, IVF_CENTROID_ID_CAP): the
-#: cell count is a MODEL hyperparameter, not a function of corpus size.
-#: Without the cap, a 10x corpus means 10x cells and the routing pass
-#: (corpus x centroids) goes quadratic — measured 7.7x wall at 10x rows.
-#: With it, routing stays O(N x n_cells) with constant n_cells, and
-#: probing n_probe cells scans a constant FRACTION of the corpus.
-#: (Production retrains k-means centroids as N grows — kmeans_fit — but
-#: the count still grows like sqrt(N), never N.)
-IVF_CENTROID_ID_CAP = 2000
+#: the cell count is a MODEL hyperparameter, not a function of corpus
+#: size: centroids are the FIRST IVF_N_CELLS qualifying ids by rank
+#: (id % mod == 1 ORDER BY id LIMIT n), so the count is constant for any
+#: id domain — dense-from-zero or not. Without the cap a 10x corpus
+#: means 10x cells and the routing pass (corpus x centroids) goes
+#: quadratic — measured 7.7x wall at 10x rows; with it routing is
+#: O(N x n_cells) and probing n_probe cells scans a constant FRACTION
+#: of the corpus. (Production retrains k-means centroids as N grows —
+#: kmeans_fit — but the count still grows like sqrt(N), never N.)
+#: 118 = the qualifying ids below 2000 in the test corpus, so capped
+#: and uncapped results coincide at every driver scale factor.
+IVF_N_CELLS = 118
 IVF_NPROBE = 3
 
 
@@ -264,10 +267,10 @@ def ivf_topk(
     once and probes become partition-pruned scans with no shuffle at all.
     """
     cents = F.broadcast(
-        corpus.filter(
-            (F.col(id_col) % centroid_mod == 1)
-            & (F.col(id_col) < IVF_CENTROID_ID_CAP)
-        ).select(
+        corpus.filter(F.col(id_col) % centroid_mod == 1)
+        .orderBy(id_col)
+        .limit(IVF_N_CELLS)
+        .select(
             F.col(id_col).alias("__cent_id"), F.col(vec_col).alias("__cent_vec")
         )
     )
@@ -333,13 +336,13 @@ def ivf_topk_sql(
     centroid_mod: int = IVF_CENTROID_MOD,
 ) -> str:
     """DuckDB twin of ivf_topk with the same deterministic centroids."""
-    cap = IVF_CENTROID_ID_CAP
+    n_cells = IVF_N_CELLS
     cos_cent = cosine_sql(f"s.{vec_col}", f"c.{vec_col}")
     cos_qn = cosine_sql("q.qvec", "n.cvec")
     return f"""
     WITH cents AS (
         SELECT {id_col} AS cent_id, {vec_col} FROM {table}
-        WHERE {id_col} % {centroid_mod} = 1 AND {id_col} < {cap}
+        WHERE {id_col} % {centroid_mod} = 1 ORDER BY {id_col} LIMIT {n_cells}
     ),
     corpus_scored AS (
         SELECT s.{id_col} AS neighbor_id, s.{vec_col} AS cvec, c.cent_id,
@@ -468,8 +471,8 @@ def build_ivf_index(
         write_partitioned,
     )
 
-    cents = corpus.filter(
-        (F.col(id_col) % centroid_mod == 1) & (F.col(id_col) < IVF_CENTROID_ID_CAP)
+    cents = corpus.filter(F.col(id_col) % centroid_mod == 1).orderBy(id_col).limit(
+        IVF_N_CELLS
     ).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
     )

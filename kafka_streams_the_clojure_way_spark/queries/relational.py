@@ -754,47 +754,34 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST as-of join (pandas merge_asof direction='nearest', ties
     resolved backward): each error event gets the user's closest-in-time
-    purchase, before OR after. Composed from the backward and forward
-    single-shuffle as-of carries, each also carrying the matched
-    timestamp, then a per-row distance compare — still two windows total
-    on the same key partitioning, never a range-join blowup."""
+    purchase, before OR after — operators.relational.asof_join_nearest,
+    which composes the backward and forward single-shuffle carries and
+    resolves by per-row distance. Tie semantics unit-tested on an exact
+    equidistant fixture in tests/test_relational.py."""
+    from kafka_streams_the_clojure_way_spark.operators.relational import (
+        asof_join_nearest,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     errors = ev.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.col("value").alias("purchase_value"),
-        F.unix_micros(F.col("ts")).alias("pts_us"),
+        "user_id", "ts", F.col("value").alias("purchase_value")
     )
-    kw = dict(on="user_id", left_ts="ts", right_ts="ts",
-              right_values=["purchase_value", "pts_us"])
-    back = asof_join(errors, purchases, direction="backward", **kw).select(
-        "event_id", "user_id", "ts",
-        F.col("purchase_value").alias("bval"), F.col("pts_us").alias("bts_us"),
+    out = asof_join_nearest(
+        errors,
+        purchases,
+        on="user_id",
+        left_key="event_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["purchase_value"],
     )
-    fwd = asof_join(errors, purchases, direction="forward", **kw).select(
-        "event_id",
-        F.col("purchase_value").alias("fval"), F.col("pts_us").alias("fts_us"),
-    )
-    j = back.join(fwd, "event_id")
-    t = F.unix_micros(F.col("ts"))
-    back_wins = (t - F.col("bts_us")) <= (F.col("fts_us") - t)
-    return j.select(
+    return out.select(
         "event_id",
         "user_id",
-        t.alias("error_ts_us"),
-        F.when(F.col("fts_us").isNull(), F.col("bval"))
-        .when(F.col("bts_us").isNull(), F.col("fval"))
-        .when(back_wins, F.col("bval"))
-        .otherwise(F.col("fval"))
-        .alias("purchase_value"),
-        F.when(F.col("fts_us").isNull() & F.col("bts_us").isNull(),
-               F.lit(None).cast("string"))
-        .when(F.col("fts_us").isNull(), F.lit("backward"))
-        .when(F.col("bts_us").isNull(), F.lit("forward"))
-        .when(back_wins, F.lit("backward"))
-        .otherwise(F.lit("forward"))
-        .alias("matched_direction"),
+        F.unix_micros(F.col("ts")).alias("error_ts_us"),
+        "purchase_value",
+        "matched_direction",
     )

@@ -190,3 +190,50 @@ def test_ivfpq_recall_and_cell_consistency(spark):
     )
     recalls = [len(got.get(k, set()) & v) / len(v) for k, v in exact.items()]
     assert sum(recalls) / len(recalls) >= 0.05
+
+    # routing consistency: every returned neighbor must live in a cell
+    # the query probed (a codes join that dropped the cell key would
+    # leak candidates from unprobed cells — and might RAISE recall, so
+    # the recall floor alone can't catch it)
+    from kafka_streams_the_clojure_way_spark.operators.relational import (
+        top_k_per_key,
+    )
+    from kafka_streams_the_clojure_way_spark.operators.similarity import (
+        IVF_CENTROID_MOD,
+        IVF_N_CELLS,
+        cosine,
+    )
+
+    corpus = emb.selectExpr("vec_id", "v AS embedding")
+    cents = F.broadcast(
+        corpus.filter(F.col("vec_id") % IVF_CENTROID_MOD == 1)
+        .orderBy("vec_id")
+        .limit(IVF_N_CELLS)
+        .selectExpr("vec_id AS cent_id", "embedding AS cvec")
+    )
+
+    def cells(side, sid, n):
+        scored = side.join(cents).select(
+            sid, "cent_id", cosine(F.col("embedding"), F.col("cvec")).alias("cos")
+        )
+        return top_k_per_key(
+            scored,
+            keys=[sid],
+            order_by=[F.col("cos").desc(), F.col("cent_id").asc()],
+            k=n,
+            rank_col="r",
+        ).select(sid, "cent_id")
+
+    probed = {}
+    for r in cells(
+        corpus.filter(F.col("vec_id") % 50 == 0).selectExpr(
+            "vec_id AS query_id", "embedding"
+        ),
+        "query_id",
+        3,
+    ).collect():
+        probed.setdefault(r.query_id, set()).add(r.cent_id)
+    cell_of = {r.vec_id: r.cent_id for r in cells(corpus, "vec_id", 1).collect()}
+    for qid, neighbors in got.items():
+        for n_id in neighbors:
+            assert cell_of[n_id] in probed[qid], (qid, n_id)

@@ -196,20 +196,40 @@ def test_asof_forward_backward_duality(spark):
 
 
 def test_asof_nearest_tie_breaks_backward(spark):
-    """The registered nearest-as-of picks backward on exact ties: a left
-    row equidistant between two right rows must take the EARLIER one."""
-    from kafka_streams_the_clojure_way_spark.queries import QUERIES  # noqa: F401
-    from kafka_streams_the_clojure_way_spark.operators.relational import asof_join
-    from pyspark.sql import functions as F
+    """asof_join_nearest on an EXACT equidistant fixture: the left row
+    sits precisely between two right rows, so only the documented tie
+    rule (backward wins) decides — flipping the <= to < in back_wins
+    fails this test. Also covers the one-sided and no-match cases."""
+    import datetime as dt
 
-    left = spark.createDataFrame([{"k": 1, "t": 10, "lid": 0}])
-    right = spark.createDataFrame(
-        [{"k": 1, "t": 5, "val": "early"}, {"k": 1, "t": 15, "val": "late"}]
+    from kafka_streams_the_clojure_way_spark.operators.relational import (
+        asof_join_nearest,
     )
-    kw = dict(on="k", left_ts="t", right_ts="t", right_values=["val", "rt"])
-    right = right.withColumn("rt", F.col("t"))
-    b = asof_join(left, right, direction="backward", **kw).collect()[0]
-    f = asof_join(left, right, direction="forward", **kw).collect()[0]
-    # both candidates are 5 away; the query's tie rule (<=) picks backward
-    assert b.val == "early" and f.val == "late"
-    assert (10 - b.rt) <= (f.rt - 10)
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1, 0, 0, sec)
+
+    left = spark.createDataFrame(
+        [
+            {"k": 1, "lid": 0, "t": ts(10)},   # equidistant: right at 5 and 15
+            {"k": 2, "lid": 1, "t": ts(10)},   # only a later right row
+            {"k": 3, "lid": 2, "t": ts(10)},   # no right rows at all
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            {"k": 1, "t": ts(5), "val": "early"},
+            {"k": 1, "t": ts(15), "val": "late"},
+            {"k": 2, "t": ts(40), "val": "after"},
+        ]
+    )
+    out = {
+        r.lid: (r.val, r.matched_direction)
+        for r in asof_join_nearest(
+            left, right, on="k", left_key="lid", left_ts="t", right_ts="t",
+            right_values=["val"],
+        ).collect()
+    }
+    assert out[0] == ("early", "backward")   # exact tie -> backward
+    assert out[1] == ("after", "forward")
+    assert out[2] == (None, None)

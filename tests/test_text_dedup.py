@@ -144,3 +144,36 @@ def test_clip_duplicate_spans_self_repetition(spark):
     # first occurrence is canonical; the repeat (offset 9) is removed
     assert out.cleaned_text == phrase + " mid"
     assert out.n_removed_tokens == 8
+
+
+def test_clip_protects_overlapped_canonical_occurrence(spark):
+    """A gram's canonical occurrence must survive even where it overlaps
+    a DIFFERENT duplicated gram's removable occurrence — without the
+    protected-position subtraction, every copy of G below would vanish."""
+    H = [f"h{i}" for i in range(8)]
+    W = [f"w{i}" for i in range(4)]
+    d1 = " ".join(H + ["f1", "f2", "f3", "f4"])            # H canonical here
+    d2 = " ".join(H + W)                                   # G = h4..h7 w0..w3 canonical here
+    d3 = " ".join(["z1", "z2", "z3", "z4"] + H[4:] + W)    # G again (removable)
+    out = {r.doc_id: r for r in D.clip_duplicate_spans(_docs(spark, [d1, d2, d3])).collect()}
+    assert out[0].cleaned_text == d1                       # fully canonical
+    # doc2: H's removable occurrence covers 0..7, but G's canonical
+    # occupies 4..11 -> only 0..3 removed, G survives intact
+    assert out[1].cleaned_text == " ".join(H[4:] + W)
+    assert out[1].n_removed_tokens == 4
+    # doc3: its G occurrence is non-canonical -> removed wholesale
+    assert out[2].cleaned_text == "z1 z2 z3 z4"
+    assert out[2].n_removed_tokens == 8
+
+
+def test_span_detection_skew_safe_parity(spark):
+    """The skew_safe (groupBy + join-back) and default (count-over-
+    window) formulations must return identical spans."""
+    phrase = " ".join(f"p{i}" for i in range(10))
+    docs = _docs(
+        spark,
+        ["a1 a2 a3 " + phrase, "b1 b2 " + phrase + " b3", "c1 c2 c3 c4 c5 c6 c7 c8"],
+    )
+    base = {tuple(r) for r in D.duplicate_ngram_spans(docs).collect()}
+    safe = {tuple(r) for r in D.duplicate_ngram_spans(docs, skew_safe=True).collect()}
+    assert base == safe and len(base) > 0
