@@ -40,11 +40,21 @@ SHINGLE_K = 3
 #: (a, b) seeds for the portable universal-hash family h_i(x) = (a*x+b) % M31.
 #: Fixed constants — NOT runtime-random — so signatures are reproducible
 #: across engines, runs, and the DuckDB oracle.
-MINHASH_SEEDS: tuple[tuple[int, int], ...] = tuple(
-    (1_000_003 * (i + 1) + 17, 7_919 * (i + 1) + 3) for i in range(16)
-)
+
+
+def minhash_seeds(n_hashes: int) -> tuple[tuple[int, int], ...]:
+    """First ``n_hashes`` seeds of the fixed universal-hash family — a
+    prefix-stable sequence, so growing n_hashes extends (never reshuffles)
+    an existing signature column."""
+    return tuple(
+        (1_000_003 * (i + 1) + 17, 7_919 * (i + 1) + 3) for i in range(n_hashes)
+    )
+
+
+N_MINHASH = 16
+MINHASH_SEEDS: tuple[tuple[int, int], ...] = minhash_seeds(N_MINHASH)
 LSH_BANDS = 4
-LSH_ROWS = len(MINHASH_SEEDS) // LSH_BANDS
+LSH_ROWS = N_MINHASH // LSH_BANDS
 
 SIMHASH_BITS = 60
 SIMHASH_BANDS = 4
@@ -129,8 +139,11 @@ def exact_dedup_groups(df: DataFrame, text: str = "text", id_col: str = "doc_id"
 # minhash signatures + LSH candidate pairs + verified pairs
 # --------------------------------------------------------------------------
 
-def minhash_from_hashes(hashes: Column) -> Column:
-    """k=16 minhash signature (array<long>) from fixed seeds.
+def minhash_from_hashes(
+    hashes: Column, seeds: tuple[tuple[int, int], ...] = MINHASH_SEEDS
+) -> Column:
+    """k=len(seeds) minhash signature (array<long>) from fixed seeds
+    (default: the 16-seed family).
 
     ``hashes`` MUST be a materialized column attribute (not an inline
     expression): the per-seed folds reference it, and Catalyst does not
@@ -139,8 +152,8 @@ def minhash_from_hashes(hashes: Column) -> Column:
 
     Seeds are array literals folded with one nested zip_with/transform —
     constant plan depth (see simhash_from_hashes for why that matters)."""
-    seeds_a = _long_array(a for a, _ in MINHASH_SEEDS)
-    seeds_b = _long_array(b for _, b in MINHASH_SEEDS)
+    seeds_a = _long_array(a for a, _ in seeds)
+    seeds_b = _long_array(b for _, b in seeds)
     return F.zip_with(
         seeds_a,
         seeds_b,
@@ -156,30 +169,32 @@ def minhash_signature(text: Column) -> Column:
     return minhash_from_hashes(shingle_hashes(text))
 
 
-def minhash_signature_sql(text: str) -> str:
+def minhash_signature_sql(
+    text: str, seeds: tuple[tuple[int, int], ...] = MINHASH_SEEDS
+) -> str:
     hashes = shingle_hashes_sql(text)
     parts = ", ".join(
         f"list_min(list_transform({hashes}, h -> ({a} * h + {b}) % {MERSENNE_31}))"
-        for a, b in MINHASH_SEEDS
+        for a, b in seeds
     )
     return f"[{parts}]"
 
 
-def _band_key(sig: Column, band: int) -> Column:
+def _band_key(sig: Column, band: int, rows: int = LSH_ROWS) -> Column:
     """Fold one band of the signature into a single join key. Polynomial
     fold mod M31 — portable, and cheap enough to compute inline."""
     key = F.lit(0).cast("long")
-    for r in range(LSH_ROWS):
-        key = (key * F.lit(1_000_0007) + F.element_at(sig, band * LSH_ROWS + r + 1)) % F.lit(
+    for r in range(rows):
+        key = (key * F.lit(1_000_0007) + F.element_at(sig, band * rows + r + 1)) % F.lit(
             MERSENNE_31
         )
     return key
 
 
-def _band_key_sql(sig: str, band: int) -> str:
+def _band_key_sql(sig: str, band: int, rows: int = LSH_ROWS) -> str:
     key = "CAST(0 AS BIGINT)"
-    for r in range(LSH_ROWS):
-        key = f"((({key}) * 10000007 + {sig}[{band * LSH_ROWS + r + 1}]) % {MERSENNE_31})"
+    for r in range(rows):
+        key = f"((({key}) * 10000007 + {sig}[{band * rows + r + 1}]) % {MERSENNE_31})"
     return key
 
 
@@ -188,8 +203,22 @@ def minhash_lsh_pairs(
     text: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    *,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH banding + exact-Jaccard verify.
+
+    Banding knob (Broder/LSH S-curve): with b bands of r = n_hashes/b
+    rows, a pair with true Jaccard s becomes a candidate with probability
+    1 - (1 - s^r)^b, which S-curves around the threshold s* ~= (1/b)^(1/r)
+    — the default 4x4 gives s* ~= 0.707, tuned for the 0.8 verify
+    threshold (catch probability ~0.97 at s=0.8, ~0.19 at s=0.5). More
+    bands / fewer rows lowers s* (higher recall, more candidates to
+    verify); fewer bands / more rows raises it. n_hashes must divide
+    evenly into bands; the exact-Jaccard verify step makes the OUTPUT
+    precision-exact for any setting — banding only moves recall and
+    candidate-volume cost.
 
     Plan shape (the 100 TB story): per-row signature map -> explode to
     (band, band_key) -> self equi-join on (band, band_key) = shuffled hash
@@ -202,10 +231,13 @@ def minhash_lsh_pairs(
     table once (it is ~1% of corpus size) and reuse it for banding and
     verification instead of recomputing md5s per consumer.
     """
+    if n_hashes % bands:
+        raise ValueError(f"n_hashes={n_hashes} must divide evenly into bands={bands}")
+    rows = n_hashes // bands
     sigs = (
         with_min_parallelism(df)
         .select(F.col(id_col), shingle_hashes(F.col(text)).alias("sh"))
-        .withColumn("sig", minhash_from_hashes(F.col("sh")))
+        .withColumn("sig", minhash_from_hashes(F.col("sh"), minhash_seeds(n_hashes)))
         .cache()
     )
     banded = sigs.select(
@@ -213,8 +245,11 @@ def minhash_lsh_pairs(
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band"), _band_key(F.col("sig"), b).alias("bkey"))
-                    for b in range(LSH_BANDS)
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_key(F.col("sig"), b, rows).alias("bkey"),
+                    )
+                    for b in range(bands)
                 ]
             )
         ).alias("bk"),
@@ -254,11 +289,20 @@ def minhash_lsh_pairs_sql(
     text: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    *,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
 ) -> str:
-    sig = minhash_signature_sql(text)
+    """DuckDB twin of :func:`minhash_lsh_pairs` (same seeds, same
+    banding knob)."""
+    if n_hashes % bands:
+        raise ValueError(f"n_hashes={n_hashes} must divide evenly into bands={bands}")
+    rows = n_hashes // bands
+    sig = minhash_signature_sql(text, minhash_seeds(n_hashes))
     sh = shingle_hashes_sql(text)
     band_structs = ", ".join(
-        f"struct_pack(band := {b}, bkey := {_band_key_sql('sig', b)})" for b in range(LSH_BANDS)
+        f"struct_pack(band := {b}, bkey := {_band_key_sql('sig', b, rows)})"
+        for b in range(bands)
     )
     return f"""
     WITH sigs AS (
@@ -803,10 +847,24 @@ def clip_duplicate_spans(
     # assert_true rides inside the key expression (a standalone column
     # would be pruned away unevaluated): NULL (+0) when in range, loud
     # failure when a document exceeds POS_KEY_BASE tokens.
+    # The packed key argmins like lexicographic (doc_id, start) ONLY for
+    # non-negative integral doc_ids with start < POS_KEY_BASE: a negative
+    # id flips the ordering, and a fractional id type would promote the
+    # arithmetic to double (silent precision loss past 2^53) — both
+    # corrupt canonical selection silently, so both fail loudly here.
+    id_type = dict(df.dtypes)[id_col]
+    if id_type not in {"tinyint", "smallint", "int", "bigint"}:
+        raise TypeError(
+            f"clip_duplicate_spans: id_col {id_col!r} must be integral, "
+            f"got {id_type} (packed canonical key needs exact BIGINT math)"
+        )
     guard = F.coalesce(
         F.assert_true(
-            F.col("start") < POS_KEY_BASE,
-            F.lit(f"document longer than POS_KEY_BASE={POS_KEY_BASE} tokens"),
+            (F.col("start") < POS_KEY_BASE) & (F.col(id_col) >= 0),
+            F.lit(
+                f"canonical key out of range: need 0 <= {id_col} and "
+                f"start < POS_KEY_BASE={POS_KEY_BASE}"
+            ),
         ).cast("long"),
         F.lit(0),
     )
@@ -861,16 +919,24 @@ def clip_duplicate_spans_sql(
     id_col: str = "doc_id",
     n: int = NGRAM_SPAN_N,
 ) -> str:
-    """DuckDB twin of :func:`clip_duplicate_spans` (same constants)."""
+    """DuckDB twin of :func:`clip_duplicate_spans` (same constants,
+    same out-of-range guard: a negative id or an over-long document
+    raises instead of silently corrupting the canonical argmin)."""
     toks = tokens_sql(text)
+    key_expr = (
+        f"CASE WHEN {id_col} >= 0 AND start < {POS_KEY_BASE} "
+        f"THEN CAST({id_col} AS BIGINT) * {POS_KEY_BASE} + start "
+        f"ELSE CAST(error('canonical key out of range: need 0 <= {id_col} "
+        f"and start < {POS_KEY_BASE}') AS BIGINT) END"
+    )
     return f"""
     WITH pos AS {_gram_postings_sql(table, text, id_col, n)},
     flagged AS (
         SELECT {id_col}, start,
                count(*) OVER (PARTITION BY gram_hash) AS cnt,
-               min({id_col} * {POS_KEY_BASE} + start)
+               min({key_expr})
                    OVER (PARTITION BY gram_hash) AS canon,
-               {id_col} * {POS_KEY_BASE} + start AS key
+               {key_expr} AS key
         FROM pos
     ),
     removable AS (

@@ -390,6 +390,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "query_id",
+    n_cells: int = IVF_N_CELLS,
 ) -> DataFrame:
     """IVF-PQ (Jegou et al. TPAMI'11 §V; the FAISS ``IVFx,PQy`` index):
     route every vector to its best coarse cell (operators/similarity.py's
@@ -418,7 +419,7 @@ def ivfpq_topk(
     cents = F.broadcast(
         corpus.filter(F.col(id_col) % centroid_mod == 1)
         .orderBy(id_col)
-        .limit(IVF_N_CELLS)
+        .limit(n_cells)
         .select(
             F.col(id_col).alias("__cent_id"), vd.alias("__cent")
         )
@@ -488,6 +489,7 @@ def ivfpq_topk_sql(
     top_k: int = 10,
     n_probe: int = 3,
     centroid_mod: int = 17,
+    n_cells: int = IVF_N_CELLS,
 ) -> str:
     """DuckDB twin of :func:`ivfpq_topk` — IVF routing CTEs (the
     ivf_topk_sql conventions) feeding the shared PQ training chain over
@@ -504,7 +506,7 @@ def ivfpq_topk_sql(
         f"allv AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS vv FROM {table})",
         f"""cents AS (
         SELECT {id_col} AS cent_id, vv AS cv FROM allv
-        WHERE {id_col} % {centroid_mod} = 1 ORDER BY {id_col} LIMIT {IVF_N_CELLS}
+        WHERE {id_col} % {centroid_mod} = 1 ORDER BY {id_col} LIMIT {n_cells}
     )""",
         f"""corpus_scored AS (
         SELECT s.{id_col}, s.vv, c.cent_id, c.cv AS cent_vec,

@@ -49,6 +49,14 @@ def asof_join(
     single-shuffle carry with the window ordered by ts DESCENDING, so the
     value carried to a left row is the nearest following right row —
     still one union + one running window, never a range-join blowup.
+
+    Determinism: when several right rows share the same (key, right_ts),
+    the window order alone (ts, side) would leave WHICH one is carried to
+    partition luck — so a third sort key, the xxhash64 of the right row's
+    (ts, values), breaks ties identically on every run (the max-hash row
+    wins). Note SQL engines leave this unspecified (DuckDB's ASOF JOIN
+    picks an arbitrary duplicate), so cross-ENGINE parity still requires
+    unique (key, right_ts) on the right; cross-RUN parity does not.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -60,21 +68,27 @@ def asof_join(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0 if not strict else 2).alias("__side"),
+        F.xxhash64(F.col(right_ts), *[F.col(c) for c in right_values]).alias(
+            "__tie"
+        ),
         *[F.col(c).alias(f"__r_{c}") for c in right_values],
     )
     left_cols = [c for c in left.columns if c not in keys and c != left_ts]
-    left_tagged = left.select(
-        *keys,
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
-        *[F.col(c) for c in left_cols],
-    ).withColumns({f"__r_{c}": F.lit(None) for c in right_values})
+    left_tagged = (
+        left.select(
+            *keys,
+            F.col(left_ts).alias("__ts"),
+            F.lit(1).alias("__side"),
+            F.lit(0).cast("long").alias("__tie"),
+            *[F.col(c) for c in left_cols],
+        ).withColumns({f"__r_{c}": F.lit(None) for c in right_values})
+    )
 
     unioned = right_tagged.unionByName(left_tagged, allowMissingColumns=True)
     ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(ts_order, F.col("__side"))
+        .orderBy(ts_order, F.col("__side"), F.col("__tie"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumns(
@@ -297,8 +311,13 @@ def dataset_fingerprint(
     Portability contract: ``cols`` must be types with identical string
     casts across engines (ints, strings, dates — NOT doubles, whose
     formatting differs). NULL encodes as a sentinel distinct from any
-    value. DECIMAL(38,0) keeps the sum exact to ~10^38 (2^60-ish hashes
-    x 10^18 rows), so there is no overflow cliff."""
+    value. The sum accumulates in DECIMAL(38,0) — exact to ~10^38
+    (2^60-ish hashes x 10^18 rows), so there is no overflow cliff — but
+    the OUTPUT column is the decimal's digit string: DECIMAL(p>18)
+    round-trips losslessly through Spark's pandas bridge but collapses to
+    lossy float64 through DuckDB's, so a stable cross-engine checksum
+    must leave the engine as text (round-2 driver red; same class as the
+    round-1 HUGEINT bug one precision tier down)."""
     from kafka_streams_the_clojure_way_spark.functions import portable as P
 
     row_str = F.concat_ws(
@@ -308,7 +327,7 @@ def dataset_fingerprint(
     h = P.hash60(row_str).cast("decimal(38,0)")
     aggs = [
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(h).cast("decimal(38,0)").alias("fingerprint"),
+        F.sum(h).cast("decimal(38,0)").cast("string").alias("fingerprint"),
     ]
     if group_by:
         return df.groupBy(*group_by).agg(*aggs)
@@ -330,7 +349,8 @@ def dataset_fingerprint_sql(
     h = P.hash60_sql(row)
     sel = (
         "CAST(COUNT(*) AS BIGINT) AS n_rows, "
-        f"CAST(SUM(CAST({h} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS fingerprint"
+        f"CAST(CAST(SUM(CAST({h} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)"
+        " AS fingerprint"
     )
     if group_by:
         g = ", ".join(group_by)

@@ -33,6 +33,13 @@ from kafka_streams_the_clojure_way_spark.sources.files import with_min_paralleli
 #: at the edge; anything larger must use the distributed paths.
 MAX_PANDAS_QUERY_ROWS = 100_000
 
+#: brute_force_topk is a VERIFIER tier: cost is |queries| x |corpus|, so
+#: a query set that is a FRACTION of the corpus (e.g. "every 50th id")
+#: silently turns it quadratic at production scale. The probe set must be
+#: bounded-absolute; above this the scalable tiers (LSH / IVF / PQ) are
+#: the right tool and the guard fails loudly instead.
+MAX_BRUTE_FORCE_QUERIES = 10_000
+
 EMBED_DIM = 64
 
 #: deterministic pseudo-random hyperplanes: LCG((p * DIM + d)) mapped to
@@ -87,7 +94,19 @@ def brute_force_topk(
     query_id: str = "query_id",
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the
-    corpus, rank per query. Excludes self-matches on equal ids."""
+    corpus, rank per query. Excludes self-matches on equal ids.
+
+    Guarded: raises if the query set exceeds MAX_BRUTE_FORCE_QUERIES —
+    the cost is |queries| x |corpus|, and the broadcast side must stay
+    absolutely bounded regardless of corpus size (the same contract
+    cosine_topk_pandas enforces)."""
+    n_probe_rows = queries.limit(MAX_BRUTE_FORCE_QUERIES + 1).count()
+    if n_probe_rows > MAX_BRUTE_FORCE_QUERIES:
+        raise ValueError(
+            f"brute_force_topk query set exceeds {MAX_BRUTE_FORCE_QUERIES} "
+            "rows; brute force is |queries| x |corpus| — use the LSH/IVF/PQ "
+            "tiers, or pass an explicitly LIMITed probe set"
+        )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec")
@@ -232,7 +251,11 @@ IVF_CENTROID_MOD = 17
 #: of the corpus. (Production retrains k-means centroids as N grows —
 #: kmeans_fit — but the count still grows like sqrt(N), never N.)
 #: 118 = the qualifying ids below 2000 in the test corpus, so capped
-#: and uncapped results coincide at every driver scale factor.
+#: and uncapped results coincide at every driver scale factor. This is
+#: only the DEFAULT — every IVF entry point (ivf_topk, build_ivf_index,
+#: ivfpq_topk and their SQL twins) takes ``n_cells=`` so other corpora
+#: tune the cell count (rule of thumb: ~sqrt(N)) instead of silently
+#: inheriting a fixture-tuned value.
 IVF_N_CELLS = 118
 IVF_NPROBE = 3
 
@@ -247,6 +270,7 @@ def ivf_topk(
     query_id: str = "query_id",
     n_probe: int = IVF_NPROBE,
     centroid_mod: int = IVF_CENTROID_MOD,
+    n_cells: int = IVF_N_CELLS,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the industry-standard ANN
     scale path (Sivic&Zisserman'03 video-google; FAISS IVF*):
@@ -269,7 +293,7 @@ def ivf_topk(
     cents = F.broadcast(
         corpus.filter(F.col(id_col) % centroid_mod == 1)
         .orderBy(id_col)
-        .limit(IVF_N_CELLS)
+        .limit(n_cells)
         .select(
             F.col(id_col).alias("__cent_id"), F.col(vec_col).alias("__cent_vec")
         )
@@ -334,9 +358,9 @@ def ivf_topk_sql(
     k: int = 10,
     n_probe: int = IVF_NPROBE,
     centroid_mod: int = IVF_CENTROID_MOD,
+    n_cells: int = IVF_N_CELLS,
 ) -> str:
     """DuckDB twin of ivf_topk with the same deterministic centroids."""
-    n_cells = IVF_N_CELLS
     cos_cent = cosine_sql(f"s.{vec_col}", f"c.{vec_col}")
     cos_qn = cosine_sql("q.qvec", "n.cvec")
     return f"""
@@ -456,6 +480,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_mod: int = IVF_CENTROID_MOD,
+    n_cells: int = IVF_N_CELLS,
 ) -> None:
     """Materialize the IVF index ``ivf_topk`` computes on the fly:
     ``path/centroids`` (the coarse quantizer) and ``path/postings``
@@ -472,7 +497,7 @@ def build_ivf_index(
     )
 
     cents = corpus.filter(F.col(id_col) % centroid_mod == 1).orderBy(id_col).limit(
-        IVF_N_CELLS
+        n_cells
     ).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
     )

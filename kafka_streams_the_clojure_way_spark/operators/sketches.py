@@ -42,6 +42,11 @@ def _mg_partition(k: int):
         total = 0
         for pdf in batches:
             for toks in pdf["toks"]:
+                # NULL text rows arrive as None arrays; DuckDB's
+                # unnest(NULL) silently emits no rows, so skipping (not
+                # crashing) is the cross-engine-consistent behavior.
+                if toks is None:
+                    continue
                 for t in toks:
                     total += 1
                     if t in counters:

@@ -73,3 +73,28 @@ def test_no_nested_types_in_registered_outputs(spark):
         if nested:
             bad[name] = nested
     assert not bad, f"nested-typed output columns: {bad}"
+
+
+def test_no_wide_decimals_in_registered_outputs(spark):
+    """DECIMAL with precision > 18 round-trips losslessly through Spark's
+    pandas bridge but collapses to lossy float64 through DuckDB's, so the
+    driver's value hasher sees different representations even when both
+    engines computed the identical exact value (round-2:
+    meta_corpus_fingerprint at DECIMAL(38,0); round-1: the cogroup
+    HUGEINT red one tier down). Rule: no registered query emits a
+    DECIMAL(p>18) column — accumulate wide, then CAST to STRING (exact)
+    or narrow to DECIMAL(<=18) / BIGINT before returning."""
+    from pyspark.sql.types import DecimalType
+
+    sf = "/root/testdata/sf0.001"
+    bad = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf)
+        wide = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, DecimalType) and f.dataType.precision > 18
+        ]
+        if wide:
+            bad[name] = wide
+    assert not bad, f"driver-lossy DECIMAL(p>18) output columns: {bad}"

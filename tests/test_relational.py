@@ -233,3 +233,20 @@ def test_asof_nearest_tie_breaks_backward(spark):
     assert out[0] == ("early", "backward")   # exact tie -> backward
     assert out[1] == ("after", "forward")
     assert out[2] == (None, None)
+
+
+def test_asof_join_deterministic_on_duplicate_right_ts(spark):
+    """Several right rows at the same (key, ts): the carried value must
+    be the same on every run (xxhash64 tiebreaker), regardless of
+    partition layout."""
+    left = spark.createDataFrame([{"k": "a", "t": 10, "tag": "l1"}])
+    right_rows = [{"k": "a", "t": 5, "price": float(p)} for p in range(7)]
+    outs = set()
+    for n_parts in (1, 3, 7):
+        right = spark.createDataFrame(right_rows).repartition(n_parts)
+        out = asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            right_values=["price"],
+        ).collect()
+        outs.add(out[0].price)
+    assert len(outs) == 1, f"carried value varies with partitioning: {outs}"

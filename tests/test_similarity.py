@@ -126,3 +126,19 @@ def test_quantized_rerank_recovers_exact_topk(spark):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     q = {(r.query_id, r.neighbor_id) for r in rerank.collect()}
     assert len(e & q) / len(e) >= 0.95
+
+
+def test_brute_force_rejects_oversized_query_set(spark, monkeypatch):
+    """brute_force_topk is |queries| x |corpus|: a corpus-fraction probe
+    set is quadratic at scale, so the probe side is bounded-absolute."""
+    import pytest
+
+    import pyspark.sql.functions as F
+
+    monkeypatch.setattr(S, "MAX_BRUTE_FORCE_QUERIES", 5)
+    df = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="query set exceeds"):
+        S.brute_force_topk(df, df, k=3)

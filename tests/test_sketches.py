@@ -43,3 +43,21 @@ def test_heavy_hitters_partitioning_invariant(spark):
         for r in SK.exact_heavy_hitters(df.repartition(7), items, k=4).collect()
     }
     assert base == repart  # candidate sets may differ; exact answer may not
+
+
+def test_heavy_hitters_null_text_skipped(spark):
+    """NULL text rows yield NULL token arrays; the sketch pass must skip
+    them (DuckDB's unnest(NULL) emits no rows — same semantics), not
+    crash on iterating None."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField("text", StringType(), True)])
+    df = spark.createDataFrame(
+        [("hot hot hot cold",), (None,), ("hot warm",)], schema
+    )
+    got = {
+        (r.token, r.freq)
+        for r in SK.exact_heavy_hitters(df, tokens_col(F.col("text")), k=3).collect()
+    }
+    # 6 non-null tokens, threshold ceil(6/3)=2 -> only 'hot' (4)
+    assert got == {("hot", 4)}

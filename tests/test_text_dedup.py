@@ -177,3 +177,99 @@ def test_span_detection_skew_safe_parity(spark):
     base = {tuple(r) for r in D.duplicate_ngram_spans(docs).collect()}
     safe = {tuple(r) for r in D.duplicate_ngram_spans(docs, skew_safe=True).collect()}
     assert base == safe and len(base) > 0
+
+
+def test_clip_rejects_non_integral_id(spark):
+    """The packed canonical key needs exact BIGINT math; a double id
+    would silently lose precision past 2^53 — must fail loudly."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [{"doc_id": 0.5, "text": "a b c d e f g h a b c d e f g h"}]
+    )
+    with pytest.raises(TypeError, match="must be integral"):
+        D.clip_duplicate_spans(df)
+
+
+def test_clip_rejects_negative_id(spark):
+    """A negative doc_id flips the packed-key ordering, corrupting
+    canonical selection — the assert_true guard must fire at runtime."""
+    import pytest
+
+    phrase = " ".join(f"p{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            {"doc_id": -1, "text": "a1 a2 a3 " + phrase},
+            {"doc_id": 1, "text": "b1 b2 b3 " + phrase},
+        ]
+    )
+    with pytest.raises(Exception, match="canonical key out of range"):
+        D.clip_duplicate_spans(df).collect()
+
+
+def _near_dup_corpus():
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    return [
+        base,
+        base + " ok",                     # near-dup of 0
+        "completely different words entirely unrelated content here now",
+    ]
+
+
+def test_minhash_banding_default_is_explicit_default(spark):
+    """(n_hashes=16, bands=4) must be bit-identical to the unparameterized
+    call — parameterization must not move the registered oracles."""
+    docs = _docs(spark, _near_dup_corpus())
+    a = sorted(tuple(r) for r in D.minhash_lsh_pairs(docs).collect())
+    b = sorted(
+        tuple(r)
+        for r in D.minhash_lsh_pairs(docs, n_hashes=16, bands=4).collect()
+    )
+    assert a == b and len(a) >= 1
+
+
+def test_minhash_banding_more_bands_is_superset(spark):
+    """Exact-Jaccard verify makes banding a pure recall knob: more bands
+    (lower S-curve threshold) can only ADD verified pairs."""
+    docs = _docs(spark, _near_dup_corpus())
+    few = {tuple(r) for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    many = {
+        tuple(r)
+        for r in D.minhash_lsh_pairs(
+            docs, threshold=0.5, n_hashes=16, bands=8
+        ).collect()
+    }
+    assert few <= many
+    assert any(j >= 0.5 for _, _, j in many)
+
+
+def test_minhash_banding_nondefault_engine_parity(spark):
+    """Non-default banding must stay bit-exact across engines (the seeds
+    and band fold are shared constants, not just at the default)."""
+    import duckdb
+
+    texts = _near_dup_corpus()
+    docs = _docs(spark, texts)
+    got = sorted(
+        tuple(r)
+        for r in D.minhash_lsh_pairs(
+            docs, threshold=0.5, n_hashes=24, bands=6
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") AS t(doc_id, text)"
+    )
+    sql = D.minhash_lsh_pairs_sql(threshold=0.5, n_hashes=24, bands=6)
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    assert got == want and len(got) >= 1
+
+
+def test_minhash_banding_rejects_indivisible(spark):
+    import pytest
+
+    docs = _docs(spark, _near_dup_corpus())
+    with pytest.raises(ValueError, match="divide evenly"):
+        D.minhash_lsh_pairs(docs, n_hashes=16, bands=5)
