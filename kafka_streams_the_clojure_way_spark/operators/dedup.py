@@ -719,7 +719,18 @@ def duplicate_ngram_spans(
        the groupBy + join-back form with ``skew_safe=True`` for corpora
        where a single boilerplate gram's postings exceed one task (AQE
        can split skewed JOIN reads but not window partitions; both forms
-       return identical results — parity pytest-gated);
+       return identical results — parity pytest-gated). Measured at
+       skew (scripts/skew_probe.py, hot boilerplate gram): the window
+       default stays FASTER through every tested level — 1.2x at 10k,
+       1.2x at 100k, 1.3x at 400k, 1.4x at 1.5M postings per gram on
+       local[32]/16g — because the hot window partition streams with
+       spill while join-back pays the double explode. The flag's value
+       is structural, beyond the measured range: the window form's
+       straggler task is Ω(hot-gram postings) no matter how many
+       executors exist, while groupBy's map-side combine collapses the
+       hot key to ~one row per mapper — at billions of postings per
+       gram (cluster-scale boilerplate) that asymmetry, not these local
+       timings, decides;
     3. per-doc gaps-and-islands merge (one shuffle by doc, one sort
        shared by the lag and running-sum windows).
 

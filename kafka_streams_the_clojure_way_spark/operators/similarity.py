@@ -175,7 +175,8 @@ N_FLIP = 2
 
 def _probe_masks() -> list[int]:
     masks = [0]
-    masks += [1 << i for i in range(N_PLANES)]
+    if N_FLIP >= 1:
+        masks += [1 << i for i in range(N_PLANES)]
     if N_FLIP >= 2:
         masks += [
             (1 << i) | (1 << j)
