@@ -1786,3 +1786,321 @@ def scd2_documents_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("doc_id", F.explode(rows).alias("r")).select(
         "doc_id", "r.content_hash", "r.valid_from", "r.valid_to", "r.is_current"
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval scoring + importance resampling (round 3)
+# --------------------------------------------------------------------------
+
+#: deterministic probe query for BM25 — mid-frequency corpus terms, the
+#: retrieval-side twin of the contamination probe set.
+_BM25_TERMS = ("spark", "hash", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH dl AS (
+        SELECT doc_id, CAST(len({T.tokens_sql('text')}) AS DOUBLE) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl
+    ),
+    tok AS (
+        SELECT doc_id, unnest({T.tokens_sql('text')}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        WHERE term IN {repr(tuple(_BM25_TERMS))}
+        GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(
+                   ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({_BM25_K1} + 1.0)
+                   / (tf.tf + {_BM25_K1}
+                      * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+               ) AS score
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, round(score, 6) AS bm25_r,
+               ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id)
+                   AS rnk
+        FROM scored
+    )
+    SELECT doc_id, bm25_r, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson/Sparck-Jones probabilistic
+    relevance; the Lucene ``ln(1 + (N-df+.5)/(df+.5))`` idf form, which
+    is always positive): top-{k} documents for a fixed probe query —
+    the corpus-side retrieval primitive for building eval/contamination
+    sets and for query-driven corpus audits.
+
+    Scale shape: the explode filters to the (tiny) query vocabulary
+    IMMEDIATELY, so only matching postings survive — the tf table is
+    O(docs containing a query term), not O(corpus tokens). df and the
+    corpus stats (avgdl, N) are scalar/4-row aggregates that BROADCAST;
+    the only corpus-wide shuffle is the per-doc dl table joining tf on
+    doc_id. Ranking on the ROUNDED score (doc_id tiebreak) keeps row
+    selection identical across engines' last-ulp ln differences; the
+    final top-k is TakeOrderedAndProject — each partition surfaces its
+    own k rows and the driver merges k x partitions; only the k
+    SURVIVORS see the (trivially small) ranking window, where a global
+    ranking window before the limit would move every scored doc to one
+    task."""
+    from pyspark.sql.window import Window
+
+    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = T.tokens_col(F.col("text"))
+    dl = docs.select(
+        "doc_id", F.array_size(toks).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tok = docs.select(
+        "doc_id", F.explode_outer(toks).alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1
+        * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25_r"))
+    )
+    top = scored.orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc()).limit(
+        _BM25_TOPK
+    )
+    w = Window.orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+#: DSIR hashed-feature bucket count (Xie et al., NeurIPS'23 "Data
+#: Selection for Language Models via Importance Resampling"): unigram
+#: features hashed into a FIXED number of buckets, so the target/source
+#: distributions are B-row tables regardless of vocabulary size.
+_DSIR_BUCKETS = 256
+
+
+@query(
+    "sample_dsir_logweights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest({T.tokens_sql('text')}) AS tok
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, lang,
+               {P.hash60_sql('tok')} % {_DSIR_BUCKETS} AS bucket
+        FROM tok
+    ),
+    dist AS (
+        SELECT bucket,
+               COUNT(*) AS n_s,
+               COUNT(*) FILTER (WHERE lang = 'en') AS n_t
+        FROM bucketed GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_s) AS DOUBLE) AS t_s, CAST(SUM(n_t) AS DOUBLE) AS t_t
+        FROM dist
+    ),
+    ratio AS (
+        SELECT bucket,
+               ln(((n_t + 1.0) / (t_t + {_DSIR_BUCKETS}))
+                  / ((n_s + 1.0) / (t_s + {_DSIR_BUCKETS}))) AS log_ratio
+        FROM dist CROSS JOIN tot
+    ),
+    doc_buckets AS (
+        SELECT doc_id, bucket, COUNT(*) AS cnt FROM bucketed GROUP BY 1, 2
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_tokens,
+           round(SUM(d.cnt * r.log_ratio), 6) AS dsir_logweight_r
+    FROM doc_buckets d JOIN ratio r USING (bucket)
+    GROUP BY d.doc_id
+    """,
+)
+def sample_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. NeurIPS'23): per-document
+    log importance weight log p_target(x)/p_source(x) under hashed
+    unigram bag-of-words models with add-1 smoothing — the standard
+    "make web data look like the target domain" resampling score. The
+    target here is the ``lang='en'`` slice; the source is the whole
+    corpus; downstream selection is a trivial filter/sample on the
+    weight column.
+
+    Scale shape (the reason DSIR hashes features): the target/source
+    unigram models are {_DSIR_BUCKETS}-row tables NO MATTER the corpus
+    or vocabulary size — both distributions come out of ONE token pass
+    (conditional aggregation, no second scan for the target slice), and
+    the ratio table BROADCASTS into the per-doc scoring join, so the
+    plan is explode -> (doc, bucket) count shuffle -> broadcast join ->
+    per-doc sum. Nothing grows with vocabulary; per-row work is one md5.
+    Rounded to 6 to keep engines' last-ulp ln out of the hash."""
+    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode_outer(T.tokens_col(F.col("text"))).alias("tok"),
+    ).filter(F.col("tok").isNotNull())
+    bucketed = tok.select(
+        "doc_id",
+        "lang",
+        (P.hash60(F.col("tok")) % _DSIR_BUCKETS).alias("bucket"),
+    )
+    dist = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.count_if(F.col("lang") == "en").alias("n_t"),
+    )
+    tot = dist.agg(
+        F.sum("n_s").cast("double").alias("t_s"),
+        F.sum("n_t").cast("double").alias("t_t"),
+    )
+    ratio = dist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.log(
+            ((F.col("n_t") + 1.0) / (F.col("t_t") + _DSIR_BUCKETS))
+            / ((F.col("n_s") + 1.0) / (F.col("t_s") + _DSIR_BUCKETS))
+        ).alias("log_ratio"),
+    )
+    doc_buckets = bucketed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        doc_buckets.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 6).alias(
+                "dsir_logweight_r"
+            ),
+        )
+    )
+
+
+_BIGRAM_HEAD_K = 64  # Zipf-head broadcast size, same policy as the unigram LM
+_BIGRAM_SEP = "\x1f"
+
+
+def _bigrams_col(text: F.Column) -> F.Column:
+    """array<string> of unit-separator-joined adjacent token pairs;
+    empty (not reversed-sequence garbage) for docs under 2 tokens."""
+    toks = T.tokens_col(text)
+    n = F.array_size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                _BIGRAM_SEP, F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _bigrams_sql(text: str) -> str:
+    toks = T.tokens_sql(text)
+    return (
+        f"[{toks}[i] || chr(31) || {toks}[i + 1] "
+        f"for i in range(1, len({toks}))]"
+    )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH bg AS (
+        SELECT doc_id, unnest({_bigrams_sql('text')}) AS bg FROM documents
+    ),
+    counts AS (SELECT bg, COUNT(*) AS c_bg FROM bg GROUP BY bg),
+    ctx AS (
+        SELECT split_part(bg, chr(31), 1) AS w1, SUM(c_bg) AS c_w1
+        FROM counts GROUP BY 1
+    ),
+    probs AS (
+        SELECT counts.bg, log10(c_bg / CAST(c_w1 AS DOUBLE)) AS logp
+        FROM counts JOIN ctx ON split_part(counts.bg, chr(31), 1) = ctx.w1
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(AVG(p.logp), 6) AS avg_logprob_r,
+           round(MIN(p.logp), 6) AS min_logprob_r
+    FROM bg b JOIN probs p USING (bg)
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-BIGRAM language-model scoring: per-doc mean/min
+    log10 P(w_i | w_{{i-1}}) with MLE conditionals c(w1,w2)/c(w1,·) —
+    one Markov order above text_unigram_logprob, so it catches locally
+    implausible SEQUENCES (shuffled text, boilerplate splices) that
+    unigram frequency cannot.
+
+    Scale shape: bigram and context counts are VOCABULARY-sized tables
+    built from one explode; they join each other on the prefix (a
+    vocab x vocab-prefix shuffle, never corpus-sized) into a probs
+    table, and the corpus token stream then joins probs ONCE — with the
+    same Zipf-head split as the unigram LM (top-{_BIGRAM_HEAD_K}
+    bigrams broadcast; only the near-uniform tail shuffles), because
+    'the a'-class bigrams concentrate instances exactly like head
+    unigrams do. Docs under 2 tokens have no bigrams and are absent,
+    identically on both engines."""
+    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
+    bg = docs.select(
+        "doc_id", F.explode(_bigrams_col(F.col("text"))).alias("bg")
+    )
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = counts.select(
+        F.split_part(F.col("bg"), F.lit(_BIGRAM_SEP), F.lit(1)).alias("w1"),
+        "c_bg",
+    ).groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    probs = counts.join(
+        ctx,
+        F.split_part(F.col("bg"), F.lit(_BIGRAM_SEP), F.lit(1)) == F.col("w1"),
+    ).select(
+        "bg",
+        "c_bg",
+        F.log10(F.col("c_bg") / F.col("c_w1").cast("double")).alias("logp"),
+    )
+    # head = highest-INSTANCE-COUNT bigrams (the hot join keys), exactly
+    # the unigram LM's policy — not extreme-probability rows.
+    head = (
+        probs.orderBy(F.col("c_bg").desc(), F.col("bg").asc())
+        .limit(_BIGRAM_HEAD_K)
+        .select("bg", "logp")
+    )
+    tail = probs.select("bg", "logp").join(
+        F.broadcast(head.select("bg")), "bg", "left_anti"
+    )
+    scored = bg.join(F.broadcast(head), "bg").unionByName(bg.join(tail, "bg"))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_logprob_r"),
+        F.round(F.min("logp"), 6).alias("min_logprob_r"),
+    )

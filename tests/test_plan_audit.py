@@ -470,3 +470,31 @@ def test_dq_audit_rules_are_one_scan(spark):
     p = _plan(spark, "dq_lineitem_audit")
     assert len(re.findall(r"FileScan parquet .*lineitem", p)) <= 3, p[:3000]
     assert "LeftAnti" in p, p[:3000]
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """text_bm25_topk's global top-k must compile to
+    TakeOrderedAndProject (per-partition partial top-k merged on the
+    driver) — a global ranking window would drag every scored doc to one
+    task; the idf/stats sides must broadcast."""
+    p = _plan(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in p, p[:3000]
+    assert "BroadcastHashJoin" in p, p[:3000]
+
+
+def test_dsir_ratio_joins_broadcast(spark):
+    """sample_dsir_logweights' 256-row bucket-ratio table must broadcast
+    into the per-doc scoring join — it is model-sized by construction
+    (hashed features), never corpus-sized."""
+    p = _plan(spark, "sample_dsir_logweights")
+    assert "BroadcastHashJoin" in p, p[:3000]
+    assert "SortMergeJoin" not in p, p[:3000]
+
+
+def test_bigram_lm_head_join_broadcasts(spark):
+    """text_bigram_logprob's Zipf-head policy (same as the unigram LM):
+    the hot-bigram join and the head-exclusion anti-join must both be
+    map-side broadcasts — only the near-uniform tail may shuffle."""
+    p = _plan(spark, "text_bigram_logprob")
+    assert p.count("BroadcastHashJoin") >= 2, p[:3000]
+    assert "BroadcastHashJoin LeftAnti" in p or "LeftAnti, BuildRight" in p, p[:3000]
