@@ -736,3 +736,106 @@ def quantized_rerank_topk(
         F.col("rank").cast("long").alias("rank"),
         F.round("cosine", 6).alias("cosine_r"),
     )
+
+
+MMR_LAMBDA = 0.7
+MMR_N_CAND = 20
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    n_cand: int = MMR_N_CAND,
+    lam: float = MMR_LAMBDA,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98): per query, greedily pick the candidate
+    maximizing ``lam * rel(q,d) - (1-lam) * max_{s in S} sim(d,s)`` —
+    relevance traded against redundancy with the already-selected set.
+    The de-facto diversification pass over any dense-retrieval shortlist
+    (and the dedup-aware flavor of few-shot example selection).
+
+    Scale shape: MMR is inherently sequential in k, so the design keeps
+    the SEQUENTIAL part bounded and the data-sized part distributed:
+
+    - candidate generation is the bounded-probe brute-force scorer
+      (broadcast queries x streamed corpus; swap in the LSH/IVF tiers for
+      production shortlists) truncated to ``n_cand`` per query;
+    - the candidate-pair similarity table is n_cand^2 rows PER QUERY —
+      a constant decided by the operator, never corpus-sized;
+    - each of the k-1 greedy rounds is one equi-join + per-query argmax
+      (WindowGroupLimit top-1) over those bounded frames, all queries
+      advancing in parallel; the selected frame is localCheckpointed per
+      round so plan depth stays constant.
+
+    Determinism/portability: rel and pairwise sims round to 6 before
+    EVERY argmax (ties broken by id), so Spark and the DuckDB
+    recursive-CTE oracle pick identical rows despite last-ulp float
+    differences. Returns (query_id, neighbor_id, pick) with pick in
+    1..k in selection order."""
+    from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
+
+    scored = brute_force_topk(corpus, queries, k=n_cand, id_col=id_col,
+                              vec_col=vec_col, query_id=query_id)
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vec")
+    )
+    cand = (
+        scored.select(query_id, "neighbor_id", F.col("cosine_r").alias("rel"))
+        .join(vecs, "neighbor_id")
+        .cache()
+    )
+    a = cand.select(query_id, F.col("neighbor_id").alias("ida"), F.col("__vec").alias("__va"))
+    b = cand.select(query_id, F.col("neighbor_id").alias("idb"), F.col("__vec").alias("__vb"))
+    pairs = (
+        a.join(b, query_id)
+        .filter(F.col("ida") != F.col("idb"))
+        .select(
+            query_id, "ida", "idb",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim"),
+        )
+        .cache()
+    )
+    slim = cand.select(query_id, "neighbor_id", "rel")
+    selected = top_k_per_key(
+        slim,
+        keys=[query_id],
+        order_by=[F.col("rel").desc(), F.col("neighbor_id")],
+        k=1,
+        rank_col="__r",
+    ).select(query_id, "neighbor_id", F.lit(1).cast("long").alias("pick"))
+    selected = selected.localCheckpoint(eager=True)
+
+    for step in range(2, k + 1):
+        remaining = slim.join(
+            selected.select(query_id, "neighbor_id"), [query_id, "neighbor_id"], "left_anti"
+        )
+        # (remaining x selected) pairs of this query, scored from the
+        # precomputed bounded sim table: equi-join on (query_id, ida, idb)
+        sel_ids = selected.select(query_id, F.col("neighbor_id").alias("idb"))
+        maxsim = (
+            remaining.withColumnRenamed("neighbor_id", "ida")
+            .join(sel_ids, query_id)
+            .join(pairs, [query_id, "ida", "idb"])
+            .groupBy(query_id, "ida", "rel")
+            .agg(F.max("sim").alias("max_sim"))
+            .withColumnRenamed("ida", "neighbor_id")
+        )
+        mmr = maxsim.withColumn(
+            "__mmr", F.round(lam * F.col("rel") - (1.0 - lam) * F.col("max_sim"), 6)
+        )
+        next_pick = top_k_per_key(
+            mmr.select(query_id, "neighbor_id", "__mmr"),
+            keys=[query_id],
+            order_by=[F.col("__mmr").desc(), F.col("neighbor_id")],
+            k=1,
+            rank_col="__r",
+        ).select(query_id, "neighbor_id", F.lit(step).cast("long").alias("pick"))
+        selected = selected.unionByName(next_pick).localCheckpoint(eager=True)
+
+    return selected

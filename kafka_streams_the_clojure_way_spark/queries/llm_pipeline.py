@@ -2104,3 +2104,88 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("logp"), 6).alias("avg_logprob_r"),
         F.round(F.min("logp"), 6).alias("min_logprob_r"),
     )
+
+
+_MMR_K = 5
+_MMR_NCAND = 20
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    cos_qe = S.cosine_sql("q.qvec", "e.embedding")
+    cos_ab = S.cosine_sql("a.embedding", "b.embedding")
+    lam, k, n_cand = _MMR_LAMBDA, _MMR_K, _MMR_NCAND
+    return f"""
+    WITH RECURSIVE q AS (
+        SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+        WHERE vec_id % {_QUERY_MOD} = 0
+    ),
+    cand0 AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.embedding,
+               round({cos_qe}, 6) AS rel,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos_qe} DESC, e.vec_id) AS rnk
+        FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    ),
+    cand AS (SELECT query_id, neighbor_id, embedding, rel
+             FROM cand0 WHERE rnk <= {n_cand}),
+    pairs AS (
+        SELECT a.query_id, a.neighbor_id AS ida, b.neighbor_id AS idb,
+               round({cos_ab}, 6) AS sim
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+    ),
+    first_pick AS (
+        SELECT query_id, [neighbor_id] AS sel, 1 AS step
+        FROM (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY rel DESC, neighbor_id) AS r
+              FROM cand) WHERE r = 1
+    ),
+    mmr AS (
+        SELECT * FROM first_pick
+        UNION ALL
+        SELECT m.query_id,
+               list_append(m.sel, (
+                   SELECT c.neighbor_id FROM cand c
+                   WHERE c.query_id = m.query_id
+                     AND NOT list_contains(m.sel, c.neighbor_id)
+                   ORDER BY round({lam} * c.rel - (1.0 - {lam}) * (
+                       SELECT MAX(p.sim) FROM pairs p
+                       WHERE p.query_id = m.query_id
+                         AND p.ida = c.neighbor_id
+                         AND list_contains(m.sel, p.idb)
+                   ), 6) DESC, c.neighbor_id
+                   LIMIT 1
+               )) AS sel,
+               m.step + 1 AS step
+        FROM mmr m WHERE m.step < {k}
+    ),
+    final AS (SELECT query_id, sel FROM mmr WHERE step = {k})
+    SELECT query_id, sel[i] AS neighbor_id, CAST(i AS BIGINT) AS pick
+    FROM final, unnest(range(1, {k} + 1)) AS t(i)
+    """
+
+
+@query("sim_mmr_diversified_topk", oracle=_mmr_oracle())
+def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (Carbonell & Goldstein SIGIR'98): the
+    probe set's brute-force top-{n} shortlist reranked so each of the
+    {k} picks maximizes lambda*relevance - (1-lambda)*redundancy against
+    the already-picked set — the standard diversification pass over a
+    dense-retrieval shortlist and the dedup-aware flavor of few-shot
+    example selection. The greedy argmax chain is inherently sequential
+    in k, so the operator keeps k and the candidate count as bounded
+    constants and distributes over QUERIES: every round advances all
+    queries at once via one equi-join + WindowGroupLimit argmax over the
+    cached n_cand^2-per-query sim table (operators/similarity.mmr_topk).
+    Oracle: DuckDB recursive CTE carrying the selected set as a LIST,
+    same round-6-then-argmax discipline at every step."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.mmr_topk(
+        emb,
+        _queries_frame(spark, sf_dir),
+        k=_MMR_K,
+        n_cand=_MMR_NCAND,
+        lam=_MMR_LAMBDA,
+    )

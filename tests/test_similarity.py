@@ -142,3 +142,31 @@ def test_brute_force_rejects_oversized_query_set(spark, monkeypatch):
     )
     with pytest.raises(ValueError, match="query set exceeds"):
         S.brute_force_topk(df, df, k=3)
+
+
+def test_mmr_topk_invariants(spark):
+    import pyspark.sql.functions as F
+
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = S.mmr_topk(emb, queries, k=5, n_cand=20).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, {})[r.pick] = r.neighbor_id
+    shortlist = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=20).collect()
+    }
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in S.brute_force_topk(emb, queries, k=1).collect()
+    }
+    for qid, picks in by_q.items():
+        # exactly picks 1..5, all distinct, all from the top-20 shortlist
+        assert sorted(picks) == [1, 2, 3, 4, 5]
+        assert len(set(picks.values())) == 5
+        assert all((qid, nid) in shortlist for nid in picks.values())
+        # pick 1 is pure relevance argmax (lambda only bites from pick 2)
+        assert picks[1] == top1[qid]
