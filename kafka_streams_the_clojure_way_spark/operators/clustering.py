@@ -244,3 +244,109 @@ def kmeans_fit(
         cents.write.mode("overwrite").parquet(path)
         return corpus.sparkSession.read.parquet(path)
     return cents
+
+
+SEMDEDUP_THRESHOLD = 0.45
+
+
+def semdedup_flags(
+    corpus: DataFrame,
+    *,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the LAION /
+    DataComp-style semantic-dedup pass): cluster the embedding space
+    with k-means, then WITHIN each cluster drop every vector that has
+    cosine >= threshold to a lower-id vector of the same cluster — the
+    paper's "keep one representative per semantic duplicate group,
+    compare only inside a cluster" recipe, with the deterministic
+    lowest-id keeper rule.
+
+    Output: (id, cluster, is_kept) for every input vector.
+
+    Scale shape: clustering is the whole point — the pair comparison is
+    confined to clusters, so the quadratic term is sum(n_c^2) =~
+    N * E[cluster size], NOT N^2. Production sizes k like sqrt(N) (the
+    paper uses 50k clusters for LAION) so cluster size — and with it
+    the per-cluster pair fanout — stays bounded as the corpus grows; k
+    here is a parameter with an oracle-scale default. The pair join is
+    a cluster-keyed equi-join (never a cross join), and the keep rule
+    is a per-pair local predicate + anti-join — no iteration, no
+    connected components (the graph version exists separately as
+    dedup_cluster_assignments for when transitive grouping is wanted).
+
+    Determinism: assignments come from the deterministic Lloyd
+    iterations above (bit-exact across engines); cosines use the same
+    sequential fold as every similarity operator, so the threshold
+    filter selects identical pairs in Spark and the oracle."""
+    from kafka_streams_the_clojure_way_spark.operators.similarity import cosine
+    from kafka_streams_the_clojure_way_spark.sources.files import (
+        with_min_parallelism,
+    )
+
+    assigned = kmeans_assignments(
+        corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    vecs = with_min_parallelism(corpus).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    av = assigned.join(vecs, id_col)
+    a = av.select(
+        F.col("cluster"), F.col(id_col).alias("__ida"), F.col("__v").alias("__va")
+    )
+    b = av.select(
+        F.col("cluster"), F.col(id_col).alias("__idb"), F.col("__v").alias("__vb")
+    )
+    # every vector with a sufficiently-similar LOWER-id cluster-mate dies
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("__idb") < F.col("__ida"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__dead", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("__dead"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
+def semdedup_sql(
+    table: str = "embeddings",
+    *,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`semdedup_flags` — the kmeans CTE chain plus
+    a within-cluster lower-id EXISTS."""
+    from kafka_streams_the_clojure_way_spark.operators.similarity import cosine_sql
+
+    assign = kmeans_sql(
+        table, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    cos = cosine_sql("va.emb", "vb.emb")
+    return f"""
+    WITH asg AS ({assign}),
+    vv AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS emb FROM {table}),
+    av AS (SELECT asg.{id_col}, asg.cluster, vv.emb
+           FROM asg JOIN vv USING ({id_col}))
+    SELECT va.{id_col}, va.cluster,
+           NOT EXISTS (
+               SELECT 1 FROM av vb
+               WHERE vb.cluster = va.cluster
+                 AND vb.{id_col} < va.{id_col}
+                 AND {cos} >= {threshold}
+           ) AS is_kept
+    FROM av va
+    """

@@ -2080,6 +2080,11 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("bg"), F.lit(_BIGRAM_SEP), F.lit(1)).alias("w1"),
         "c_bg",
     ).groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    # cached: probs is VOCAB-sized (distinct bigrams, Zipf-bounded) but
+    # costs a corpus explode + two aggs + a prefix join to build, and
+    # FOUR consumers read it (head, tail, and the two scored branches) —
+    # uncached, Spark rebuilds that chain per consumer (measured 5.0x
+    # wall at 10x corpus; 1.5x after caching, scale_probe row).
     probs = counts.join(
         ctx,
         F.split_part(F.col("bg"), F.lit(_BIGRAM_SEP), F.lit(1)) == F.col("w1"),
@@ -2087,7 +2092,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bg",
         "c_bg",
         F.log10(F.col("c_bg") / F.col("c_w1").cast("double")).alias("logp"),
-    )
+    ).cache()
     # head = highest-INSTANCE-COUNT bigrams (the hot join keys), exactly
     # the unigram LM's policy — not extreme-probability rows.
     head = (
@@ -2189,3 +2194,17 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cand=_MMR_NCAND,
         lam=_MMR_LAMBDA,
     )
+
+
+@query("dedup_semantic_cluster_flags", oracle=C.semdedup_sql())
+def dedup_semantic_cluster_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    within each cluster drop every vector with cosine >= threshold to a
+    lower-id cluster-mate — semantic near-dup removal whose pair
+    comparisons are CONFINED to clusters (sum n_c^2, never N^2; k
+    scales like sqrt(N) in production so cluster size stays bounded).
+    Composes the deterministic-Lloyd assignments with a cluster-keyed
+    pair equi-join and an anti-join keep rule; every vector comes back
+    as (vec_id, cluster, is_kept)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return C.semdedup_flags(emb)

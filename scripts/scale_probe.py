@@ -58,6 +58,10 @@ PROBE_QUERIES = [
     "agg_heavy_hitter_tokens",      # MG sketch pass + broadcast recount
     "graph_pagerank_parts",         # 6 iterative rounds, state shuffled on node
     "sim_ivfpq_topk",               # IVF routing + residual PQ + broadcast LUT
+    "text_bm25_topk",               # query-vocab filter + broadcast idf + TakeOrdered
+    "sample_dsir_logweights",       # hashed-bucket models, broadcast ratio join
+    "text_bigram_logprob",          # vocab-sized probs, Zipf-head broadcast split
+    "sim_mmr_diversified_topk",     # bounded shortlist; k joins over constant frames
 ]
 
 

@@ -75,3 +75,40 @@ def test_kmeans_fit_persists_centroid_table(spark, tmp_path):
     assert all(len(r.cent_vec) == dim for r in cents)
     reread = spark.read.parquet(out)
     assert reread.count() == 4 and set(reread.columns) == {"cent_id", "cent_vec"}
+
+
+def test_semdedup_keeps_lowest_id_per_near_pair(spark):
+    """Within a cluster, every near-dup pair keeps the LOWER id; vectors
+    with no sufficiently-similar lower-id cluster-mate survive."""
+    import pyspark.sql.functions as F
+
+    from kafka_streams_the_clojure_way_spark.operators.clustering import (
+        semdedup_flags,
+    )
+    from kafka_streams_the_clojure_way_spark.operators.similarity import cosine
+
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = semdedup_flags(emb)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == emb.count()  # every vector flagged exactly once
+    dropped = [i for i, r in rows.items() if not r.is_kept]
+    assert dropped, "fixture should produce at least one semantic dup"
+    # every dropped vector has a kept-or-dropped LOWER-id mate in its
+    # cluster above threshold (verified against a direct pair recompute)
+    av = out.join(emb, "vec_id").select(
+        "vec_id", "cluster", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = av.select("cluster", F.col("vec_id").alias("ida"), F.col("v").alias("va"))
+    b = av.select("cluster", F.col("vec_id").alias("idb"), F.col("v").alias("vb"))
+    close_lower = {
+        r.ida
+        for r in a.join(b, "cluster")
+        .filter(F.col("idb") < F.col("ida"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.45)
+        .select("ida")
+        .distinct()
+        .collect()
+    }
+    assert set(dropped) == close_lower

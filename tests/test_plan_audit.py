@@ -498,3 +498,18 @@ def test_bigram_lm_head_join_broadcasts(spark):
     p = _plan(spark, "text_bigram_logprob")
     assert p.count("BroadcastHashJoin") >= 2, p[:3000]
     assert "BroadcastHashJoin LeftAnti" in p or "LeftAnti, BuildRight" in p, p[:3000]
+
+
+def test_semdedup_pair_join_is_cluster_keyed(spark):
+    """dedup_semantic_cluster_flags' pair comparison must be an
+    equi-join ON CLUSTER — a cartesian pair join would be N^2 at any
+    corpus size, defeating SemDeDup's entire point. (The kmeans
+    assignment's k-row broadcast centroid cross legitimately appears as
+    a BroadcastNestedLoopJoin — bounded by k, documented in
+    operators/clustering.py — so the pin targets the PAIR join's keys,
+    not the mere presence of a nested-loop node.)"""
+    p = _plan(spark, "dedup_semantic_cluster_flags")
+    assert "CartesianProduct" not in p, p[:3000]
+    assert re.search(
+        r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)[^\n]*\[cluster", p
+    ), p[:3000]
