@@ -839,3 +839,74 @@ def mmr_topk(
         selected = selected.unionByName(next_pick).localCheckpoint(eager=True)
 
     return selected
+
+
+KCENTER_K = 8
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    k: int = KCENTER_K,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez'85 farthest-point
+    traversal; Sener & Savarese ICLR'18 use it as THE coreset rule for
+    data selection): start from the lowest-id vector, then repeatedly
+    add the point FARTHEST (max-min cosine distance) from everything
+    selected so far — a 2-approximation of the optimal k-center cover,
+    i.e. k exemplars spread to cover the embedding space, the
+    complement of MMR's per-query reranking.
+
+    Scale shape: the chain is sequential in k (inherent to the greedy
+    guarantee), so k is a bounded constant and each of the k-1 rounds is
+    distributed over the corpus: the selected set (<= k rows) BROADCASTS
+    into one streamed pass computing per-vector min-distance, and the
+    global argmax is TakeOrderedAndProject (per-partition top-1, driver
+    merges partition count rows). k rounds = k corpus scans, no pairwise
+    materialization, no corpus shuffle at all; the selected frame is
+    localCheckpointed so plan depth stays constant.
+
+    Determinism: distance = round(1 - cosine, 6) with lowest-id
+    tiebreak at every argmax, so the chain is bit-reproducible and
+    matches the DuckDB recursive-CTE oracle step for step. Returns
+    (id, pick) with pick in 1..k in selection order."""
+    vecs = (
+        with_min_parallelism(corpus)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .cache()
+    )
+    first = (
+        vecs.orderBy(id_col)
+        .limit(1)
+        .select(id_col, F.lit(1).cast("long").alias("pick"))
+    )
+    selected = first.localCheckpoint(eager=True)
+
+    for step in range(2, k + 1):
+        sel_vecs = F.broadcast(
+            selected.join(vecs, id_col).select(
+                F.col(id_col).alias("__sid"), F.col("__v").alias("__sv")
+            )
+        )
+        mindist = (
+            vecs.join(
+                selected.select(F.col(id_col)), id_col, "left_anti"
+            )
+            .join(sel_vecs)
+            .select(
+                id_col,
+                F.round(1.0 - cosine(F.col("__v"), F.col("__sv")), 6).alias("__d"),
+            )
+            .groupBy(id_col)
+            .agg(F.min("__d").alias("__mind"))
+        )
+        next_pick = (
+            mindist.orderBy(F.col("__mind").desc(), F.col(id_col).asc())
+            .limit(1)
+            .select(id_col, F.lit(step).cast("long").alias("pick"))
+        )
+        selected = selected.unionByName(next_pick).localCheckpoint(eager=True)
+
+    return selected

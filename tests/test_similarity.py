@@ -170,3 +170,35 @@ def test_mmr_topk_invariants(spark):
         assert all((qid, nid) in shortlist for nid in picks.values())
         # pick 1 is pure relevance argmax (lambda only bites from pick 2)
         assert picks[1] == top1[qid]
+
+
+def test_kcenter_coreset_farthest_point_property(spark):
+    """pick 1 = lowest id; pick 2 = the global argmax of rounded cosine
+    distance to pick 1 (recomputed directly); picks distinct."""
+    import pyspark.sql.functions as F
+
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    picks = {r.pick: r.vec_id for r in S.kcenter_coreset(emb, k=4).collect()}
+    assert sorted(picks) == [1, 2, 3, 4]
+    assert len(set(picks.values())) == 4
+    lowest = emb.agg(F.min("vec_id")).collect()[0][0]
+    assert picks[1] == lowest
+    seed_vec = emb.filter(F.col("vec_id") == lowest).select(
+        F.col("embedding").cast("array<double>").alias("sv")
+    )
+    far = (
+        emb.filter(F.col("vec_id") != lowest)
+        .crossJoin(F.broadcast(seed_vec))
+        .select(
+            "vec_id",
+            F.round(
+                1.0 - S.cosine(F.col("embedding").cast("array<double>"), F.col("sv")), 6
+            ).alias("d"),
+        )
+        .orderBy(F.col("d").desc(), F.col("vec_id").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    assert picks[2] == far.vec_id
