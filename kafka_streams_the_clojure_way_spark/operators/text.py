@@ -475,3 +475,93 @@ def pii_scrub_sql(text: str = "text") -> dict[str, str]:
         col = f"regexp_replace({col}, '{pat}', '{repl}', 'g')"
     out["clean"] = col
     return out
+
+
+# --------------------------------------------------------------------------
+# DSIR importance scoring, stateless form (streaming-safe)
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+
+
+def dsir_bucket_ratios(
+    corpus: DataFrame,
+    target,
+    *,
+    text: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> list[float]:
+    """Train the DSIR log-ratio table (Xie et al. NeurIPS'23) from a
+    reference corpus: ln(p_target/p_source) per hashed unigram bucket,
+    add-1 smoothed, as a plain Python list of length ``n_buckets``.
+    ``target`` is a boolean Column selecting the target slice.
+
+    The collect is n_buckets rows — bounded by the MODEL (hashed
+    features), never the corpus/vocabulary, exactly like the k-means
+    centroid collects. One conditional-agg token pass builds both
+    distributions."""
+    from kafka_streams_the_clojure_way_spark.functions import portable as P
+
+    tok = corpus.select(
+        target.alias("__t"),
+        F.explode_outer(tokens_col(F.col(text))).alias("__tok"),
+    ).filter(F.col("__tok").isNotNull())
+    dist = (
+        tok.groupBy((P.hash60(F.col("__tok")) % n_buckets).alias("__b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_s"),
+            F.count_if(F.col("__t")).alias("n_t"),
+        )
+        .collect()
+    )
+    t_s = float(sum(r.n_s for r in dist))
+    t_t = float(sum(r.n_t for r in dist))
+    import math
+
+    ratios = [
+        math.log((0 + 1.0) / (t_t + n_buckets) / ((0 + 1.0) / (t_s + n_buckets)))
+    ] * n_buckets
+    for r in dist:
+        ratios[r["__b"]] = math.log(
+            ((r.n_t + 1.0) / (t_t + n_buckets))
+            / ((r.n_s + 1.0) / (t_s + n_buckets))
+        )
+    return ratios
+
+
+def dsir_score_stateless(
+    docs: DataFrame,
+    ratios: list[float],
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Score documents against a trained DSIR ratio table with ZERO
+    shuffle and ZERO aggregation state: the ratio table rides along as a
+    256-element array literal, and the per-doc log-weight is a row-local
+    higher-order fold over the token array — so this exact expression
+    runs unchanged on a STREAMING DataFrame in append mode (the
+    continuous-ingestion quality gate: train ratios on the reference
+    corpus batch-side, score every arriving micro-batch statelessly).
+
+    Output: (id, n_tokens, dsir_logweight_r) per document. NULL text
+    scores 0.0 over 0 tokens (no evidence); empty text follows the
+    shared tokenizer (one "" token) for consistency with token_stats."""
+    from kafka_streams_the_clojure_way_spark.functions import portable as P
+
+    if len(ratios) != n_buckets:
+        raise ValueError(f"ratio table must have {n_buckets} entries, got {len(ratios)}")
+    ratio_arr = F.array(*[F.lit(float(r)) for r in ratios])
+    toks = tokens_col(F.col(text))
+    logw = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.element_at(ratio_arr, (P.hash60(t) % n_buckets + 1).cast("int")),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.coalesce(F.array_size(toks), F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(F.coalesce(logw, F.lit(0.0)), 6).alias("dsir_logweight_r"),
+    )
