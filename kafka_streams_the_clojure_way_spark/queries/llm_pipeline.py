@@ -2272,3 +2272,130 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.kcenter_coreset(emb, k=_KCENTER_K)
+
+
+@query(
+    "text_entropy_stats",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({T.tokens_sql('text')}) AS tok FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    n AS (
+        SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n_tok FROM tf GROUP BY 1
+    )
+    SELECT tf.doc_id,
+           CAST(n.n_tok AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           round(COUNT(*) / n.n_tok, 6) AS ttr_r,
+           round(-SUM((c / n.n_tok) * log2(c / n.n_tok)), 6) AS entropy_r
+    FROM tf JOIN n USING (doc_id)
+    GROUP BY tf.doc_id, n.n_tok
+    """,
+)
+def text_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy + type-token ratio — the
+    lexical-diversity quality signals (low entropy = repetitive
+    boilerplate/spam; TTR near 1/n = one token repeated): standard
+    membership tests in web-corpus filter stacks alongside the Gopher
+    rules and repetition flags.
+
+    Scale shape: one explode into a map-side-combining (doc, token)
+    count, then a per-doc aggregate computing n/types/entropy in one
+    pass (the per-doc total rides along via a window-free sum-over-sum:
+    both aggregates group on doc_id, so Catalyst fuses them into the
+    same exchange). Entropy sums (c/n)*log2(c/n) per DISTINCT token —
+    the frame is the doc-term matrix, never the instance stream.
+    Rounded to 6 for cross-engine log parity."""
+    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode_outer(T.tokens_col(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = tf.groupBy("doc_id").agg(F.sum("c").cast("double").alias("n_tok"))
+    p = F.col("c") / F.col("n_tok")
+    return (
+        tf.join(n, "doc_id")
+        .groupBy("doc_id", "n_tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_r"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tokens"),
+            "n_types",
+            F.round(F.col("n_types") / F.col("n_tok"), 6).alias("ttr_r"),
+            "entropy_r",
+        )
+    )
+
+
+@query(
+    "timeseries_ohlc_hourly",
+    oracle="""
+    WITH pv AS (
+        SELECT event_id, value,
+               (epoch_ns(ts) // 3600000000000) AS hour_bucket,
+               ROW_NUMBER() OVER (
+                   PARTITION BY (epoch_ns(ts) // 3600000000000)
+                   ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (
+                   PARTITION BY (epoch_ns(ts) // 3600000000000)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT hour_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           round(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open_r,
+           round(MAX(value), 6) AS high_r,
+           round(MIN(value), 6) AS low_r,
+           round(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close_r
+    FROM pv GROUP BY hour_bucket
+    """,
+)
+def timeseries_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling (the finance/candlestick aggregate; equally the
+    sensor-rollup shape): per hour bucket of purchase events, the
+    opening/closing values by event time plus high/low/count. Open and
+    close are edge picks, not min/max, so they ride ROW_NUMBER windows
+    ordered (ts, event_id) both directions — the same ONE exchange
+    serves both window sorts AND the final groupBy (bucket = the window
+    partition key, so Catalyst reuses the partitioning; WindowGroupLimit
+    would not apply since every row must survive into high/low/count).
+    Deterministic under duplicate timestamps via the event_id tiebreak;
+    values rounded to 6 for cross-engine parity."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    bucket = F.expr("(unix_micros(ts) * 1000) div 3600000000000")
+    pv = ev.select(
+        "event_id", "value", "ts", bucket.alias("hour_bucket")
+    )
+    wa = Window.partitionBy("hour_bucket").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("hour_bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    pv = pv.select(
+        "hour_bucket",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return pv.groupBy("hour_bucket").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6).alias(
+            "open_r"
+        ),
+        F.round(F.max("value"), 6).alias("high_r"),
+        F.round(F.min("value"), 6).alias("low_r"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6).alias(
+            "close_r"
+        ),
+    )
