@@ -335,6 +335,9 @@ def minhash_lsh_pairs_between(
     text: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    *,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
 ) -> DataFrame:
     """INCREMENTAL near-dup: band-join a (small) probe batch against a
     (large) corpus — candidates are probe x corpus only, never
@@ -365,8 +368,14 @@ def minhash_lsh_pairs_between(
         return (
             base
             .select(F.col(id_col), shingle_hashes(F.col(text)).alias("sh"))
-            .withColumn("sig", minhash_from_hashes(F.col("sh")))
+            .withColumn(
+                "sig", minhash_from_hashes(F.col("sh"), minhash_seeds(n_hashes))
+            )
         )
+
+    if n_hashes % bands:
+        raise ValueError(f"n_hashes={n_hashes} must divide evenly into bands={bands}")
+    rows = n_hashes // bands
 
     def _banded(sigs: DataFrame) -> DataFrame:
         return sigs.select(
@@ -376,9 +385,9 @@ def minhash_lsh_pairs_between(
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            _band_key(F.col("sig"), b).alias("bkey"),
+                            _band_key(F.col("sig"), b, rows).alias("bkey"),
                         )
-                        for b in range(LSH_BANDS)
+                        for b in range(bands)
                     ]
                 )
             ).alias("bk"),
@@ -430,14 +439,20 @@ def minhash_lsh_pairs_between_sql(
     text: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    *,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
 ) -> str:
     """DuckDB twin of ``minhash_lsh_pairs_between`` with the two sides
-    selected from ``table`` by predicate."""
-    sig = minhash_signature_sql(text)
+    selected from ``table`` by predicate (same banding knob)."""
+    if n_hashes % bands:
+        raise ValueError(f"n_hashes={n_hashes} must divide evenly into bands={bands}")
+    rows = n_hashes // bands
+    sig = minhash_signature_sql(text, minhash_seeds(n_hashes))
     sh = shingle_hashes_sql(text)
     band_structs = ", ".join(
-        f"struct_pack(band := {b}, bkey := {_band_key_sql('sig', b)})"
-        for b in range(LSH_BANDS)
+        f"struct_pack(band := {b}, bkey := {_band_key_sql('sig', b, rows)})"
+        for b in range(bands)
     )
     jac = (
         "round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)"
