@@ -293,6 +293,10 @@ def test_no_accidental_cartesian_products(spark):
         # centroid table (the sim_ivf_ann_topk shape) before residual
         # encoding — BNLJ by design
         "sim_ivfpq_topk",
+        # SemDeDup composes the same Lloyd assignment (k-row broadcast
+        # centroid cross); its PAIR join is separately pinned as
+        # cluster-keyed by test_semdedup_pair_join_is_cluster_keyed
+        "dedup_semantic_cluster_flags",
     }
     offenders = {}
     for name in sorted(QUERIES):
