@@ -2399,3 +2399,60 @@ def timeseries_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "close_r"
         ),
     )
+
+
+_TOKEN_BUDGET_PER_SOURCE = 300
+
+
+@query(
+    "sample_token_budget_per_source",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len({T.tokens_sql('text')}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    running AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY n_tokens DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM sized
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM running WHERE cum_tokens <= {_TOKEN_BUDGET_PER_SOURCE}
+    """,
+)
+def sample_token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGETED selection per source — the mixture-weights step of
+    corpus assembly stated in the unit that matters: each source
+    contributes documents by priority until its token budget
+    ({_TOKEN_BUDGET_PER_SOURCE} here) is exhausted, so the output
+    mixture is controlled in TOKENS, not documents (doc-count quotas
+    drift with per-source length distributions). Priority is longest-
+    first with doc_id tiebreak; swap in any quality score without
+    changing the plan.
+
+    Scale shape: token counts are a scan-side map (array_size, no
+    explode); the greedy cut is one running-sum window per source — a
+    single shuffle on source, integer arithmetic end to end (no float
+    threshold ambiguity). Per-source skew equals docs-per-source, the
+    same profile every per-source op here carries."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.array_size(T.tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET_PER_SOURCE)
+    )

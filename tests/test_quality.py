@@ -60,3 +60,19 @@ def test_constraint_audit_frame_matches_validate(spark):
         "y_not_null": (flat["y_not_null"], flat["__rows"]),
     }
     assert frame["x_positive"] == (1, 3) and frame["y_not_null"] == (1, 3)
+
+
+def test_entropy_stats_bounds(spark):
+    """Shannon entropy over d distinct tokens is bounded by log2(d);
+    TTR in (0, 1]; single-type docs have exactly zero entropy."""
+    import math
+
+    from kafka_streams_the_clojure_way_spark.queries import QUERIES
+
+    rows = QUERIES["text_entropy_stats"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.ttr_r <= 1.0
+        assert -1e-6 <= r.entropy_r <= math.log2(max(r.n_types, 2)) + 1e-6
+        if r.n_types == 1:
+            assert r.entropy_r == 0.0
