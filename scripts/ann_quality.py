@@ -39,7 +39,9 @@ def pairs(df) -> set[tuple[int, int]]:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = get_spark("kstcw-ann-quality")
+    spark = get_spark(
+        "kstcw-ann-quality", extra_conf={"spark.driver.memory": "16g"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     emb = load_table(spark, sf_dir, "embeddings")
