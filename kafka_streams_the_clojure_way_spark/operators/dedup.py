@@ -1003,3 +1003,127 @@ def clip_duplicate_spans_sql(
                AS n_removed_tokens
     FROM {table} d LEFT JOIN rebuilt r ON r.{id_col} = d.{id_col}
     """
+
+
+CONTAINMENT_THRESHOLD_NUM = 4
+CONTAINMENT_THRESHOLD_DEN = 5  # t = 4/5 = 0.8
+
+
+def containment_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    *,
+    t_num: int = CONTAINMENT_THRESHOLD_NUM,
+    t_den: int = CONTAINMENT_THRESHOLD_DEN,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: pairs where the smaller document's shingle
+    set is >= t contained in the other's — |S(A) ∩ S(B)| / min(|S(A)|,
+    |S(B)|) >= t. This catches documents EMBEDDED in others (quotes,
+    concatenations, page-within-crawl) that resemblance-based MinHash
+    misses by construction: a small A inside a huge B has Jaccard
+    |A|/|B| ~ 0 no matter how completely B contains A.
+
+    Scale design — the SSJoin/PPJoin prefix filter (Chaudhuri et al.
+    ICDE'06; Xiao et al. WWW'08), exact not approximate:
+
+    1. one global shingle-frequency pass orders every doc's shingle set
+       rarest-first (any FIXED total order works for correctness;
+       rarity order minimizes join traffic);
+    2. pigeonhole: if |A ∩ B| >= t*|A|, then among A's first
+       |A| - ceil(t*|A|) + 1 shingles in that order at least one is in
+       B — so each doc posts only its PREFIX (a (1-t)-fraction), and
+       candidates come from prefix-postings ⋈ full-postings on the
+       shingle hash. Prefixes are rarest-first, so posted join keys
+       have small document frequency by construction — the join never
+       keys on corpus-hot shingles unless a doc consists entirely of
+       hot shingles;
+    3. exact set-intersection verify on candidate pairs only.
+
+    The candidate step is LOSSLESS (pigeonhole theorem), so output
+    equals the brute-force all-pairs answer — which is exactly what the
+    DuckDB oracle computes. Threshold is a RATIONAL (t_num/t_den):
+    ceil(t*|A|) runs in integer arithmetic, so prefix lengths cannot
+    drift across engines' float ceils. Output: (id_a, id_b, n_shared,
+    containment_r) with id_a < id_b."""
+    sh_sets = (
+        with_min_parallelism(df)
+        .select(F.col(id_col), shingle_hashes(F.col(text)).alias("sh"))
+        .withColumn("size", F.array_size("sh"))
+        .cache()
+    )
+    posts = sh_sets.select(id_col, "size", F.explode("sh").alias("h"))
+    df_tab = posts.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = posts.join(df_tab, "h")
+    # rarest-first per-doc order; prefix_len = size - ceil(t*size) + 1,
+    # with ceil in pure integers: ceil(n*a/b) = (n*a + b - 1) div b
+    arr = ranked.groupBy(id_col, "size").agg(
+        F.sort_array(F.collect_list(F.struct("df", "h"))).alias("arr")
+    )
+    prefix_len = (
+        F.col("size")
+        - ((F.col("size") * t_num + t_den - 1) / t_den).cast("long")
+        + 1
+    )
+    prefix_posts = arr.select(
+        F.col(id_col).alias("__pid"),
+        F.explode(
+            F.slice(F.transform(F.col("arr"), lambda s: s["h"]), 1, prefix_len)
+        ).alias("h"),
+    )
+    full_posts = posts.select(F.col(id_col).alias("__fid"), "h")
+    cand = (
+        prefix_posts.join(full_posts, "h")
+        .filter(F.col("__pid") != F.col("__fid"))
+        .select(
+            F.least("__pid", "__fid").alias("id_a"),
+            F.greatest("__pid", "__fid").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = sh_sets.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("size").alias("sz_a")
+    )
+    b = sh_sets.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("size").alias("sz_b")
+    )
+    inter = F.array_size(F.array_intersect("sh_a", "sh_b"))
+    c = F.round(
+        inter.cast("double") / F.least("sz_a", "sz_b").cast("double"), 6
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("n_shared"),
+            c.alias("containment_r"),
+        )
+        .filter(F.col("containment_r") * t_den >= F.lit(float(t_num)))
+    )
+
+
+def containment_pairs_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    *,
+    t_num: int = CONTAINMENT_THRESHOLD_NUM,
+    t_den: int = CONTAINMENT_THRESHOLD_DEN,
+) -> str:
+    """DuckDB twin of :func:`containment_pairs` — the brute-force
+    all-pairs form (the prefix filter is lossless, so outputs match)."""
+    sh = shingle_hashes_sql(text)
+    return f"""
+    WITH s AS (
+        SELECT {id_col}, {sh} AS sh, len({sh}) AS sz FROM {table}
+    )
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_shared,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / least(a.sz, b.sz), 6) AS containment_r
+    FROM s a JOIN s b ON a.{id_col} < b.{id_col}
+    WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / least(a.sz, b.sz), 6) * {t_den} >= {t_num}
+    """

@@ -2456,3 +2456,18 @@ def sample_token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFram
         sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= _TOKEN_BUDGET_PER_SOURCE)
     )
+
+
+@query("dedup_containment_pairs", oracle=D.containment_pairs_sql())
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment dedup (SSJoin/PPJoin prefix filter,
+    Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08): pairs where the
+    smaller document's shingle set is >=80% inside the other's — the
+    embedded-document/quote/concatenation case that resemblance MinHash
+    structurally misses (small-inside-huge has Jaccard ~ 0). Candidates
+    come from a LOSSLESS rarest-first prefix posting join (each doc
+    posts only a (1-t)-fraction of its rarest shingles; pigeonhole
+    guarantees no qualifying pair is lost), so the oracle is the exact
+    brute-force all-pairs answer. Prefix lengths use integer-rational
+    ceil, immune to cross-engine float drift."""
+    return D.containment_pairs(load_table(spark, sf_dir, "documents"))

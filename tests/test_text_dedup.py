@@ -273,3 +273,46 @@ def test_minhash_banding_rejects_indivisible(spark):
     docs = _docs(spark, _near_dup_corpus())
     with pytest.raises(ValueError, match="divide evenly"):
         D.minhash_lsh_pairs(docs, n_hashes=16, bands=5)
+
+
+def test_containment_catches_embedded_doc_minhash_misses(spark):
+    """A small doc fully embedded in a much larger one: containment = 1.0
+    (found), while resemblance MinHash misses it (Jaccard ~ |A|/|B|) —
+    the operator's reason to exist."""
+    small = " ".join(f"core{i}" for i in range(12))
+    big = small + " " + " ".join(f"pad{i}" for i in range(120))
+    other = " ".join(f"x{i}" for i in range(30))
+    docs = _docs(spark, [small, big, other])
+    got = {(r.id_a, r.id_b): r.containment_r for r in D.containment_pairs(docs).collect()}
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (0, 2) not in got and (1, 2) not in got
+    # resemblance path misses the embedded pair at its 0.8 threshold
+    mh = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) not in mh
+
+
+def test_containment_prefix_filter_is_lossless(spark):
+    """Prefix-filtered output == brute-force all-pairs output on real
+    corpus data (the pigeonhole guarantee, checked empirically)."""
+    import pyspark.sql.functions as F
+
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fast = {tuple(r) for r in D.containment_pairs(docs).collect()}
+    s = docs.select(
+        "doc_id", D.shingle_hashes(F.col("text")).alias("sh"),
+        F.array_size(D.shingle_hashes(F.col("text"))).alias("sz"),
+    )
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
+    inter = F.array_size(F.array_intersect("sh_a", "sh_b"))
+    cont = F.round(inter.cast("double") / F.least("sz_a", "sz_b").cast("double"), 6)
+    brute = {
+        tuple(r)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", inter.cast("long").alias("n_shared"), cont.alias("containment_r"))
+        .filter(F.col("containment_r") * 5 >= 4)
+        .collect()
+    }
+    assert fast == brute and len(fast) > 0
