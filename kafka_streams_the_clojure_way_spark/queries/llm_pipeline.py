@@ -2471,3 +2471,82 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force all-pairs answer. Prefix lengths use integer-rational
     ceil, immune to cross-engine float drift."""
     return D.containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+#: fixed-point DCG position gains: round(1e9 / log2(r+1)) for ranks
+#: 1..10, precomputed as INTEGER constants shared by both engines — the
+#: per-query DCG is then an integer sum (exact, summation-order-free),
+#: where summing 1/log2(r+1) doubles would expose Spark's nondeterministic
+#: aggregation order at the last ulp.
+_DCG_GAIN_UNITS = tuple(
+    round(1_000_000_000 / __import__("math").log2(r + 1)) for r in range(1, 11)
+)
+_IDCG_UNITS = sum(_DCG_GAIN_UNITS)
+
+
+@query(
+    "eval_ann_quantized_quality",
+    oracle=f"""
+    WITH truth AS (SELECT query_id, neighbor_id FROM ({_SIM_ORACLE_BASE}) t),
+    approx AS (SELECT query_id, neighbor_id, rank FROM ({_QUANT_ORACLE}) a),
+    hits AS (
+        SELECT a.query_id, a.rank
+        FROM approx a JOIN truth t
+          ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+    ),
+    scored AS (
+        SELECT query_id,
+               COUNT(*) AS n_hits,
+               SUM([{', '.join(str(g) for g in _DCG_GAIN_UNITS)}][rank]) AS dcg_units
+        FROM hits GROUP BY query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(s.n_hits, 0) AS BIGINT) AS n_hits,
+           round(COALESCE(s.n_hits, 0) / 10.0, 6) AS recall_r,
+           round(COALESCE(s.dcg_units, 0) / {float(_IDCG_UNITS)}, 6) AS ndcg_r
+    FROM (SELECT DISTINCT query_id FROM truth) q
+    LEFT JOIN scored s USING (query_id)
+    """,
+)
+def eval_ann_quantized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality EVAL as a first-class query: per probe query,
+    recall@10 and (binary-relevance) NDCG@10 of the int8-quantized ANN
+    tier against exact brute-force ground truth — the measurement every
+    ANN rollout needs, run as the same kind of oracle-paired dataflow as
+    the operators it grades. Composes two existing tiers (both
+    broadcast-probe/streamed-corpus; candidates join on (query,
+    neighbor) — bounded k rows per query per side). DCG uses fixed-point
+    INTEGER position gains so the per-query sum is exact and
+    summation-order-free on both engines; recall/NDCG divide integers at
+    the end and round to 6."""
+    truth = S.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _queries_frame(spark, sf_dir),
+        k=10,
+    ).select("query_id", "neighbor_id")
+    approx = S.quantized_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _queries_frame(spark, sf_dir),
+        k=10,
+    ).select("query_id", "neighbor_id", "rank")
+    gains = F.array(*[F.lit(g) for g in _DCG_GAIN_UNITS])
+    hits = approx.join(truth, ["query_id", "neighbor_id"]).select(
+        "query_id", F.element_at(gains, F.col("rank").cast("int")).alias("g")
+    )
+    scored = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits"), F.sum("g").alias("dcg_units")
+    )
+    qids = truth.select("query_id").distinct()
+    return (
+        qids.join(scored, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 10.0, 6).alias(
+                "recall_r"
+            ),
+            F.round(
+                F.coalesce(F.col("dcg_units"), F.lit(0)) / float(_IDCG_UNITS), 6
+            ).alias("ndcg_r"),
+        )
+    )
