@@ -1127,3 +1127,104 @@ def containment_pairs_sql(
     WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                 / least(a.sz, b.sz), 6) * {t_den} >= {t_num}
     """
+
+
+def containment_pairs_between(
+    probe_df: DataFrame,
+    build_df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    *,
+    t_num: int = CONTAINMENT_THRESHOLD_NUM,
+    t_den: int = CONTAINMENT_THRESHOLD_DEN,
+) -> DataFrame:
+    """INCREMENTAL asymmetric containment: an arriving probe batch
+    checked against a static corpus — "is this document already covered
+    by (or does it swallow) something we have?" — the ingestion-gate
+    form of :func:`containment_pairs`, candidates probe x corpus only.
+
+    Losslessness needs the PREFIX on whichever side is smaller (the
+    side whose containment is measured), and either side can be smaller
+    — a probe can be a fragment of a corpus doc or a concatenation
+    containing one — so candidates are the UNION of two prefix legs:
+    probe-prefix x corpus-full and probe-full x corpus-prefix. The
+    corpus legs (full postings, prefix postings, shingle sets) are
+    computed once per run from the static side; at scale they are the
+    persisted index.
+
+    Rarity note: the incremental form orders prefixes by shingle hash
+    (corpus df would drift as the corpus grows and the probe batch's df
+    is meaningless); ANY fixed order keeps the pigeonhole guarantee —
+    rarity ordering in :func:`containment_pairs` is a cost optimization
+    only, which the batch form keeps because it sees the whole corpus.
+
+    STREAMING: ``probe_df`` may be a streaming DataFrame — every
+    probe-side step is a stateless per-row expression plus stream-static
+    equi-joins against the corpus postings; the only streaming state is
+    the per-batch candidate ``dropDuplicates`` (bounded per batch).
+    Returns (probe_id, corpus_id, n_shared, containment_r)."""
+
+    def _sets(df: DataFrame) -> DataFrame:
+        base = df if df.isStreaming else with_min_parallelism(df)
+        return (
+            base.select(F.col(id_col), shingle_hashes(F.col(text)).alias("sh"))
+            .withColumn("size", F.array_size("sh"))
+        )
+
+    prefix_len = (
+        F.col("size")
+        - ((F.col("size") * t_num + t_den - 1) / t_den).cast("long")
+        + 1
+    )
+
+    def _prefix_posts(sets: DataFrame, pid: str) -> DataFrame:
+        # hash-ordered prefix (sort_array on the set — already distinct)
+        return sets.select(
+            F.col(id_col).alias(pid),
+            F.explode(
+                F.slice(F.sort_array(F.col("sh")), 1, prefix_len)
+            ).alias("h"),
+        )
+
+    def _full_posts(sets: DataFrame, pid: str) -> DataFrame:
+        return sets.select(F.col(id_col).alias(pid), F.explode("sh").alias("h"))
+
+    psets = _sets(probe_df)
+    csets = _sets(build_df).cache()
+    leg1 = _prefix_posts(psets, "probe_id").join(
+        _full_posts(csets, "corpus_id"), "h"
+    )
+    leg2 = _full_posts(psets, "probe_id").join(
+        _prefix_posts(csets, "corpus_id"), "h"
+    )
+    cand = (
+        leg1.unionByName(leg2)
+        .filter(F.col("probe_id") != F.col("corpus_id"))
+        .select("probe_id", "corpus_id")
+        .dropDuplicates(["probe_id", "corpus_id"])
+    )
+    pa = psets.select(
+        F.col(id_col).alias("probe_id"),
+        F.col("sh").alias("sh_p"),
+        F.col("size").alias("sz_p"),
+    )
+    ca = csets.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("sh").alias("sh_c"),
+        F.col("size").alias("sz_c"),
+    )
+    inter = F.array_size(F.array_intersect("sh_p", "sh_c"))
+    c = F.round(
+        inter.cast("double") / F.least("sz_p", "sz_c").cast("double"), 6
+    )
+    return (
+        cand.join(pa, "probe_id")
+        .join(ca, "corpus_id")
+        .select(
+            "probe_id",
+            "corpus_id",
+            inter.cast("long").alias("n_shared"),
+            c.alias("containment_r"),
+        )
+        .filter(F.col("containment_r") * t_den >= F.lit(float(t_num)))
+    )

@@ -63,3 +63,48 @@ def test_streaming_gate_matches_batch(spark, tmp_path):
     drain(q)
     got = _pairs(spark.table("dedup_gate"))
     assert got == expected
+
+
+def test_containment_gate_streaming_matches_batch(spark, tmp_path):
+    """Incremental containment gate: a fragment probe and a concatenation
+    probe must both match their corpus counterpart (the two prefix legs),
+    batch == streaming."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        containment_pairs_between,
+    )
+
+    corpus_texts = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "unrelated corpus text about physical query planning"),
+    ]
+    arriving = [
+        # fragment of corpus doc 1 (probe smaller -> probe-prefix leg)
+        (201, "alpha beta gamma delta epsilon zeta"),
+        # concatenation containing corpus doc 2 (corpus smaller -> corpus-prefix leg)
+        (202, "one two three four five six seven eight nine ten padA padB padC padD padE padF padG padH padI padJ padK padL padM padN padO padP padQ padR padS padT padU padV padW padX"),
+        (203, "entirely different arriving content with no overlap"),
+    ]
+    corpus = spark.createDataFrame(corpus_texts, SCHEMA)
+    probe = spark.createDataFrame(arriving, SCHEMA)
+    batch = containment_pairs_between(probe, corpus)
+    expected = sorted((r.probe_id, r.corpus_id) for r in batch.collect())
+    assert expected == [(201, 1), (202, 2)]
+
+    in_dir = tmp_path / "carriving"
+    for i, row in enumerate(arriving):
+        spark.createDataFrame([row], SCHEMA).write.parquet(str(in_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(in_dir))
+    )
+    gated = containment_pairs_between(stream, corpus)
+    assert gated.isStreaming
+    q = start_memory_sink(gated, "containment_gate")
+    drain(q)
+    got = sorted(
+        (r.probe_id, r.corpus_id) for r in spark.table("containment_gate").collect()
+    )
+    assert got == expected
