@@ -62,6 +62,12 @@ PROBE_QUERIES = [
     "sample_dsir_logweights",       # hashed-bucket models, broadcast ratio join
     "text_bigram_logprob",          # vocab-sized probs, Zipf-head broadcast split
     "sim_mmr_diversified_topk",     # bounded shortlist; k joins over constant frames
+    "dedup_containment_pairs",      # lossless prefix-posting join (true pairs grow
+                                    # quadratically under exact-copy replication —
+                                    # read its ratio like MinHash-LSH's)
+    "text_entropy_stats",           # doc-term matrix + fused per-doc agg
+    "sample_token_budget_per_source",  # integer running-sum window per source
+    "eval_ann_quantized_quality",   # two bounded-probe tiers + (query,neighbor) join
 ]
 
 
