@@ -1091,6 +1091,10 @@ def containment_pairs(
     c = F.round(
         inter.cast("double") / F.least("sz_a", "sz_b").cast("double"), 6
     )
+    # threshold compare in INTEGERS (inter*den >= min_size*num): comparing
+    # the 6dp-ROUNDED ratio would admit pairs with true containment just
+    # below t, which the pigeonhole prefix guarantee does not cover — the
+    # losslessness claim holds only for the unrounded predicate.
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -1099,8 +1103,10 @@ def containment_pairs(
             "id_b",
             inter.cast("long").alias("n_shared"),
             c.alias("containment_r"),
+            (inter * t_den >= F.least("sz_a", "sz_b") * t_num).alias("__keep"),
         )
-        .filter(F.col("containment_r") * t_den >= F.lit(float(t_num)))
+        .filter(F.col("__keep"))
+        .drop("__keep")
     )
 
 
@@ -1124,8 +1130,7 @@ def containment_pairs_sql(
            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / least(a.sz, b.sz), 6) AS containment_r
     FROM s a JOIN s b ON a.{id_col} < b.{id_col}
-    WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                / least(a.sz, b.sz), 6) * {t_den} >= {t_num}
+    WHERE len(list_intersect(a.sh, b.sh)) * {t_den} >= least(a.sz, b.sz) * {t_num}
     """
 
 
@@ -1159,10 +1164,16 @@ def containment_pairs_between(
     only, which the batch form keeps because it sees the whole corpus.
 
     STREAMING: ``probe_df`` may be a streaming DataFrame — every
-    probe-side step is a stateless per-row expression plus stream-static
-    equi-joins against the corpus postings; the only streaming state is
-    the per-batch candidate ``dropDuplicates`` (bounded per batch).
-    Returns (probe_id, corpus_id, n_shared, containment_r)."""
+    probe-side step is a per-row expression plus stream-static
+    equi-joins against the corpus postings. State caveat: the candidate
+    ``dropDuplicates`` and the candidate→probe-shingle join both hold
+    STREAM-side state that Spark keeps ACROSS micro-batches (the dedup
+    keys globally; the self-join buffers probe rows) — bounded for
+    availableNow/bounded replays, but a long-lived continuous run MUST
+    add an event-time watermark upstream (same caveat as
+    minhash_lsh_pairs_between) or state grows with total ingested
+    documents. Returns (probe_id, corpus_id, n_shared,
+    containment_r)."""
 
     def _sets(df: DataFrame) -> DataFrame:
         base = df if df.isStreaming else with_min_parallelism(df)
@@ -1217,6 +1228,7 @@ def containment_pairs_between(
     c = F.round(
         inter.cast("double") / F.least("sz_p", "sz_c").cast("double"), 6
     )
+    # integer threshold compare — see containment_pairs
     return (
         cand.join(pa, "probe_id")
         .join(ca, "corpus_id")
@@ -1225,6 +1237,8 @@ def containment_pairs_between(
             "corpus_id",
             inter.cast("long").alias("n_shared"),
             c.alias("containment_r"),
+            (inter * t_den >= F.least("sz_p", "sz_c") * t_num).alias("__keep"),
         )
-        .filter(F.col("containment_r") * t_den >= F.lit(float(t_num)))
+        .filter(F.col("__keep"))
+        .drop("__keep")
     )

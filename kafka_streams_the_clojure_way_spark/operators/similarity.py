@@ -99,7 +99,13 @@ def brute_force_topk(
     Guarded: raises if the query set exceeds MAX_BRUTE_FORCE_QUERIES —
     the cost is |queries| x |corpus|, and the broadcast side must stay
     absolutely bounded regardless of corpus size (the same contract
-    cosine_topk_pandas enforces)."""
+    cosine_topk_pandas enforces). Note the guard is an EAGER
+    limit(cap+1).count() job at construction time (same pattern as the
+    pandas path) — a deliberate trade: a tiny bounded scan per call
+    buys a hard fail-fast before any quadratic work is scheduled, at
+    the price of this builder no longer being fully lazy (it shows up
+    as a small constant in bench/plan-audit paths that only need the
+    plan)."""
     n_probe_rows = queries.limit(MAX_BRUTE_FORCE_QUERIES + 1).count()
     if n_probe_rows > MAX_BRUTE_FORCE_QUERIES:
         raise ValueError(

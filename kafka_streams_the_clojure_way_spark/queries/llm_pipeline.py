@@ -1905,7 +1905,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Selection for Language Models via Importance Resampling"): unigram
 #: features hashed into a FIXED number of buckets, so the target/source
 #: distributions are B-row tables regardless of vocabulary size.
-_DSIR_BUCKETS = 256
+_DSIR_BUCKETS = T.DSIR_BUCKETS  # single source of truth: operators/text.py
 
 
 @query(
@@ -2127,8 +2127,8 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MMR_K = 5
-_MMR_NCAND = 20
-_MMR_LAMBDA = 0.7
+_MMR_NCAND = S.MMR_N_CAND   # single source of truth: operators/similarity.py
+_MMR_LAMBDA = S.MMR_LAMBDA
 
 
 def _mmr_oracle() -> str:
@@ -2184,6 +2184,7 @@ def _mmr_oracle() -> str:
     final AS (SELECT query_id, sel FROM mmr WHERE step = {k})
     SELECT query_id, sel[i] AS neighbor_id, CAST(i AS BIGINT) AS pick
     FROM final, unnest(range(1, {k} + 1)) AS t(i)
+    WHERE sel[i] IS NOT NULL
     """
 
 
@@ -2225,7 +2226,7 @@ def dedup_semantic_cluster_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.semdedup_flags(emb)
 
 
-_KCENTER_K = 8
+_KCENTER_K = S.KCENTER_K  # single source of truth: operators/similarity.py
 
 
 def _kcenter_oracle() -> str:
@@ -2254,6 +2255,7 @@ def _kcenter_oracle() -> str:
     final AS (SELECT sel FROM kc WHERE step = {k})
     SELECT sel[i] AS vec_id, CAST(i AS BIGINT) AS pick
     FROM final, unnest(range(1, {k} + 1)) AS t(i)
+    WHERE sel[i] IS NOT NULL
     """
 
 

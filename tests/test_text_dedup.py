@@ -311,8 +311,8 @@ def test_containment_prefix_filter_is_lossless(spark):
     brute = {
         tuple(r)
         for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(inter * 5 >= F.least("sz_a", "sz_b") * 4)  # integer predicate
         .select("id_a", "id_b", inter.cast("long").alias("n_shared"), cont.alias("containment_r"))
-        .filter(F.col("containment_r") * 5 >= 4)
         .collect()
     }
     assert fast == brute and len(fast) > 0
