@@ -82,7 +82,14 @@ def main() -> None:
         "detail": "BENCH.json",
     }
     sline = json.dumps(summary, separators=(",", ":"))
-    assert len(sline) < 1900, f"summary line {len(sline)}B exceeds driver tail capture"
+    if len(sline) >= 1900:
+        # Degrade, never abort: the driver captures only the last 2000
+        # stdout bytes, so if the family map outgrows the tail budget we
+        # drop it (detail stays in BENCH.json) rather than losing the
+        # whole line to an assert AFTER the multi-minute run.
+        summary.pop("queries", None)
+        summary["granularity"] = "total-only (family map exceeded tail budget)"
+        sline = json.dumps(summary, separators=(",", ":"))
     sys.stdout.write(sline + "\n")
     sys.stdout.flush()
 

@@ -1062,7 +1062,7 @@ def containment_pairs(
     )
     prefix_len = (
         F.col("size")
-        - ((F.col("size") * t_num + t_den - 1) / t_den).cast("long")
+        - F.expr(f"(size * {t_num} + {t_den} - 1) div {t_den}")
         + 1
     )
     prefix_posts = arr.select(
@@ -1184,7 +1184,7 @@ def containment_pairs_between(
 
     prefix_len = (
         F.col("size")
-        - ((F.col("size") * t_num + t_den - 1) / t_den).cast("long")
+        - F.expr(f"(size * {t_num} + {t_den} - 1) div {t_den}")
         + 1
     )
 

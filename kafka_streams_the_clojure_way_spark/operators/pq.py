@@ -344,11 +344,13 @@ def pq_topk_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_mod: int = 50,
+    id_cap: int | None = None,
     top_k: int = 10,
 ) -> str:
     """DuckDB twin of pq_model + adc_topk: grouped-kmeans training
     unrolled as one CTE chain (the subspace id rides every key), then
     the same integer-unit ADC."""
+    cap_sql = f" AND sub.{id_col} < {id_cap}" if id_cap is not None else ""
     dist = _sq_dist_sql("sub.sub", "c.c")
     final = f"c{n_iter}"
     parts = [
@@ -359,7 +361,7 @@ def pq_topk_sql(
         SELECT sub.{id_col} AS query_id, sub.s, c.code,
                CAST(floor({dist} * {ADC_UNITS} + 0.5) AS BIGINT) AS du
         FROM sub JOIN {final} c ON c.s = sub.s
-        WHERE sub.{id_col} % {query_mod} = 0
+        WHERE sub.{id_col} % {query_mod} = 0{cap_sql}
     )""",
         f"""adc AS (
         SELECT l.query_id, cd.{id_col} AS neighbor_id,
@@ -486,6 +488,7 @@ def ivfpq_topk_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_mod: int = 50,
+    id_cap: int | None = None,
     top_k: int = 10,
     n_probe: int = 3,
     centroid_mod: int = 17,
@@ -496,6 +499,7 @@ def ivfpq_topk_sql(
     residuals, then the per-(query, cell) LUT ADC."""
     from kafka_streams_the_clojure_way_spark.operators.similarity import cosine_sql
 
+    cap_sql = f" AND s.{id_col} < {id_cap}" if id_cap is not None else ""
     cos_cent = cosine_sql("s.vv", "c.cv")
     dist = _sq_dist_sql("sub.sub", "c.c")
     final = f"c{n_iter}"
@@ -525,7 +529,7 @@ def ivfpq_topk_sql(
                ROW_NUMBER() OVER (PARTITION BY s.{id_col}
                                   ORDER BY {cos_cent} DESC, c.cent_id) AS crank
         FROM allv s, cents c
-        WHERE s.{id_col} % {query_mod} = 0
+        WHERE s.{id_col} % {query_mod} = 0{cap_sql}
     )""",
         f"""qres AS (
         SELECT query_id, cent_id AS cell, {residual} AS vv

@@ -92,6 +92,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "query_id",
+    assume_bounded: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the
     corpus, rank per query. Excludes self-matches on equal ids.
@@ -99,20 +100,22 @@ def brute_force_topk(
     Guarded: raises if the query set exceeds MAX_BRUTE_FORCE_QUERIES —
     the cost is |queries| x |corpus|, and the broadcast side must stay
     absolutely bounded regardless of corpus size (the same contract
-    cosine_topk_pandas enforces). Note the guard is an EAGER
-    limit(cap+1).count() job at construction time (same pattern as the
-    pandas path) — a deliberate trade: a tiny bounded scan per call
-    buys a hard fail-fast before any quadratic work is scheduled, at
-    the price of this builder no longer being fully lazy (it shows up
-    as a small constant in bench/plan-audit paths that only need the
-    plan)."""
-    n_probe_rows = queries.limit(MAX_BRUTE_FORCE_QUERIES + 1).count()
-    if n_probe_rows > MAX_BRUTE_FORCE_QUERIES:
-        raise ValueError(
-            f"brute_force_topk query set exceeds {MAX_BRUTE_FORCE_QUERIES} "
-            "rows; brute force is |queries| x |corpus| — use the LSH/IVF/PQ "
-            "tiers, or pass an explicitly LIMITed probe set"
-        )
+    cosine_topk_pandas enforces). The guard is an EAGER
+    limit(cap+1).count() job at construction time: a tiny bounded scan
+    that fails fast before any quadratic work is scheduled. Callers
+    whose probe frame is bounded BY CONSTRUCTION (an absolute id-cap
+    predicate or an explicit LIMIT — e.g. the registered queries'
+    ``vec_id < cap`` probe sets) pass ``assume_bounded=True`` to skip
+    the probe job and keep the builder fully lazy; the flag asserts
+    the caller's own bound, it does not widen the contract."""
+    if not assume_bounded:
+        n_probe_rows = queries.limit(MAX_BRUTE_FORCE_QUERIES + 1).count()
+        if n_probe_rows > MAX_BRUTE_FORCE_QUERIES:
+            raise ValueError(
+                f"brute_force_topk query set exceeds {MAX_BRUTE_FORCE_QUERIES} "
+                "rows; brute force is |queries| x |corpus| — use the LSH/IVF/PQ "
+                "tiers, or pass an explicitly LIMITed probe set"
+            )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec")
@@ -362,12 +365,16 @@ def ivf_topk_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_mod: int = 50,
+    id_cap: int | None = None,
     k: int = 10,
     n_probe: int = IVF_NPROBE,
     centroid_mod: int = IVF_CENTROID_MOD,
     n_cells: int = IVF_N_CELLS,
 ) -> str:
-    """DuckDB twin of ivf_topk with the same deterministic centroids."""
+    """DuckDB twin of ivf_topk with the same deterministic centroids.
+    ``id_cap`` appends the absolute probe bound (id < cap) the registered
+    queries carry so the probe set stays constant-sized at any SF."""
+    cap_sql = f" AND s.{id_col} < {id_cap}" if id_cap is not None else ""
     cos_cent = cosine_sql(f"s.{vec_col}", f"c.{vec_col}")
     cos_qn = cosine_sql("q.qvec", "n.cvec")
     return f"""
@@ -389,7 +396,7 @@ def ivf_topk_sql(
                ROW_NUMBER() OVER (PARTITION BY s.{id_col}
                                   ORDER BY {cos_cent} DESC, c.cent_id) AS crank
         FROM {table} s, cents c
-        WHERE s.{id_col} % {query_mod} = 0
+        WHERE s.{id_col} % {query_mod} = 0{cap_sql}
     ),
     probe AS (
         SELECT query_id, qvec, cent_id AS cell FROM query_scored
@@ -758,6 +765,7 @@ def mmr_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "query_id",
+    assume_bounded: bool = False,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversified top-k (Carbonell &
     Goldstein, SIGIR'98): per query, greedily pick the candidate
@@ -787,7 +795,8 @@ def mmr_topk(
     from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
 
     scored = brute_force_topk(corpus, queries, k=n_cand, id_col=id_col,
-                              vec_col=vec_col, query_id=query_id)
+                              vec_col=vec_col, query_id=query_id,
+                              assume_bounded=assume_bounded)
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vec")
     )

@@ -270,17 +270,26 @@ def text_clip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _QUERY_MOD = 50  # vec_id % 50 == 0 -> small deterministic probe set
+#: Absolute probe-set bound: the registered probe set is BOTH a modulus
+#: slice AND an id cap, so its size is provably <= _PROBE_ID_CAP /
+#: _QUERY_MOD (= 2000) at ANY corpus size — a constant, not a corpus
+#: fraction. At the shipped SFs (max vec_id 1999) the cap is inactive,
+#: so oracle outputs are unchanged; at production scale it is what lets
+#: every brute-force-backed query stay lazy (assume_bounded=True) and
+#: within brute_force_topk's 10k contract instead of raising.
+_PROBE_ID_CAP = 100_000
+_PROBE_PRED = f"vec_id % {_QUERY_MOD} = 0 AND vec_id < {_PROBE_ID_CAP}"
 
 
 def _queries_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % _QUERY_MOD == 0
+        (F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _PROBE_ID_CAP)
     )
 
 
 _SIM_ORACLE_BASE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
-               WHERE vec_id % {_QUERY_MOD} = 0),
+               WHERE {_PROBE_PRED}),
     scored AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
                {S.cosine_sql('q.qvec', 'e.embedding')} AS cosine
@@ -303,14 +312,16 @@ def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, partial top-k below the shuffle. The correctness baseline for
     any ANN variant."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.brute_force_topk(emb, _queries_frame(spark, sf_dir), k=10)
+    return S.brute_force_topk(
+        emb, _queries_frame(spark, sf_dir), k=10, assume_bounded=True
+    )
 
 
 _LSH_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding,
                       {S.lsh_bucket_sql('embedding')} AS bucket FROM embeddings),
     q0 AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM e
-           WHERE vec_id % {_QUERY_MOD} = 0),
+           WHERE {_PROBE_PRED}),
     q AS (SELECT query_id, qvec, xor(bucket, m.mask) AS bucket
           FROM q0, unnest([{', '.join(str(m) for m in S._probe_masks())}]) AS m(mask)),
     scored AS (
@@ -340,7 +351,7 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, _queries_frame(spark, sf_dir), k=10)
 
 
-@query("sim_ivf_ann_topk", oracle=S.ivf_topk_sql(query_mod=_QUERY_MOD))
+@query("sim_ivf_ann_topk", oracle=S.ivf_topk_sql(query_mod=_QUERY_MOD, id_cap=_PROBE_ID_CAP))
 def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via IVF coarse quantization: assign every vector
     to its nearest (broadcast) centroid, probe the query's 3 best cells,
@@ -352,7 +363,7 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUANT_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, {S.quantize_sql('embedding')} AS qq
-               FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
+               FROM embeddings WHERE {_PROBE_PRED}),
     c AS (SELECT vec_id AS neighbor_id, {S.quantize_sql('embedding')} AS qc
           FROM embeddings),
     scored AS (
@@ -449,7 +460,7 @@ _RERANK_CANDIDATES = 50
 _RERANK_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
                       {S.quantize_sql('embedding')} AS qq
-               FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
+               FROM embeddings WHERE {_PROBE_PRED}),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cvec,
                  {S.quantize_sql('embedding')} AS qc
           FROM embeddings),
@@ -489,7 +500,7 @@ def sim_quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_oracle() -> str:
     from kafka_streams_the_clojure_way_spark.operators.pq import pq_topk_sql
 
-    return pq_topk_sql(query_mod=_QUERY_MOD)
+    return pq_topk_sql(query_mod=_QUERY_MOD, id_cap=_PROBE_ID_CAP)
 
 
 @query("sim_pq_adc_topk", oracle=_pq_oracle())
@@ -512,7 +523,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivfpq_oracle() -> str:
     from kafka_streams_the_clojure_way_spark.operators.pq import ivfpq_topk_sql
 
-    return ivfpq_topk_sql(query_mod=_QUERY_MOD)
+    return ivfpq_topk_sql(query_mod=_QUERY_MOD, id_cap=_PROBE_ID_CAP)
 
 
 @query("sim_ivfpq_topk", oracle=_ivfpq_oracle())
@@ -2138,7 +2149,7 @@ def _mmr_oracle() -> str:
     return f"""
     WITH RECURSIVE q AS (
         SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
-        WHERE vec_id % {_QUERY_MOD} = 0
+        WHERE {_PROBE_PRED}
     ),
     cand0 AS (
         SELECT q.query_id, e.vec_id AS neighbor_id, e.embedding,
@@ -2209,6 +2220,7 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_MMR_K,
         n_cand=_MMR_NCAND,
         lam=_MMR_LAMBDA,
+        assume_bounded=True,
     )
 
 
@@ -2374,7 +2386,14 @@ def timeseries_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    bucket = F.expr("(unix_micros(ts) * 1000) div 3600000000000")
+    # FLOOR division in pure integers (a - pmod(a,b) is the largest
+    # multiple of b <= a): matches the DuckDB oracle's `//` (floor) even
+    # for pre-epoch timestamps, where `div` (truncate toward zero) would
+    # land negative epochs in the adjacent hour bucket.
+    bucket = F.expr(
+        "((unix_micros(ts) * 1000 - pmod(unix_micros(ts) * 1000, 3600000000000))"
+        " div 3600000000000)"
+    )
     pv = ev.select(
         "event_id", "value", "ts", bucket.alias("hour_bucket")
     )
@@ -2525,6 +2544,7 @@ def eval_ann_quantized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         _queries_frame(spark, sf_dir),
         k=10,
+        assume_bounded=True,
     ).select("query_id", "neighbor_id")
     approx = S.quantized_topk(
         load_table(spark, sf_dir, "embeddings"),

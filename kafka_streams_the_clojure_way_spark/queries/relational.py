@@ -612,8 +612,13 @@ def time_bucket_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of the streaming window query (same bucketing arithmetic the
     streaming path uses)."""
     ev = load_table(spark, sf_dir, "events")
-    # integer division — (µs*1000)/3.6e12 as doubles would lose ULPs at 1e18
-    bucket = F.expr("(unix_micros(ts) * 1000) div 3600000000000").alias("hour_bucket")
+    # integer FLOOR division (a - pmod(a,b) div b) — doubles would lose
+    # ULPs at 1e18, and bare `div` truncates toward zero, which diverges
+    # from the oracle's `//` (floor) for pre-epoch timestamps
+    bucket = F.expr(
+        "((unix_micros(ts) * 1000 - pmod(unix_micros(ts) * 1000, 3600000000000))"
+        " div 3600000000000)"
+    ).alias("hour_bucket")
     return ev.groupBy(bucket, F.col("event_type")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(_dec("value")).cast("double").alias("total_value"),
