@@ -489,6 +489,184 @@ def minhash_lsh_pairs_between_sql(
 
 
 # --------------------------------------------------------------------------
+# Persisted MinHash band index: build once, probe batches forever
+# --------------------------------------------------------------------------
+
+#: bkey-hash bucket count for the banding table's partition layout. 4
+#: bands x 16 buckets = 64 directories — coarse enough that each holds
+#: full row groups at scale, fine enough that a probe batch's band-join
+#: prunes to the buckets its keys actually hash into.
+MINHASH_INDEX_BUCKETS = 16
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    n_buckets: int = MINHASH_INDEX_BUCKETS,
+) -> None:
+    """Materialize the corpus side of :func:`minhash_lsh_pairs_between`
+    — the build/serve split for continuous-ingestion dedup (mirrors
+    similarity.build_ivf_index's FAISS-style train+add vs search):
+
+    - ``path/bands``: one (id, bkey) row per (doc, band), hive-
+      PARTITIONED BY (band, bucket = pmod(bkey, n_buckets)) so a probe
+      batch's band equi-join prunes to the directories its keys hash
+      into (dynamic partition pruning) instead of scanning every
+      posting;
+    - ``path/shingles``: (id, shingle-set) for the exact-Jaccard verify
+      — joined by candidate id only, never shuffled whole;
+    - ``path/meta``: the banding parameters, read back by the probe so
+      an index can never be probed with mismatched signatures.
+
+    The expensive parts — shingling + signing the corpus and one shuffle
+    into the band layout — run exactly ONCE; after this, per-batch
+    ingestion cost is O(batch + matching postings) with zero corpus
+    re-signing. At 100 TB the banding table is ~1% of corpus bytes, and
+    re-signing the corpus per arriving batch (what the index-less
+    ``minhash_lsh_pairs_between`` does) would dominate every batch."""
+    from kafka_streams_the_clojure_way_spark.sources.files import write_partitioned
+
+    if n_hashes % bands:
+        raise ValueError(f"n_hashes={n_hashes} must divide evenly into bands={bands}")
+    rows = n_hashes // bands
+    sigs = (
+        with_min_parallelism(corpus)
+        .select(F.col(id_col), shingle_hashes(F.col(text)).alias("sh"))
+        .withColumn("sig", minhash_from_hashes(F.col("sh"), minhash_seeds(n_hashes)))
+        .cache()
+    )
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_key(F.col("sig"), b, rows).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        id_col,
+        F.col("bk.bkey").alias("bkey"),
+        F.col("bk.band").alias("band"),
+        F.pmod(F.col("bk.bkey"), F.lit(n_buckets)).alias("bucket"),
+    )
+    write_partitioned(banded, f"{path}/bands", "band", "bucket")
+    sigs.select(id_col, "sh").write.mode("overwrite").parquet(f"{path}/shingles")
+    corpus.sparkSession.createDataFrame(
+        [(n_hashes, bands, n_buckets, id_col)],
+        "n_hashes int, bands int, n_buckets int, id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    sigs.unpersist()
+
+
+def minhash_index_probe(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Probe a persisted MinHash band index with an arriving batch: sign
+    the BATCH ONLY, route its distinct (band, bucket) keys into a static
+    partition filter on the postings scan (only the probed directories
+    are read), equi-join on (band, bucket, bkey), then exact-Jaccard
+    verify candidates against ``path/shingles``. Banding parameters come
+    from ``path/meta``, so probe signatures always match the index.
+
+    Output contract is identical to :func:`minhash_lsh_pairs_between`:
+    (probe_id, corpus_id, jaccard) with jaccard >= threshold, self-pairs
+    dropped — an indexed serve path for the same oracle.
+
+    STREAMING: ``batch`` may be a streaming DataFrame; every probe-side
+    transform is stateless and the index sides are static, so the gate
+    is a stream-static join per micro-batch (state: only the candidate
+    dropDuplicates — add an upstream watermark for unbounded runs)."""
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    n_hashes, bands, n_buckets = meta["n_hashes"], meta["bands"], meta["n_buckets"]
+    rows = n_hashes // bands
+    base = batch if batch.isStreaming else with_min_parallelism(batch)
+    psigs = base.select(
+        F.col(id_col), shingle_hashes(F.col(text)).alias("sh")
+    ).withColumn("sig", minhash_from_hashes(F.col("sh"), minhash_seeds(n_hashes)))
+    if not batch.isStreaming:
+        psigs = psigs.cache()
+    pband = psigs.select(
+        F.col(id_col).alias("probe_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_key(F.col("sig"), b, rows).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "probe_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bkey").alias("bkey"),
+        F.pmod(F.col("bk.bkey"), F.lit(n_buckets)).alias("bucket"),
+    )
+    postings = spark.read.parquet(f"{index_path}/bands")
+    if batch.isStreaming:
+        # stream-static equi-join per micro-batch; the static side cannot
+        # take a batch-derived literal filter, and the stream side cannot
+        # broadcast — correctness-identical, pruning-free fallback.
+        probe_side = pband
+    else:
+        # EXPLICIT partition routing (how an index server serves probes):
+        # the batch's distinct (band, bucket) keys — a bounded set,
+        # <= bands * n_buckets values no matter the batch size — become a
+        # literal static PartitionFilter on the postings scan, so only the
+        # probed directories are ever read. Deterministic at any scale,
+        # unlike the DPP cost heuristic. The tiny eager job reuses the
+        # cached batch signatures.
+        pairs = pband.select("band", "bucket").distinct().collect()
+        pred = None
+        for r in pairs:
+            term = (F.col("band") == r["band"]) & (F.col("bucket") == r["bucket"])
+            pred = term if pred is None else (pred | term)
+        if pred is not None:
+            postings = postings.filter(pred)
+        probe_side = F.broadcast(pband)
+    cand = (
+        postings.join(probe_side, ["band", "bucket", "bkey"])
+        .filter(F.col(meta["id_col"]) != F.col("probe_id"))
+        .select("probe_id", F.col(meta["id_col"]).alias("corpus_id"))
+        .dropDuplicates(["probe_id", "corpus_id"])
+    )
+    sh_p = psigs.select(F.col(id_col).alias("probe_id"), F.col("sh").alias("sh_a"))
+    sh_c = spark.read.parquet(f"{index_path}/shingles").select(
+        F.col(meta["id_col"]).alias("corpus_id"), F.col("sh").alias("sh_b")
+    )
+    cand = cand.join(sh_p, "probe_id").join(sh_c, "corpus_id")
+    inter = F.array_size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (
+        F.array_size("sh_a").cast("double")
+        + F.array_size("sh_b").cast("double")
+        - inter
+    )
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("probe_id", "corpus_id", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
 # simhash
 # --------------------------------------------------------------------------
 

@@ -191,6 +191,51 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-process cache of built MinHash indexes, keyed by sf_dir: the
+#: build/serve split means the corpus is signed/banded ONCE and every
+#: probe after that pays only its own batch — exactly the production
+#: ingestion contract (and what the bench measures after first touch).
+_MINHASH_INDEX_CACHE: dict[str, str] = {}
+
+
+def _minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
+    path = _MINHASH_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="minhash_index_")
+        docs = load_table(spark, sf_dir, "documents")
+        D.build_minhash_index(
+            docs.filter(F.col("doc_id") % _INCR_NEW_MOD != 0), path
+        )
+        _MINHASH_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+@query(
+    "dedup_incremental_indexed",
+    oracle=D.minhash_lsh_pairs_between_sql(
+        probe_pred=f"doc_id % {_INCR_NEW_MOD} = 0",
+        build_pred=f"doc_id % {_INCR_NEW_MOD} != 0",
+        threshold=_JACCARD_THRESHOLD,
+    ),
+)
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-INDEX serve path for incremental dedup — same
+    arriving batch and same oracle as dedup_incremental_new_docs, but
+    the corpus side is a pre-built band index on disk
+    (operators/dedup.build_minhash_index, mirroring the IVF train+add
+    vs search split): the batch signs only itself, band-joins the hive-
+    partitioned postings (partition pruning from the probe's band/bucket
+    keys), and verifies against the persisted shingle table. This closes
+    the loop the index-less query's docstring promises: per-batch cost
+    independent of corpus size, corpus signed exactly once."""
+    path = _minhash_index_path(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
+    return D.minhash_index_probe(spark, path, new, threshold=_JACCARD_THRESHOLD)
+
+
 @query("dedup_simhash_pairs", oracle=D.simhash_pairs_sql())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(60) near-dup pairs with 4x15-bit banding: hamming<=3 is

@@ -1,0 +1,121 @@
+"""Persisted MinHash band index (build/serve split for incremental
+dedup): the corpus is shingled/signed/banded ONCE into a hive-
+partitioned postings table; arriving batches sign only themselves and
+band-join the index. Gates: (1) the indexed probe is bit-equal to the
+index-less minhash_lsh_pairs_between on the same rows, (2) the probe's
+postings scan is partition-pruned by the batch's band/bucket keys
+(dynamic pruning — the 100 TB contract), (3) the probe works as a
+stream-static gate with batch parity, (4) mismatched parameters cannot
+happen (probe reads them from the index meta)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from kafka_streams_the_clojure_way_spark.operators.dedup import (
+    build_minhash_index,
+    minhash_index_probe,
+    minhash_lsh_pairs_between,
+)
+from kafka_streams_the_clojure_way_spark.sources.files import load_table
+from kafka_streams_the_clojure_way_spark.sources.memory import drain, start_memory_sink
+
+SF = "/root/testdata/sf0.001"
+
+SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "pack my box with five dozen liquor jugs before noon delivery runs"),
+    (3, "completely unrelated corpus document about spark physical planning"),
+]
+ARRIVING = [
+    (101, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    (102, "pack my box with five dozen liquor jugs before noon delivery ends"),
+    (103, "totally different arriving text concerning duckdb oracle checks"),
+]
+
+
+def _rows(df):
+    return sorted((r.probe_id, r.corpus_id, r.jaccard) for r in df.collect())
+
+
+def test_indexed_probe_matches_unindexed_on_testdata(spark, tmp_path):
+    """Real-corpus parity: build the index over the sf0.001 corpus slice
+    and probe with the batch slice — must equal the index-less operator
+    row for row (same oracle, so this transitively pins the DuckDB twin)."""
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "idx")
+    build_minhash_index(corpus, path)
+    expected = _rows(minhash_lsh_pairs_between(batch, corpus, threshold=0.8))
+    got = _rows(minhash_index_probe(spark, path, batch, threshold=0.8))
+    assert got == expected
+    assert expected, "fixture slice must produce at least one pair"
+
+
+def test_probe_scan_is_partition_pruned(spark, tmp_path):
+    """The serve-path contract: the postings scan must carry a STATIC
+    PartitionFilter built from the batch's distinct (band, bucket) keys
+    — at 100 TB this is scanning the probed band/bucket directories,
+    not the whole index (explicit routing, not the DPP cost heuristic,
+    so it holds deterministically at any size)."""
+    import re
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    batch = spark.createDataFrame(ARRIVING[:1], SCHEMA)
+    path = str(tmp_path / "idx")
+    build_minhash_index(corpus, path)
+    probe = minhash_index_probe(spark, path, batch, threshold=0.5)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)", plan)
+    routed = [p for p in pfs if re.search(r"band#\d+ = ", p)]
+    assert routed, plan[:3000]
+    # one doc -> at most `bands` (band, bucket) pairs: the filter must be
+    # a bounded disjunction, not a full-index scan
+    assert routed[0].count("band#") <= 4 * 2, routed[0]
+
+
+def test_streaming_gate_matches_batch(spark, tmp_path):
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    path = str(tmp_path / "idx")
+    build_minhash_index(corpus, path)
+
+    batch_probe = spark.createDataFrame(ARRIVING, SCHEMA)
+    expected = _rows(minhash_index_probe(spark, path, batch_probe, threshold=0.5))
+    assert expected and all(p > 100 > c for p, c, _ in expected)
+
+    in_dir = tmp_path / "arriving"
+    for i, row in enumerate(ARRIVING):
+        spark.createDataFrame([row], SCHEMA).write.parquet(str(in_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(in_dir))
+    )
+    gated = minhash_index_probe(spark, path, stream, threshold=0.5)
+    assert gated.isStreaming
+    q = start_memory_sink(gated, "indexed_gate")
+    drain(q)
+    got = _rows(spark.table("indexed_gate"))
+    assert got == expected
+
+
+def test_probe_uses_index_meta_params(spark, tmp_path):
+    """Build with a non-default banding knob: the probe must pick the
+    parameters up from path/meta (not its own defaults) or no band key
+    would ever match."""
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    batch = spark.createDataFrame(ARRIVING, SCHEMA)
+    path = str(tmp_path / "idx8x4")
+    build_minhash_index(corpus, path, n_hashes=32, bands=8, n_buckets=4)
+    got = _rows(minhash_index_probe(spark, path, batch, threshold=0.5))
+    expected = _rows(
+        minhash_lsh_pairs_between(batch, corpus, threshold=0.5, n_hashes=32, bands=8)
+    )
+    assert got == expected and expected
