@@ -51,64 +51,71 @@ def _sq_dist_sql(vec: str, cent: str) -> str:
     )
 
 
-def kmeans_assignments(
+def _vec_frame(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    from kafka_streams_the_clojure_way_spark.sources.files import (
+        with_min_parallelism,
+    )
+
+    # cached: every Lloyd round re-reads this frame (assign + mean agg),
+    # and without the cache each round pays the parquet scan + array cast
+    # again. The frame is id + vector only — the working-set a k-means
+    # job holds in memory by design at any scale.
+    return (
+        with_min_parallelism(corpus)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .cache()
+    )
+
+
+def _assign(vecs: DataFrame, cents: list[list[float]], id_col: str) -> DataFrame:
+    """One assignment pass against a broadcast centroid list: per-vector
+    argmin of the portable squared-L2 fold, ties to the lower cluster id."""
+    from kafka_streams_the_clojure_way_spark.operators.relational import (
+        top_k_per_key,
+    )
+
+    cent_df = F.broadcast(
+        vecs.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "__cluster int, __c array<double>",
+        )
+    )
+    scored = vecs.join(cent_df).select(
+        id_col,
+        "__v",
+        "__cluster",
+        _sq_dist(F.col("__v"), F.col("__c")).alias("__d"),
+    )
+    return top_k_per_key(
+        scored,
+        keys=[id_col],
+        order_by=[F.col("__d").asc(), F.col("__cluster").asc()],
+        k=1,
+        rank_col="__r",
+    ).select(id_col, "__v", F.col("__cluster").alias("cluster"))
+
+
+def kmeans_train(
     corpus: DataFrame,
     *,
     k: int = 8,
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, cluster) after ``n_iter`` deterministic Lloyd iterations."""
-    from kafka_streams_the_clojure_way_spark.operators.relational import (
-        top_k_per_key,
-    )
-    from kafka_streams_the_clojure_way_spark.sources.files import (
-        with_min_parallelism,
-    )
-
-    spark = corpus.sparkSession
-    # cached: every Lloyd round re-reads this frame (assign + mean agg),
-    # and without the cache each round pays the parquet scan + array cast
-    # again. The frame is id + vector only — the working-set a k-means
-    # job holds in memory by design at any scale.
-    vecs = (
-        with_min_parallelism(corpus)
-        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
-        .cache()
-    )
+) -> list[list[float]]:
+    """Run ``n_iter`` deterministic Lloyd iterations and return the
+    trained centroid list — THE model. ``kmeans_assignments(corpus,
+    model=...)`` against this list reproduces inline training bit for
+    bit, which is what lets SemDeDup / cluster-balanced sampling / IVF
+    share one trained quantizer instead of each re-running Lloyd."""
+    vecs = _vec_frame(corpus, id_col, vec_col)
     dim = len(vecs.select("__v").first()["__v"])
 
     # init: k lowest-id vectors, cluster ids assigned in id order
-    seed = [
-        row["__v"]
-        for row in vecs.orderBy(id_col).limit(k).collect()
-    ]
-    centroids = list(seed)
-
-    def assign(cents: list[list[float]]) -> DataFrame:
-        cent_df = F.broadcast(
-            spark.createDataFrame(
-                [(i, c) for i, c in enumerate(cents)],
-                f"__cluster int, __c array<double>",
-            )
-        )
-        scored = vecs.join(cent_df).select(
-            id_col,
-            "__v",
-            "__cluster",
-            _sq_dist(F.col("__v"), F.col("__c")).alias("__d"),
-        )
-        return top_k_per_key(
-            scored,
-            keys=[id_col],
-            order_by=[F.col("__d").asc(), F.col("__cluster").asc()],
-            k=1,
-            rank_col="__r",
-        ).select(id_col, "__v", F.col("__cluster").alias("cluster"))
+    centroids = [row["__v"] for row in vecs.orderBy(id_col).limit(k).collect()]
 
     for _ in range(n_iter):
-        assigned = assign(centroids)
+        assigned = _assign(vecs, centroids, id_col)
         units = F.floor(F.col("__x") * MEAN_UNITS + F.lit(0.5)).cast("long")
         sums = (
             assigned.select("cluster", F.posexplode("__v").alias("__dim", "__x"))
@@ -127,8 +134,42 @@ def kmeans_assignments(
             [by_cluster[ci][d] for d in range(dim)] if ci in by_cluster else centroids[ci]
             for ci in range(k)
         ]
+    return centroids
 
-    return assign(centroids).select(id_col, "cluster")
+
+def _model_to_list(model) -> list[list[float]]:
+    """Accept a trained model as a centroid list or a ``(cent_id,
+    cent_vec)`` DataFrame (kmeans_fit's persisted artifact)."""
+    if isinstance(model, DataFrame):
+        rows = model.orderBy("cent_id").collect()
+        return [list(r["cent_vec"]) for r in rows]
+    return [list(c) for c in model]
+
+
+def kmeans_assignments(
+    corpus: DataFrame,
+    *,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    model=None,
+) -> DataFrame:
+    """(id, cluster) after ``n_iter`` deterministic Lloyd iterations —
+    or, with ``model=`` (a centroid list or kmeans_fit's ``(cent_id,
+    cent_vec)`` frame), ONE assignment pass against the pre-trained
+    quantizer, skipping training entirely. The two paths are bit-equal
+    when the model came from ``kmeans_train``/``kmeans_fit`` with the
+    same (k, n_iter), so consumers can swap in the shared model without
+    touching their oracles."""
+    vecs = _vec_frame(corpus, id_col, vec_col)
+    if model is None:
+        centroids = kmeans_train(
+            corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        centroids = _model_to_list(model)
+    return _assign(vecs, centroids, id_col).select(id_col, "cluster")
 
 
 def kmeans_sql(
@@ -213,32 +254,20 @@ def kmeans_fit(
     path: str | None = None,
 ) -> DataFrame:
     """Train and return the centroid table ``(cent_id, cent_vec)`` —
-    the artifact the IVF build consumes (similarity.build_ivf_index's
-    coarse quantizer slot). With ``path``, centroids are persisted as
-    parquet: train once, reuse across index builds and probe sessions.
-    Same deterministic iterations as kmeans_assignments."""
-    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
-
-    assigned = kmeans_assignments(
+    THE shared model artifact: exactly the post-``n_iter`` centroids
+    ``kmeans_assignments`` assigns against, so SemDeDup, cluster-
+    balanced sampling, and IVF-style routing all consume the same
+    trained quantizer and assignment against it is bit-equal to inline
+    training (train once, serve everywhere — the same build/serve split
+    as build_ivf_index / build_minhash_index). With ``path``, centroids
+    are persisted as parquet and read back (train once, reuse across
+    sessions)."""
+    centroids = kmeans_train(
         corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
-    vecs = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    )
-    cents = (
-        assigned.join(vecs, id_col)
-        .select("cluster", F.posexplode("__v").alias("__dim", "__x"))
-        .withColumn("__u", F.floor(F.col("__x") * MEAN_UNITS + F.lit(0.5)).cast("long"))
-        .groupBy("cluster", "__dim")
-        .agg(F.sum("__u").alias("__su"), F.count(F.lit(1)).alias("__n"))
-        .groupBy("cluster")
-        .agg(
-            F.expr(
-                f"transform(array_sort(collect_list(struct(__dim, "
-                f"CAST(__su AS DOUBLE) / {MEAN_UNITS} / __n AS m))), s -> s.m)"
-            ).alias("cent_vec")
-        )
-        .select(F.col("cluster").alias("cent_id"), "cent_vec")
+    cents = corpus.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cent_id int, cent_vec array<double>",
     )
     if path:
         cents.write.mode("overwrite").parquet(path)
@@ -257,6 +286,7 @@ def semdedup_flags(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    model=None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the LAION /
     DataComp-style semantic-dedup pass): cluster the embedding space
@@ -282,14 +312,19 @@ def semdedup_flags(
     Determinism: assignments come from the deterministic Lloyd
     iterations above (bit-exact across engines); cosines use the same
     sequential fold as every similarity operator, so the threshold
-    filter selects identical pairs in Spark and the oracle."""
+    filter selects identical pairs in Spark and the oracle.
+
+    ``model=`` (a kmeans_fit centroid frame/list) skips the inline Lloyd
+    chain — in a pipeline that also cluster-samples or routes an IVF
+    index, train ONCE and pass the model here; assignments (and hence
+    flags) are bit-identical to inline training."""
     from kafka_streams_the_clojure_way_spark.operators.similarity import cosine
     from kafka_streams_the_clojure_way_spark.sources.files import (
         with_min_parallelism,
     )
 
     assigned = kmeans_assignments(
-        corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, model=model
     )
     vecs = with_min_parallelism(corpus).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")

@@ -439,6 +439,28 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantized_topk(emb, _queries_frame(spark, sf_dir), k=10)
 
 
+#: per-process cache of the ONE trained k-means model per sf_dir: every
+#: k-means consumer (assignments query, SemDeDup, cluster-balanced
+#: sampling) assigns against the same persisted quantizer instead of
+#: re-running the Lloyd chain — train once, serve everywhere. Assignment
+#: against the model is bit-equal to inline training (kmeans_fit
+#: persists exactly the post-n_iter centroids), so the unrolled-CTE
+#: oracles are untouched.
+_KMEANS_MODEL_CACHE: dict[str, DataFrame] = {}
+
+
+def _kmeans_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model = _KMEANS_MODEL_CACHE.get(sf_dir)
+    if model is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="kmeans_model_") + "/centroids"
+        emb = load_table(spark, sf_dir, "embeddings")
+        model = C.kmeans_fit(emb, path=path)
+        _KMEANS_MODEL_CACHE[sf_dir] = model
+    return model
+
+
 @query("cluster_kmeans_embeddings", oracle=C.kmeans_sql())
 def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means (k=8, 3 Lloyd iterations) over the embedding
@@ -448,13 +470,10 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential-fold distances, INTEGER-unit mean sums — no cross-row
     float accumulation anywhere), so the whole iterative algorithm
     carries a bit-exact oracle: the identical iterations unrolled as a
-    DuckDB CTE chain generated from the same constants."""
-    from kafka_streams_the_clojure_way_spark.operators.clustering import (
-        kmeans_assignments,
-    )
-
+    DuckDB CTE chain generated from the same constants. Serves from the
+    shared per-process model (train once, assign against it)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_assignments(emb)
+    return C.kmeans_assignments(emb, model=_kmeans_model(spark, sf_dir))
 
 
 _CLUSTER_SAMPLE_K = 32
@@ -487,7 +506,7 @@ def sample_cluster_balanced_embeddings(spark: SparkSession, sf_dir: str) -> Data
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = C.kmeans_assignments(emb)
+    assign = C.kmeans_assignments(emb, model=_kmeans_model(spark, sf_dir))
     hk = P.hash60(
         F.concat(F.lit(_CLUSTER_SAMPLE_SALT), F.col("vec_id").cast("string"))
     )
@@ -2278,9 +2297,11 @@ def dedup_semantic_cluster_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales like sqrt(N) in production so cluster size stays bounded).
     Composes the deterministic-Lloyd assignments with a cluster-keyed
     pair equi-join and an anti-join keep rule; every vector comes back
-    as (vec_id, cluster, is_kept)."""
+    as (vec_id, cluster, is_kept). Assigns against the shared
+    per-process k-means model (the round-3 review's heaviest-query fix:
+    SemDeDup no longer retrains Lloyd inline)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return C.semdedup_flags(emb)
+    return C.semdedup_flags(emb, model=_kmeans_model(spark, sf_dir))
 
 
 _KCENTER_K = S.KCENTER_K  # single source of truth: operators/similarity.py

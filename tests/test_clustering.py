@@ -112,3 +112,36 @@ def test_semdedup_keeps_lowest_id_per_near_pair(spark):
         .collect()
     }
     assert set(dropped) == close_lower
+
+
+def test_model_reuse_is_bit_equal_to_inline_training(spark, tmp_path):
+    """The shared-model contract: kmeans_fit persists exactly the
+    post-n_iter centroids, so assignment (and SemDeDup flags) against
+    the persisted model must equal inline training row for row — this
+    is what lets the registered queries serve from one trained model
+    without touching their unrolled-CTE oracles."""
+    from kafka_streams_the_clojure_way_spark.operators.clustering import (
+        kmeans_fit,
+        semdedup_flags,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    model = kmeans_fit(emb, k=4, n_iter=2, path=str(tmp_path / "m"))
+
+    inline = sorted(
+        (r.vec_id, r.cluster)
+        for r in kmeans_assignments(emb, k=4, n_iter=2).collect()
+    )
+    served = sorted(
+        (r.vec_id, r.cluster)
+        for r in kmeans_assignments(emb, model=model).collect()
+    )
+    assert served == inline
+
+    flags_inline = sorted(
+        tuple(r) for r in semdedup_flags(emb, k=4, n_iter=2).collect()
+    )
+    flags_served = sorted(
+        tuple(r) for r in semdedup_flags(emb, model=model).collect()
+    )
+    assert flags_served == flags_inline
