@@ -338,6 +338,7 @@ def minhash_lsh_pairs_between(
     *,
     n_hashes: int = N_MINHASH,
     bands: int = LSH_BANDS,
+    watermark: tuple[str, str] | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup: band-join a (small) probe batch against a
     (large) corpus — candidates are probe x corpus only, never
@@ -359,15 +360,24 @@ def minhash_lsh_pairs_between(
     here is a stateless per-row expression plus a stream-static equi-join
     against the corpus banding, so the whole gate runs inside a single
     micro-batch with no streaming state except the final candidate
-    ``dropDuplicates`` (bounded by candidates per batch; add a watermark
-    upstream for unbounded runs). Caching/parallelism tweaks only apply
-    to batch frames."""
+    dedup. For bounded replays (availableNow) plain ``dropDuplicates``
+    is fine; for UNBOUNDED continuous runs pass ``watermark=(ts_col,
+    delay)`` — the probe's event time rides through the band join and
+    the candidate dedup becomes ``dropDuplicatesWithinWatermark``, so
+    pair-state is EVICTED once the watermark passes (state size tracks
+    the delay window, not total ingested documents). Caching/parallelism
+    tweaks only apply to batch frames."""
+    wm_streaming = watermark is not None and probe_df.isStreaming
+    if wm_streaming:
+        ts_col, delay = watermark
+        probe_df = probe_df.withWatermark(ts_col, delay)
+    probe_keep = [ts_col] if wm_streaming else []
 
-    def _sigs(df: DataFrame) -> DataFrame:
+    def _sigs(df: DataFrame, keep: list[str]) -> DataFrame:
         base = df if df.isStreaming else with_min_parallelism(df)
         return (
             base
-            .select(F.col(id_col), shingle_hashes(F.col(text)).alias("sh"))
+            .select(F.col(id_col), *keep, shingle_hashes(F.col(text)).alias("sh"))
             .withColumn(
                 "sig", minhash_from_hashes(F.col("sh"), minhash_seeds(n_hashes))
             )
@@ -377,9 +387,10 @@ def minhash_lsh_pairs_between(
         raise ValueError(f"n_hashes={n_hashes} must divide evenly into bands={bands}")
     rows = n_hashes // bands
 
-    def _banded(sigs: DataFrame) -> DataFrame:
+    def _banded(sigs: DataFrame, keep: list[str]) -> DataFrame:
         return sigs.select(
             id_col,
+            *keep,
             F.explode(
                 F.array(
                     *[
@@ -392,33 +403,45 @@ def minhash_lsh_pairs_between(
                 )
             ).alias("bk"),
         ).select(
-            id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+            id_col, *keep, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
         )
 
-    psigs = _sigs(probe_df)
+    psigs = _sigs(probe_df, probe_keep)
     if not probe_df.isStreaming:
         psigs = psigs.cache()
-    csigs = _sigs(build_df).cache()
-    a = _banded(psigs).alias("a")
-    b = _banded(csigs).alias("b")
+    csigs = _sigs(build_df, []).cache()
+    # Watermarked streaming carries the probe's shingle set THROUGH the
+    # band explode and candidate dedup: re-joining it by id afterwards
+    # (the batch shape below) would be a STREAM-STREAM join, whose state
+    # no watermark on the dedup alone can evict. Carrying sh costs
+    # bands x |probe shingles| per micro-batch — probe-sized, bounded —
+    # and leaves dropDuplicatesWithinWatermark as the ONE stateful op.
+    a_keep = probe_keep + (["sh"] if wm_streaming else [])
+    a = _banded(psigs, a_keep).alias("a")
+    b = _banded(csigs, []).alias("b")
     # plain equi-join: AQE promotes it to a broadcast join at runtime when
     # the probe batch's banding frame is small (the common incremental case)
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("probe_id"),
-            F.col(f"b.{id_col}").alias("corpus_id"),
-        )
-        .dropDuplicates(["probe_id", "corpus_id"])
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("probe_id"),
+        F.col(f"b.{id_col}").alias("corpus_id"),
+        *[F.col(f"a.{c}") for c in probe_keep],
+        *([F.col("a.sh").alias("sh_a")] if wm_streaming else []),
     )
-    sh_a = psigs.select(F.col(id_col).alias("probe_id"), F.col("sh").alias("sh_a"))
+    if wm_streaming:
+        cand = cand.dropDuplicatesWithinWatermark(["probe_id", "corpus_id"]).drop(
+            ts_col
+        )
+    else:
+        cand = cand.dropDuplicates(["probe_id", "corpus_id"])
+        sh_a = psigs.select(F.col(id_col).alias("probe_id"), F.col("sh").alias("sh_a"))
+        cand = cand.join(sh_a, "probe_id")
     sh_b = csigs.select(F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_b"))
-    cand = cand.join(sh_a, "probe_id").join(sh_b, "corpus_id")
+    cand = cand.join(sh_b, "corpus_id")
     inter = F.array_size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (
         F.array_size("sh_a").cast("double")
@@ -576,6 +599,7 @@ def minhash_index_probe(
     text: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    watermark: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Probe a persisted MinHash band index with an arriving batch: sign
     the BATCH ONLY, route its distinct (band, bucket) keys into a static
@@ -590,19 +614,29 @@ def minhash_index_probe(
 
     STREAMING: ``batch`` may be a streaming DataFrame; every probe-side
     transform is stateless and the index sides are static, so the gate
-    is a stream-static join per micro-batch (state: only the candidate
-    dropDuplicates — add an upstream watermark for unbounded runs)."""
+    is a stream-static join per micro-batch. For UNBOUNDED runs pass
+    ``watermark=(ts_col, delay)``: the probe's shingle set and event
+    time ride through the band join so the candidate dedup becomes the
+    gate's ONE stateful op (``dropDuplicatesWithinWatermark``) with
+    watermark-evicted state."""
     meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
     n_hashes, bands, n_buckets = meta["n_hashes"], meta["bands"], meta["n_buckets"]
     rows = n_hashes // bands
+    wm_streaming = watermark is not None and batch.isStreaming
+    if wm_streaming:
+        ts_col, delay = watermark
+        batch = batch.withWatermark(ts_col, delay)
+    carry = ([ts_col, "sh"] if wm_streaming else [])
     base = batch if batch.isStreaming else with_min_parallelism(batch)
     psigs = base.select(
-        F.col(id_col), shingle_hashes(F.col(text)).alias("sh")
+        F.col(id_col), *([ts_col] if wm_streaming else []),
+        shingle_hashes(F.col(text)).alias("sh"),
     ).withColumn("sig", minhash_from_hashes(F.col("sh"), minhash_seeds(n_hashes)))
     if not batch.isStreaming:
         psigs = psigs.cache()
     pband = psigs.select(
         F.col(id_col).alias("probe_id"),
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -616,6 +650,7 @@ def minhash_index_probe(
         ).alias("bk"),
     ).select(
         "probe_id",
+        *carry,
         F.col("bk.band").alias("band"),
         F.col("bk.bkey").alias("bkey"),
         F.pmod(F.col("bk.bkey"), F.lit(n_buckets)).alias("bucket"),
@@ -645,14 +680,24 @@ def minhash_index_probe(
     cand = (
         postings.join(probe_side, ["band", "bucket", "bkey"])
         .filter(F.col(meta["id_col"]) != F.col("probe_id"))
-        .select("probe_id", F.col(meta["id_col"]).alias("corpus_id"))
-        .dropDuplicates(["probe_id", "corpus_id"])
+        .select(
+            "probe_id",
+            F.col(meta["id_col"]).alias("corpus_id"),
+            *([F.col(ts_col), F.col("sh").alias("sh_a")] if wm_streaming else []),
+        )
     )
-    sh_p = psigs.select(F.col(id_col).alias("probe_id"), F.col("sh").alias("sh_a"))
+    if wm_streaming:
+        cand = cand.dropDuplicatesWithinWatermark(["probe_id", "corpus_id"]).drop(
+            ts_col
+        )
+    else:
+        cand = cand.dropDuplicates(["probe_id", "corpus_id"])
+        sh_p = psigs.select(F.col(id_col).alias("probe_id"), F.col("sh").alias("sh_a"))
+        cand = cand.join(sh_p, "probe_id")
     sh_c = spark.read.parquet(f"{index_path}/shingles").select(
         F.col(meta["id_col"]).alias("corpus_id"), F.col("sh").alias("sh_b")
     )
-    cand = cand.join(sh_p, "probe_id").join(sh_c, "corpus_id")
+    cand = cand.join(sh_c, "corpus_id")
     inter = F.array_size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (
         F.array_size("sh_a").cast("double")
@@ -1320,6 +1365,7 @@ def containment_pairs_between(
     *,
     t_num: int = CONTAINMENT_THRESHOLD_NUM,
     t_den: int = CONTAINMENT_THRESHOLD_DEN,
+    watermark: tuple[str, str] | None = None,
 ) -> DataFrame:
     """INCREMENTAL asymmetric containment: an arriving probe batch
     checked against a static corpus — "is this document already covered
@@ -1347,16 +1393,24 @@ def containment_pairs_between(
     ``dropDuplicates`` and the candidate→probe-shingle join both hold
     STREAM-side state that Spark keeps ACROSS micro-batches (the dedup
     keys globally; the self-join buffers probe rows) — bounded for
-    availableNow/bounded replays, but a long-lived continuous run MUST
-    add an event-time watermark upstream (same caveat as
-    minhash_lsh_pairs_between) or state grows with total ingested
-    documents. Returns (probe_id, corpus_id, n_shared,
-    containment_r)."""
+    availableNow/bounded replays. For UNBOUNDED continuous runs pass
+    ``watermark=(ts_col, delay)``: the probe's shingle set and event
+    time then ride through both posting legs, the shingle re-join
+    (which would be stream-stream) disappears, and the candidate dedup
+    becomes ``dropDuplicatesWithinWatermark`` — the gate's one stateful
+    op, with watermark-evicted state. Returns (probe_id, corpus_id,
+    n_shared, containment_r)."""
+    wm_streaming = watermark is not None and probe_df.isStreaming
+    if wm_streaming:
+        ts_col, delay = watermark
+        probe_df = probe_df.withWatermark(ts_col, delay)
 
-    def _sets(df: DataFrame) -> DataFrame:
+    def _sets(df: DataFrame, keep: list[str]) -> DataFrame:
         base = df if df.isStreaming else with_min_parallelism(df)
         return (
-            base.select(F.col(id_col), shingle_hashes(F.col(text)).alias("sh"))
+            base.select(
+                F.col(id_col), *keep, shingle_hashes(F.col(text)).alias("sh")
+            )
             .withColumn("size", F.array_size("sh"))
         )
 
@@ -1366,37 +1420,61 @@ def containment_pairs_between(
         + 1
     )
 
-    def _prefix_posts(sets: DataFrame, pid: str) -> DataFrame:
+    # the probe side carries (ts, sh, size) through its posting explodes
+    # in watermarked mode — probe-sized duplication, and what turns the
+    # verify step into candidate-local expressions instead of a
+    # stream-stream join
+    p_keep = [ts_col, "sh", "size"] if wm_streaming else []
+
+    def _prefix_posts(sets: DataFrame, pid: str, keep: list[str]) -> DataFrame:
         # hash-ordered prefix (sort_array on the set — already distinct)
         return sets.select(
             F.col(id_col).alias(pid),
+            *keep,
             F.explode(
                 F.slice(F.sort_array(F.col("sh")), 1, prefix_len)
             ).alias("h"),
         )
 
-    def _full_posts(sets: DataFrame, pid: str) -> DataFrame:
-        return sets.select(F.col(id_col).alias(pid), F.explode("sh").alias("h"))
+    def _full_posts(sets: DataFrame, pid: str, keep: list[str]) -> DataFrame:
+        return sets.select(
+            F.col(id_col).alias(pid), *keep, F.explode("sh").alias("h")
+        )
 
-    psets = _sets(probe_df)
-    csets = _sets(build_df).cache()
-    leg1 = _prefix_posts(psets, "probe_id").join(
-        _full_posts(csets, "corpus_id"), "h"
+    psets = _sets(probe_df, [ts_col] if wm_streaming else [])
+    csets = _sets(build_df, []).cache()
+    pk = (
+        [F.col(ts_col), F.col("sh").alias("sh_p"), F.col("size").alias("sz_p")]
+        if wm_streaming
+        else []
     )
-    leg2 = _full_posts(psets, "probe_id").join(
-        _prefix_posts(csets, "corpus_id"), "h"
+    leg1 = _prefix_posts(psets, "probe_id", pk).join(
+        _full_posts(csets, "corpus_id", []), "h"
+    )
+    leg2 = _full_posts(psets, "probe_id", pk).join(
+        _prefix_posts(csets, "corpus_id", []), "h"
     )
     cand = (
         leg1.unionByName(leg2)
         .filter(F.col("probe_id") != F.col("corpus_id"))
-        .select("probe_id", "corpus_id")
-        .dropDuplicates(["probe_id", "corpus_id"])
+        .select(
+            "probe_id",
+            "corpus_id",
+            *([ts_col, "sh_p", "sz_p"] if wm_streaming else []),
+        )
     )
-    pa = psets.select(
-        F.col(id_col).alias("probe_id"),
-        F.col("sh").alias("sh_p"),
-        F.col("size").alias("sz_p"),
-    )
+    if wm_streaming:
+        cand = cand.dropDuplicatesWithinWatermark(["probe_id", "corpus_id"]).drop(
+            ts_col
+        )
+    else:
+        cand = cand.dropDuplicates(["probe_id", "corpus_id"])
+        pa = psets.select(
+            F.col(id_col).alias("probe_id"),
+            F.col("sh").alias("sh_p"),
+            F.col("size").alias("sz_p"),
+        )
+        cand = cand.join(pa, "probe_id")
     ca = csets.select(
         F.col(id_col).alias("corpus_id"),
         F.col("sh").alias("sh_c"),
@@ -1408,8 +1486,7 @@ def containment_pairs_between(
     )
     # integer threshold compare — see containment_pairs
     return (
-        cand.join(pa, "probe_id")
-        .join(ca, "corpus_id")
+        cand.join(ca, "corpus_id")
         .select(
             "probe_id",
             "corpus_id",

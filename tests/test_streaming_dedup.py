@@ -108,3 +108,172 @@ def test_containment_gate_streaming_matches_batch(spark, tmp_path):
         (r.probe_id, r.corpus_id) for r in spark.table("containment_gate").collect()
     )
     assert got == expected
+
+
+def _ts_schema():
+    from pyspark.sql.types import TimestampType
+
+    return StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+
+
+def _hourly_batches():
+    """3 probe micro-batches, event times 1 hour apart: with a seconds-
+    scale watermark delay, batch N's arrival must evict batch N-1's
+    dedup state."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    return [
+        [(101, ARRIVING[0][1], t0)],
+        [(102, ARRIVING[1][1], t0 + dt.timedelta(hours=1))],
+        [(103, ARRIVING[2][1], t0 + dt.timedelta(hours=2))],
+    ]
+
+
+def _run_watermarked(spark, tmp_path, gate_builder, name):
+    """Write one parquet file per micro-batch, run the watermarked gate
+    with maxFilesPerTrigger=1 (>2 real micro-batches), return (rows,
+    max state rows removed in any batch, final state rows)."""
+    schema = _ts_schema()
+    in_dir = tmp_path / "arriving"
+    for i, batch_rows in enumerate(_hourly_batches()):
+        spark.createDataFrame(batch_rows, schema).write.parquet(
+            str(in_dir / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    gated = gate_builder(stream)
+    assert gated.isStreaming
+    q = start_memory_sink(gated, name)
+    drain(q)
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3, (
+        "maxFilesPerTrigger must yield one micro-batch per file"
+    )
+    removed = max(
+        (p["stateOperators"][0]["numRowsRemoved"] for p in progresses), default=0
+    )
+    final_state = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    return sorted(tuple(r) for r in spark.table(name).collect()), removed, final_state
+
+
+def test_minhash_watermarked_gate_bounds_state(spark, tmp_path):
+    """The unbounded-run variant: dropDuplicatesWithinWatermark must
+    EVICT candidate-pair state as the watermark passes (state tracks the
+    delay window, not total ingested docs), and the emitted pairs must
+    equal the batch run on the same rows."""
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    batch_rows = [r for b in _hourly_batches() for r in b]
+    batch_probe = spark.createDataFrame(batch_rows, _ts_schema())
+    expected = _pairs(minhash_lsh_pairs_between(batch_probe, corpus, threshold=0.5))
+    assert expected
+
+    got, removed, final_state = _run_watermarked(
+        spark,
+        tmp_path,
+        lambda s: minhash_lsh_pairs_between(
+            s, corpus, threshold=0.5, watermark=("ts", "5 seconds")
+        ),
+        "wm_minhash_gate",
+    )
+    assert [(p, c) for p, c, *_ in got] == [(p, c) for p, c in expected] or sorted(
+        (p, c) for p, c, *_ in got
+    ) == expected
+    assert removed > 0, "watermark never evicted any dedup state"
+    assert final_state < len(expected) + 1, (
+        f"state should shrink to the last window, got {final_state}"
+    )
+
+
+def test_containment_watermarked_gate_bounds_state(spark, tmp_path):
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        containment_pairs_between,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "unrelated corpus text about physical query planning"),
+        ],
+        SCHEMA,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (201, "alpha beta gamma delta epsilon zeta", t0),
+        (202, "one two three four five six seven eight nine", t0 + dt.timedelta(hours=1)),
+        (203, "entirely different arriving content with no overlap", t0 + dt.timedelta(hours=2)),
+    ]
+    batch = spark.createDataFrame(rows, _ts_schema())
+    expected = sorted(
+        (r.probe_id, r.corpus_id, r.n_shared, r.containment_r)
+        for r in containment_pairs_between(batch, corpus).collect()
+    )
+    assert expected
+
+    in_dir = tmp_path / "arr2"
+    for i, row in enumerate(rows):
+        spark.createDataFrame([row], _ts_schema()).write.parquet(str(in_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema(_ts_schema())
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    gated = containment_pairs_between(stream, corpus, watermark=("ts", "5 seconds"))
+    q = start_memory_sink(gated, "wm_containment_gate")
+    drain(q)
+    got = sorted(
+        (r.probe_id, r.corpus_id, r.n_shared, r.containment_r)
+        for r in spark.table("wm_containment_gate").collect()
+    )
+    assert got == expected
+    removed = max(
+        (
+            p["stateOperators"][0]["numRowsRemoved"]
+            for p in q.recentProgress
+            if p["stateOperators"]
+        ),
+        default=0,
+    )
+    assert removed > 0
+
+
+def test_indexed_probe_watermarked_gate(spark, tmp_path):
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_probe,
+    )
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    path = str(tmp_path / "idx")
+    build_minhash_index(corpus, path)
+    batch_rows = [r for b in _hourly_batches() for r in b]
+    batch = spark.createDataFrame(batch_rows, _ts_schema())
+    expected = _pairs(minhash_index_probe(spark, path, batch, threshold=0.5))
+    assert expected
+
+    got, removed, final_state = _run_watermarked(
+        spark,
+        tmp_path,
+        lambda s: minhash_index_probe(
+            spark, path, s, threshold=0.5, watermark=("ts", "5 seconds")
+        ),
+        "wm_indexed_gate",
+    )
+    assert sorted((p, c) for p, c, *_ in got) == expected
+    assert removed > 0
