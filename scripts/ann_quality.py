@@ -12,6 +12,10 @@ instead of a single fixed operating point. The pytest recall gates
 curve around them.
 
 Usage: python scripts/ann_quality.py [sf_dir] (default /root/testdata/sf0.1)
+       python scripts/ann_quality.py --structured=N  (mixture-of-Gaussians
+       corpus with planted neighbors, N rows — measures real retrieval
+       quality instead of the isotropic-noise floor; see
+       sources/synthetic.structured_embeddings)
 """
 
 from __future__ import annotations
@@ -38,13 +42,23 @@ def pairs(df) -> set[tuple[int, int]]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    arg = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(
         "kstcw-ann-quality", extra_conf={"spark.driver.memory": "16g"}
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    if arg.startswith("--structured"):
+        from kafka_streams_the_clojure_way_spark.sources.synthetic import (
+            structured_embeddings,
+        )
+
+        n = int(arg.split("=", 1)[1]) if "=" in arg else 4000
+        sf_dir = f"structured:{n}"
+        emb = structured_embeddings(spark, n).cache()
+    else:
+        sf_dir = arg
+        emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
 
     # exact ground truth (also the timing baseline)

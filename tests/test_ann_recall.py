@@ -237,3 +237,36 @@ def test_ivfpq_recall_and_cell_consistency(spark):
     for qid, neighbors in got.items():
         for n_id in neighbors:
             assert cell_of[n_id] in probed[qid], (qid, n_id)
+
+
+def test_ann_recall_on_structured_corpus(spark):
+    """Recall gates on a corpus with REAL neighbor structure: the shipped
+    test embeddings are isotropic noise (recall floors there are bounded
+    low and mostly grade the dataset), so this gate plants a seeded
+    mixture of Gaussians on the unit sphere — intra-cluster cosine ~0.8,
+    cross-cluster ~0 — and pins what the index tiers actually deliver on
+    embedding-shaped data. Fully deterministic (per-row seeded noise), so
+    the floors sit just under the measured points (ivf 0.9375 / 1.0,
+    lsh 0.6488 at 4000x64, 32 clusters, seed 7)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.operators import similarity as S
+    from kafka_streams_the_clojure_way_spark.sources.synthetic import (
+        structured_embeddings,
+    )
+
+    emb = structured_embeddings(spark, 4000).cache()
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    truth = _topk_sets(S.brute_force_topk(emb, queries, k=10))
+    assert len(truth) == 80
+
+    def mean_recall(df):
+        approx = _topk_sets(df)
+        return sum(
+            len(approx.get(q, set()) & v) / len(v) for q, v in truth.items()
+        ) / len(truth)
+
+    assert mean_recall(S.ivf_topk(emb, queries, k=10)) >= 0.85
+    assert mean_recall(S.ivf_topk(emb, queries, k=10, n_probe=8)) >= 0.99
+    assert mean_recall(S.lsh_topk(emb, queries, k=10)) >= 0.55
+    emb.unpersist()
