@@ -591,6 +591,69 @@ def build_minhash_index(
     sigs.unpersist()
 
 
+def minhash_index_upsert(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    assume_new_ids: bool = False,
+) -> None:
+    """ADD a document batch to a persisted MinHash index without
+    rebuilding it (FAISS's ``add`` to :func:`build_minhash_index`'s
+    ``train``): sign the batch with the index's own parameters and
+    APPEND its banding rows into the existing (band, bucket) partition
+    directories plus its shingle sets — the corpus is never re-signed,
+    so keeping the index current costs O(batch) per ingestion cycle.
+
+    Add-only contract: an id already present would duplicate its
+    shingle row and double-count verify joins, so by default arriving
+    ids are anti-joined against the index's id column (one column scan);
+    pass ``assume_new_ids=True`` to skip that scan when the caller
+    guarantees disjoint ids (e.g. monotonically assigned)."""
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    n_hashes, bands, n_buckets = meta["n_hashes"], meta["bands"], meta["n_buckets"]
+    rows = n_hashes // bands
+    if not assume_new_ids:
+        existing = spark.read.parquet(f"{index_path}/shingles").select(
+            F.col(meta["id_col"]).alias(id_col)
+        )
+        batch = batch.join(existing, id_col, "left_anti")
+    sigs = (
+        with_min_parallelism(batch)
+        .select(F.col(id_col), shingle_hashes(F.col(text)).alias("sh"))
+        .withColumn("sig", minhash_from_hashes(F.col("sh"), minhash_seeds(n_hashes)))
+        .cache()
+    )
+    banded = sigs.select(
+        F.col(id_col).alias(meta["id_col"]),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_key(F.col("sig"), b, rows).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        meta["id_col"],
+        F.col("bk.bkey").alias("bkey"),
+        F.col("bk.band").alias("band"),
+        F.pmod(F.col("bk.bkey"), F.lit(n_buckets)).alias("bucket"),
+    )
+    banded.write.mode("append").partitionBy("band", "bucket").parquet(
+        f"{index_path}/bands"
+    )
+    sigs.select(F.col(id_col).alias(meta["id_col"]), "sh").write.mode(
+        "append"
+    ).parquet(f"{index_path}/shingles")
+    sigs.unpersist()
+
+
 def minhash_index_probe(
     spark,
     index_path: str,

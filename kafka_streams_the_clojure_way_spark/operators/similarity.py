@@ -533,6 +533,56 @@ def build_ivf_index(
     write_partitioned(postings, f"{path}/postings", "cell")
 
 
+def ivf_index_upsert(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assume_new_ids: bool = False,
+) -> None:
+    """ADD vectors to a persisted IVF index without rebuilding (FAISS
+    ``add`` vs ``train``): route the batch against the EXISTING
+    (broadcast) centroid table and append each vector's posting into its
+    cell's partition directory. The quantizer is frozen — identical to
+    every production IVF: adds route through the trained centroids, and
+    a periodic re-train/rebuild handles drift. Per-cycle cost is
+    O(batch x n_cells) scoring + one batch-sized append, corpus
+    untouched.
+
+    Add-only contract as in minhash_index_upsert: duplicate ids would
+    shadow-duplicate candidates, so arriving ids are anti-joined against
+    the postings id column unless ``assume_new_ids=True``."""
+    from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
+    from kafka_streams_the_clojure_way_spark.sources.files import with_min_parallelism
+
+    cents = F.broadcast(
+        spark.read.parquet(f"{index_path}/centroids").select("cent_id", "cent_vec")
+    )
+    if not assume_new_ids:
+        existing = spark.read.parquet(f"{index_path}/postings").select(
+            F.col("neighbor_id").alias(id_col)
+        )
+        batch = batch.join(existing, id_col, "left_anti")
+    scored = with_min_parallelism(batch).join(cents).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        F.col("cent_id"),
+        cosine(F.col(vec_col), F.col("cent_vec")).alias("__cos"),
+    )
+    postings = top_k_per_key(
+        scored,
+        keys=["neighbor_id"],
+        order_by=[F.col("__cos").desc(), F.col("cent_id")],
+        k=1,
+        rank_col="__r",
+    ).select("neighbor_id", "vec", F.col("cent_id").alias("cell"))
+    postings.write.mode("append").partitionBy("cell").parquet(
+        f"{index_path}/postings"
+    )
+
+
 def ivf_index_topk(
     spark,
     index_path: str,

@@ -2545,6 +2545,120 @@ def sample_token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_SHARD_TOKEN_BUDGET = 2_000
+
+_SHARD_ASSIGN_SQL = f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len({T.tokens_sql('text')}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    src_tot AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tot
+        FROM sized GROUP BY source
+    ),
+    src_off AS (
+        SELECT source,
+               CAST(COALESCE(SUM(tot) OVER (
+                   ORDER BY source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS base
+        FROM src_tot
+    ),
+    running AS (
+        SELECT s.doc_id, s.source, s.n_tokens,
+               o.base + SUM(s.n_tokens) OVER (
+                   PARTITION BY s.source ORDER BY s.doc_id
+                   ROWS UNBOUNDED PRECEDING) - s.n_tokens AS cum_before
+        FROM sized s JOIN src_off o USING (source)
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(cum_before // {_SHARD_TOKEN_BUDGET} AS BIGINT) AS shard
+    FROM running
+"""
+
+
+def _shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted shard ids for the whole corpus in the canonical
+    export order (sources sorted, doc_id within source). The 100 TB
+    shape: the corpus-sized running sum is PER-SOURCE windows (parallel,
+    one partition each — at scale the partition key is
+    source x date-slice, same math), and the cross-source stitching is a
+    window over the |sources|-row totals frame — model-sized, broadcast
+    back. No global single-partition window ever touches corpus rows."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.array_size(T.tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    src_tot = sized.groupBy("source").agg(F.sum("n_tokens").alias("tot"))
+    w_off = (
+        Window.orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    src_off = src_tot.select(
+        "source",
+        F.coalesce(F.sum("tot").over(w_off), F.lit(0)).cast("long").alias("base"),
+    )
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.join(F.broadcast(src_off), "source")
+        .withColumn(
+            "cum_before",
+            F.col("base") + F.sum("n_tokens").over(w_run) - F.col("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(f"cum_before div {_SHARD_TOKEN_BUDGET}").alias("shard"),
+        )
+    )
+
+
+@query("meta_shard_assignments", oracle=_SHARD_ASSIGN_SQL)
+def meta_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXPORT step of a training pipeline: assign every document a
+    webdataset-style shard id by greedy token-budget fill
+    ({_SHARD_TOKEN_BUDGET} tokens/shard) over the canonical corpus order
+    — the deterministic doc->shard map a 1000-writer export partitions
+    on (write_partitioned by shard = one directory per shard). See
+    _shard_assignments for why the running sum never needs a global
+    single-partition window."""
+    return _shard_assignments(spark, sf_dir)
+
+
+@query(
+    "meta_shard_manifest",
+    oracle=f"""
+    WITH assign AS ({_SHARD_ASSIGN_SQL})
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           MIN(source) AS first_source, MAX(source) AS last_source
+    FROM assign GROUP BY shard
+    """,
+)
+def meta_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard MANIFEST the export publishes next to the data files
+    (doc counts + token totals per shard, source span) — what a training
+    job reads to plan epochs/data-loader splits without touching
+    payloads. One map-side-combining groupBy over the assignment map."""
+    return _shard_assignments(spark, sf_dir).groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.min("source").alias("first_source"),
+        F.max("source").alias("last_source"),
+    )
+
+
 @query("dedup_containment_pairs", oracle=D.containment_pairs_sql())
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASYMMETRIC containment dedup (SSJoin/PPJoin prefix filter,

@@ -270,3 +270,48 @@ def test_ann_recall_on_structured_corpus(spark):
     assert mean_recall(S.ivf_topk(emb, queries, k=10, n_probe=8)) >= 0.99
     assert mean_recall(S.lsh_topk(emb, queries, k=10)) >= 0.55
     emb.unpersist()
+
+
+def test_ivf_index_upsert_matches_full_rebuild(spark, tmp_path):
+    """IVF add vs train: routing a new batch through the FROZEN
+    centroids and appending postings must equal a from-scratch build
+    whenever the batch does not alter the deterministic centroid subset
+    — large batch ids AND an n_cells the base corpus can fill (at the
+    default n_cells the tiny test corpus has fewer candidate ids than
+    cells, so a full rebuild would recruit batch ids as extra
+    centroids, which is retraining, not adding) — and re-adding indexed
+    ids must be a no-op."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.operators import similarity as S
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    # batch = shifted-id copies of a slice: ids far above the corpus so
+    # the id-ordered centroid subset is identical in both builds
+    batch = emb.filter(F.col("vec_id") % 7 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    both = emb.unionByName(batch)
+    queries = emb.filter(F.col("vec_id") % 97 == 1)
+
+    inc = str(tmp_path / "inc")
+    S.build_ivf_index(emb, inc, n_cells=8)
+    S.ivf_index_upsert(spark, inc, batch)
+
+    full = str(tmp_path / "full")
+    S.build_ivf_index(both, full, n_cells=8)
+
+    def rows(path):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cosine_r)
+            for r in S.ivf_index_topk(spark, path, queries, 5).collect()
+        )
+
+    got, want = rows(inc), rows(full)
+    assert got == want and want
+    # any shifted id actually surfacing proves the upserted postings serve
+    assert any(n >= 1_000_000 for _, _, n, _ in want)
+
+    S.ivf_index_upsert(spark, inc, batch)  # duplicate add -> anti-joined away
+    assert rows(inc) == want

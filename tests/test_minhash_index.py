@@ -119,3 +119,35 @@ def test_probe_uses_index_meta_params(spark, tmp_path):
         minhash_lsh_pairs_between(batch, corpus, threshold=0.5, n_hashes=32, bands=8)
     )
     assert got == expected and expected
+
+
+def test_upsert_matches_full_rebuild(spark, tmp_path):
+    """Incremental index maintenance: building on corpus A then
+    upserting batch B must answer probes identically to an index built
+    on A ∪ B from scratch — and re-upserting the same batch must be a
+    no-op (the add-only anti-join), not a double-count."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        minhash_index_upsert,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    part_a = docs.filter(F.col("doc_id") % 3 != 0)
+    part_b = docs.filter(F.col("doc_id") % 3 == 0)
+    probe = docs.filter(F.col("doc_id") % 10 == 0)
+
+    inc_path = str(tmp_path / "inc")
+    build_minhash_index(part_a, inc_path)
+    minhash_index_upsert(spark, inc_path, part_b)
+
+    full_path = str(tmp_path / "full")
+    build_minhash_index(docs, full_path)
+
+    got = _rows(minhash_index_probe(spark, inc_path, probe, threshold=0.8))
+    want = _rows(minhash_index_probe(spark, full_path, probe, threshold=0.8))
+    assert got == want and want
+
+    # idempotence: the whole corpus is already indexed -> second upsert
+    # must anti-join everything away
+    minhash_index_upsert(spark, inc_path, docs)
+    again = _rows(minhash_index_probe(spark, inc_path, probe, threshold=0.8))
+    assert again == want
