@@ -323,13 +323,17 @@ def semdedup_flags(
         with_min_parallelism,
     )
 
+    # cached: the assignment chain (argmin window over k-way scored rows)
+    # feeds BOTH pair-join branches and the final flag select — without
+    # the cache Catalyst recomputes it three times. (id, cluster) +
+    # (id, vec) are the k-means working set, held in memory by design.
     assigned = kmeans_assignments(
         corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, model=model
-    )
+    ).cache()
     vecs = with_min_parallelism(corpus).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    av = assigned.join(vecs, id_col)
+    av = assigned.join(vecs, id_col).cache()
     a = av.select(
         F.col("cluster"), F.col(id_col).alias("__ida"), F.col("__v").alias("__va")
     )
