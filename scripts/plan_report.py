@@ -127,6 +127,21 @@ HEADLINERS = [
         "equi-join (sum n_c^2, never N^2); the only nested-loop node is "
         "the k-row broadcast centroid cross of the kmeans assignment.",
     ),
+    (
+        "dedup_incremental_indexed",
+        "Persisted-index dedup serve path: the postings scan carries a "
+        "STATIC PartitionFilter built from the batch's distinct "
+        "(band, bucket) keys — only probed directories are read; the "
+        "band join broadcasts the batch side; the corpus is never "
+        "re-signed (its signatures come from the index's shingle table).",
+    ),
+    (
+        "meta_shard_assignments",
+        "Token-budgeted shard export map: the corpus-sized running sum "
+        "is per-source windows; the cross-source offsets come from a "
+        "|sources|-row aggregate broadcast back — no corpus rows ever "
+        "pass through a single-partition window.",
+    ),
 ]
 
 
