@@ -1181,12 +1181,16 @@ def clip_duplicate_spans(
         F.lit(0),
     )
     pos_key = F.col(id_col) * POS_KEY_BASE + F.col("start") + guard
+    # cached: the removable and protected branches both consume this
+    # frame — without the cache the full posting explode + gram-hash
+    # window chain runs twice. Only duplicated postings survive the
+    # filter, so the cached frame is the small tail of the corpus.
     flagged = pos.select(
         id_col, "start",
         F.count(F.lit(1)).over(gw).alias("__cnt"),
         F.min(pos_key).over(gw).alias("__canon"),
         pos_key.alias("__key"),
-    ).filter(F.col("__cnt") >= 2)
+    ).filter(F.col("__cnt") >= 2).cache()
 
     def positions(side: DataFrame) -> DataFrame:
         return side.select(
