@@ -413,42 +413,96 @@ def ivfpq_topk(
     At 100 TB: codes partition BY CELL (the build_ivf_index layout), so
     probing is a partition-pruned scan of 4-byte codes — the billion-
     vector memory tier."""
+    cent_rows, codebook, codes = ivfpq_model(
+        corpus,
+        centroid_mod=centroid_mod,
+        m=m,
+        k=k,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+    )
+    return ivfpq_serve(
+        cent_rows,
+        codebook,
+        codes,
+        queries,
+        top_k=top_k,
+        n_probe=n_probe,
+        m=m,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id=query_id,
+    )
+
+
+def _best_cells(cents, side: DataFrame, sid: str, n: int) -> DataFrame:
+    """Route one side against the broadcast centroid frame: n best cells
+    per row by (cosine desc, cent_id), residual attached."""
     from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
     from kafka_streams_the_clojure_way_spark.operators.similarity import cosine
+
+    scored = side.join(cents).select(
+        sid, "__v", "__cent_id", "__cent",
+        cosine(F.col("__v"), F.col("__cent")).alias("__cos"),
+    )
+    return top_k_per_key(
+        scored,
+        keys=[sid],
+        order_by=[F.col("__cos").desc(), F.col("__cent_id").asc()],
+        k=n,
+        rank_col="__crank",
+    ).select(
+        sid,
+        F.col("__cent_id").alias("cell"),
+        F.zip_with("__v", "__cent", lambda x, c: x - c).alias("__res"),
+    )
+
+
+def ivfpq_model(
+    corpus: DataFrame,
+    *,
+    centroid_mod: int = 17,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = IVF_N_CELLS,
+):
+    """The BUILD half of IVF-PQ (FAISS ``train`` + ``add``): coarse
+    centroids, residual PQ codebooks, and the encoded corpus. Returns
+    ``(cent_rows, codebook_rows, codes)`` — the first two are
+    model-sized driver lists (what a production job persists next to
+    the cell-partitioned codes), ``codes`` a cached ``(id, s, code,
+    cell)`` DataFrame. ``ivfpq_serve`` answers queries against this
+    model without ever touching the float corpus again."""
     from kafka_streams_the_clojure_way_spark.sources.files import with_min_parallelism
 
     vd = F.col(vec_col).cast("array<double>")
-    cents = F.broadcast(
-        corpus.filter(F.col(id_col) % centroid_mod == 1)
+    # collect the model-sized centroid subset ONCE; build and serve both
+    # broadcast a frame rebuilt from these exact doubles (bit-exact
+    # round trip), so routed cells cannot differ between the halves
+    cent_rows = [
+        (r["__cent_id"], list(r["__cent"]))
+        for r in corpus.filter(F.col(id_col) % centroid_mod == 1)
         .orderBy(id_col)
         .limit(n_cells)
-        .select(
-            F.col(id_col).alias("__cent_id"), vd.alias("__cent")
+        .select(F.col(id_col).alias("__cent_id"), vd.alias("__cent"))
+        .collect()
+    ]
+    cents = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            cent_rows, "__cent_id long, __cent array<double>"
         )
     )
-
-    def best_cells(side: DataFrame, sid: str, n: int) -> DataFrame:
-        scored = side.join(cents).select(
-            sid, "__v", "__cent_id", "__cent",
-            cosine(F.col("__v"), F.col("__cent")).alias("__cos"),
-        )
-        return top_k_per_key(
-            scored,
-            keys=[sid],
-            order_by=[F.col("__cos").desc(), F.col("__cent_id").asc()],
-            k=n,
-            rank_col="__crank",
-        ).select(
-            sid,
-            F.col("__cent_id").alias("cell"),
-            F.zip_with("__v", "__cent", lambda x, c: x - c).alias("__res"),
-        )
-
     # checkpoint the routed residuals: the frame feeds the PQ trainer
     # (dim probe + seed + per-iteration scans), the encode pass, AND the
     # cell map — without truncation the 118-centroid routing window
     # recomputes ~4x (measured ~25% of query wall-clock)
-    corpus_res = best_cells(
+    corpus_res = _best_cells(
+        cents,
         with_min_parallelism(corpus).select(F.col(id_col), vd.alias("__v")),
         id_col,
         1,
@@ -456,9 +510,36 @@ def ivfpq_topk(
     codebook, codes = pq_model(
         corpus_res, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col="__res"
     )
-    codes = codes.join(corpus_res.select(id_col, "cell"), id_col)
+    codes = codes.join(corpus_res.select(id_col, "cell"), id_col).cache()
+    return cent_rows, codebook, codes
 
-    probe_res = best_cells(
+
+def ivfpq_serve(
+    cent_rows,
+    codebook,
+    codes: DataFrame,
+    queries: DataFrame,
+    *,
+    top_k: int = 10,
+    n_probe: int = 3,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """The SERVE half of IVF-PQ: route queries against the (rebuilt,
+    broadcast) centroid table, per-(query, cell) residual LUTs, ADC over
+    the probed cells' codes. Collected centroid doubles round-trip
+    bit-exactly through createDataFrame, so serve == the monolithic
+    ivfpq_topk row for row."""
+    vd = F.col(vec_col).cast("array<double>")
+    cents = F.broadcast(
+        codes.sparkSession.createDataFrame(
+            cent_rows, "__cent_id long, __cent array<double>"
+        )
+    )
+    probe_res = _best_cells(
+        cents,
         queries.select(F.col(id_col).alias(query_id), vd.alias("__v")),
         query_id,
         n_probe,

@@ -447,6 +447,13 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: persists exactly the post-n_iter centroids), so the unrolled-CTE
 #: oracles are untouched.
 _KMEANS_MODEL_CACHE: dict[str, DataFrame] = {}
+#: same build/serve split for the quantization indexes: PQ codebooks +
+#: codes and the IVF-PQ (centroids, codebooks, codes) triple are trained
+#: once per (process, sf_dir) and every probe serves against them —
+#: training is deterministic, so cached-model results are bit-identical
+#: to inline training and the oracles are untouched.
+_PQ_MODEL_CACHE: dict[str, tuple] = {}
+_IVFPQ_MODEL_CACHE: dict[str, tuple] = {}
 
 
 def _kmeans_model(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,8 +586,13 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     on; see operators/pq.py for the 100 TB shape."""
     from kafka_streams_the_clojure_way_spark.operators.pq import adc_topk, pq_model
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    codebook, codes = pq_model(emb)
+    got = _PQ_MODEL_CACHE.get(sf_dir)
+    if got is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        codebook, codes = pq_model(emb)
+        got = (codebook, codes.cache())
+        _PQ_MODEL_CACHE[sf_dir] = got
+    codebook, codes = got
     return adc_topk(codes, codebook, _queries_frame(spark, sf_dir))
 
 
@@ -599,11 +611,21 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup tables. Candidates come from a (cell, subspace, code)
     equi-join against a broadcast LUT — probed cells only, 4-byte codes
     only — yet the whole composed index is bit-exact against one DuckDB
-    CTE chain. See operators/pq.py."""
-    from kafka_streams_the_clojure_way_spark.operators.pq import ivfpq_topk
+    CTE chain. Serves from the per-process trained model (ivfpq_model /
+    ivfpq_serve — the same build/serve split as every index here). See
+    operators/pq.py."""
+    from kafka_streams_the_clojure_way_spark.operators.pq import (
+        ivfpq_model,
+        ivfpq_serve,
+    )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ivfpq_topk(emb, _queries_frame(spark, sf_dir))
+    got = _IVFPQ_MODEL_CACHE.get(sf_dir)
+    if got is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        got = ivfpq_model(emb)
+        _IVFPQ_MODEL_CACHE[sf_dir] = got
+    cent_rows, codebook, codes = got
+    return ivfpq_serve(cent_rows, codebook, codes, _queries_frame(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
