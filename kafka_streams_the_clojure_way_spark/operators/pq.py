@@ -470,6 +470,7 @@ def ivfpq_model(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = IVF_N_CELLS,
+    path: str | None = None,
 ):
     """The BUILD half of IVF-PQ (FAISS ``train`` + ``add``): coarse
     centroids, residual PQ codebooks, and the encoded corpus. Returns
@@ -477,7 +478,13 @@ def ivfpq_model(
     model-sized driver lists (what a production job persists next to
     the cell-partitioned codes), ``codes`` a cached ``(id, s, code,
     cell)`` DataFrame. ``ivfpq_serve`` answers queries against this
-    model without ever touching the float corpus again."""
+    model without ever touching the float corpus again.
+
+    With ``path``, the whole index persists to disk — ``centroids/``
+    and ``codebook/`` parquet (model-sized) plus ``codes/`` hive-
+    PARTITIONED BY CELL (at 100 TB a probe is then a partition-pruned
+    scan of 4-byte codes); ``load_ivfpq_model(spark, path)`` reloads
+    the triple for serving in a later session."""
     from kafka_streams_the_clojure_way_spark.sources.files import with_min_parallelism
 
     vd = F.col(vec_col).cast("array<double>")
@@ -511,6 +518,39 @@ def ivfpq_model(
         corpus_res, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col="__res"
     )
     codes = codes.join(corpus_res.select(id_col, "cell"), id_col).cache()
+    if path:
+        spark = corpus.sparkSession
+        spark.createDataFrame(
+            cent_rows, "cent_id long, cent_vec array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        spark.createDataFrame(
+            codebook, "s int, code int, c array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+        from kafka_streams_the_clojure_way_spark.sources.files import (
+            write_partitioned,
+        )
+
+        write_partitioned(codes, f"{path}/codes", "cell")
+    return cent_rows, codebook, codes
+
+
+def load_ivfpq_model(spark, path: str):
+    """Reload a persisted IVF-PQ index for ``ivfpq_serve``: model-sized
+    centroid/codebook collects + the cell-partitioned codes scan (lazy —
+    probes prune it by cell)."""
+    cent_rows = [
+        (r["cent_id"], list(r["cent_vec"]))
+        for r in spark.read.parquet(f"{path}/centroids")
+        .orderBy("cent_id")
+        .collect()
+    ]
+    codebook = [
+        (r["s"], r["code"], list(r["c"]))
+        for r in spark.read.parquet(f"{path}/codebook")
+        .orderBy("s", "code")
+        .collect()
+    ]
+    codes = spark.read.parquet(f"{path}/codes")
     return cent_rows, codebook, codes
 
 

@@ -315,3 +315,34 @@ def test_ivf_index_upsert_matches_full_rebuild(spark, tmp_path):
 
     S.ivf_index_upsert(spark, inc, batch)  # duplicate add -> anti-joined away
     assert rows(inc) == want
+
+
+def test_ivfpq_persisted_model_roundtrip(spark, tmp_path):
+    """IVF-PQ build/serve split across sessions: persisting the index
+    (centroids + codebooks parquet, codes partitioned by cell) and
+    reloading it must serve the exact rows the in-memory model serves
+    — and both must equal the monolithic ivfpq_topk."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.operators.pq import (
+        ivfpq_model,
+        ivfpq_serve,
+        ivfpq_topk,
+        load_ivfpq_model,
+    )
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 1)
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.adc_units) for r in df.collect()
+        )
+
+    path = str(tmp_path / "ivfpq")
+    built = ivfpq_model(emb, path=path)
+    inline = rows(ivfpq_serve(*built, queries))
+    reloaded = rows(ivfpq_serve(*load_ivfpq_model(spark, path), queries))
+    mono = rows(ivfpq_topk(emb, queries))
+    assert inline == reloaded == mono and mono
