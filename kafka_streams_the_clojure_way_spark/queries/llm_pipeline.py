@@ -406,6 +406,41 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, _queries_frame(spark, sf_dir), k=10)
 
 
+#: per-process persisted IVF index (build_ivf_index artifact) — the
+#: disk-backed serve path registered right next to the inline query so
+#: the driver's correctness sample exercises the index itself.
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    path = _IVF_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ivf_index_")
+        S.build_ivf_index(load_table(spark, sf_dir, "embeddings"), path)
+        _IVF_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+@query(
+    "sim_ivf_index_topk",
+    oracle=S.ivf_topk_sql(query_mod=_QUERY_MOD, id_cap=_PROBE_ID_CAP),
+)
+def sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index serve path for IVF ANN — same answers and
+    same oracle as sim_ivf_ann_topk, but the corpus side is the on-disk
+    index built once per process (build_ivf_index: centroids parquet +
+    postings hive-partitioned by cell): probes pick their 3 best cells
+    against the broadcast centroid table and the postings scan prunes to
+    the probed cell directories. The ANN twin of
+    dedup_incremental_indexed — the serve cost a production deployment
+    actually pays per query batch."""
+    return S.ivf_index_topk(
+        spark, _ivf_index_path(spark, sf_dir), _queries_frame(spark, sf_dir), 10
+    )
+
+
 _QUANT_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, {S.quantize_sql('embedding')} AS qq
                FROM embeddings WHERE {_PROBE_PRED}),
@@ -2742,17 +2777,27 @@ def eval_ann_quantized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGER position gains so the per-query sum is exact and
     summation-order-free on both engines; recall/NDCG divide integers at
     the end and round to 6."""
+    approx = S.quantized_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _queries_frame(spark, sf_dir),
+        k=10,
+    ).select("query_id", "neighbor_id", "rank")
+    return _ann_quality_frame(spark, sf_dir, approx)
+
+
+def _ann_quality_frame(
+    spark: SparkSession, sf_dir: str, approx: DataFrame
+) -> DataFrame:
+    """recall@10 + NDCG@10 of any (query_id, neighbor_id, rank) ANN
+    result against exact brute-force ground truth (the shared eval
+    kernel — see eval_ann_quantized_quality for the integer-DCG
+    portability argument)."""
     truth = S.brute_force_topk(
         load_table(spark, sf_dir, "embeddings"),
         _queries_frame(spark, sf_dir),
         k=10,
         assume_bounded=True,
     ).select("query_id", "neighbor_id")
-    approx = S.quantized_topk(
-        load_table(spark, sf_dir, "embeddings"),
-        _queries_frame(spark, sf_dir),
-        k=10,
-    ).select("query_id", "neighbor_id", "rank")
     gains = F.array(*[F.lit(g) for g in _DCG_GAIN_UNITS])
     hits = approx.join(truth, ["query_id", "neighbor_id"]).select(
         "query_id", F.element_at(gains, F.col("rank").cast("int")).alias("g")
@@ -2774,3 +2819,44 @@ def eval_ann_quantized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_r"),
         )
     )
+
+
+_IVF_APPROX_ORACLE = S.ivf_topk_sql(query_mod=_QUERY_MOD, id_cap=_PROBE_ID_CAP)
+
+
+@query(
+    "eval_ann_ivf_quality",
+    oracle=f"""
+    WITH truth AS (SELECT query_id, neighbor_id FROM ({_SIM_ORACLE_BASE}) t),
+    approx AS (SELECT query_id, neighbor_id, rank FROM ({_IVF_APPROX_ORACLE}) a),
+    hits AS (
+        SELECT a.query_id, a.rank
+        FROM approx a JOIN truth t
+          ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+    ),
+    scored AS (
+        SELECT query_id,
+               COUNT(*) AS n_hits,
+               SUM([{', '.join(str(g) for g in _DCG_GAIN_UNITS)}][rank]) AS dcg_units
+        FROM hits GROUP BY query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(s.n_hits, 0) AS BIGINT) AS n_hits,
+           round(COALESCE(s.n_hits, 0) / 10.0, 6) AS recall_r,
+           round(COALESCE(s.dcg_units, 0) / {float(_IDCG_UNITS)}, 6) AS ndcg_r
+    FROM (SELECT DISTINCT query_id FROM truth) q
+    LEFT JOIN scored s USING (query_id)
+    """,
+)
+def eval_ann_ivf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same retrieval-quality eval for the IVF tier (cell-probing
+    loss instead of quantization loss): recall@10 + NDCG@10 of
+    3-of-n-cells IVF against exact brute force — together with the
+    quantized eval this brackets the IVF-PQ composition's two loss
+    sources separately. Shares the integer-DCG kernel."""
+    approx = S.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _queries_frame(spark, sf_dir),
+        k=10,
+    ).select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    return _ann_quality_frame(spark, sf_dir, approx)
