@@ -41,3 +41,41 @@ def test_stratified_rates_and_determinism(spark):
         r.doc_id for r in QUERIES["sample_stratified_documents"](spark, SF).collect()
     )
     assert a == b
+
+
+def test_shard_assignments_deterministic_and_manifest_consistent(spark):
+    """The export map must be a pure function of the corpus (per-source
+    windows ordered by doc_id — partitioning-invariant), shard ids must
+    be contiguous from 0, and the manifest must be exactly the groupBy
+    of the assignments."""
+    from pyspark.sql import functions as F
+
+    assign = QUERIES["meta_shard_assignments"](spark, SF)
+    rows = sorted(tuple(r) for r in assign.collect())
+    docs_n = load_table(spark, SF, "documents").count()
+    assert len(rows) == docs_n  # every doc gets exactly one shard
+
+    shards = sorted({r[3] for r in rows})
+    assert shards == list(range(len(shards)))  # contiguous from 0
+
+    # repartition invariance (the window-order stability the oracle
+    # parity rests on)
+    re_rows = sorted(
+        tuple(r)
+        for r in QUERIES["meta_shard_assignments"](spark, SF)
+        .repartition(7)
+        .collect()
+    )
+    assert re_rows == rows
+
+    manifest = {
+        r.shard: (r.n_docs, r.shard_tokens)
+        for r in QUERIES["meta_shard_manifest"](spark, SF).collect()
+    }
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, 0])
+    for _, _, n_tokens, shard in rows:
+        want[shard][0] += 1
+        want[shard][1] += n_tokens
+    assert manifest == {s: tuple(v) for s, v in want.items()}
