@@ -582,7 +582,13 @@ def build_minhash_index(
         F.col("bk.band").alias("band"),
         F.pmod(F.col("bk.bkey"), F.lit(n_buckets)).alias("bucket"),
     )
-    write_partitioned(banded, f"{path}/bands", "band", "bucket")
+    # one shuffle into the partition layout = ONE file per (band, bucket)
+    # directory — without it every upstream task writes a sliver into
+    # every directory (tasks x 64 tiny files) and probe-side scan
+    # planning pays the file-listing bill forever after
+    write_partitioned(
+        banded.repartition("band", "bucket"), f"{path}/bands", "band", "bucket"
+    )
     sigs.select(id_col, "sh").write.mode("overwrite").parquet(f"{path}/shingles")
     corpus.sparkSession.createDataFrame(
         [(n_hashes, bands, n_buckets, id_col)],
