@@ -285,6 +285,12 @@ def test_no_accidental_cartesian_products(spark):
         # IVF coarse quantization IS an all-pairs scoring of every vector
         # against the (tiny, broadcast) centroid table — BNLJ by design
         "sim_ivf_ann_topk",
+        # the persisted-index serve path and the IVF quality eval route
+        # their PROBE sets against the same tiny broadcast centroid
+        # table (the corpus side is the pruned postings scan / the
+        # bounded brute-force truth) — same by-design shape
+        "sim_ivf_index_topk",
+        "eval_ann_ivf_quality",
         # Lloyd assignment scores every vector against the k-row broadcast
         # centroid table each round — same tiny-broadcast BNLJ shape
         "cluster_kmeans_embeddings",
