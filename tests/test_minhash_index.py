@@ -151,3 +151,62 @@ def test_upsert_matches_full_rebuild(spark, tmp_path):
     minhash_index_upsert(spark, inc_path, docs)
     again = _rows(minhash_index_probe(spark, inc_path, probe, threshold=0.8))
     assert again == want
+
+
+def test_foreachbatch_probe_then_upsert_loop(spark, tmp_path):
+    """The COMPLETE continuous-ingestion pattern: each arriving
+    micro-batch is (1) probed against the index for near-dups, then
+    (2) upserted into it — so later batches dedup against earlier
+    batches, not just the original corpus. Expected pairs are computed
+    by replaying the same probe-against-prefix semantics in batch."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        minhash_index_upsert,
+    )
+    from kafka_streams_the_clojure_way_spark.sources.memory import drain
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    path = str(tmp_path / "loop_idx")
+    build_minhash_index(corpus, path)
+
+    batches = [
+        [ARRIVING[0]],                     # near-dup of corpus doc 1
+        [(104, ARRIVING[0][1] + " late")], # near-dup of BATCH-1 doc 101
+        [ARRIVING[2]],                     # matches nothing
+    ]
+    # batch-land replay: probe each batch against corpus + earlier batches
+    expected = []
+    seen = list(CORPUS)
+    for rows in batches:
+        probe = spark.createDataFrame(rows, SCHEMA)
+        prefix = spark.createDataFrame(seen, SCHEMA)
+        expected += [
+            (r.probe_id, r.corpus_id)
+            for r in minhash_lsh_pairs_between(probe, prefix, threshold=0.5).collect()
+        ]
+        seen += rows
+    expected = sorted(expected)
+    assert (104, 101) in expected, "fixture must produce a cross-batch pair"
+
+    in_dir = tmp_path / "arriving"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).write.parquet(str(in_dir / f"b{i}"))
+    got = []
+
+    def gate(batch_df, batch_id):
+        for r in minhash_index_probe(spark, path, batch_df, threshold=0.5).collect():
+            got.append((r.probe_id, r.corpus_id))
+        minhash_index_upsert(spark, path, batch_df, assume_new_ids=True)
+
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "loop_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q)
+    assert sorted(got) == expected
