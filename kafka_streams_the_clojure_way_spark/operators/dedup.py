@@ -617,7 +617,26 @@ def minhash_index_upsert(
     shingle row and double-count verify joins, so by default arriving
     ids are anti-joined against the index's id column (one column scan);
     pass ``assume_new_ids=True`` to skip that scan when the caller
-    guarantees disjoint ids (e.g. monotonically assigned)."""
+    guarantees disjoint ids (e.g. monotonically assigned).
+
+    Crash-retry contract: shingles are written BEFORE bands so the
+    add-only anti-join key (the shingles id column) only ever reflects
+    fully-attempted docs — a failure between the two writes leaves
+    shingle rows without banding rows, and the retry (with the default
+    anti-join) skips them, leaving those docs shingle-listed but
+    unbanded (they stop matching as corpus candidates until a rebuild).
+    The reverse order would be worse: orphan BANDING rows are re-added
+    by a retry (the anti-join keys on shingles), permanently duplicating
+    postings so every later probe pays for them. For exactly-once adds
+    under crashes, wrap upserts in an external commit marker.
+
+    File hygiene: each append is repartitioned onto the partition
+    columns first, so a micro-batch adds at most ONE file per touched
+    (band, bucket) directory — without that, every upstream task writes
+    a sliver into every directory and a long-running ingestion loop
+    regresses to the tiny-file listing cost the build path avoids.
+    After many batches, run :func:`compact_minhash_index` to restore
+    the one-file-per-directory build layout."""
     meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
     n_hashes, bands, n_buckets = meta["n_hashes"], meta["bands"], meta["n_buckets"]
     rows = n_hashes // bands
@@ -626,11 +645,17 @@ def minhash_index_upsert(
             F.col(meta["id_col"]).alias(id_col)
         )
         batch = batch.join(existing, id_col, "left_anti")
+    # EAGER localCheckpoint, not cache: the anti-join reads the shingles
+    # path, and the first append below refreshes every cached plan that
+    # references it — a mere .cache() would be invalidated mid-upsert and
+    # the bands write would recompute against the just-appended shingles,
+    # anti-joining the whole batch away. Truncating the lineage pins the
+    # anti-joined batch before either write runs. Batch-sized.
     sigs = (
         with_min_parallelism(batch)
         .select(F.col(id_col), shingle_hashes(F.col(text)).alias("sh"))
         .withColumn("sig", minhash_from_hashes(F.col("sh"), minhash_seeds(n_hashes)))
-        .cache()
+        .localCheckpoint()
     )
     banded = sigs.select(
         F.col(id_col).alias(meta["id_col"]),
@@ -651,13 +676,15 @@ def minhash_index_upsert(
         F.col("bk.band").alias("band"),
         F.pmod(F.col("bk.bkey"), F.lit(n_buckets)).alias("bucket"),
     )
-    banded.write.mode("append").partitionBy("band", "bucket").parquet(
-        f"{index_path}/bands"
-    )
-    sigs.select(F.col(id_col).alias(meta["id_col"]), "sh").write.mode(
+    # shingles FIRST (see crash-retry contract above), one file per batch
+    sigs.select(F.col(id_col).alias(meta["id_col"]), "sh").coalesce(1).write.mode(
         "append"
     ).parquet(f"{index_path}/shingles")
-    sigs.unpersist()
+    # one shuffle onto the partition layout = at most one file per touched
+    # (band, bucket) directory per batch (same layout rule as the build)
+    banded.repartition("band", "bucket").write.mode("append").partitionBy(
+        "band", "bucket"
+    ).parquet(f"{index_path}/bands")
 
 
 def minhash_index_probe(
@@ -669,6 +696,7 @@ def minhash_index_probe(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     watermark: tuple[str, str] | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Probe a persisted MinHash band index with an arriving batch: sign
     the BATCH ONLY, route its distinct (band, bucket) keys into a static
@@ -687,7 +715,24 @@ def minhash_index_probe(
     ``watermark=(ts_col, delay)``: the probe's shingle set and event
     time ride through the band join so the candidate dedup becomes the
     gate's ONE stateful op (``dropDuplicatesWithinWatermark``) with
-    watermark-evicted state."""
+    watermark-evicted state. Output contract consequence of that
+    eviction: a duplicate (probe_id, corpus_id) candidate arriving MORE
+    than the watermark delay after the first is re-emitted (its dedup
+    state was already evicted), so unbounded watermarked output can
+    contain duplicate pairs that the batch/availableNow path never
+    produces — downstream consumers must tolerate or idempotently merge
+    re-emitted pairs across watermark windows. Note the stream-static
+    band join on this path scans the full postings table per
+    micro-batch (the static side cannot take a stream-derived literal
+    partition filter) — for per-batch cost independent of corpus size
+    use :func:`minhash_index_probe_stream`, which runs each micro-batch
+    through this function's BATCH routing inside ``foreachBatch``.
+
+    ``cache_registry``: the batch path caches the probe-signature frame
+    for its routing collect and verify join; by default it stays cached
+    for the process lifetime (fine for one-shot queries, a leak for
+    long-running probe loops). Pass a list and the cached frame is
+    appended to it instead — unpersist after materializing results."""
     meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
     n_hashes, bands, n_buckets = meta["n_hashes"], meta["bands"], meta["n_buckets"]
     rows = n_hashes // bands
@@ -703,6 +748,8 @@ def minhash_index_probe(
     ).withColumn("sig", minhash_from_hashes(F.col("sh"), minhash_seeds(n_hashes)))
     if not batch.isStreaming:
         psigs = psigs.cache()
+        if cache_registry is not None:
+            cache_registry.append(psigs)
     pband = psigs.select(
         F.col(id_col).alias("probe_id"),
         *carry,
@@ -778,6 +825,122 @@ def minhash_index_probe(
         .filter(F.col("jaccard") >= threshold)
         .select("probe_id", "corpus_id", "jaccard")
     )
+
+
+def compact_minhash_index(spark, index_path: str) -> None:
+    """Index maintenance for long-running ingestion: restore the
+    build-time file layout — ONE file per (band, bucket) directory in
+    ``bands``, size-targeted files in ``shingles`` — after many
+    :func:`minhash_index_upsert` batches have each appended their own
+    file. Results are byte-identical before/after (pure layout rewrite);
+    probe cost returns to the build-time listing/planning profile.
+    Crash-safe via the rename-aside swap; NOT concurrent-probe safe —
+    run it between probes (``minhash_index_probe_stream`` can do this
+    on a cadence, where it is trivially serial with the probe loop)."""
+    from kafka_streams_the_clojure_way_spark.sources.files import (
+        compact_files,
+        compact_partitioned,
+    )
+
+    compact_partitioned(spark, f"{index_path}/bands", "band", "bucket")
+    compact_files(spark, f"{index_path}/shingles")
+
+
+def minhash_index_probe_stream(
+    spark,
+    index_path: str,
+    stream: DataFrame,
+    sink,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    checkpoint: str | None = None,
+    upsert: bool = False,
+    assume_new_ids: bool = False,
+    compact_every: int | None = None,
+    trigger: dict | None = None,
+):
+    """The PRODUCTION streaming serve loop for the persisted MinHash
+    index: run every micro-batch of ``stream`` through
+    :func:`minhash_index_probe`'s BATCH path inside ``foreachBatch`` —
+    where the micro-batch is a plain batch frame, so the probe's
+    explicit (band, bucket) partition routing applies and each trigger
+    reads ONLY the probed postings directories. This restores the
+    per-batch-cost-independent-of-corpus-size contract that the
+    stream-static join fallback (probing with a streaming frame
+    directly) cannot offer, because a static join side cannot take a
+    stream-derived literal partition filter. Keep the stream-static
+    path when you need in-plan ``dropDuplicatesWithinWatermark``
+    exactly-once pair semantics; use this helper for the ingestion
+    loop.
+
+    ``sink``: a callable ``(pairs_df, batch_id) -> None`` or a parquet
+    directory path (pairs appended, one file per batch). The callable
+    MUST materialize ``pairs_df`` (collect/write) before returning —
+    with ``upsert=True`` the batch is added to the index right after
+    the sink runs, and an unmaterialized lazy frame would then see its
+    own batch in the index.
+
+    ``upsert=True`` turns the gate into the full probe-then-upsert
+    continuous-ingestion cycle: later batches dedup against earlier
+    batches, not just the build-time corpus. foreachBatch is
+    at-least-once, so the default ``assume_new_ids=False`` keeps a
+    replayed batch idempotent via the upsert's anti-join (one shingles
+    id-column scan per batch); set True only when ids are globally
+    unique AND the checkpoint guarantees no replay matters.
+
+    ``compact_every=N`` runs :func:`compact_minhash_index` after every
+    N-th upserting batch — serial with the probe loop, so the
+    not-concurrent-reader-safe swap is safe here. Caches created by the
+    probe are unpersisted each batch (no per-trigger cache leak).
+
+    Returns the started ``StreamingQuery``. Default trigger is
+    ``availableNow`` (drain-what-exists, then stop); pass e.g.
+    ``trigger={"processingTime": "30 seconds"}`` for a resident loop."""
+    if isinstance(sink, str):
+        out_path = sink
+
+        def sink_fn(pairs: DataFrame, batch_id: int) -> None:
+            pairs.coalesce(1).write.mode("append").parquet(out_path)
+
+    else:
+        sink_fn = sink
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # availableNow emits empty triggers; skip
+            return
+        caches: list[DataFrame] = []
+        pairs = minhash_index_probe(
+            spark,
+            index_path,
+            batch_df,
+            text=text,
+            id_col=id_col,
+            threshold=threshold,
+            cache_registry=caches,
+        )
+        try:
+            sink_fn(pairs, batch_id)
+            if upsert:
+                minhash_index_upsert(
+                    spark,
+                    index_path,
+                    batch_df,
+                    text=text,
+                    id_col=id_col,
+                    assume_new_ids=assume_new_ids,
+                )
+        finally:
+            for frame in caches:
+                frame.unpersist()
+        if upsert and compact_every and (batch_id + 1) % compact_every == 0:
+            compact_minhash_index(spark, index_path)
+
+    writer = stream.writeStream.foreachBatch(serve)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(**(trigger or {"availableNow": True})).start()
 
 
 # --------------------------------------------------------------------------

@@ -578,9 +578,26 @@ def ivf_index_upsert(
         k=1,
         rank_col="__r",
     ).select("neighbor_id", "vec", F.col("cent_id").alias("cell"))
-    postings.write.mode("append").partitionBy("cell").parquet(
+    # one shuffle onto the partition column = at most one file per touched
+    # cell directory per batch; without it every task slivers every cell
+    # and a long-running add loop regresses to tiny-file listing cost.
+    # After many batches, compact_ivf_index restores the build layout.
+    postings.repartition("cell").write.mode("append").partitionBy("cell").parquet(
         f"{index_path}/postings"
     )
+
+
+def compact_ivf_index(spark, index_path: str) -> None:
+    """Index maintenance for long-running vector ingestion: restore ONE
+    file per cell directory in ``postings`` after many
+    :func:`ivf_index_upsert` batches have each appended their own file
+    (centroids are write-once and never accrete). Pure layout rewrite —
+    probe answers are byte-identical before/after; scan planning cost
+    returns to the build-time profile. Crash-safe rename-aside swap;
+    NOT concurrent-probe safe — run between probe batches."""
+    from kafka_streams_the_clojure_way_spark.sources.files import compact_partitioned
+
+    compact_partitioned(spark, f"{index_path}/postings", "cell")
 
 
 def ivf_index_topk(

@@ -323,6 +323,33 @@ def compact_files(
     return n_files
 
 
+def compact_partitioned(
+    spark: SparkSession, path: str, *partition_cols: str, **options
+) -> None:
+    """Compact a hive-partitioned dataset back to ONE file per partition
+    directory — the layout the partitioned writers produce on first
+    build. Long-running ingestion (``minhash_index_upsert`` /
+    ``ivf_index_upsert`` append one file per touched directory per
+    micro-batch) accretes files until scan PLANNING — directory listing,
+    footer reads, task scheduling — dominates probe cost; this restores
+    the build-time layout without retraining anything.
+
+    Same crash-safety as :func:`compact_files`: writes to a temp dir,
+    rename-aside swap, old deleted last — a crash leaves a complete old
+    or new dataset (still not concurrent-reader safe; pause probes or
+    use a table format with atomic commits for that)."""
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    (
+        df.repartition(*partition_cols)
+        .write.mode("overwrite")
+        .options(**options)
+        .partitionBy(*partition_cols)
+        .parquet(tmp)
+    )
+    _swap_dataset(path, tmp)
+
+
 def _swap_dataset(path: str, tmp: str) -> None:
     """Replace ``path`` with ``tmp`` via rename-aside: old data is moved
     out of the way, new data renamed in, old deleted last — a crash at

@@ -210,3 +210,188 @@ def test_foreachbatch_probe_then_upsert_loop(spark, tmp_path):
     )
     drain(q)
     assert sorted(got) == expected
+
+
+# --------------------------------------------------------------------------
+# round 5: file-layout hygiene, compaction, and the streaming serve helper
+# --------------------------------------------------------------------------
+
+import os
+
+
+def _files_per_leaf_dir(root: str) -> dict[str, int]:
+    """parquet-file count per (band=?, bucket=?) leaf directory."""
+    out: dict[str, int] = {}
+    for dirpath, _, files in os.walk(root):
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        if n:
+            out[os.path.relpath(dirpath, root)] = n
+    return out
+
+
+def test_upsert_adds_at_most_one_file_per_directory(spark, tmp_path):
+    """The ADVICE-flagged tiny-file pathology: without a repartition onto
+    the partition columns, every upstream task slivers every directory
+    (tasks x files per batch). The upsert must add AT MOST ONE file per
+    touched (band, bucket) directory per batch."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        minhash_index_upsert,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "layout_idx")
+    build_minhash_index(docs.filter(F.col("doc_id") % 3 != 0), path)
+    before = _files_per_leaf_dir(f"{path}/bands")
+    assert before and all(n == 1 for n in before.values()), "build layout broken"
+    shingles_before = sum(_files_per_leaf_dir(f"{path}/shingles").values())
+
+    minhash_index_upsert(spark, path, docs.filter(F.col("doc_id") % 3 == 0))
+    after = _files_per_leaf_dir(f"{path}/bands")
+    grown = {d: after[d] - before.get(d, 0) for d in after}
+    assert any(g == 1 for g in grown.values()), "upsert touched no directory"
+    assert all(g <= 1 for g in grown.values()), {
+        d: g for d, g in grown.items() if g > 1
+    }
+    # shingles: exactly one new file per upsert batch
+    shingles_after = sum(_files_per_leaf_dir(f"{path}/shingles").values())
+    assert shingles_after - shingles_before == 1
+
+
+def test_compact_minhash_index_restores_layout_and_parity(spark, tmp_path):
+    """After N upserts, compaction must return the bands table to ONE
+    file per partition directory and leave probe answers byte-identical."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        compact_minhash_index,
+        minhash_index_upsert,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    probe = docs.filter(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "compact_idx")
+    build_minhash_index(docs.filter(F.col("doc_id") % 4 == 1), path)
+    for m in (2, 3, 0):
+        minhash_index_upsert(
+            spark, path, docs.filter(F.col("doc_id") % 4 == m), assume_new_ids=True
+        )
+    files = _files_per_leaf_dir(f"{path}/bands")
+    assert any(n > 1 for n in files.values()), "fixture never re-touched a dir"
+
+    before = _rows(minhash_index_probe(spark, path, probe, threshold=0.8))
+    compact_minhash_index(spark, path)
+    after_files = _files_per_leaf_dir(f"{path}/bands")
+    assert after_files and all(n == 1 for n in after_files.values()), after_files
+    assert sum(_files_per_leaf_dir(f"{path}/shingles").values()) == 1
+    assert _rows(minhash_index_probe(spark, path, probe, threshold=0.8)) == before
+    assert before, "fixture slice must produce pairs"
+
+
+def test_probe_stream_serve_prunes_and_matches(spark, tmp_path):
+    """The foreachBatch serve helper (the production streaming path):
+    every micro-batch must (1) carry the batch path's static (band,
+    bucket) PartitionFilter on its postings scan — per-trigger cost
+    independent of corpus size, which the stream-static fallback cannot
+    offer — (2) reproduce the batch probe's rows exactly, and (3) leave
+    no cached frames behind."""
+    import re
+
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        minhash_index_probe_stream,
+    )
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    path = str(tmp_path / "serve_idx")
+    build_minhash_index(corpus, path)
+    expected = _rows(
+        minhash_index_probe(spark, path, spark.createDataFrame(ARRIVING, SCHEMA), threshold=0.5)
+    )
+    assert expected
+
+    in_dir = tmp_path / "arriving"
+    for i, row in enumerate(ARRIVING):
+        spark.createDataFrame([row], SCHEMA).write.parquet(str(in_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+
+    got, batches, pruned_plans = [], [], []
+
+    def sink(pairs, batch_id):
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        pfs = re.findall(r"PartitionFilters: \[([^\]]*)", plan)
+        if any(re.search(r"band#\d+ = ", p) for p in pfs):
+            pruned_plans.append(batch_id)
+        batches.append(batch_id)
+        got.extend((r.probe_id, r.corpus_id, r.jaccard) for r in pairs.collect())
+
+    n_cached_before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    q = minhash_index_probe_stream(
+        spark, path, stream, sink,
+        threshold=0.5, checkpoint=str(tmp_path / "serve_ckpt"),
+    )
+    drain(q)
+    assert len(batches) >= 2, batches
+    assert pruned_plans == batches, (pruned_plans, batches)
+    assert sorted(got) == expected
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == n_cached_before
+
+
+def test_probe_stream_upsert_loop_with_compaction(spark, tmp_path):
+    """The helper's full continuous-ingestion cycle (upsert=True): later
+    batches dedup against earlier batches, replayed-batch semantics match
+    the imperative loop test, and compact_every keeps the index at one
+    file per directory between triggers."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        minhash_index_probe_stream,
+        minhash_lsh_pairs_between,
+    )
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    path = str(tmp_path / "loop_idx2")
+    build_minhash_index(corpus, path)
+
+    batches = [
+        [ARRIVING[0]],
+        [(104, ARRIVING[0][1] + " late")],
+        [ARRIVING[2]],
+    ]
+    expected = []
+    seen = list(CORPUS)
+    for rows_ in batches:
+        probe = spark.createDataFrame(rows_, SCHEMA)
+        prefix = spark.createDataFrame(seen, SCHEMA)
+        expected += [
+            (r.probe_id, r.corpus_id)
+            for r in minhash_lsh_pairs_between(probe, prefix, threshold=0.5).collect()
+        ]
+        seen += rows_
+    expected = sorted(expected)
+    assert (104, 101) in expected
+
+    in_dir = tmp_path / "arriving2"
+    for i, rows_ in enumerate(batches):
+        spark.createDataFrame(rows_, SCHEMA).write.parquet(str(in_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    got = []
+
+    def sink(pairs, batch_id):
+        got.extend((r.probe_id, r.corpus_id) for r in pairs.collect())
+
+    q = minhash_index_probe_stream(
+        spark, path, stream, sink,
+        threshold=0.5, checkpoint=str(tmp_path / "loop_ckpt2"),
+        upsert=True, compact_every=1,
+    )
+    drain(q)
+    assert sorted(got) == expected
+    files = _files_per_leaf_dir(f"{path}/bands")
+    assert files and all(n == 1 for n in files.values()), files
