@@ -39,6 +39,18 @@ ASSET_SCHEMA = (
 
 FEATURE_DIM = 8
 
+# Import-gated real image decoder (mirrors sources/kafka.py's broker-lib
+# gating): Pillow is not in this container, so the flag is False here and
+# every decode runs the deterministic stub — but a build WITH Pillow gets
+# real image geometry by passing decoder="pillow", with zero plan change.
+try:  # pragma: no cover - exercised only where Pillow is installed
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover
+    _PILImage = None
+    HAS_PIL = False
+
 
 def _decode_stub(payload: bytes, mime: str) -> dict:
     """Deterministic fake decoder. A real build replaces this with
@@ -71,39 +83,71 @@ def wrap_binary_assets(df: DataFrame, bytes_col: str, mime: str) -> DataFrame:
     )
 
 
-def decode_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def decode_assets(
+    df: DataFrame, id_col: str = "doc_id", decoder: str = "stub"
+) -> DataFrame:
     """Decode metadata for every asset via Arrow-batched mapInPandas.
     Output: id + decoded metadata + payload size (payload itself dropped —
     the funnel: big bytes in, small typed rows out).
 
-    The metadata path needs NO per-row Python: mime/size come from the
-    struct fields and byte lengths, and the stub geometry is a pure
-    function of those — so the whole batch is computed with vectorized
-    pandas/numpy column ops (per-row ``iterrows`` loops in this module
-    exist only where a payload decoder genuinely forces them, e.g. the
-    per-frame byte slicing in sample_frames)."""
+    ``decoder="stub"`` (default): NO per-row Python — mime/size come from
+    the struct fields and byte lengths, and the stub geometry is a pure
+    function of those, so the whole batch is computed with vectorized
+    pandas/numpy column ops (and stays DuckDB-oracle-checkable).
+
+    ``decoder="pillow"``: REAL image decoding through Pillow, import-gated
+    exactly like the Kafka admin surface (sources/kafka.py) — raises a
+    loud ImportError where Pillow is absent instead of silently serving
+    stub geometry. image/* payloads are opened per row (a real codec is
+    inherently per-payload work — this is the one loop a decoder
+    genuinely forces); audio/video fall back to the stub geometry since
+    their codecs aren't import-gated here. Plan shape, schema, and batch
+    flow are identical to the stub path."""
     import numpy as np
     import pandas as pd
 
+    if decoder not in {"stub", "pillow"}:
+        raise ValueError(f"decoder must be 'stub' or 'pillow', got {decoder!r}")
+    if decoder == "pillow" and not HAS_PIL:
+        raise ImportError(
+            "decode_assets(decoder='pillow') requires Pillow; install it or "
+            "use the deterministic stub decoder (decoder='stub')"
+        )
+    use_pil = decoder == "pillow"
+
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+
         for pdf in batches:
             mimes = pdf["asset"].str.get("mime")
             known = mimes.str.startswith(("image/", "audio/", "video/"))
             if not known.all():
                 bad = mimes[~known].iloc[0]
                 raise NotImplementedError(f"no decoder for mime {bad!r}")
-            n = pdf["asset"].str.get("bytes").str.len().to_numpy(dtype="int64")
-            # same fake geometry as _decode_stub, whole-column at once
+            payloads = pdf["asset"].str.get("bytes")
+            n = payloads.str.len().to_numpy(dtype="int64")
+            # stub geometry: a pure function of byte length, whole-column
             is_image = mimes.str.startswith("image/").to_numpy()
             is_audio = mimes.str.startswith("audio/").to_numpy()
+            width = ((n % 64) + 1).astype("int32")
+            height = (((n // 64) % 64) + 1).astype("int32")
+            n_frames = np.where(is_image, 1, (n % 30) + 1).astype("int32")
+            if use_pil:
+                # real decode: per-payload by necessity (codec work)
+                for i, (img, payload) in enumerate(zip(is_image, payloads.values)):
+                    if not img:
+                        continue
+                    with _PILImage.open(io.BytesIO(bytes(payload))) as im:
+                        width[i], height[i] = im.width, im.height
+                        n_frames[i] = getattr(im, "n_frames", 1)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "mime": mimes,
                     "n_bytes": n,
-                    "width": ((n % 64) + 1).astype("int32"),
-                    "height": (((n // 64) % 64) + 1).astype("int32"),
-                    "n_frames": np.where(is_image, 1, (n % 30) + 1).astype("int32"),
+                    "width": width,
+                    "height": height,
+                    "n_frames": n_frames,
                     "sample_rate": np.where(is_audio, 16_000, -1).astype("int32"),
                 }
             )
@@ -127,15 +171,18 @@ def resize_assets(df: DataFrame, width: int, height: int, id_col: str = "doc_id"
     target = width * height
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # zip over .values, not pandas row iteration (which materializes
+        # a Series per row, ~5-10x slower per batch); the per-payload
+        # slice itself is the only genuinely per-row work here
+        # (variable-length binary has no columnar kernel)
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                asset = row["asset"]
+            for doc_id, asset in zip(pdf[id_col].values, pdf["asset"].values):
                 raw = bytes(asset["bytes"])[:target]
                 raw = raw + b"\x00" * (target - len(raw))
                 out.append(
                     {
-                        id_col: row[id_col],
+                        id_col: doc_id,
                         "asset": {
                             "bytes": raw,
                             "mime": asset["mime"],
@@ -165,10 +212,11 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", stride: int = FRAME_STR
     import pandas as pd
 
     def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # zip over .values (see resize): the frame slicing is per-payload
+        # by nature, but nothing else should pay per-row pandas overhead
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                asset = row["asset"]
+            for doc_id, asset in zip(pdf[id_col].values, pdf["asset"].values):
                 payload = bytes(asset["bytes"])
                 n = len(payload)
                 n_frames = (n % 30) + 1  # = _decode_stub n_frames for video
@@ -177,7 +225,7 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", stride: int = FRAME_STR
                     frame = payload[idx * chunk : (idx + 1) * chunk]
                     out.append(
                         {
-                            id_col: row[id_col],
+                            id_col: doc_id,
                             "frame_idx": idx,
                             "frame_bytes": frame,
                             "frame_len": len(frame),
@@ -194,20 +242,28 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", stride: int = FRAME_STR
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixed-size feature vector per asset (stub: byte-histogram folded to
     FEATURE_DIM buckets — deterministic, replaceable by a real model).
-    Vectorized numpy over Arrow batches; no per-row Python in Spark."""
+    Genuinely vectorized across each Arrow batch: all payloads are
+    concatenated into ONE uint8 buffer and the per-asset histograms are
+    computed with a single segment-offset bincount — the only per-row
+    Python is collecting the variable-length payload references."""
     import numpy as np
     import pandas as pd
 
     def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            ids, feats = [], []
-            for _, row in pdf.iterrows():
-                buf = np.frombuffer(row["asset"]["bytes"], dtype=np.uint8)
-                hist = np.bincount(buf % FEATURE_DIM, minlength=FEATURE_DIM).astype("float64")
-                total = hist.sum() or 1.0
-                ids.append(row[id_col])
-                feats.append((hist / total).tolist())
-            yield pd.DataFrame({id_col: ids, "features": feats})
+            payloads = [bytes(a["bytes"]) for a in pdf["asset"].values]
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64)
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            # one bincount over (row_index * DIM + bucket): each asset's
+            # histogram occupies its own DIM-wide slot — whole batch at once
+            seg = np.repeat(np.arange(len(payloads), dtype=np.int64), lens)
+            hist = np.bincount(
+                seg * FEATURE_DIM + (buf % FEATURE_DIM),
+                minlength=len(payloads) * FEATURE_DIM,
+            ).reshape(len(payloads), FEATURE_DIM).astype("float64")
+            totals = np.maximum(hist.sum(axis=1, keepdims=True), 1.0)
+            feats = (hist / totals).tolist()
+            yield pd.DataFrame({id_col: pdf[id_col].values, "features": feats})
 
     return df.select(id_col, "asset").mapInPandas(
         featurize, schema=f"{id_col} long, features array<double>"
