@@ -191,24 +191,39 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: per-process cache of built MinHash indexes, keyed by sf_dir: the
-#: build/serve split means the corpus is signed/banded ONCE and every
-#: probe after that pays only its own batch — exactly the production
-#: ingestion contract (and what the bench measures after first touch).
-_MINHASH_INDEX_CACHE: dict[str, str] = {}
+#: per-process cache of built MinHash indexes: the build/serve split
+#: means the corpus is signed/banded ONCE and every probe after that
+#: pays only its own batch — exactly the production ingestion contract
+#: (and what the bench measures after first touch). KEYED BY EVERY
+#: build parameter, not just sf_dir, so a hyperparameter edit can never
+#: silently serve a model trained under the old parameters (same rule
+#: for all the model caches below).
+_MINHASH_INDEX_CACHE: dict[tuple, str] = {}
 
 
-def _minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
-    path = _MINHASH_INDEX_CACHE.get(sf_dir)
+def _minhash_index_path(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_hashes: int = D.N_MINHASH,
+    bands: int = D.LSH_BANDS,
+    n_buckets: int = D.MINHASH_INDEX_BUCKETS,
+) -> str:
+    key = (sf_dir, _INCR_NEW_MOD, n_hashes, bands, n_buckets)
+    path = _MINHASH_INDEX_CACHE.get(key)
     if path is None:
         import tempfile
 
         path = tempfile.mkdtemp(prefix="minhash_index_")
         docs = load_table(spark, sf_dir, "documents")
         D.build_minhash_index(
-            docs.filter(F.col("doc_id") % _INCR_NEW_MOD != 0), path
+            docs.filter(F.col("doc_id") % _INCR_NEW_MOD != 0),
+            path,
+            n_hashes=n_hashes,
+            bands=bands,
+            n_buckets=n_buckets,
         )
-        _MINHASH_INDEX_CACHE[sf_dir] = path
+        _MINHASH_INDEX_CACHE[key] = path
     return path
 
 
@@ -409,17 +424,29 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: per-process persisted IVF index (build_ivf_index artifact) — the
 #: disk-backed serve path registered right next to the inline query so
 #: the driver's correctness sample exercises the index itself.
-_IVF_INDEX_CACHE: dict[str, str] = {}
+_IVF_INDEX_CACHE: dict[tuple, str] = {}
 
 
-def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
-    path = _IVF_INDEX_CACHE.get(sf_dir)
+def _ivf_index_path(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    centroid_mod: int = S.IVF_CENTROID_MOD,
+    n_cells: int = S.IVF_N_CELLS,
+) -> str:
+    key = (sf_dir, centroid_mod, n_cells)
+    path = _IVF_INDEX_CACHE.get(key)
     if path is None:
         import tempfile
 
         path = tempfile.mkdtemp(prefix="ivf_index_")
-        S.build_ivf_index(load_table(spark, sf_dir, "embeddings"), path)
-        _IVF_INDEX_CACHE[sf_dir] = path
+        S.build_ivf_index(
+            load_table(spark, sf_dir, "embeddings"),
+            path,
+            centroid_mod=centroid_mod,
+            n_cells=n_cells,
+        )
+        _IVF_INDEX_CACHE[key] = path
     return path
 
 
@@ -481,25 +508,28 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: against the model is bit-equal to inline training (kmeans_fit
 #: persists exactly the post-n_iter centroids), so the unrolled-CTE
 #: oracles are untouched.
-_KMEANS_MODEL_CACHE: dict[str, DataFrame] = {}
+_KMEANS_MODEL_CACHE: dict[tuple, DataFrame] = {}
 #: same build/serve split for the quantization indexes: PQ codebooks +
 #: codes and the IVF-PQ (centroids, codebooks, codes) triple are trained
 #: once per (process, sf_dir) and every probe serves against them —
 #: training is deterministic, so cached-model results are bit-identical
 #: to inline training and the oracles are untouched.
-_PQ_MODEL_CACHE: dict[str, tuple] = {}
-_IVFPQ_MODEL_CACHE: dict[str, tuple] = {}
+_PQ_MODEL_CACHE: dict[tuple, tuple] = {}
+_IVFPQ_MODEL_CACHE: dict[tuple, tuple] = {}
 
 
-def _kmeans_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    model = _KMEANS_MODEL_CACHE.get(sf_dir)
+def _kmeans_model(
+    spark: SparkSession, sf_dir: str, *, k: int = 8, n_iter: int = 3
+) -> DataFrame:
+    key = (sf_dir, k, n_iter)
+    model = _KMEANS_MODEL_CACHE.get(key)
     if model is None:
         import tempfile
 
         path = tempfile.mkdtemp(prefix="kmeans_model_") + "/centroids"
         emb = load_table(spark, sf_dir, "embeddings")
-        model = C.kmeans_fit(emb, path=path)
-        _KMEANS_MODEL_CACHE[sf_dir] = model
+        model = C.kmeans_fit(emb, k=k, n_iter=n_iter, path=path)
+        _KMEANS_MODEL_CACHE[key] = model
     return model
 
 
@@ -619,14 +649,21 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer units so even this approximate index carries a full value
     oracle. The 32x-compression memory tier FAISS-style IVF-PQ builds
     on; see operators/pq.py for the 100 TB shape."""
-    from kafka_streams_the_clojure_way_spark.operators.pq import adc_topk, pq_model
+    from kafka_streams_the_clojure_way_spark.operators.pq import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        adc_topk,
+        pq_model,
+    )
 
-    got = _PQ_MODEL_CACHE.get(sf_dir)
+    key = (sf_dir, PQ_M, PQ_K, PQ_ITERS)
+    got = _PQ_MODEL_CACHE.get(key)
     if got is None:
         emb = load_table(spark, sf_dir, "embeddings")
-        codebook, codes = pq_model(emb)
+        codebook, codes = pq_model(emb, m=PQ_M, k=PQ_K, n_iter=PQ_ITERS)
         got = (codebook, codes.cache())
-        _PQ_MODEL_CACHE[sf_dir] = got
+        _PQ_MODEL_CACHE[key] = got
     codebook, codes = got
     return adc_topk(codes, codebook, _queries_frame(spark, sf_dir))
 
@@ -650,15 +687,22 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq_serve — the same build/serve split as every index here). See
     operators/pq.py."""
     from kafka_streams_the_clojure_way_spark.operators.pq import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
         ivfpq_model,
         ivfpq_serve,
     )
 
-    got = _IVFPQ_MODEL_CACHE.get(sf_dir)
+    key = (sf_dir, 17, PQ_M, PQ_K, PQ_ITERS, S.IVF_N_CELLS)
+    got = _IVFPQ_MODEL_CACHE.get(key)
     if got is None:
         emb = load_table(spark, sf_dir, "embeddings")
-        got = ivfpq_model(emb)
-        _IVFPQ_MODEL_CACHE[sf_dir] = got
+        got = ivfpq_model(
+            emb, centroid_mod=17, m=PQ_M, k=PQ_K, n_iter=PQ_ITERS,
+            n_cells=S.IVF_N_CELLS,
+        )
+        _IVFPQ_MODEL_CACHE[key] = got
     cent_rows, codebook, codes = got
     return ivfpq_serve(cent_rows, codebook, codes, _queries_frame(spark, sf_dir))
 
