@@ -287,6 +287,7 @@ def semdedup_flags(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     model=None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the LAION /
     DataComp-style semantic-dedup pass): cluster the embedding space
@@ -317,7 +318,14 @@ def semdedup_flags(
     ``model=`` (a kmeans_fit centroid frame/list) skips the inline Lloyd
     chain — in a pipeline that also cluster-samples or routes an IVF
     index, train ONCE and pass the model here; assignments (and hence
-    flags) are bit-identical to inline training."""
+    flags) are bit-identical to inline training.
+
+    ``cache_registry``: the assignment and (id, cluster, vec) frames are
+    cached because multiple branches consume them; by default they stay
+    cached for the process lifetime (fine for one-shot queries, a leak
+    for long-running callers). Pass a list and the cached frames are
+    appended to it instead — unpersist after materializing results
+    (same lifecycle contract as ``minhash_index_probe``)."""
     from kafka_streams_the_clojure_way_spark.operators.similarity import cosine
     from kafka_streams_the_clojure_way_spark.sources.files import (
         with_min_parallelism,
@@ -334,6 +342,8 @@ def semdedup_flags(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
     av = assigned.join(vecs, id_col).cache()
+    if cache_registry is not None:
+        cache_registry.extend([assigned, av])
     a = av.select(
         F.col("cluster"), F.col(id_col).alias("__ida"), F.col("__v").alias("__va")
     )

@@ -365,8 +365,14 @@ def minhash_lsh_pairs_between(
     delay)`` — the probe's event time rides through the band join and
     the candidate dedup becomes ``dropDuplicatesWithinWatermark``, so
     pair-state is EVICTED once the watermark passes (state size tracks
-    the delay window, not total ingested documents). Caching/parallelism
-    tweaks only apply to batch frames."""
+    the delay window, not total ingested documents). Output contract
+    consequence of that eviction: a duplicate (probe_id, corpus_id)
+    candidate arriving MORE than the watermark delay after the first is
+    re-emitted (its dedup state was already evicted), so unbounded
+    watermarked output can contain duplicate pairs the batch/
+    availableNow path never produces — downstream consumers must
+    tolerate or idempotently merge re-emitted pairs across watermark
+    windows. Caching/parallelism tweaks only apply to batch frames."""
     wm_streaming = watermark is not None and probe_df.isStreaming
     if wm_streaming:
         ts_col, delay = watermark
@@ -1291,7 +1297,12 @@ POS_KEY_BASE = 1 << 26
 
 
 def clip_duplicate_spans(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = NGRAM_SPAN_N
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = NGRAM_SPAN_N,
+    *,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """The TRANSFORMATION half of substring dedup (Lee et al. ACL'22
     remove duplicated substrings from the training corpus, keeping one
@@ -1320,6 +1331,13 @@ def clip_duplicate_spans(
     the same bound as span *detection*; nothing is quadratic. Hot-gram
     skew note: see duplicate_ngram_spans(skew_safe=...) — the same
     tradeoff applies to these windows.
+
+    ``cache_registry``: the flagged-postings frame is cached because
+    both the removable and protected branches consume it; by default it
+    stays cached for the process lifetime (fine for one-shot queries, a
+    leak for long-running callers). Pass a list and the cached frame is
+    appended to it instead — unpersist after materializing results
+    (same lifecycle contract as ``minhash_index_probe``).
     """
     from pyspark.sql.window import Window
 
@@ -1360,6 +1378,8 @@ def clip_duplicate_spans(
         F.min(pos_key).over(gw).alias("__canon"),
         pos_key.alias("__key"),
     ).filter(F.col("__cnt") >= 2).cache()
+    if cache_registry is not None:
+        cache_registry.append(flagged)
 
     def positions(side: DataFrame) -> DataFrame:
         return side.select(
@@ -1634,7 +1654,13 @@ def containment_pairs_between(
     time then ride through both posting legs, the shingle re-join
     (which would be stream-stream) disappears, and the candidate dedup
     becomes ``dropDuplicatesWithinWatermark`` — the gate's one stateful
-    op, with watermark-evicted state. Returns (probe_id, corpus_id,
+    op, with watermark-evicted state. Output contract consequence: a
+    duplicate (probe_id, corpus_id) candidate arriving MORE than the
+    watermark delay after the first is re-emitted (its dedup state was
+    already evicted), so unbounded watermarked output can contain
+    duplicate pairs the batch/availableNow path never produces —
+    downstream consumers must tolerate or idempotently merge re-emitted
+    pairs across watermark windows. Returns (probe_id, corpus_id,
     n_shared, containment_r)."""
     wm_streaming = watermark is not None and probe_df.isStreaming
     if wm_streaming:
@@ -1733,3 +1759,36 @@ def containment_pairs_between(
         .filter(F.col("__keep"))
         .drop("__keep")
     )
+
+
+def containment_pairs_between_sql(
+    probe_pred: str,
+    build_pred: str,
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    *,
+    t_num: int = CONTAINMENT_THRESHOLD_NUM,
+    t_den: int = CONTAINMENT_THRESHOLD_DEN,
+) -> str:
+    """DuckDB twin of :func:`containment_pairs_between` with the two
+    sides selected from ``table`` by predicate — the brute-force
+    probe x corpus form (both prefix legs are lossless, so outputs
+    match the prefix-filtered Spark plan exactly)."""
+    sh = shingle_hashes_sql(text)
+    return f"""
+    WITH p AS (
+        SELECT {id_col}, {sh} AS sh, len({sh}) AS sz FROM {table}
+        WHERE {probe_pred}
+    ),
+    c AS (
+        SELECT {id_col}, {sh} AS sh, len({sh}) AS sz FROM {table}
+        WHERE {build_pred}
+    )
+    SELECT p.{id_col} AS probe_id, c.{id_col} AS corpus_id,
+           CAST(len(list_intersect(p.sh, c.sh)) AS BIGINT) AS n_shared,
+           round(CAST(len(list_intersect(p.sh, c.sh)) AS DOUBLE)
+                 / least(p.sz, c.sz), 6) AS containment_r
+    FROM p JOIN c ON p.{id_col} != c.{id_col}
+    WHERE len(list_intersect(p.sh, c.sh)) * {t_den} >= least(p.sz, c.sz) * {t_num}
+    """

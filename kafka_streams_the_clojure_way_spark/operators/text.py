@@ -529,6 +529,11 @@ def dsir_bucket_ratios(
     return ratios
 
 
+#: fixed-point micro-units for quantized DSIR scoring: one part in 1e6
+#: of a log-ratio — the same resolution the round(·, 6) output reports.
+DSIR_Q = 1_000_000
+
+
 def dsir_score_stateless(
     docs: DataFrame,
     ratios: list[float],
@@ -536,6 +541,7 @@ def dsir_score_stateless(
     text: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = DSIR_BUCKETS,
+    quantize: bool = False,
 ) -> DataFrame:
     """Score documents against a trained DSIR ratio table with ZERO
     shuffle and ZERO aggregation state: the ratio table rides along as a
@@ -547,21 +553,50 @@ def dsir_score_stateless(
 
     Output: (id, n_tokens, dsir_logweight_r) per document. NULL text
     scores 0.0 over 0 tokens (no evidence); empty text follows the
-    shared tokenizer (one "" token) for consistency with token_stats."""
+    shared tokenizer (one "" token) for consistency with token_stats.
+
+    ``quantize=True`` folds each ratio as a BIGINT of micro-units
+    (``round(r * 1e6)``) and divides once at the end — the sum is then
+    exact and ORDER-INDEPENDENT, so a SQL oracle that groups tokens by
+    bucket reproduces the fold bit-for-bit and a downstream threshold
+    filter (the ingestion gate) can never flip on summation-order ULPs.
+    Default False keeps the original double fold (round-6 output is
+    unchanged in practice; existing parity tests pin it)."""
     from kafka_streams_the_clojure_way_spark.functions import portable as P
 
     if len(ratios) != n_buckets:
         raise ValueError(f"ratio table must have {n_buckets} entries, got {len(ratios)}")
-    ratio_arr = F.array(*[F.lit(float(r)) for r in ratios])
     toks = tokens_col(F.col(text))
-    logw = F.aggregate(
-        toks,
-        F.lit(0.0),
-        lambda acc, t: acc
-        + F.element_at(ratio_arr, (P.hash60(t) % n_buckets + 1).cast("int")),
-    )
+    bucket_ix = lambda t: (P.hash60(t) % n_buckets + 1).cast("int")  # noqa: E731
+    if quantize:
+        import math
+
+        def _q(r: float) -> int:
+            # HALF-AWAY-FROM-ZERO, matching SQL round() in both engines —
+            # Python's built-in round is banker's rounding and would
+            # disagree on exact .5 boundaries.
+            v = float(r) * DSIR_Q
+            return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+        qarr = F.array(*[F.lit(_q(r)) for r in ratios])
+        qsum = F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.element_at(qarr, bucket_ix(t)),
+        )
+        logw = F.round(qsum.cast("double") / DSIR_Q, 6)
+    else:
+        ratio_arr = F.array(*[F.lit(float(r)) for r in ratios])
+        logw = F.round(
+            F.aggregate(
+                toks,
+                F.lit(0.0),
+                lambda acc, t: acc + F.element_at(ratio_arr, bucket_ix(t)),
+            ),
+            6,
+        )
     return docs.select(
         F.col(id_col),
         F.coalesce(F.array_size(toks), F.lit(0)).cast("long").alias("n_tokens"),
-        F.round(F.coalesce(logw, F.lit(0.0)), 6).alias("dsir_logweight_r"),
+        F.coalesce(logw, F.lit(0.0)).alias("dsir_logweight_r"),
     )

@@ -1,0 +1,239 @@
+"""The continuous-ingestion curation loop as a declarative topology.
+
+The engine's identity is topology-as-data (reference: willa topology
+dicts, core.clj:139-157; run-experiment at core.clj:224-234): a plain
+dict of entities + workflow edges, compiled by ``plans.compiler`` into
+one DataFrame per entity. This module applies that idea to the
+LLM-curation north star — the gates that every arriving document batch
+must pass before it joins the training corpus:
+
+    topic/raw-docs
+        │
+    stream/neardup-gate      MinHash band-index probe (persisted index,
+        │                    static (band,bucket) partition routing) —
+        │                    drop docs with a near-duplicate already in
+        │                    the corpus (operators/dedup.py)
+    stream/dsir-gate         DSIR importance score (Xie et al.
+        │                    NeurIPS'23), stateless quantized fold —
+        │                    drop docs that don't look like the target
+        │                    domain (operators/text.py)
+    stream/containment-gate  asymmetric shingle containment — drop
+        │                    docs already covered by (or swallowing) a
+        │                    corpus doc (operators/dedup.py)
+    topic/curated-docs
+
+Because every gate is a ``DataFrame -> DataFrame`` xform, the SAME
+topology dict compiles in batch mode (offline simulation / backfill /
+the registered oracle-checked query) and runs per micro-batch inside
+``foreachBatch`` via :func:`run_ingestion_stream` — the streaming serve
+loop that keeps the index probe's partition routing (a static join side
+cannot take a stream-derived literal filter, so the probe MUST see a
+batch frame; see ``minhash_index_probe_stream``).
+
+Scale design (the 100 TB contract):
+- per-batch cost is O(batch + probed partitions), independent of corpus
+  size: the near-dup gate reads only the probed (band, bucket) index
+  directories; the DSIR gate is a row-local fold with a 256-entry
+  broadcast literal; the containment gate's corpus posting/shingle
+  frames are computed once and reused across batches (Spark's cache
+  manager dedupes by logical plan — the first batch materializes them,
+  later batches hit the cache);
+- no gate ever joins corpus x corpus — candidates are always
+  probe x corpus through an equi-join;
+- driver-side state is model-sized only (index meta, routing keys,
+  256 quantized ratios).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_the_clojure_way_spark.operators import dedup as D
+from kafka_streams_the_clojure_way_spark.operators import text as T
+from kafka_streams_the_clojure_way_spark.plans.spec import Topology
+
+#: default gate thresholds — module constants so the registered query
+#: and its oracle agree by construction.
+INGEST_JACCARD_THRESHOLD = 0.8
+#: keep docs whose total DSIR log-weight is above this — the shipped
+#: corpora score mostly negative (docs are longer than the en-target
+#: slice is concentrated), so 0.0 would admit almost nothing; -0.5
+#: admits roughly the top half, which is what a gate demo should do.
+INGEST_DSIR_CUTOFF = -0.5
+
+
+def ingestion_topology(
+    spark: SparkSession,
+    *,
+    index_path: str,
+    corpus: DataFrame,
+    ratios: list[float],
+    dsir_cutoff: float = INGEST_DSIR_CUTOFF,
+    jaccard_threshold: float = INGEST_JACCARD_THRESHOLD,
+    t_num: int = D.CONTAINMENT_THRESHOLD_NUM,
+    t_den: int = D.CONTAINMENT_THRESHOLD_DEN,
+    id_col: str = "doc_id",
+    text: str = "text",
+    cache_registry: list | None = None,
+) -> Topology:
+    """Build the curation-loop topology dict. ``index_path`` is a
+    persisted MinHash band index (``build_minhash_index``); ``corpus``
+    is the static corpus frame the containment gate probes against;
+    ``ratios`` is a trained DSIR log-ratio table
+    (``dsir_bucket_ratios``) applied with the quantized (micro-unit
+    BIGINT) fold so the gate's threshold can never flip on
+    summation-order ULPs.
+
+    Gate outputs: the near-dup and containment gates pass survivor rows
+    through unchanged (anti-join on flagged probe ids); the DSIR gate
+    adds ``n_tokens`` and ``dsir_logweight_r`` columns to survivors —
+    the curated sink therefore carries the batch schema plus those two.
+
+    ``cache_registry``: forwarded to the index probe (its batch path
+    caches probe signatures); long-running callers drain and unpersist
+    it per batch — :func:`run_ingestion_stream` does this automatically.
+    """
+
+    def neardup_gate(batch: DataFrame) -> DataFrame:
+        pairs = D.minhash_index_probe(
+            spark,
+            index_path,
+            batch,
+            text=text,
+            id_col=id_col,
+            threshold=jaccard_threshold,
+            cache_registry=cache_registry,
+        )
+        flagged = pairs.select(F.col("probe_id").alias(id_col)).distinct()
+        # anti-join on a probe-sized key set: AQE broadcasts it.
+        return batch.join(flagged, id_col, "left_anti")
+
+    def dsir_gate(batch: DataFrame) -> DataFrame:
+        scored = T.dsir_score_stateless(
+            batch, ratios, text=text, id_col=id_col, quantize=True
+        )
+        keep = scored.filter(F.col("dsir_logweight_r") >= dsir_cutoff)
+        return batch.join(keep, id_col)
+
+    def containment_gate(batch: DataFrame) -> DataFrame:
+        pairs = D.containment_pairs_between(
+            batch, corpus, text=text, id_col=id_col, t_num=t_num, t_den=t_den
+        )
+        flagged = pairs.select(F.col("probe_id").alias(id_col)).distinct()
+        return batch.join(flagged, id_col, "left_anti")
+
+    return {
+        "entities": {
+            "topic/raw-docs": {"type": "topic", "name": "raw-docs"},
+            "stream/neardup-gate": {"type": "stream", "xform": neardup_gate},
+            "stream/dsir-gate": {"type": "stream", "xform": dsir_gate},
+            "stream/containment-gate": {"type": "stream", "xform": containment_gate},
+            "topic/curated-docs": {"type": "topic", "name": "curated-docs"},
+        },
+        "workflow": [
+            ["topic/raw-docs", "stream/neardup-gate"],
+            ["stream/neardup-gate", "stream/dsir-gate"],
+            ["stream/dsir-gate", "stream/containment-gate"],
+            ["stream/containment-gate", "topic/curated-docs"],
+        ],
+    }
+
+
+def run_ingestion_batch(
+    spark: SparkSession, topology: Topology, batch: DataFrame
+) -> DataFrame:
+    """Compile the topology against one batch frame and return the
+    curated sink — the offline-simulation shape (≙ run-experiment,
+    core.clj:224-234) and what the registered oracle-checked query
+    runs."""
+    from kafka_streams_the_clojure_way_spark.plans.compiler import compile_topology
+
+    compiled = compile_topology(spark, topology, {"topic/raw-docs": batch})
+    return compiled["topic/curated-docs"]
+
+
+def run_ingestion_stream(
+    spark: SparkSession,
+    topology: Topology,
+    stream: DataFrame,
+    sink,
+    *,
+    cache_registry: list | None = None,
+    upsert_index_path: str | None = None,
+    compact_every: int | None = None,
+    id_col: str = "doc_id",
+    text: str = "text",
+    assume_new_ids: bool = False,
+    checkpoint: str | None = None,
+    trigger: dict | None = None,
+):
+    """Run the curation topology CONTINUOUSLY: each micro-batch of
+    ``stream`` is bound as ``topic/raw-docs``, the topology compiles
+    against it inside ``foreachBatch`` (the micro-batch is a plain batch
+    frame, so the index probe's static (band, bucket) partition routing
+    applies — per-trigger cost independent of corpus size), and the
+    curated survivors go to ``sink``.
+
+    ``sink``: a callable ``(curated_df, batch_id) -> None`` or a parquet
+    directory path (appended, one file per batch). The callable MUST
+    materialize the frame before returning — with ``upsert_index_path``
+    the curated batch is added to the MinHash index right after the sink
+    runs, and an unmaterialized lazy frame would then see its own batch
+    in the index.
+
+    ``upsert_index_path``: close the loop — upsert each batch's CURATED
+    survivors into the band index so later batches near-dup against
+    everything already admitted, not just the build-time corpus (the
+    probe-then-upsert cycle of ``minhash_index_probe_stream``, with the
+    quality gates in between). ``compact_every=N`` compacts the index
+    after every N-th upserting batch. foreachBatch is at-least-once, so
+    the default ``assume_new_ids=False`` keeps replayed batches
+    idempotent via the upsert's anti-join.
+
+    ``cache_registry``: pass the SAME list given to
+    :func:`ingestion_topology` — cached frames the gates create are
+    unpersisted after every batch (no per-trigger cache leak).
+
+    Returns the started ``StreamingQuery``; default trigger is
+    ``availableNow`` (drain-what-exists, then stop)."""
+    if isinstance(sink, str):
+        out_path = sink
+
+        def sink_fn(curated: DataFrame, batch_id: int) -> None:
+            curated.coalesce(1).write.mode("append").parquet(out_path)
+
+    else:
+        sink_fn = sink
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # availableNow emits empty triggers; skip
+            return
+        curated = run_ingestion_batch(spark, topology, batch_df)
+        try:
+            sink_fn(curated, batch_id)
+            if upsert_index_path is not None:
+                D.minhash_index_upsert(
+                    spark,
+                    upsert_index_path,
+                    curated,
+                    text=text,
+                    id_col=id_col,
+                    assume_new_ids=assume_new_ids,
+                )
+        finally:
+            if cache_registry is not None:
+                for frame in cache_registry:
+                    frame.unpersist()
+                cache_registry.clear()
+        if (
+            upsert_index_path is not None
+            and compact_every
+            and (batch_id + 1) % compact_every == 0
+        ):
+            D.compact_minhash_index(spark, upsert_index_path)
+
+    writer = stream.writeStream.foreachBatch(serve)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(**(trigger or {"availableNow": True})).start()

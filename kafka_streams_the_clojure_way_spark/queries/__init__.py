@@ -31,6 +31,7 @@ from kafka_streams_the_clojure_way_spark.queries import (  # noqa: E402,F401
     advanced,
     analytics,
     extended,
+    ingestion,
     llm_pipeline,
     reference_queries,
     relational,

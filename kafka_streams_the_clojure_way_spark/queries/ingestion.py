@@ -1,0 +1,140 @@
+"""Registered query for the declarative continuous-ingestion topology.
+
+``plans/ingestion.py`` wires the curation gates (persisted MinHash
+index probe -> quantized DSIR score -> shingle containment) into ONE
+topology dict; this module runs that topology in batch mode on the
+standard arriving-batch slice (``doc_id % 10 == 0``, same as the other
+incremental queries) and pairs it with a DuckDB oracle that composes
+the gates' own SQL twins — so the full pipeline, not just each gate, is
+value-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_the_clojure_way_spark.operators import dedup as D
+from kafka_streams_the_clojure_way_spark.operators import text as T
+from kafka_streams_the_clojure_way_spark.functions import portable as P
+from kafka_streams_the_clojure_way_spark.plans.ingestion import (
+    INGEST_DSIR_CUTOFF,
+    INGEST_JACCARD_THRESHOLD,
+    ingestion_topology,
+    run_ingestion_batch,
+)
+from kafka_streams_the_clojure_way_spark.queries.llm_pipeline import (
+    _INCR_NEW_MOD,
+    _minhash_index_path,
+)
+from kafka_streams_the_clojure_way_spark.queries.registry import query
+from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+_B = T.DSIR_BUCKETS
+_Q = T.DSIR_Q
+
+#: per-process trained DSIR ratio tables, keyed by every training
+#: parameter (same staleness rule as the model caches in llm_pipeline).
+_INGEST_RATIO_CACHE: dict[tuple, list[float]] = {}
+
+
+def _ingest_ratios(spark: SparkSession, sf_dir: str) -> list[float]:
+    key = (sf_dir, _INCR_NEW_MOD, _B, "lang=en")
+    ratios = _INGEST_RATIO_CACHE.get(key)
+    if ratios is None:
+        corpus = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % _INCR_NEW_MOD != 0
+        )
+        ratios = T.dsir_bucket_ratios(corpus, F.col("lang") == "en")
+        _INGEST_RATIO_CACHE[key] = ratios
+    return ratios
+
+
+_PROBE_PRED = f"doc_id % {_INCR_NEW_MOD} = 0"
+_BUILD_PRED = f"doc_id % {_INCR_NEW_MOD} != 0"
+
+_INGESTION_ORACLE = f"""
+WITH nd AS (
+    {D.minhash_lsh_pairs_between_sql(_PROBE_PRED, _BUILD_PRED, threshold=INGEST_JACCARD_THRESHOLD)}
+),
+surv1 AS (
+    SELECT doc_id, text FROM documents
+    WHERE {_PROBE_PRED} AND doc_id NOT IN (SELECT probe_id FROM nd)
+),
+ctok AS (
+    SELECT lang, unnest({T.tokens_sql('text')}) AS tok
+    FROM documents WHERE {_BUILD_PRED}
+),
+dist AS (
+    SELECT {P.hash60_sql('tok')} % {_B} AS bucket,
+           COUNT(*) AS n_s,
+           COUNT(*) FILTER (WHERE lang = 'en') AS n_t
+    FROM ctok GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n_s) AS DOUBLE) AS t_s, CAST(SUM(n_t) AS DOUBLE) AS t_t
+    FROM dist
+),
+ratio_q AS (
+    -- all {_B} buckets via generate_series: a bucket with no corpus
+    -- token gets n_s = n_t = 0, which under add-1 smoothing IS the
+    -- trainer's default entry — quantized to BIGINT micro-units exactly
+    -- like the Spark fold's literals.
+    SELECT g.bucket,
+           CAST(round(ln(((COALESCE(d.n_t, 0) + 1.0) / (t.t_t + {_B}))
+                         / ((COALESCE(d.n_s, 0) + 1.0) / (t.t_s + {_B})))
+                      * {_Q}) AS BIGINT) AS q
+    FROM (SELECT unnest(generate_series(0, {_B - 1})) AS bucket) g
+    LEFT JOIN dist d USING (bucket) CROSS JOIN tot t
+),
+pdoc AS (
+    SELECT doc_id, {P.hash60_sql('tok')} % {_B} AS bucket, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest({T.tokens_sql('text')}) AS tok FROM surv1)
+    GROUP BY 1, 2
+),
+scored_raw AS (
+    SELECT p.doc_id, CAST(SUM(p.cnt) AS BIGINT) AS n_tokens,
+           SUM(p.cnt * r.q) AS qsum
+    FROM pdoc p JOIN ratio_q r USING (bucket) GROUP BY p.doc_id
+),
+surv2 AS (
+    SELECT s1.doc_id,
+           COALESCE(sr.n_tokens, 0) AS n_tokens,
+           round(CAST(COALESCE(sr.qsum, 0) AS DOUBLE) / {_Q}, 6)
+               AS dsir_logweight_r
+    FROM surv1 s1 LEFT JOIN scored_raw sr USING (doc_id)
+),
+cont AS (
+    {D.containment_pairs_between_sql(_PROBE_PRED, _BUILD_PRED)}
+)
+SELECT doc_id, n_tokens, dsir_logweight_r
+FROM surv2
+WHERE dsir_logweight_r >= {INGEST_DSIR_CUTOFF}
+  AND doc_id NOT IN (SELECT probe_id FROM cont)
+"""
+
+
+@query("pipeline_ingestion_curated", oracle=_INGESTION_ORACLE)
+def pipeline_ingestion_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation loop AS A TOPOLOGY (reference: topology-as-data,
+    core.clj:139-157): the arriving batch flows raw-docs -> near-dup
+    gate (persisted band-index probe with static partition routing) ->
+    DSIR gate (quantized stateless fold, keep target-domain-leaning
+    docs) -> containment gate (prefix-posting probe x corpus) ->
+    curated sink, all declared as one dict and compiled by
+    plans.compiler. The SAME dict serves the streaming loop via
+    run_ingestion_stream (foreachBatch, per-trigger cost independent of
+    corpus size); here it runs batch-mode against the standard
+    incremental slice so the ENTIRE composed pipeline is oracle-checked,
+    not just each gate in isolation."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _INCR_NEW_MOD != 0)
+    topo = ingestion_topology(
+        spark,
+        index_path=_minhash_index_path(spark, sf_dir),
+        corpus=corpus,
+        ratios=_ingest_ratios(spark, sf_dir),
+    )
+    curated = run_ingestion_batch(spark, topo, probe)
+    return curated.select("doc_id", "n_tokens", "dsir_logweight_r")

@@ -1,0 +1,191 @@
+"""The continuous-ingestion curation loop as a declarative topology
+(plans/ingestion.py): one dict wires near-dup (persisted index probe),
+DSIR, and containment gates; the SAME dict must compile batch-side and
+serve streaming micro-batches via foreachBatch with identical output,
+close the loop via curated-batch index upserts, and leave no per-trigger
+cache residue."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from kafka_streams_the_clojure_way_spark.operators.dedup import build_minhash_index
+from kafka_streams_the_clojure_way_spark.operators.text import dsir_bucket_ratios
+from kafka_streams_the_clojure_way_spark.plans.ingestion import (
+    ingestion_topology,
+    run_ingestion_batch,
+    run_ingestion_stream,
+)
+from kafka_streams_the_clojure_way_spark.sources.memory import drain
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+# corpus: en docs share a vocabulary ("data pipeline tokens"), the de doc
+# uses disjoint vocabulary — so DSIR log-ratios are positive for en-style
+# tokens and negative for de-style tokens with cutoff 0.0.
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today", "en"),
+    (2, "spark compiles the data pipeline into stages and tasks for executors", "en"),
+    (3, "der schnelle braune fuchs springt heute wieder ueber den faulen hund", "de"),
+]
+ARRIVING = [
+    # near-dup of corpus doc 1 -> dropped by the near-dup gate
+    (101, "the quick brown fox jumps over the lazy dog again and again tonight", "en"),
+    # en-style vocabulary -> passes DSIR; unrelated to corpus -> survives
+    (102, "the data pipeline stages run tasks over executors again", "en"),
+    # de-style vocabulary -> dropped by the DSIR gate
+    (103, "der schnelle fuchs springt wieder ueber den faulen hund", "de"),
+    # strict fragment of corpus doc 2 -> dropped by the containment gate:
+    # 6 of doc 2's 11 tokens -> 4 of its 9 shingles, so Jaccard 4/9 < 0.5
+    # (passes the near-dup gate) but containment 4/4 = 1.0 >= 0.8
+    (104, "spark compiles the data pipeline into", "en"),
+]
+SURVIVOR_IDS = [102]
+
+
+def _mk_topology(spark, tmp_path, cache_registry=None):
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    path = str(tmp_path / "ingest_idx")
+    build_minhash_index(corpus, path)
+    ratios = dsir_bucket_ratios(corpus, F.col("lang") == "en")
+    topo = ingestion_topology(
+        spark,
+        index_path=path,
+        corpus=corpus,
+        ratios=ratios,
+        dsir_cutoff=0.0,
+        jaccard_threshold=0.5,
+        cache_registry=cache_registry,
+    )
+    return topo, path
+
+
+def test_batch_run_applies_all_three_gates(spark, tmp_path):
+    topo, _ = _mk_topology(spark, tmp_path)
+    batch = spark.createDataFrame(ARRIVING, SCHEMA)
+    curated = run_ingestion_batch(spark, topo, batch)
+    rows = {r.doc_id: r for r in curated.collect()}
+    assert sorted(rows) == SURVIVOR_IDS
+    # the DSIR gate annotates survivors
+    assert set(curated.columns) == {"doc_id", "text", "lang", "n_tokens", "dsir_logweight_r"}
+    assert rows[102].dsir_logweight_r > 0
+    assert rows[102].n_tokens == 9
+
+
+def test_each_gate_drops_its_own_doc(spark, tmp_path):
+    """Pin WHICH gate kills which arriving doc — the fixture must
+    exercise all three, or the parity tests prove less than they claim."""
+    from kafka_streams_the_clojure_way_spark.plans.compiler import compile_topology
+
+    topo, _ = _mk_topology(spark, tmp_path)
+    batch = spark.createDataFrame(ARRIVING, SCHEMA)
+    compiled = compile_topology(spark, topo, {"topic/raw-docs": batch})
+    after_neardup = {r.doc_id for r in compiled["stream/neardup-gate"].select("doc_id").collect()}
+    after_dsir = {r.doc_id for r in compiled["stream/dsir-gate"].select("doc_id").collect()}
+    after_cont = {r.doc_id for r in compiled["stream/containment-gate"].select("doc_id").collect()}
+    assert after_neardup == {102, 103, 104}
+    assert after_dsir == {102, 104}
+    assert after_cont == {102}
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    """foreachBatch serve parity: the union of per-micro-batch curated
+    outputs equals the one-shot batch compile (gates are per-doc
+    stateless with upserts off), and no cached frame accumulates per
+    trigger."""
+    caches: list = []
+    topo, _ = _mk_topology(spark, tmp_path, cache_registry=caches)
+    batch = spark.createDataFrame(ARRIVING, SCHEMA)
+    expected = sorted(
+        (r.doc_id, r.n_tokens, r.dsir_logweight_r)
+        for r in run_ingestion_batch(spark, topo, batch).collect()
+    )
+
+    in_dir = tmp_path / "arriving"
+    for i, row in enumerate(ARRIVING):
+        spark.createDataFrame([row], SCHEMA).write.parquet(str(in_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    got, n_batches = [], []
+
+    def sink(curated, batch_id):
+        n_batches.append(batch_id)
+        got.extend(
+            (r.doc_id, r.n_tokens, r.dsir_logweight_r) for r in curated.collect()
+        )
+
+    n_cached_before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    q = run_ingestion_stream(
+        spark, topo, stream, sink,
+        cache_registry=caches,
+        checkpoint=str(tmp_path / "ingest_ckpt"),
+    )
+    drain(q)
+    assert len(n_batches) >= 2
+    assert sorted(got) == expected
+    assert caches == []
+    # per-trigger caches are drained; only the corpus-side containment
+    # frame (ONE entry, plan-deduped across batches) may remain.
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= n_cached_before + 1
+
+
+def test_upsert_loop_dedups_against_admitted_docs(spark, tmp_path):
+    """Closing the loop: with upsert_index_path set, a later batch's
+    near-dup of an ALREADY-ADMITTED doc (not in the build-time corpus)
+    is dropped; with upserts off it would sail through."""
+    topo, path = _mk_topology(spark, tmp_path)
+    batches = [
+        [ARRIVING[1]],  # 102 admitted
+        [(202, ARRIVING[1][1] + " now", "en")],  # near-dup of 102
+    ]
+    in_dir = tmp_path / "arriving2"
+    for i, rows_ in enumerate(batches):
+        spark.createDataFrame(rows_, SCHEMA).write.parquet(str(in_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    admitted = []
+
+    def sink(curated, batch_id):
+        admitted.extend(r.doc_id for r in curated.collect())
+
+    q = run_ingestion_stream(
+        spark, topo, stream, sink,
+        upsert_index_path=path,
+        compact_every=1,
+        checkpoint=str(tmp_path / "ingest_ckpt2"),
+    )
+    drain(q)
+    assert admitted == [102]
+
+
+def test_to_dot_renders_ingestion_dataflow(spark, tmp_path):
+    from kafka_streams_the_clojure_way_spark.plans.viz import to_dot
+
+    topo, _ = _mk_topology(spark, tmp_path)
+    dot = to_dot(topo)
+    for name in topo["entities"]:
+        assert name in dot
+    for src, dst in topo["workflow"]:
+        assert f'"{src}" -> "{dst}"' in dot
