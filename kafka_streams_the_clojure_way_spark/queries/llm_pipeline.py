@@ -2904,3 +2904,76 @@ def eval_ann_ivf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
     ).select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     return _ann_quality_frame(spark, sf_dir, approx)
+
+
+@query(
+    "agg_source_overlap_matrix",
+    oracle=f"""
+    WITH posts AS (
+        SELECT DISTINCT source, unnest({D.shingle_hashes_sql('text')}) AS h
+        FROM documents
+    ),
+    tot AS (SELECT source, COUNT(*) AS n FROM posts GROUP BY source),
+    shared AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_shingles
+        FROM posts a JOIN posts b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT s.src_a, s.src_b, s.shared_shingles,
+           round(CAST(s.shared_shingles AS DOUBLE)
+                 / (ta.n + tb.n - s.shared_shingles), 6) AS overlap_jaccard_r
+    FROM shared s
+    JOIN tot ta ON ta.source = s.src_a
+    JOIN tot tb ON tb.source = s.src_b
+    """,
+)
+def agg_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap matrix — the corpus-level diagnostic
+    behind mixture design and leakage audits ("how much of src_a is
+    also in src_b?"): for every source pair, the number of distinct
+    shared 3-token shingles and their set Jaccard.
+
+    Scale shape: ONE posting pass (explode + distinct on (source,
+    shingle)), then a groupBy-shingle combination explode — per shingle
+    the fanout is C(|sources containing it|, 2), bounded by the SOURCE
+    count, never the corpus, and skew-immune where a postings self-join
+    on a hot shingle would emit |sources|^2 rows through a single
+    reducer key. Totals are a |sources|-row broadcast. Output is
+    |sources|^2 / 2 rows — model-sized at any corpus scale."""
+    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
+    posts = docs.select(
+        "source", F.explode(D.shingle_hashes(F.col("text"))).alias("h")
+    ).distinct()
+    tot = posts.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    srcs = posts.groupBy("h").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    pairs = srcs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (x, i) -> "
+                "transform(slice(srcs, i + 2, size(srcs)), "
+                "y -> struct(x AS src_a, y AS src_b))))"
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    shared = pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("shared_shingles")
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_shingles",
+            F.round(
+                F.col("shared_shingles").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_shingles")),
+                6,
+            ).alias("overlap_jaccard_r"),
+        )
+    )

@@ -69,6 +69,10 @@ PROBE_QUERIES = [
     "text_entropy_stats",           # doc-term matrix + fused per-doc agg
     "sample_token_budget_per_source",  # integer running-sum window per source
     "eval_ann_quantized_quality",   # two bounded-probe tiers + (query,neighbor) join
+    "agg_source_overlap_matrix",    # posting distinct + bounded combination explode
+    "pipeline_ingestion_curated",   # composed topology: index probe + DSIR + containment
+                                    # [factor-capped: replica copies are mutual
+                                    # near-dups/containments, candidates ~factor^2]
 ]
 
 
@@ -135,6 +139,7 @@ def build_replica(spark, out_dir: str, factor: int) -> None:
 PROBE_FACTOR_CAP = {
     "dedup_containment_pairs": 10,
     "eval_ann_quantized_quality": 10,
+    "pipeline_ingestion_curated": 10,
 }
 
 

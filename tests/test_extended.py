@@ -97,3 +97,49 @@ def test_polymorphic_udtf_analyze_schema(spark):
     three = spark.sql("SELECT * FROM test_ngrams('a b c d', 3)").collect()
     assert [tuple(r) for r in three] == [("a", "b", "c"), ("b", "c", "d")]
     assert three[0].__fields__ == ["w0", "w1", "w2"]
+
+
+def test_source_overlap_matrix_matches_bruteforce(spark, tmp_path):
+    """The combination-explode form (skew-immune: fanout bounded by the
+    SOURCE count per shingle, no postings self-join) must equal the
+    brute-force pairwise set computation — including a hot shingle
+    present in every source."""
+    import itertools
+
+    from kafka_streams_the_clojure_way_spark.operators.dedup import shingle_hashes
+    from kafka_streams_the_clojure_way_spark.queries.llm_pipeline import (
+        agg_source_overlap_matrix,
+    )
+
+    rows = [
+        # "hot common phrase" shingles appear in all three sources
+        (1, "hot common phrase shared by every source here", "en", "a", 0),
+        (2, "hot common phrase shared by nobody else today", "en", "b", 0),
+        (3, "hot common phrase entirely different tail tokens", "en", "c", 0),
+        (4, "a second document unique to source a only", "en", "a", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "mini")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    sets: dict[str, set] = {}
+    for r in docs.select(
+        "source", shingle_hashes(F.col("text")).alias("sh")
+    ).collect():
+        sets.setdefault(r.source, set()).update(r.sh)
+    expected = sorted(
+        (a, b, len(sets[a] & sets[b]), round(len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 6))
+        for a, b in itertools.combinations(sorted(sets), 2)
+        if sets[a] & sets[b]
+    )
+    got = sorted(
+        (r.src_a, r.src_b, r.shared_shingles, r.overlap_jaccard_r)
+        for r in agg_source_overlap_matrix(spark, sf).collect()
+    )
+    assert got == expected
+    assert any(n >= 1 for _, _, n, _ in got)

@@ -180,6 +180,24 @@ def test_upsert_loop_dedups_against_admitted_docs(spark, tmp_path):
     assert admitted == [102]
 
 
+def test_topology_probe_stays_partition_routed(spark, tmp_path):
+    """Composing the probe into the topology must not lose its serve-path
+    contract: the near-dup gate's postings scan still carries the static
+    (band, bucket) PartitionFilter built from the batch's keys."""
+    import re
+
+    from kafka_streams_the_clojure_way_spark.plans.compiler import compile_topology
+
+    topo, _ = _mk_topology(spark, tmp_path)
+    batch = spark.createDataFrame(ARRIVING[:1], SCHEMA)
+    compiled = compile_topology(spark, topo, {"topic/raw-docs": batch})
+    plan = (
+        compiled["stream/neardup-gate"]._jdf.queryExecution().executedPlan().toString()
+    )
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)", plan)
+    assert any(re.search(r"band#\d+ = ", p) for p in pfs), plan[:3000]
+
+
 def test_to_dot_renders_ingestion_dataflow(spark, tmp_path):
     from kafka_streams_the_clojure_way_spark.plans.viz import to_dot
 
