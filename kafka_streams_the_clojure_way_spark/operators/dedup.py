@@ -808,6 +808,16 @@ def minhash_index_probe(
             *([F.col(ts_col), F.col("sh").alias("sh_a")] if wm_streaming else []),
         )
     )
+    tomb = _read_optional(spark, f"{index_path}/tombstones")
+    if tomb is not None:
+        # logical deletes: candidates against tombstoned corpus docs are
+        # dropped here (broadcast anti-join, bounded by the live tombstone
+        # count); compact_minhash_index folds them in physically.
+        cand = cand.join(
+            F.broadcast(tomb.select(F.col(meta["id_col"]).alias("corpus_id"))),
+            "corpus_id",
+            "left_anti",
+        )
     if wm_streaming:
         cand = cand.dropDuplicatesWithinWatermark(["probe_id", "corpus_id"]).drop(
             ts_col
@@ -833,23 +843,79 @@ def minhash_index_probe(
     )
 
 
+def _read_optional(spark, path: str):
+    """Read a parquet dataset that may not exist (e.g. an index's
+    tombstone set before any delete); returns None when absent."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def minhash_index_delete(spark, index_path: str, ids, *, id_col: str = "doc_id") -> None:
+    """LOGICAL delete (tombstone) of corpus docs from a persisted
+    MinHash index — the takedown path (license revocation, opt-out,
+    contamination removal) that cannot wait for a rebuild: the ids are
+    appended to ``path/tombstones``; every probe anti-joins candidates
+    against the (broadcast) tombstone set from the next call on, and
+    :func:`compact_minhash_index` folds tombstones in PHYSICALLY
+    (drops the banding + shingle rows, then clears the set).
+
+    ``ids``: a DataFrame with ``id_col`` or a plain iterable of ids.
+
+    Contract: deletes are append-only and idempotent (duplicate
+    tombstones are harmless — probes take distinct, compaction drops by
+    membership). A tombstoned id stays visible to
+    :func:`minhash_index_upsert`'s add-only anti-join until compaction,
+    so RE-adding a deleted id requires a compact first — the price of
+    an append-only log with no read-modify-write on the index. Cost:
+    one tiny append now; each probe pays a broadcast anti-join bounded
+    by the live tombstone count (reset to zero by compaction)."""
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    if isinstance(ids, DataFrame):
+        frame = ids.select(F.col(id_col).cast("long").alias(meta["id_col"]))
+    else:
+        frame = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{meta['id_col']} long"
+        )
+    frame.coalesce(1).write.mode("append").parquet(f"{index_path}/tombstones")
+
+
 def compact_minhash_index(spark, index_path: str) -> None:
     """Index maintenance for long-running ingestion: restore the
     build-time file layout — ONE file per (band, bucket) directory in
     ``bands``, size-targeted files in ``shingles`` — after many
     :func:`minhash_index_upsert` batches have each appended their own
-    file. Results are byte-identical before/after (pure layout rewrite);
-    probe cost returns to the build-time listing/planning profile.
-    Crash-safe via the rename-aside swap; NOT concurrent-probe safe —
-    run it between probes (``minhash_index_probe_stream`` can do this
-    on a cadence, where it is trivially serial with the probe loop)."""
+    file, and fold any :func:`minhash_index_delete` tombstones in
+    physically (their rows are dropped during the rewrite and the
+    tombstone set is cleared). Probe results are byte-identical
+    before/after (tombstoned docs were already anti-joined away).
+    Crash-safe via the rename-aside swap — a crash after the rewrites
+    but before the tombstone clear just means probes keep paying the
+    (now-redundant) anti-join until the next compact. NOT
+    concurrent-probe safe — run it between probes
+    (``minhash_index_probe_stream`` can do this on a cadence, where it
+    is trivially serial with the probe loop)."""
+    import shutil
+
     from kafka_streams_the_clojure_way_spark.sources.files import (
         compact_files,
         compact_partitioned,
     )
 
-    compact_partitioned(spark, f"{index_path}/bands", "band", "bucket")
-    compact_files(spark, f"{index_path}/shingles")
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    tomb = _read_optional(spark, f"{index_path}/tombstones")
+    drop = None
+    if tomb is not None:
+        dead = F.broadcast(tomb.select(meta["id_col"]).distinct())
+
+        def drop(df):  # noqa: F811
+            return df.join(dead, meta["id_col"], "left_anti")
+
+    compact_partitioned(spark, f"{index_path}/bands", "band", "bucket", transform=drop)
+    compact_files(spark, f"{index_path}/shingles", transform=drop)
+    if tomb is not None:
+        shutil.rmtree(f"{index_path}/tombstones")
 
 
 def minhash_index_probe_stream(
@@ -1792,3 +1858,146 @@ def containment_pairs_between_sql(
     FROM p JOIN c ON p.{id_col} != c.{id_col}
     WHERE len(list_intersect(p.sh, c.sh)) * {t_den} >= least(p.sz, c.sz) * {t_num}
     """
+
+
+# --------------------------------------------------------------------------
+# Persisted containment index: shingle the corpus once, probe batches forever
+# --------------------------------------------------------------------------
+
+
+def build_containment_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    t_num: int = CONTAINMENT_THRESHOLD_NUM,
+    t_den: int = CONTAINMENT_THRESHOLD_DEN,
+) -> None:
+    """Materialize the corpus side of :func:`containment_pairs_between`
+    (the same build/serve split as ``build_minhash_index``): ``sets``
+    (id, shingle set, size — the verify table), ``full`` postings
+    (h, id), and hash-ordered ``prefix`` postings, plus the threshold in
+    ``meta`` so probes can never use mismatched parameters.
+
+    What the index buys: the inline incremental gate re-shingles and
+    re-sorts the WHOLE corpus on every call — O(corpus text) of CPU per
+    batch. Serving from the index replaces that with parquet scans of
+    two slim (h, id) posting tables and one sets table; per-batch CPU is
+    O(batch). The posting scans are still corpus-sized I/O — inherent
+    to exact set-similarity join (every corpus shingle must be
+    probe-able); the probe keeps them map-side by broadcasting its own
+    batch-bounded posting legs, so no corpus shuffle ever happens.
+
+    Prefix order note: prefixes here are HASH-ordered (identical to the
+    incremental gate) — any fixed total order keeps the pigeonhole
+    guarantee; corpus-frequency order would go stale as batches arrive.
+    """
+    spark = corpus.sparkSession
+    sets = (
+        with_min_parallelism(corpus)
+        .select(F.col(id_col), shingle_hashes(F.col(text)).alias("sh"))
+        .withColumn("size", F.array_size("sh"))
+    )
+    sets.write.mode("overwrite").parquet(f"{path}/sets")
+    sets_r = spark.read.parquet(f"{path}/sets")  # reuse the materialized table
+    prefix_len = (
+        F.col("size")
+        - F.expr(f"(size * {t_num} + {t_den} - 1) div {t_den}")
+        + 1
+    )
+    sets_r.select(
+        F.col(id_col), F.explode("sh").alias("h")
+    ).write.mode("overwrite").parquet(f"{path}/full")
+    sets_r.select(
+        F.col(id_col),
+        F.explode(F.slice(F.sort_array(F.col("sh")), 1, prefix_len)).alias("h"),
+    ).write.mode("overwrite").parquet(f"{path}/prefix")
+    spark.createDataFrame(
+        [(t_num, t_den, id_col)], "t_num int, t_den int, id_col string"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def containment_index_probe(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Probe a persisted containment index with an arriving batch —
+    output contract identical to :func:`containment_pairs_between`
+    (probe_id, corpus_id, n_shared, containment_r), same oracle.
+    Threshold and id column come from the index meta.
+
+    Both lossless candidate legs run with the BATCH side broadcast
+    (batch-bounded posting lists), so the corpus posting scans never
+    shuffle; the verify step joins only candidates against the
+    persisted sets table. ``cache_registry``: same lifecycle contract
+    as ``minhash_index_probe`` — the batch's shingle-set frame is
+    cached; pass a list to own the unpersist."""
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    t_num, t_den = meta["t_num"], meta["t_den"]
+    psets = (
+        (batch if batch.isStreaming else with_min_parallelism(batch))
+        .select(F.col(id_col), shingle_hashes(F.col(text)).alias("sh"))
+        .withColumn("size", F.array_size("sh"))
+    )
+    if not batch.isStreaming:
+        psets = psets.cache()
+        if cache_registry is not None:
+            cache_registry.append(psets)
+    prefix_len = (
+        F.col("size")
+        - F.expr(f"(size * {t_num} + {t_den} - 1) div {t_den}")
+        + 1
+    )
+    p_prefix = psets.select(
+        F.col(id_col).alias("probe_id"),
+        F.explode(F.slice(F.sort_array(F.col("sh")), 1, prefix_len)).alias("h"),
+    )
+    p_full = psets.select(
+        F.col(id_col).alias("probe_id"), F.explode("sh").alias("h")
+    )
+    cid = meta["id_col"]
+    c_full = spark.read.parquet(f"{index_path}/full").select(
+        F.col(cid).alias("corpus_id"), "h"
+    )
+    c_prefix = spark.read.parquet(f"{index_path}/prefix").select(
+        F.col(cid).alias("corpus_id"), "h"
+    )
+    leg1 = F.broadcast(p_prefix).join(c_full, "h")
+    leg2 = F.broadcast(p_full).join(c_prefix, "h")
+    cand = (
+        leg1.unionByName(leg2)
+        .filter(F.col("probe_id") != F.col("corpus_id"))
+        .select("probe_id", "corpus_id")
+        .dropDuplicates(["probe_id", "corpus_id"])
+    )
+    pa = psets.select(
+        F.col(id_col).alias("probe_id"),
+        F.col("sh").alias("sh_p"),
+        F.col("size").alias("sz_p"),
+    )
+    ca = spark.read.parquet(f"{index_path}/sets").select(
+        F.col(cid).alias("corpus_id"),
+        F.col("sh").alias("sh_c"),
+        F.col("size").alias("sz_c"),
+    )
+    inter = F.array_size(F.array_intersect("sh_p", "sh_c"))
+    c = F.round(inter.cast("double") / F.least("sz_p", "sz_c").cast("double"), 6)
+    return (
+        cand.join(pa, "probe_id")
+        .join(ca, "corpus_id")
+        .select(
+            "probe_id",
+            "corpus_id",
+            inter.cast("long").alias("n_shared"),
+            c.alias("containment_r"),
+            (inter * t_den >= F.least("sz_p", "sz_c") * t_num).alias("__keep"),
+        )
+        .filter(F.col("__keep"))
+        .drop("__keep")
+    )

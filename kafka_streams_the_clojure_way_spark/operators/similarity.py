@@ -370,11 +370,18 @@ def ivf_topk_sql(
     n_probe: int = IVF_NPROBE,
     centroid_mod: int = IVF_CENTROID_MOD,
     n_cells: int = IVF_N_CELLS,
+    exclude_sql: str | None = None,
 ) -> str:
     """DuckDB twin of ivf_topk with the same deterministic centroids.
     ``id_cap`` appends the absolute probe bound (id < cap) the registered
-    queries carry so the probe set stays constant-sized at any SF."""
+    queries carry so the probe set stays constant-sized at any SF.
+    ``exclude_sql`` (a predicate over ``neighbor_id``) models TOMBSTONED
+    vectors: excluded from candidate postings but NOT from centroid
+    selection — exactly the frozen-quantizer delete semantics of
+    ``ivf_index_delete`` (a deleted vector stops matching; the coarse
+    quantizer it may have seeded is untouched)."""
     cap_sql = f" AND s.{id_col} < {id_cap}" if id_cap is not None else ""
+    excl_sql = f" AND NOT ({exclude_sql})" if exclude_sql else ""
     cos_cent = cosine_sql(f"s.{vec_col}", f"c.{vec_col}")
     cos_qn = cosine_sql("q.qvec", "n.cvec")
     return f"""
@@ -389,7 +396,8 @@ def ivf_topk_sql(
         FROM {table} s, cents c
     ),
     corpus_cells AS (
-        SELECT neighbor_id, cvec, cent_id AS cell FROM corpus_scored WHERE crank = 1
+        SELECT neighbor_id, cvec, cent_id AS cell FROM corpus_scored
+        WHERE crank = 1{excl_sql}
     ),
     query_scored AS (
         SELECT s.{id_col} AS query_id, s.{vec_col} AS qvec, c.cent_id,
@@ -587,17 +595,55 @@ def ivf_index_upsert(
     )
 
 
+def ivf_index_delete(spark, index_path: str, ids, *, id_col: str = "vec_id") -> None:
+    """LOGICAL delete (tombstone) of vectors from a persisted IVF index
+    — same contract as ``minhash_index_delete``: ids append to
+    ``path/tombstones``, probes anti-join the (broadcast) set,
+    :func:`compact_ivf_index` folds them in physically and clears the
+    set. A tombstoned id stays visible to ``ivf_index_upsert``'s
+    add-only anti-join until compaction (re-add requires a compact
+    first). ``ids``: a DataFrame with ``id_col`` or an iterable."""
+    from pyspark.sql import DataFrame as _DF
+
+    if isinstance(ids, _DF):
+        frame = ids.select(F.col(id_col).cast("long").alias("neighbor_id"))
+    else:
+        frame = spark.createDataFrame([(int(i),) for i in ids], "neighbor_id long")
+    frame.coalesce(1).write.mode("append").parquet(f"{index_path}/tombstones")
+
+
+def _ivf_tombstones(spark, index_path: str):
+    try:
+        return spark.read.parquet(f"{index_path}/tombstones")
+    except Exception:
+        return None
+
+
 def compact_ivf_index(spark, index_path: str) -> None:
     """Index maintenance for long-running vector ingestion: restore ONE
     file per cell directory in ``postings`` after many
     :func:`ivf_index_upsert` batches have each appended their own file
-    (centroids are write-once and never accrete). Pure layout rewrite —
-    probe answers are byte-identical before/after; scan planning cost
-    returns to the build-time profile. Crash-safe rename-aside swap;
-    NOT concurrent-probe safe — run between probe batches."""
+    (centroids are write-once and never accrete), folding any
+    :func:`ivf_index_delete` tombstones in physically (rows dropped in
+    the rewrite, tombstone set cleared). Probe answers are
+    byte-identical before/after (tombstoned vectors were already
+    anti-joined away). Crash-safe rename-aside swap; NOT
+    concurrent-probe safe — run between probe batches."""
+    import shutil
+
     from kafka_streams_the_clojure_way_spark.sources.files import compact_partitioned
 
-    compact_partitioned(spark, f"{index_path}/postings", "cell")
+    tomb = _ivf_tombstones(spark, index_path)
+    drop = None
+    if tomb is not None:
+        dead = F.broadcast(tomb.select("neighbor_id").distinct())
+
+        def drop(df):  # noqa: F811
+            return df.join(dead, "neighbor_id", "left_anti")
+
+    compact_partitioned(spark, f"{index_path}/postings", "cell", transform=drop)
+    if tomb is not None:
+        shutil.rmtree(f"{index_path}/tombstones")
 
 
 def ivf_index_topk(
@@ -643,6 +689,17 @@ def ivf_index_topk(
         .filter(F.col("neighbor_id") != F.col(query_id))
         .withColumn("cosine", cosine(F.col("__qvec"), F.col("vec")))
     )
+    tomb = _ivf_tombstones(spark, index_path)
+    if tomb is not None:
+        # logical deletes: tombstoned vectors never reach the top-k
+        # (broadcast anti-join bounded by the live tombstone count);
+        # applied ABOVE the cell join so the scan keeps its dynamic
+        # partition pruning. compact_ivf_index folds them in physically.
+        scored = scored.join(
+            F.broadcast(tomb.select("neighbor_id").distinct()),
+            "neighbor_id",
+            "left_anti",
+        )
     return top_k_per_key(
         scored.select(query_id, "neighbor_id", "cosine"),
         keys=[query_id],

@@ -75,6 +75,7 @@ def ingestion_topology(
     t_den: int = D.CONTAINMENT_THRESHOLD_DEN,
     id_col: str = "doc_id",
     text: str = "text",
+    containment_index_path: str | None = None,
     cache_registry: list | None = None,
 ) -> Topology:
     """Build the curation-loop topology dict. ``index_path`` is a
@@ -83,7 +84,11 @@ def ingestion_topology(
     ``ratios`` is a trained DSIR log-ratio table
     (``dsir_bucket_ratios``) applied with the quantized (micro-unit
     BIGINT) fold so the gate's threshold can never flip on
-    summation-order ULPs.
+    summation-order ULPs. ``containment_index_path`` (a
+    ``build_containment_index`` artifact) serves the containment gate
+    from persisted posting/sets tables instead of re-shingling
+    ``corpus`` per run — the production shape (identical output; the
+    t_num/t_den arguments are ignored in favor of the index meta).
 
     Gate outputs: the near-dup and containment gates pass survivor rows
     through unchanged (anti-join on flagged probe ids); the DSIR gate
@@ -91,9 +96,24 @@ def ingestion_topology(
     the curated sink therefore carries the batch schema plus those two.
 
     ``cache_registry``: forwarded to the index probe (its batch path
-    caches probe signatures); long-running callers drain and unpersist
-    it per batch — :func:`run_ingestion_stream` does this automatically.
+    caches probe signatures) and holds each gate's cached output;
+    long-running callers drain and unpersist it per batch —
+    :func:`run_ingestion_stream` does this automatically.
+
+    Every gate's output is CACHED (survivor-batch-sized): each gate
+    both derives its verdict from its input and joins the verdict back
+    to it, so without the cache the upstream chain re-evaluates once
+    per branch — the index probe and its verify join would run ~4x by
+    the containment gate. With it, each gate runs exactly once.
     """
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if df.isStreaming:  # streaming frames can't cache; foreachBatch
+            return df       # hands the gates batch frames anyway
+        df = df.cache()
+        if cache_registry is not None:
+            cache_registry.append(df)
+        return df
 
     def neardup_gate(batch: DataFrame) -> DataFrame:
         pairs = D.minhash_index_probe(
@@ -107,21 +127,31 @@ def ingestion_topology(
         )
         flagged = pairs.select(F.col("probe_id").alias(id_col)).distinct()
         # anti-join on a probe-sized key set: AQE broadcasts it.
-        return batch.join(flagged, id_col, "left_anti")
+        return _pin(batch.join(flagged, id_col, "left_anti"))
 
     def dsir_gate(batch: DataFrame) -> DataFrame:
         scored = T.dsir_score_stateless(
             batch, ratios, text=text, id_col=id_col, quantize=True
         )
         keep = scored.filter(F.col("dsir_logweight_r") >= dsir_cutoff)
-        return batch.join(keep, id_col)
+        return _pin(batch.join(keep, id_col))
 
     def containment_gate(batch: DataFrame) -> DataFrame:
-        pairs = D.containment_pairs_between(
-            batch, corpus, text=text, id_col=id_col, t_num=t_num, t_den=t_den
-        )
+        if containment_index_path is not None:
+            pairs = D.containment_index_probe(
+                spark,
+                containment_index_path,
+                batch,
+                text=text,
+                id_col=id_col,
+                cache_registry=cache_registry,
+            )
+        else:
+            pairs = D.containment_pairs_between(
+                batch, corpus, text=text, id_col=id_col, t_num=t_num, t_den=t_den
+            )
         flagged = pairs.select(F.col("probe_id").alias(id_col)).distinct()
-        return batch.join(flagged, id_col, "left_anti")
+        return _pin(batch.join(flagged, id_col, "left_anti"))
 
     return {
         "entities": {

@@ -53,6 +53,54 @@ def _ingest_ratios(spark: SparkSession, sf_dir: str) -> list[float]:
 _PROBE_PRED = f"doc_id % {_INCR_NEW_MOD} = 0"
 _BUILD_PRED = f"doc_id % {_INCR_NEW_MOD} != 0"
 
+#: per-process persisted containment index over the corpus slice —
+#: keyed by every build parameter (same staleness rule as the other
+#: model/index caches).
+_CONTAINMENT_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _containment_index_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (
+        sf_dir,
+        _INCR_NEW_MOD,
+        D.CONTAINMENT_THRESHOLD_NUM,
+        D.CONTAINMENT_THRESHOLD_DEN,
+    )
+    path = _CONTAINMENT_INDEX_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="containment_index_")
+        D.build_containment_index(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % _INCR_NEW_MOD != 0
+            ),
+            path,
+        )
+        _CONTAINMENT_INDEX_CACHE[key] = path
+    return path
+
+
+@query(
+    "dedup_containment_indexed",
+    oracle=D.containment_pairs_between_sql(_PROBE_PRED, _BUILD_PRED),
+)
+def dedup_containment_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-INDEX serve path for incremental asymmetric
+    containment — the third build/serve split (after the MinHash band
+    index and the IVF index): build_containment_index shingles the
+    corpus ONCE into sets + full/prefix posting tables; each arriving
+    batch broadcasts its own batch-bounded posting legs into map-side
+    joins against the persisted postings (no corpus shuffle, no
+    per-batch corpus re-shingle — the inline gate's O(corpus text) CPU
+    per call becomes O(batch) CPU + slim posting scans). Same lossless
+    two-leg pigeonhole candidates, same oracle as the inline form."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
+    return D.containment_index_probe(
+        spark, _containment_index_path(spark, sf_dir), probe
+    )
+
 _INGESTION_ORACLE = f"""
 WITH nd AS (
     {D.minhash_lsh_pairs_between_sql(_PROBE_PRED, _BUILD_PRED, threshold=INGEST_JACCARD_THRESHOLD)}
@@ -135,6 +183,7 @@ def pipeline_ingestion_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_path=_minhash_index_path(spark, sf_dir),
         corpus=corpus,
         ratios=_ingest_ratios(spark, sf_dir),
+        containment_index_path=_containment_index_path(spark, sf_dir),
     )
     curated = run_ingestion_batch(spark, topo, probe)
     return curated.select("doc_id", "n_tokens", "dsir_logweight_r")

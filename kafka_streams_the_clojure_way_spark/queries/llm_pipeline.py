@@ -468,6 +468,58 @@ def sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic deleted slice for the registered tombstone query —
+#: ~2.5% of the corpus, disjoint from the centroid subset at the
+#: shipped SFs is NOT required (frozen-quantizer semantics keep a
+#: deleted vector's centroid), matching exclude_sql in the oracle.
+_IVF_TOMB_MOD, _IVF_TOMB_REM = 40, 3
+_IVF_TOMB_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _ivf_tomb_index_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (sf_dir, S.IVF_CENTROID_MOD, S.IVF_N_CELLS, _IVF_TOMB_MOD, _IVF_TOMB_REM)
+    path = _IVF_TOMB_INDEX_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ivf_tomb_index_")
+        emb = load_table(spark, sf_dir, "embeddings")
+        S.build_ivf_index(emb, path)
+        S.ivf_index_delete(
+            spark,
+            path,
+            emb.filter(F.col("vec_id") % _IVF_TOMB_MOD == _IVF_TOMB_REM).select(
+                "vec_id"
+            ),
+        )
+        _IVF_TOMB_INDEX_CACHE[key] = path
+    return path
+
+
+@query(
+    "sim_ivf_index_tombstone_topk",
+    oracle=S.ivf_topk_sql(
+        query_mod=_QUERY_MOD,
+        id_cap=_PROBE_ID_CAP,
+        exclude_sql=f"neighbor_id % {_IVF_TOMB_MOD} = {_IVF_TOMB_REM}",
+    ),
+)
+def sim_ivf_index_tombstone_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE path of the persisted IVF index under the driver's
+    value gate: a deterministic slice of the corpus is tombstoned
+    (ivf_index_delete — the takedown/opt-out operation a production
+    embedding store must support without rebuilds) and the serve path
+    must answer as if those vectors never existed, while the frozen
+    coarse quantizer keeps any centroids they seeded. The oracle models
+    exactly that: candidates excluded, centroid subset untouched.
+    Deleted state is a broadcast anti-join bounded by the live tombstone
+    count; compact_ivf_index folds it in physically (parity pinned in
+    tests/test_ann_recall.py)."""
+    return S.ivf_index_topk(
+        spark, _ivf_tomb_index_path(spark, sf_dir), _queries_frame(spark, sf_dir), 10
+    )
+
+
 _QUANT_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, {S.quantize_sql('embedding')} AS qq
                FROM embeddings WHERE {_PROBE_PRED}),

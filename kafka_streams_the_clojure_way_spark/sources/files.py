@@ -287,10 +287,13 @@ def overwrite_partitions(df: DataFrame, path: str, *partition_cols: str, **optio
 
 
 def compact_files(
-    spark: SparkSession, path: str, target_file_mb: int = 128, **options
+    spark: SparkSession, path: str, target_file_mb: int = 128, transform=None, **options
 ) -> int:
     """Compact a parquet dataset's small files toward ``target_file_mb``
-    outputs; returns the new file count.
+    outputs; returns the new file count. ``transform`` (DataFrame ->
+    DataFrame, e.g. a tombstone anti-join) is applied during the
+    rewrite, letting maintenance fold logical deletes in physically
+    without a second pass.
 
     Small files are the silent killer of long-lived ingest layouts (every
     streaming micro-batch and every backfill adds a few): at 100 TB the
@@ -312,9 +315,11 @@ def compact_files(
     )
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + ".__compact_tmp__"
+    df = spark.read.parquet(path)
+    if transform is not None:
+        df = transform(df)
     (
-        spark.read.parquet(path)
-        .repartition(n_files)
+        df.repartition(n_files)
         .write.mode("overwrite")
         .options(**options)
         .parquet(tmp)
@@ -324,7 +329,7 @@ def compact_files(
 
 
 def compact_partitioned(
-    spark: SparkSession, path: str, *partition_cols: str, **options
+    spark: SparkSession, path: str, *partition_cols: str, transform=None, **options
 ) -> None:
     """Compact a hive-partitioned dataset back to ONE file per partition
     directory — the layout the partitioned writers produce on first
@@ -337,8 +342,12 @@ def compact_partitioned(
     Same crash-safety as :func:`compact_files`: writes to a temp dir,
     rename-aside swap, old deleted last — a crash leaves a complete old
     or new dataset (still not concurrent-reader safe; pause probes or
-    use a table format with atomic commits for that)."""
+    use a table format with atomic commits for that). ``transform``
+    (DataFrame -> DataFrame, e.g. a tombstone anti-join) is applied
+    during the rewrite — see compact_files."""
     df = spark.read.parquet(path)
+    if transform is not None:
+        df = transform(df)
     tmp = path.rstrip("/") + ".__compact_tmp__"
     (
         df.repartition(*partition_cols)

@@ -433,3 +433,47 @@ def test_ivf_recall_after_upsert_on_structured_corpus(spark, tmp_path):
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.85, f"recall@10 after upsert = {mean_recall:.4f}"
     emb.unpersist()
+
+
+def test_ivf_tombstone_delete_then_compact(spark, tmp_path):
+    """IVF logical deletes: a tombstoned vector vanishes from top-k
+    immediately (next-best promoted — result sets stay full), compaction
+    drops its posting physically with byte-identical answers and clears
+    the tombstone set."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.operators import similarity as S
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 1)
+    path = str(tmp_path / "ivf_tomb")
+    S.build_ivf_index(emb, path, n_cells=8)
+
+    def rows(k=5):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cosine_r)
+            for r in S.ivf_index_topk(spark, path, queries, k).collect()
+        )
+
+    before = rows()
+    victim = before[0][2]
+    S.ivf_index_delete(spark, path, [victim])
+    after = rows()
+    assert all(n != victim for _, _, n, _ in after)
+    # every query still returns a full k (next-best promoted)
+    from collections import Counter
+
+    assert Counter(q for q, *_ in after) == Counter(q for q, *_ in before)
+    assert after != before
+
+    S.compact_ivf_index(spark, path)
+    import os
+
+    assert not os.path.exists(f"{path}/tombstones")
+    assert rows() == after
+    left = {
+        r.neighbor_id
+        for r in spark.read.parquet(f"{path}/postings").select("neighbor_id").collect()
+    }
+    assert victim not in left

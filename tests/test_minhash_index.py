@@ -395,3 +395,42 @@ def test_probe_stream_upsert_loop_with_compaction(spark, tmp_path):
     assert sorted(got) == expected
     files = _files_per_leaf_dir(f"{path}/bands")
     assert files and all(n == 1 for n in files.values()), files
+
+
+def test_tombstone_delete_then_compact(spark, tmp_path):
+    """Logical deletes (the takedown path): tombstoned corpus docs stop
+    matching immediately (broadcast anti-join), compaction folds them in
+    physically and clears the set, and a deleted id can be RE-added
+    after the compact (the documented append-only-log contract)."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        compact_minhash_index,
+        minhash_index_delete,
+        minhash_index_upsert,
+    )
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    probe = spark.createDataFrame(ARRIVING, SCHEMA)
+    path = str(tmp_path / "tomb_idx")
+    build_minhash_index(corpus, path)
+
+    before = _rows(minhash_index_probe(spark, path, probe, threshold=0.5))
+    assert {c for _, c, _ in before} >= {1, 2}
+
+    minhash_index_delete(spark, path, [1])
+    after_del = _rows(minhash_index_probe(spark, path, probe, threshold=0.5))
+    assert after_del == [r for r in before if r[1] != 1] and after_del
+
+    compact_minhash_index(spark, path)
+    import os
+
+    assert not os.path.exists(f"{path}/tombstones")
+    assert _rows(minhash_index_probe(spark, path, probe, threshold=0.5)) == after_del
+    shingle_ids = {
+        r.doc_id for r in spark.read.parquet(f"{path}/shingles").select("doc_id").collect()
+    }
+    assert 1 not in shingle_ids and 2 in shingle_ids
+
+    # post-compact the id is physically gone, so the add-only anti-join
+    # admits it again
+    minhash_index_upsert(spark, path, corpus.filter(F.col("doc_id") == 1))
+    assert _rows(minhash_index_probe(spark, path, probe, threshold=0.5)) == before

@@ -316,3 +316,41 @@ def test_containment_prefix_filter_is_lossless(spark):
         .collect()
     }
     assert fast == brute and len(fast) > 0
+
+
+def test_containment_index_probe_matches_inline(spark, tmp_path):
+    """The persisted containment index (build/serve split) must equal
+    the inline incremental gate row for row on the sf0.001 slice —
+    including both candidate directions (fragment probes AND
+    concatenation probes), and leave no cached frames when the caller
+    owns the lifecycle."""
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    probe = docs.filter(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "cont_idx")
+    D.build_containment_index(corpus, path)
+
+    def rows(df):
+        return sorted(
+            (r.probe_id, r.corpus_id, r.n_shared, r.containment_r)
+            for r in df.collect()
+        )
+
+    expected = rows(D.containment_pairs_between(probe, corpus))
+    caches: list = []
+    got = rows(
+        D.containment_index_probe(spark, path, probe, cache_registry=caches)
+    )
+    assert got == expected and expected
+    for frame in caches:
+        frame.unpersist()
+
+    # probe meta comes from the index: a mismatched-threshold caller is
+    # impossible by construction (t comes out of path/meta)
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert (meta["t_num"], meta["t_den"]) == (
+        D.CONTAINMENT_THRESHOLD_NUM,
+        D.CONTAINMENT_THRESHOLD_DEN,
+    )
