@@ -290,6 +290,9 @@ def test_no_accidental_cartesian_products(spark):
         # table (the corpus side is the pruned postings scan / the
         # bounded brute-force truth) — same by-design shape
         "sim_ivf_index_topk",
+        # the tombstone serve path is the same probe-vs-broadcast-
+        # centroid routing; deletes are a broadcast ANTI join on top
+        "sim_ivf_index_tombstone_topk",
         "eval_ann_ivf_quality",
         # Lloyd assignment scores every vector against the k-row broadcast
         # centroid table each round — same tiny-broadcast BNLJ shape
