@@ -121,10 +121,22 @@ def shingle_hashes_sql(text: str) -> str:
 # exact dedup
 # --------------------------------------------------------------------------
 
+def content_hash(text: Column) -> Column:
+    """60-bit content hash (md5 prefix), the exact-dedup key. 15 hex
+    digits keep the value strictly positive in a signed BIGINT on both
+    engines (same rule as the simhash signature)."""
+    return F.conv(F.substring(F.md5(text), 1, 15), 16, 10).cast("long")
+
+
+def content_hash_sql(text: str) -> str:
+    """DuckDB twin of :func:`content_hash`."""
+    return f"('0x' || substring(md5({text}), 1, 15))::BIGINT"
+
+
 def exact_dedup_groups(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group identical content by 60-bit hash; keep the lowest id as the
     canonical representative. One shuffle on the content hash."""
-    h = F.conv(F.substring(F.md5(F.col(text)), 1, 15), 16, 10).cast("long")
+    h = content_hash(F.col(text))
     return (
         df.select(F.col(id_col), h.alias("content_hash"))
         .groupBy("content_hash")
@@ -132,6 +144,38 @@ def exact_dedup_groups(df: DataFrame, text: str = "text", id_col: str = "doc_id"
             F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
+    )
+
+
+def exact_pairs_between(
+    new: DataFrame,
+    corpus: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental EXACT dedup: (probe_id, corpus_id, content_hash) for
+    every arriving doc whose content byte-matches a corpus doc — the
+    re-crawl gate every production ingestion runs FIRST, before any
+    near-dup pass (an exact match is free to detect and certain).
+
+    One equi-join on the 60-bit content hash: the batch side is tiny, so
+    Spark broadcasts it and the corpus is streamed map-side — no corpus
+    shuffle. The persisted form (:func:`build_hash_index` /
+    :func:`hash_index_probe`) additionally prunes the corpus SCAN to the
+    probed hash buckets; this inline form is its oracle twin."""
+    probe = new.select(
+        F.col(id_col).alias("probe_id"),
+        content_hash(F.col(text)).alias("content_hash"),
+    )
+    corp = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        content_hash(F.col(text)).alias("content_hash"),
+    )
+    return (
+        corp.join(F.broadcast(probe), "content_hash")
+        .filter(F.col("probe_id") != F.col("corpus_id"))
+        .select("probe_id", "corpus_id", "content_hash")
     )
 
 
@@ -1008,6 +1052,259 @@ def minhash_index_probe_stream(
                 frame.unpersist()
         if upsert and compact_every and (batch_id + 1) % compact_every == 0:
             compact_minhash_index(spark, index_path)
+
+    writer = stream.writeStream.foreachBatch(serve)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(**(trigger or {"availableNow": True})).start()
+
+
+# --------------------------------------------------------------------------
+# persisted exact-hash index: the build/serve split for incremental
+# EXACT dedup (the first gate of every production ingestion loop)
+# --------------------------------------------------------------------------
+
+HASH_INDEX_BUCKETS = 64
+
+
+def build_hash_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = HASH_INDEX_BUCKETS,
+) -> None:
+    """Materialize the corpus side of :func:`exact_pairs_between` — the
+    exact-dedup member of the persisted-index family (MinHash band index
+    for near-dup, containment index for embedded-doc, IVF for ANN):
+
+    - ``path/hashes``: one (id, content_hash) row per corpus doc, hive-
+      PARTITIONED BY ``bucket = pmod(content_hash, n_buckets)`` so a
+      probe batch's distinct buckets — a set bounded by ``n_buckets``
+      regardless of batch size — prune the scan to the probed
+      directories;
+    - ``path/meta``: the bucketing parameters, read back by every probe
+      so an index can never be probed with a mismatched layout.
+
+    The corpus is hashed and shuffled into the bucket layout exactly
+    ONCE; after this, per-batch ingestion cost is O(batch + matched
+    buckets). At 100 TB the hash table is ~16 bytes/doc — a scan of the
+    probed 1/``n_buckets`` slices per batch, vs re-hashing the full
+    corpus per batch without the index. One file per bucket directory
+    (same layout rule as build_minhash_index)."""
+    from kafka_streams_the_clojure_way_spark.sources.files import write_partitioned
+
+    hashed = with_min_parallelism(corpus).select(
+        F.col(id_col),
+        content_hash(F.col(text)).alias("content_hash"),
+    ).withColumn("bucket", F.pmod(F.col("content_hash"), F.lit(n_buckets)))
+    write_partitioned(hashed.repartition("bucket"), f"{path}/hashes", "bucket")
+    corpus.sparkSession.createDataFrame(
+        [(n_buckets, id_col)], "n_buckets int, id_col string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def hash_index_upsert(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    assume_new_ids: bool = False,
+) -> None:
+    """ADD a document batch to a persisted hash index without rebuilding
+    it: hash the batch and APPEND into the existing bucket directories —
+    the corpus is never re-hashed, so keeping the index current costs
+    O(batch) per cycle. Add-only contract as in
+    :func:`minhash_index_upsert`: arriving ids are anti-joined against
+    the index id column unless ``assume_new_ids=True`` (one column scan
+    saved). Single-table index, so there is no multi-write atomicity
+    seam: a crashed upsert either landed its one append or did not, and
+    a retry with the default anti-join is idempotent. Each append is
+    repartitioned onto the bucket column first — at most ONE file per
+    touched directory per batch; run :func:`compact_hash_index` on a
+    cadence to restore the build layout."""
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    n_buckets = meta["n_buckets"]
+    if not assume_new_ids:
+        existing = spark.read.parquet(f"{index_path}/hashes").select(
+            F.col(meta["id_col"]).alias(id_col)
+        )
+        batch = batch.join(existing, id_col, "left_anti")
+    # eager localCheckpoint for the same reason as minhash_index_upsert:
+    # the anti-join reads the path the append below mutates; pin the
+    # anti-joined batch before writing. Batch-sized.
+    hashed = (
+        with_min_parallelism(batch)
+        .select(
+            F.col(id_col).alias(meta["id_col"]),
+            content_hash(F.col(text)).alias("content_hash"),
+        )
+        .withColumn("bucket", F.pmod(F.col("content_hash"), F.lit(n_buckets)))
+        .localCheckpoint()
+    )
+    hashed.repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
+        f"{index_path}/hashes"
+    )
+
+
+def hash_index_probe(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe a persisted hash index with an arriving batch: hash the
+    BATCH ONLY, route its distinct buckets — bounded by the index's
+    ``n_buckets`` no matter the batch size — into a literal static
+    PartitionFilter on the hashes scan, then equi-join on
+    (bucket, content_hash) with the batch side broadcast. Output
+    contract identical to :func:`exact_pairs_between`:
+    (probe_id, corpus_id, content_hash), self-pairs dropped.
+
+    STREAMING: ``batch`` may be a streaming frame — every probe
+    transform is stateless, so the gate degrades to a stream-static
+    join per micro-batch (correctness-identical but pruning-free: the
+    static side cannot take a stream-derived literal filter). For
+    per-batch cost independent of corpus size use
+    :func:`hash_index_probe_stream`, which runs each micro-batch
+    through THIS batch routing inside ``foreachBatch``."""
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    n_buckets = meta["n_buckets"]
+    base = batch if batch.isStreaming else with_min_parallelism(batch)
+    probe = base.select(
+        F.col(id_col).alias("probe_id"),
+        content_hash(F.col(text)).alias("content_hash"),
+    ).withColumn("bucket", F.pmod(F.col("content_hash"), F.lit(n_buckets)))
+    hashes = spark.read.parquet(f"{index_path}/hashes")
+    if batch.isStreaming:
+        probe_side = probe
+    else:
+        # explicit partition routing, same contract as minhash_index_probe:
+        # the distinct probed buckets become a literal IN-filter on the
+        # partition column — deterministic pruning at any scale, no DPP
+        # cost-heuristic dependence. The routing collect is bounded by
+        # n_buckets values.
+        buckets = [r["bucket"] for r in probe.select("bucket").distinct().collect()]
+        if buckets:
+            hashes = hashes.filter(F.col("bucket").isin(buckets))
+        probe_side = F.broadcast(probe)
+    cand = (
+        hashes.join(probe_side, ["bucket", "content_hash"])
+        .filter(F.col(meta["id_col"]) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col(meta["id_col"]).alias("corpus_id"),
+            "content_hash",
+        )
+    )
+    tomb = _read_optional(spark, f"{index_path}/tombstones")
+    if tomb is not None:
+        cand = cand.join(
+            F.broadcast(tomb.select(F.col(meta["id_col"]).alias("corpus_id"))),
+            "corpus_id",
+            "left_anti",
+        )
+    return cand
+
+
+def hash_index_delete(spark, index_path: str, ids, *, id_col: str = "doc_id") -> None:
+    """LOGICAL delete (tombstone) — same contract as
+    :func:`minhash_index_delete`: ids append to ``path/tombstones``,
+    probes anti-join the (broadcast) set, :func:`compact_hash_index`
+    folds them in physically and clears the set. A tombstoned id stays
+    visible to the upsert anti-join until compaction (re-add requires a
+    compact first)."""
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    if isinstance(ids, DataFrame):
+        frame = ids.select(F.col(id_col).cast("long").alias(meta["id_col"]))
+    else:
+        frame = spark.createDataFrame([(int(i),) for i in ids], f"{meta['id_col']} long")
+    frame.coalesce(1).write.mode("append").parquet(f"{index_path}/tombstones")
+
+
+def compact_hash_index(spark, index_path: str) -> None:
+    """Restore ONE file per bucket directory after many upsert batches,
+    folding any tombstones in physically (rows dropped in the rewrite,
+    set cleared). Probe answers are byte-identical before/after.
+    Crash-safe rename-aside swap; not concurrent-probe safe — run
+    between probe batches (``hash_index_probe_stream`` can do it on a
+    cadence, where it is trivially serial with the loop)."""
+    import shutil
+
+    from kafka_streams_the_clojure_way_spark.sources.files import compact_partitioned
+
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    tomb = _read_optional(spark, f"{index_path}/tombstones")
+    drop = None
+    if tomb is not None:
+        dead = F.broadcast(tomb.select(meta["id_col"]).distinct())
+
+        def drop(df):  # noqa: F811
+            return df.join(dead, meta["id_col"], "left_anti")
+
+    compact_partitioned(spark, f"{index_path}/hashes", "bucket", transform=drop)
+    if tomb is not None:
+        shutil.rmtree(f"{index_path}/tombstones")
+
+
+def hash_index_probe_stream(
+    spark,
+    index_path: str,
+    stream: DataFrame,
+    sink,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: str | None = None,
+    upsert: bool = False,
+    assume_new_ids: bool = False,
+    compact_every: int | None = None,
+    trigger: dict | None = None,
+):
+    """The streaming serve loop for the persisted hash index — the exact
+    twin of :func:`minhash_index_probe_stream`: every micro-batch runs
+    through :func:`hash_index_probe`'s BATCH path inside
+    ``foreachBatch``, so the bucket partition routing applies and each
+    trigger reads only the probed directories. ``sink`` is a callable
+    ``(pairs_df, batch_id) -> None`` (must materialize before returning
+    when ``upsert=True``) or a parquet directory path. ``upsert=True``
+    turns the gate into the probe-then-upsert cycle (later batches
+    dedup against earlier batches); foreachBatch is at-least-once, so
+    the default anti-join keeps replays idempotent.
+    ``compact_every=N`` compacts after every N-th upserting batch.
+    Returns the started StreamingQuery (default trigger availableNow)."""
+    if isinstance(sink, str):
+        out_path = sink
+
+        def sink_fn(pairs: DataFrame, batch_id: int) -> None:
+            pairs.coalesce(1).write.mode("append").parquet(out_path)
+
+    else:
+        sink_fn = sink
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = hash_index_probe(
+            spark, index_path, batch_df, text=text, id_col=id_col
+        )
+        sink_fn(pairs, batch_id)
+        if upsert:
+            hash_index_upsert(
+                spark,
+                index_path,
+                batch_df,
+                text=text,
+                id_col=id_col,
+                assume_new_ids=assume_new_ids,
+            )
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                compact_hash_index(spark, index_path)
 
     writer = stream.writeStream.foreachBatch(serve)
     if checkpoint is not None:

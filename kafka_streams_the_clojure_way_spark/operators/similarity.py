@@ -714,6 +714,90 @@ def ivf_index_topk(
     )
 
 
+def ivf_index_topk_stream(
+    spark,
+    index_path: str,
+    stream: DataFrame,
+    sink,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    n_probe: int = IVF_NPROBE,
+    checkpoint: str | None = None,
+    upsert: bool = False,
+    assume_new_ids: bool = False,
+    compact_every: int | None = None,
+    trigger: dict | None = None,
+):
+    """The streaming ANN serve loop for the persisted IVF index — the
+    vector twin of ``dedup.minhash_index_probe_stream``: every
+    micro-batch of query vectors runs through :func:`ivf_index_topk`
+    inside ``foreachBatch``, where the micro-batch is a plain batch
+    frame, so the probe keeps its partition-pruned postings scan (a
+    stream-static join could not prune — the static side cannot take a
+    stream-derived filter). Per-trigger cost is O(batch x n_probe
+    cells), independent of corpus size.
+
+    ``sink``: a callable ``(topk_df, batch_id) -> None`` or a parquet
+    directory path (results appended, one file per batch). The callable
+    MUST materialize the frame before returning when ``upsert=True``.
+
+    ``upsert=True`` is the continuous EMBEDDING-ingestion cycle: after
+    serving a batch's neighbors, the batch's own vectors are added to
+    the index (:func:`ivf_index_upsert`, routed through the frozen
+    centroids), so later arrivals retrieve against earlier ones — the
+    pattern behind online embedding-dedup and freshness-sensitive
+    retrieval. foreachBatch is at-least-once; the default
+    ``assume_new_ids=False`` keeps replays idempotent via the upsert's
+    anti-join. ``compact_every=N`` runs :func:`compact_ivf_index` after
+    every N-th upserting batch (serial with the loop, so the
+    non-concurrent-safe swap is safe here).
+
+    Returns the started ``StreamingQuery`` (default trigger
+    availableNow — drain-what-exists, then stop)."""
+    if isinstance(sink, str):
+        out_path = sink
+
+        def sink_fn(topk: DataFrame, batch_id: int) -> None:
+            topk.coalesce(1).write.mode("append").parquet(out_path)
+
+    else:
+        sink_fn = sink
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        topk = ivf_index_topk(
+            spark,
+            index_path,
+            batch_df,
+            k,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id=query_id,
+            n_probe=n_probe,
+        )
+        sink_fn(topk, batch_id)
+        if upsert:
+            ivf_index_upsert(
+                spark,
+                index_path,
+                batch_df,
+                id_col=id_col,
+                vec_col=vec_col,
+                assume_new_ids=assume_new_ids,
+            )
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                compact_ivf_index(spark, index_path)
+
+    writer = stream.writeStream.foreachBatch(serve)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(**(trigger or {"availableNow": True})).start()
+
+
 # --------------------------------------------------------------------------
 # int8 quantized similarity: 4x memory/bandwidth, integer-exact oracle
 # --------------------------------------------------------------------------

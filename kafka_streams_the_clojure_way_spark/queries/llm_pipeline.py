@@ -251,6 +251,65 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_index_probe(spark, path, new, threshold=_JACCARD_THRESHOLD)
 
 
+#: deterministic "re-crawl" batch for the exact gate: every 50th doc
+#: re-arrives byte-identical under a fresh id (the canonical production
+#: scenario exact dedup exists for — the synthetic corpus itself has no
+#: cross-doc exact dups at small SF, so the fixture constructs the
+#: re-arrival instead of sampling for one).
+_EXACT_PROBE_MOD = 50
+_EXACT_PROBE_ID_SHIFT = 1_000_000
+
+#: per-process hash-index cache, keyed by every build parameter (same
+#: stale-model rule as the MinHash/k-means/PQ caches).
+_HASH_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _hash_index_path(
+    spark: SparkSession, sf_dir: str, *, n_buckets: int = D.HASH_INDEX_BUCKETS
+) -> str:
+    key = (sf_dir, n_buckets)
+    path = _HASH_INDEX_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="hash_index_")
+        D.build_hash_index(
+            load_table(spark, sf_dir, "documents"), path, n_buckets=n_buckets
+        )
+        _HASH_INDEX_CACHE[key] = path
+    return path
+
+
+@query(
+    "dedup_incremental_exact_indexed",
+    oracle=f"""
+    SELECT a.doc_id + {_EXACT_PROBE_ID_SHIFT} AS probe_id,
+           b.doc_id AS corpus_id,
+           {D.content_hash_sql('a.text')} AS content_hash
+    FROM documents a JOIN documents b ON md5(a.text) = md5(b.text)
+    WHERE a.doc_id % {_EXACT_PROBE_MOD} = 0
+    """,
+)
+def dedup_incremental_exact_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup against a PERSISTED hash index — the
+    first gate of the production ingestion loop (an exact byte-match is
+    free to detect and certain, so it runs before any near-dup pass).
+    The corpus's 60-bit content hashes live on disk hive-partitioned by
+    hash bucket (operators/dedup.build_hash_index — the fourth member
+    of the persisted-index family after the MinHash band, containment,
+    and IVF indexes); the arriving batch hashes ONLY itself and routes
+    its distinct buckets into a literal PartitionFilter, so per-batch
+    cost is O(batch + matched buckets) at any corpus size. The batch is
+    a deterministic re-crawl fixture: every 50th doc re-arrives
+    byte-identical under a shifted id."""
+    path = _hash_index_path(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % _EXACT_PROBE_MOD == 0).select(
+        (F.col("doc_id") + F.lit(_EXACT_PROBE_ID_SHIFT)).alias("doc_id"), "text"
+    )
+    return D.hash_index_probe(spark, path, batch)
+
+
 @query("dedup_simhash_pairs", oracle=D.simhash_pairs_sql())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(60) near-dup pairs with 4x15-bit banding: hamming<=3 is

@@ -477,3 +477,78 @@ def test_ivf_tombstone_delete_then_compact(spark, tmp_path):
         for r in spark.read.parquet(f"{path}/postings").select("neighbor_id").collect()
     }
     assert victim not in left
+
+
+def test_ivf_stream_serve_helper_upsert_loop(spark, tmp_path):
+    """The first-class streaming serve API (similarity.
+    ivf_index_topk_stream): >=2 micro-batches of query vectors served
+    against the persisted index inside foreachBatch, each batch's own
+    vectors upserted AFTER serving — so later arrivals retrieve against
+    earlier ones (the continuous embedding-ingestion cycle). Expected
+    rows come from replaying the same serve-then-add semantics
+    imperatively against a twin index."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.operators import similarity as S
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+    from kafka_streams_the_clojure_way_spark.sources.memory import drain
+
+    emb = load_table(spark, SF, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    arriving = emb.filter(F.col("vec_id") % 7 == 0)
+    b1 = arriving.filter(F.col("vec_id") % 14 == 0)
+    b2 = arriving.filter(F.col("vec_id") % 14 != 0)
+
+    # twin index for the imperative replay
+    twin = str(tmp_path / "twin")
+    S.build_ivf_index(corpus, twin, n_cells=8)
+    expected = []
+    for b in (b1, b2):
+        expected += [
+            (r.query_id, r.rank, r.neighbor_id, r.cosine_r)
+            for r in S.ivf_index_topk(spark, twin, b, 3).collect()
+        ]
+        S.ivf_index_upsert(spark, twin, b, assume_new_ids=True)
+    expected = sorted(expected)
+    b2_ids = {r.vec_id for r in b2.select("vec_id").collect()}
+    b1_ids = {r.vec_id for r in b1.select("vec_id").collect()}
+    cross = [r for r in expected if r[0] in b2_ids and r[2] in b1_ids]
+    assert cross, "fixture must make some batch-2 query retrieve a batch-1 vector"
+
+    live = str(tmp_path / "live")
+    S.build_ivf_index(corpus, live, n_cells=8)
+    qdir = tmp_path / "qstream"
+    b1.coalesce(1).write.parquet(str(qdir / "b0"))
+    b2.coalesce(1).write.parquet(str(qdir / "b1"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(qdir))
+    )
+    got, ticks = [], []
+
+    def sink(topk, batch_id):
+        ticks.append(batch_id)
+        got.extend(
+            (r.query_id, r.rank, r.neighbor_id, r.cosine_r) for r in topk.collect()
+        )
+
+    q = S.ivf_index_topk_stream(
+        spark, live, stream, sink, 3,
+        checkpoint=str(tmp_path / "ckpt"),
+        upsert=True, assume_new_ids=True, compact_every=2,
+    )
+    drain(q)
+    assert len(ticks) >= 2, ticks
+    assert sorted(got) == expected
+    # compact_every fired on the final batch -> one file per cell dir
+    import os
+
+    per_dir = {}
+    for dirpath, _, files in os.walk(f"{live}/postings"):
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        if n:
+            per_dir[dirpath] = n
+    assert per_dir and all(n == 1 for n in per_dir.values()), per_dir
