@@ -9,6 +9,17 @@ must pass before it joins the training corpus:
 
     topic/raw-docs
         │
+    stream/exact-gate        (optional) persisted hash-index probe —
+        │                    drop byte-identical re-crawls before any
+        │                    near-dup work. SEMANTICALLY a no-op given
+        │                    the near-dup gate (an exact dup has
+        │                    Jaccard 1.0 >= any sane threshold), which
+        │                    is exactly why it exists: it removes the
+        │                    certain drops for the cost of one md5 +
+        │                    bucket-routed scan, so the expensive
+        │                    signature/verify path never sees them —
+        │                    and the composed oracle is unchanged by
+        │                    construction (operators/dedup.py)
     stream/neardup-gate      MinHash band-index probe (persisted index,
         │                    static (band,bucket) partition routing) —
         │                    drop docs with a near-duplicate already in
@@ -76,6 +87,7 @@ def ingestion_topology(
     id_col: str = "doc_id",
     text: str = "text",
     containment_index_path: str | None = None,
+    hash_index_path: str | None = None,
     cache_registry: list | None = None,
 ) -> Topology:
     """Build the curation-loop topology dict. ``index_path`` is a
@@ -89,6 +101,13 @@ def ingestion_topology(
     from persisted posting/sets tables instead of re-shingling
     ``corpus`` per run — the production shape (identical output; the
     t_num/t_den arguments are ignored in favor of the index meta).
+    ``hash_index_path`` (a ``build_hash_index`` artifact) prepends the
+    exact gate: byte-identical re-crawls are dropped by one md5 +
+    bucket-routed hash join before the near-dup gate ever signs them.
+    Curated output is identical with or without it (exact dup =>
+    Jaccard 1.0 => the near-dup gate drops the same docs) — the gate
+    buys per-batch cost, not semantics, which also means enabling it
+    never changes the composed pipeline's oracle.
 
     Gate outputs: the near-dup and containment gates pass survivor rows
     through unchanged (anti-join on flagged probe ids); the DSIR gate
@@ -114,6 +133,13 @@ def ingestion_topology(
         if cache_registry is not None:
             cache_registry.append(df)
         return df
+
+    def exact_gate(batch: DataFrame) -> DataFrame:
+        pairs = D.hash_index_probe(
+            spark, hash_index_path, batch, text=text, id_col=id_col
+        )
+        flagged = pairs.select(F.col("probe_id").alias(id_col)).distinct()
+        return _pin(batch.join(flagged, id_col, "left_anti"))
 
     def neardup_gate(batch: DataFrame) -> DataFrame:
         pairs = D.minhash_index_probe(
@@ -153,21 +179,26 @@ def ingestion_topology(
         flagged = pairs.select(F.col("probe_id").alias(id_col)).distinct()
         return _pin(batch.join(flagged, id_col, "left_anti"))
 
-    return {
-        "entities": {
-            "topic/raw-docs": {"type": "topic", "name": "raw-docs"},
-            "stream/neardup-gate": {"type": "stream", "xform": neardup_gate},
-            "stream/dsir-gate": {"type": "stream", "xform": dsir_gate},
-            "stream/containment-gate": {"type": "stream", "xform": containment_gate},
-            "topic/curated-docs": {"type": "topic", "name": "curated-docs"},
-        },
-        "workflow": [
-            ["topic/raw-docs", "stream/neardup-gate"],
-            ["stream/neardup-gate", "stream/dsir-gate"],
-            ["stream/dsir-gate", "stream/containment-gate"],
-            ["stream/containment-gate", "topic/curated-docs"],
-        ],
+    entities = {
+        "topic/raw-docs": {"type": "topic", "name": "raw-docs"},
+        "stream/neardup-gate": {"type": "stream", "xform": neardup_gate},
+        "stream/dsir-gate": {"type": "stream", "xform": dsir_gate},
+        "stream/containment-gate": {"type": "stream", "xform": containment_gate},
+        "topic/curated-docs": {"type": "topic", "name": "curated-docs"},
     }
+    head = "topic/raw-docs"
+    workflow = []
+    if hash_index_path is not None:
+        entities["stream/exact-gate"] = {"type": "stream", "xform": exact_gate}
+        workflow.append(["topic/raw-docs", "stream/exact-gate"])
+        head = "stream/exact-gate"
+    workflow += [
+        [head, "stream/neardup-gate"],
+        ["stream/neardup-gate", "stream/dsir-gate"],
+        ["stream/dsir-gate", "stream/containment-gate"],
+        ["stream/containment-gate", "topic/curated-docs"],
+    ]
+    return {"entities": entities, "workflow": workflow}
 
 
 def run_ingestion_batch(
@@ -191,6 +222,7 @@ def run_ingestion_stream(
     *,
     cache_registry: list | None = None,
     upsert_index_path: str | None = None,
+    upsert_hash_index_path: str | None = None,
     compact_every: int | None = None,
     id_col: str = "doc_id",
     text: str = "text",
@@ -216,10 +248,13 @@ def run_ingestion_stream(
     survivors into the band index so later batches near-dup against
     everything already admitted, not just the build-time corpus (the
     probe-then-upsert cycle of ``minhash_index_probe_stream``, with the
-    quality gates in between). ``compact_every=N`` compacts the index
-    after every N-th upserting batch. foreachBatch is at-least-once, so
-    the default ``assume_new_ids=False`` keeps replayed batches
-    idempotent via the upsert's anti-join.
+    quality gates in between). ``upsert_hash_index_path`` does the same
+    for the exact gate's hash index — admitted docs are hashed in so a
+    byte-identical later arrival is caught at the cheapest gate.
+    ``compact_every=N`` compacts the upserted index(es) after every
+    N-th upserting batch. foreachBatch is at-least-once, so the default
+    ``assume_new_ids=False`` keeps replayed batches idempotent via the
+    upserts' anti-joins.
 
     ``cache_registry``: pass the SAME list given to
     :func:`ingestion_topology` — cached frames the gates create are
@@ -251,17 +286,25 @@ def run_ingestion_stream(
                     id_col=id_col,
                     assume_new_ids=assume_new_ids,
                 )
+            if upsert_hash_index_path is not None:
+                D.hash_index_upsert(
+                    spark,
+                    upsert_hash_index_path,
+                    curated,
+                    text=text,
+                    id_col=id_col,
+                    assume_new_ids=assume_new_ids,
+                )
         finally:
             if cache_registry is not None:
                 for frame in cache_registry:
                     frame.unpersist()
                 cache_registry.clear()
-        if (
-            upsert_index_path is not None
-            and compact_every
-            and (batch_id + 1) % compact_every == 0
-        ):
-            D.compact_minhash_index(spark, upsert_index_path)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            if upsert_index_path is not None:
+                D.compact_minhash_index(spark, upsert_index_path)
+            if upsert_hash_index_path is not None:
+                D.compact_hash_index(spark, upsert_hash_index_path)
 
     writer = stream.writeStream.foreachBatch(serve)
     if checkpoint is not None:

@@ -1,8 +1,8 @@
 """Registered query for the declarative continuous-ingestion topology.
 
-``plans/ingestion.py`` wires the curation gates (persisted MinHash
-index probe -> quantized DSIR score -> shingle containment) into ONE
-topology dict; this module runs that topology in batch mode on the
+``plans/ingestion.py`` wires the curation gates (persisted hash-index
+exact probe -> persisted MinHash index probe -> quantized DSIR score ->
+shingle containment) into ONE topology dict; this module runs that topology in batch mode on the
 standard arriving-batch slice (``doc_id % 10 == 0``, same as the other
 incremental queries) and pairs it with a DuckDB oracle that composes
 the gates' own SQL twins — so the full pipeline, not just each gate, is
@@ -52,6 +52,28 @@ def _ingest_ratios(spark: SparkSession, sf_dir: str) -> list[float]:
 
 _PROBE_PRED = f"doc_id % {_INCR_NEW_MOD} = 0"
 _BUILD_PRED = f"doc_id % {_INCR_NEW_MOD} != 0"
+
+#: per-process persisted hash index over the corpus slice (the exact
+#: gate's serve side) — keyed by every build parameter.
+_INGEST_HASH_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _ingest_hash_index_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (sf_dir, _INCR_NEW_MOD, D.HASH_INDEX_BUCKETS)
+    path = _INGEST_HASH_INDEX_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ingest_hash_index_")
+        D.build_hash_index(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % _INCR_NEW_MOD != 0
+            ),
+            path,
+        )
+        _INGEST_HASH_INDEX_CACHE[key] = path
+    return path
+
 
 #: per-process persisted containment index over the corpus slice —
 #: keyed by every build parameter (same staleness rule as the other
@@ -165,8 +187,9 @@ WHERE dsir_logweight_r >= {INGEST_DSIR_CUTOFF}
 @query("pipeline_ingestion_curated", oracle=_INGESTION_ORACLE)
 def pipeline_ingestion_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation loop AS A TOPOLOGY (reference: topology-as-data,
-    core.clj:139-157): the arriving batch flows raw-docs -> near-dup
-    gate (persisted band-index probe with static partition routing) ->
+    core.clj:139-157): the arriving batch flows raw-docs -> exact gate
+    (persisted hash-index probe, bucket-routed) -> near-dup gate
+    (persisted band-index probe with static partition routing) ->
     DSIR gate (quantized stateless fold, keep target-domain-leaning
     docs) -> containment gate (prefix-posting probe x corpus) ->
     curated sink, all declared as one dict and compiled by
@@ -174,7 +197,10 @@ def pipeline_ingestion_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_ingestion_stream (foreachBatch, per-trigger cost independent of
     corpus size); here it runs batch-mode against the standard
     incremental slice so the ENTIRE composed pipeline is oracle-checked,
-    not just each gate in isolation."""
+    not just each gate in isolation. The oracle has no exact-gate CTE
+    ON PURPOSE: an exact dup has Jaccard 1.0, so the near-dup CTE
+    subsumes every exact drop — the gate changes per-batch cost, never
+    the curated set (pinned by test_exact_gate_is_semantic_noop)."""
     docs = load_table(spark, sf_dir, "documents")
     probe = docs.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % _INCR_NEW_MOD != 0)
@@ -184,6 +210,7 @@ def pipeline_ingestion_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus=corpus,
         ratios=_ingest_ratios(spark, sf_dir),
         containment_index_path=_containment_index_path(spark, sf_dir),
+        hash_index_path=_ingest_hash_index_path(spark, sf_dir),
     )
     curated = run_ingestion_batch(spark, topo, probe)
     return curated.select("doc_id", "n_tokens", "dsir_logweight_r")

@@ -207,3 +207,132 @@ def test_to_dot_renders_ingestion_dataflow(spark, tmp_path):
         assert name in dot
     for src, dst in topo["workflow"]:
         assert f'"{src}" -> "{dst}"' in dot
+
+
+def test_exact_gate_drops_recrawls_before_neardup(spark, tmp_path):
+    """With a hash_index_path the topology prepends the exact gate: a
+    byte-identical re-crawl must die there — the near-dup gate (the
+    expensive signature/verify path) never sees it."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import build_hash_index
+    from kafka_streams_the_clojure_way_spark.plans.compiler import compile_topology
+    from kafka_streams_the_clojure_way_spark.operators.text import dsir_bucket_ratios
+    from kafka_streams_the_clojure_way_spark.plans.ingestion import ingestion_topology
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    mh_path = str(tmp_path / "mh_idx")
+    build_minhash_index(corpus, mh_path)
+    hx_path = str(tmp_path / "hx_idx")
+    build_hash_index(corpus, hx_path)
+    topo = ingestion_topology(
+        spark,
+        index_path=mh_path,
+        corpus=corpus,
+        ratios=dsir_bucket_ratios(corpus, F.col("lang") == "en"),
+        dsir_cutoff=0.0,
+        jaccard_threshold=0.5,
+        hash_index_path=hx_path,
+    )
+    # 201 = byte-identical re-crawl of corpus doc 2 under a fresh id
+    batch = spark.createDataFrame(
+        [(201, CORPUS[1][1], "en")] + ARRIVING, SCHEMA
+    )
+    compiled = compile_topology(spark, topo, {"topic/raw-docs": batch})
+    after_exact = {r.doc_id for r in compiled["stream/exact-gate"].select("doc_id").collect()}
+    assert after_exact == {101, 102, 103, 104}, after_exact
+    after_neardup = {r.doc_id for r in compiled["stream/neardup-gate"].select("doc_id").collect()}
+    assert after_neardup == {102, 103, 104}
+    curated = {r.doc_id for r in compiled["topic/curated-docs"].select("doc_id").collect()}
+    assert curated == set(SURVIVOR_IDS)
+
+
+def test_exact_gate_is_semantic_noop(spark, tmp_path):
+    """The registered query's oracle argument: curated output with the
+    exact gate enabled must be IDENTICAL to the topology without it,
+    even when the batch contains byte-identical re-crawls (an exact dup
+    has Jaccard 1.0, so the near-dup gate subsumes every exact drop)."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import build_hash_index
+    from kafka_streams_the_clojure_way_spark.operators.text import dsir_bucket_ratios
+    from kafka_streams_the_clojure_way_spark.plans.ingestion import ingestion_topology
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    mh_path = str(tmp_path / "mh_idx")
+    build_minhash_index(corpus, mh_path)
+    hx_path = str(tmp_path / "hx_idx")
+    build_hash_index(corpus, hx_path)
+    common = dict(
+        index_path=mh_path,
+        corpus=corpus,
+        ratios=dsir_bucket_ratios(corpus, F.col("lang") == "en"),
+        dsir_cutoff=0.0,
+        jaccard_threshold=0.5,
+    )
+    batch = spark.createDataFrame(
+        [(201, CORPUS[0][1], "en"), (202, CORPUS[1][1], "en")] + ARRIVING, SCHEMA
+    )
+    with_gate = run_ingestion_batch(
+        spark, ingestion_topology(spark, hash_index_path=hx_path, **common), batch
+    )
+    without_gate = run_ingestion_batch(
+        spark, ingestion_topology(spark, **common), batch
+    )
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert rows(with_gate) == rows(without_gate)
+    assert {r.doc_id for r in with_gate.collect()} == set(SURVIVOR_IDS)
+
+
+def test_stream_hash_upsert_catches_later_recrawl(spark, tmp_path):
+    """Close the exact-gate loop in streaming: with
+    upsert_hash_index_path, an admitted doc's hashes join the index, so
+    a byte-identical copy arriving in a LATER micro-batch dies at the
+    exact gate (only the hash index is upserted here — the minhash index
+    stays build-time, isolating the mechanism under test)."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import build_hash_index
+    from kafka_streams_the_clojure_way_spark.operators.text import dsir_bucket_ratios
+    from kafka_streams_the_clojure_way_spark.plans.ingestion import (
+        ingestion_topology,
+        run_ingestion_stream,
+    )
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    mh_path = str(tmp_path / "mh_idx")
+    build_minhash_index(corpus, mh_path)
+    hx_path = str(tmp_path / "hx_idx")
+    build_hash_index(corpus, hx_path)
+    caches: list = []
+    topo = ingestion_topology(
+        spark,
+        index_path=mh_path,
+        corpus=corpus,
+        ratios=dsir_bucket_ratios(corpus, F.col("lang") == "en"),
+        dsir_cutoff=0.0,
+        jaccard_threshold=0.5,
+        hash_index_path=hx_path,
+        cache_registry=caches,
+    )
+    batches = [
+        [ARRIVING[1]],                        # 102 admitted
+        [(302, ARRIVING[1][1], "en")],        # byte-identical re-crawl of 102
+    ]
+    in_dir = tmp_path / "arriving"
+    for i, rows_ in enumerate(batches):
+        spark.createDataFrame(rows_, SCHEMA).write.parquet(str(in_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    admitted = []
+
+    def sink(curated, batch_id):
+        admitted.extend(r.doc_id for r in curated.collect())
+
+    q = run_ingestion_stream(
+        spark, topo, stream, sink,
+        cache_registry=caches,
+        upsert_hash_index_path=hx_path,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    drain(q)
+    assert sorted(admitted) == [102], admitted
