@@ -3088,3 +3088,147 @@ def agg_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_jaccard_r"),
         )
     )
+
+
+@query(
+    "agg_source_curation_report",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT source, lang,
+               CAST(len({T.tokens_sql('text')}) AS BIGINT) AS n_toks,
+               {D.content_hash_sql('text')} AS h,
+               CAST(round({T.quality_scores_sql()['quality_score']} * 10000)
+                    AS BIGINT) AS qmicro
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(qmicro) AS DOUBLE) / COUNT(*) / 10000, 6)
+               AS avg_quality,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS exact_dup_docs,
+           CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en_docs
+    FROM per_doc GROUP BY source
+    """,
+)
+def agg_source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report — the one-screen artifact a
+    curation run publishes per ingest wave: doc and token counts, mean
+    quality score, distinct-content count (exact-dup pressure), and
+    English share, grouped by source.
+
+    Scale shape: one corpus pass computing per-doc features (all
+    JVM-side expressions), one partial-agg shuffle on ``source``
+    (|sources| groups — model-sized output at any corpus size).
+    ULP-proofing: the quality average is summed as BIGINT micro-units
+    (each per-doc score is already rounded to 4 decimals, so the
+    micro-unit is integer-exact) — the order-independent integer sum
+    makes the rounded average bit-reproducible against the SQL oracle,
+    the same trick as the ingestion DSIR gate."""
+    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
+    scored = T.quality_scores(docs)
+    per_doc = scored.select(
+        "source",
+        "lang",
+        F.array_size(T.tokens_col(F.col("text"))).cast("long").alias("n_toks"),
+        D.content_hash(F.col("text")).alias("h"),
+        F.round(F.col("quality_score") * 10000, 0).cast("long").alias("qmicro"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.round(
+            F.sum("qmicro").cast("double") / F.count(F.lit(1)) / F.lit(10000), 6
+        ).alias("avg_quality"),
+        F.countDistinct("h").alias("n_distinct_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("exact_dup_docs"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_en_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Persisted-index integrity audits: recompute each index's on-disk
+# partition layout from the base table in SQL and compare bit-for-bit —
+# the check an operator runs after a restore/compaction/migration to
+# prove the serve artifact still equals what a fresh build would write.
+# --------------------------------------------------------------------------
+
+def _minhash_band_structs_sql(n_hashes: int, bands: int) -> str:
+    rows = n_hashes // bands
+    return ", ".join(
+        f"struct_pack(band := {b}, bkey := {D._band_key_sql('sig', b, rows)})"
+        for b in range(bands)
+    )
+
+
+@query(
+    "meta_hash_index_layout",
+    oracle=f"""
+    SELECT {D.content_hash_sql('text')} % {D.HASH_INDEX_BUCKETS} AS bucket,
+           COUNT(*) AS n_postings,
+           CAST(COUNT(DISTINCT {D.content_hash_sql('text')}) AS BIGINT)
+               AS n_distinct_hashes
+    FROM documents GROUP BY 1
+    """,
+)
+def meta_hash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity audit of the persisted exact-hash index: per-bucket
+    posting and distinct-hash counts read from the ON-DISK artifact
+    (build_hash_index's hive layout), oracle-checked against a SQL
+    recomputation from the documents table. A drifted, truncated, or
+    double-appended index shows up as a count mismatch here before it
+    silently corrupts probe results. Scan cost: the index's hash table
+    only (~16 bytes/doc), never the corpus text."""
+    path = _hash_index_path(spark, sf_dir)
+    return (
+        spark.read.parquet(f"{path}/hashes")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.countDistinct("content_hash").alias("n_distinct_hashes"),
+        )
+        .select(F.col("bucket").cast("long").alias("bucket"), "n_postings", "n_distinct_hashes")
+    )
+
+
+@query(
+    "meta_minhash_index_layout",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id, {D.minhash_signature_sql('text')} AS sig
+        FROM documents WHERE doc_id % {_INCR_NEW_MOD} != 0
+    ),
+    banded AS (
+        SELECT doc_id, u.band AS band, u.bkey AS bkey
+        FROM sig, unnest([{_minhash_band_structs_sql(D.N_MINHASH, D.LSH_BANDS)}]) AS t(u)
+    )
+    SELECT band, bkey % {D.MINHASH_INDEX_BUCKETS} AS bucket,
+           COUNT(*) AS n_postings,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM banded GROUP BY 1, 2
+    """,
+)
+def meta_minhash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity audit of the persisted MinHash band index: per
+    (band, bucket) posting and doc counts from the on-disk bands table,
+    oracle-checked against re-signing the corpus slice in SQL. Pins the
+    full build path — shingling, signatures, band keys, bucket routing,
+    AND the hive partition layout — as one bit-exact artifact check;
+    the serve-path probes are only as good as this table. Scan cost:
+    the banding table (~1% of corpus bytes), never the corpus text."""
+    path = _minhash_index_path(spark, sf_dir)
+    return (
+        spark.read.parquet(f"{path}/bands")
+        .groupBy("band", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .select(
+            F.col("band").cast("long").alias("band"),
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_postings",
+            "n_docs",
+        )
+    )

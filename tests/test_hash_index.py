@@ -241,3 +241,31 @@ def test_probe_stream_serve_prunes_and_upserts(spark, tmp_path):
     assert sorted(got) == expected
     files = _files_per_leaf_dir(f"{path}/hashes")
     assert files and all(n == 1 for n in files.values()), files
+
+
+def test_streaming_gate_matches_batch(spark, tmp_path):
+    """The stream-static fallback leg: probing with a streaming frame
+    directly (no foreachBatch) must produce the batch probe's rows —
+    correctness-identical, just pruning-free (documented)."""
+    from kafka_streams_the_clojure_way_spark.sources.memory import start_memory_sink
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    path = str(tmp_path / "idx")
+    build_hash_index(corpus, path)
+    expected = _rows(hash_index_probe(spark, path, spark.createDataFrame(ARRIVING, SCHEMA)))
+    assert expected
+
+    in_dir = tmp_path / "arriving"
+    for i, row in enumerate(ARRIVING):
+        spark.createDataFrame([row], SCHEMA).write.parquet(str(in_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(in_dir))
+    )
+    gated = hash_index_probe(spark, path, stream)
+    assert gated.isStreaming
+    q = start_memory_sink(gated, "exact_gate_stream")
+    drain(q)
+    assert _rows(spark.table("exact_gate_stream")) == expected
