@@ -2283,6 +2283,17 @@ def containment_index_probe(
         F.col("sh").alias("sh_c"),
         F.col("size").alias("sz_c"),
     )
+    tomb = _read_optional(spark, f"{index_path}/tombstones")
+    if tomb is not None:
+        # logical deletes, same contract as the other indexes: tombstoned
+        # corpus docs drop out of candidates via a broadcast anti-join
+        # bounded by the live tombstone count; compact_containment_index
+        # folds them in physically.
+        cand = cand.join(
+            F.broadcast(tomb.select(F.col(cid).alias("corpus_id")).distinct()),
+            "corpus_id",
+            "left_anti",
+        )
     inter = F.array_size(F.array_intersect("sh_p", "sh_c"))
     c = F.round(inter.cast("double") / F.least("sz_p", "sz_c").cast("double"), 6)
     return (
@@ -2298,3 +2309,105 @@ def containment_index_probe(
         .filter(F.col("__keep"))
         .drop("__keep")
     )
+
+
+def containment_index_upsert(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    assume_new_ids: bool = False,
+) -> None:
+    """ADD a document batch to a persisted containment index without
+    rebuilding — completes the lifecycle parity with the other three
+    persisted indexes (hash, MinHash band, IVF): shingle the batch with
+    the index's own threshold and APPEND its sets row plus full/prefix
+    posting rows; the corpus is never re-shingled, so keeping the index
+    current costs O(batch) per cycle. Prefixes stay hash-ordered, which
+    is what makes incremental adds sound — a frequency-ordered prefix
+    scheme would need re-sorting the whole corpus as frequencies drift.
+
+    Add-only contract as in :func:`minhash_index_upsert`: arriving ids
+    are anti-joined against the index's sets id column unless
+    ``assume_new_ids=True``. Crash-retry contract (three appends): the
+    anti-join keys on ``sets``, which is written FIRST — a crash before
+    the posting appends leaves the doc listed but partially posted (it
+    verifies but stops surfacing as a candidate until a rebuild or
+    compact), and the retry skips it rather than double-appending
+    postings, the same orphan-direction choice as the MinHash index.
+    Each append is one file per batch; run
+    :func:`compact_containment_index` on a cadence."""
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    t_num, t_den, cid = meta["t_num"], meta["t_den"], meta["id_col"]
+    if not assume_new_ids:
+        existing = spark.read.parquet(f"{index_path}/sets").select(
+            F.col(cid).alias(id_col)
+        )
+        batch = batch.join(existing, id_col, "left_anti")
+    # eager localCheckpoint: the anti-join reads the sets path the first
+    # append below mutates (see minhash_index_upsert).
+    sets = (
+        with_min_parallelism(batch)
+        .select(F.col(id_col).alias(cid), shingle_hashes(F.col(text)).alias("sh"))
+        .withColumn("size", F.array_size("sh"))
+        .localCheckpoint()
+    )
+    sets.coalesce(1).write.mode("append").parquet(f"{index_path}/sets")
+    prefix_len = (
+        F.col("size")
+        - F.expr(f"(size * {t_num} + {t_den} - 1) div {t_den}")
+        + 1
+    )
+    sets.select(F.col(cid), F.explode("sh").alias("h")).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{index_path}/full")
+    sets.select(
+        F.col(cid),
+        F.explode(F.slice(F.sort_array(F.col("sh")), 1, prefix_len)).alias("h"),
+    ).coalesce(1).write.mode("append").parquet(f"{index_path}/prefix")
+
+
+def containment_index_delete(
+    spark, index_path: str, ids, *, id_col: str = "doc_id"
+) -> None:
+    """LOGICAL delete (tombstone) — same contract as the other indexes:
+    ids append to ``path/tombstones``, probes anti-join the (broadcast)
+    set, :func:`compact_containment_index` folds them in physically and
+    clears the set. A tombstoned id stays visible to the upsert
+    anti-join until compaction (re-add requires a compact first)."""
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    if isinstance(ids, DataFrame):
+        frame = ids.select(F.col(id_col).cast("long").alias(meta["id_col"]))
+    else:
+        frame = spark.createDataFrame([(int(i),) for i in ids], f"{meta['id_col']} long")
+    frame.coalesce(1).write.mode("append").parquet(f"{index_path}/tombstones")
+
+
+def compact_containment_index(spark, index_path: str) -> None:
+    """Restore size-targeted files in ``sets``/``full``/``prefix`` after
+    many upsert batches, folding tombstones in physically (rows dropped
+    during the rewrite, set cleared) — probe answers byte-identical
+    before/after. Note compaction preserves rows, it does not re-derive
+    them: a doc left partially posted by a crashed upsert (the
+    documented orphan state) is healed by a rebuild, not a compact.
+    Crash-safe rename-aside swap; not concurrent-probe safe — run
+    between probe batches."""
+    import shutil
+
+    from kafka_streams_the_clojure_way_spark.sources.files import compact_files
+
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    tomb = _read_optional(spark, f"{index_path}/tombstones")
+    drop = None
+    if tomb is not None:
+        dead = F.broadcast(tomb.select(meta["id_col"]).distinct())
+
+        def drop(df):  # noqa: F811
+            return df.join(dead, meta["id_col"], "left_anti")
+
+    for leg in ("sets", "full", "prefix"):
+        compact_files(spark, f"{index_path}/{leg}", transform=drop)
+    if tomb is not None:
+        shutil.rmtree(f"{index_path}/tombstones")

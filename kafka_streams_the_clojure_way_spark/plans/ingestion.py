@@ -223,6 +223,7 @@ def run_ingestion_stream(
     cache_registry: list | None = None,
     upsert_index_path: str | None = None,
     upsert_hash_index_path: str | None = None,
+    upsert_containment_index_path: str | None = None,
     compact_every: int | None = None,
     id_col: str = "doc_id",
     text: str = "text",
@@ -250,7 +251,10 @@ def run_ingestion_stream(
     probe-then-upsert cycle of ``minhash_index_probe_stream``, with the
     quality gates in between). ``upsert_hash_index_path`` does the same
     for the exact gate's hash index — admitted docs are hashed in so a
-    byte-identical later arrival is caught at the cheapest gate.
+    byte-identical later arrival is caught at the cheapest gate — and
+    ``upsert_containment_index_path`` for the containment gate's index,
+    so a later fragment (or concatenation) of an admitted doc is caught
+    too.
     ``compact_every=N`` compacts the upserted index(es) after every
     N-th upserting batch. foreachBatch is at-least-once, so the default
     ``assume_new_ids=False`` keeps replayed batches idempotent via the
@@ -295,6 +299,15 @@ def run_ingestion_stream(
                     id_col=id_col,
                     assume_new_ids=assume_new_ids,
                 )
+            if upsert_containment_index_path is not None:
+                D.containment_index_upsert(
+                    spark,
+                    upsert_containment_index_path,
+                    curated,
+                    text=text,
+                    id_col=id_col,
+                    assume_new_ids=assume_new_ids,
+                )
         finally:
             if cache_registry is not None:
                 for frame in cache_registry:
@@ -305,6 +318,8 @@ def run_ingestion_stream(
                 D.compact_minhash_index(spark, upsert_index_path)
             if upsert_hash_index_path is not None:
                 D.compact_hash_index(spark, upsert_hash_index_path)
+            if upsert_containment_index_path is not None:
+                D.compact_containment_index(spark, upsert_containment_index_path)
 
     writer = stream.writeStream.foreachBatch(serve)
     if checkpoint is not None:

@@ -73,6 +73,11 @@ PROBE_QUERIES = [
     "pipeline_ingestion_curated",   # composed topology: index probe + DSIR + containment
                                     # [factor-capped: replica copies are mutual
                                     # near-dups/containments, candidates ~factor^2]
+    "agg_source_curation_report",   # one corpus pass + |sources|-group shuffle
+    "dedup_incremental_exact_indexed",  # persisted hash-index probe (batch ~factor,
+                                    # matches per probe ~factor under exact-copy
+                                    # replication -> output ~factor^2)
+                                    # [factor-capped, see PROBE_FACTOR_CAP]
 ]
 
 
@@ -140,6 +145,7 @@ PROBE_FACTOR_CAP = {
     "dedup_containment_pairs": 10,
     "eval_ann_quantized_quality": 10,
     "pipeline_ingestion_curated": 10,
+    "dedup_incremental_exact_indexed": 10,
 }
 
 

@@ -336,3 +336,69 @@ def test_stream_hash_upsert_catches_later_recrawl(spark, tmp_path):
     )
     drain(q)
     assert sorted(admitted) == [102], admitted
+
+
+def test_stream_containment_upsert_catches_later_fragment(spark, tmp_path):
+    """Close the containment-gate loop in streaming: with
+    upsert_containment_index_path, an admitted doc's shingle postings
+    join the index, so a strict FRAGMENT of it arriving in a later
+    micro-batch dies at the containment gate (only the containment
+    index is upserted here, isolating the mechanism — the fragment is
+    not similar enough to trip the near-dup gate against the admitted
+    doc, which is not in the minhash index anyway)."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        build_containment_index,
+        build_minhash_index,
+    )
+    from kafka_streams_the_clojure_way_spark.operators.text import dsir_bucket_ratios
+    from kafka_streams_the_clojure_way_spark.plans.ingestion import (
+        ingestion_topology,
+        run_ingestion_stream,
+    )
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    mh_path = str(tmp_path / "mh_idx")
+    build_minhash_index(corpus, mh_path)
+    ct_path = str(tmp_path / "ct_idx")
+    build_containment_index(corpus, ct_path)
+    caches: list = []
+    topo = ingestion_topology(
+        spark,
+        index_path=mh_path,
+        corpus=corpus,
+        ratios=dsir_bucket_ratios(corpus, F.col("lang") == "en"),
+        dsir_cutoff=0.0,
+        jaccard_threshold=0.5,
+        containment_index_path=ct_path,
+        cache_registry=caches,
+    )
+    batches = [
+        [ARRIVING[1]],  # 102 admitted
+        # strict fragment of 102 (6 of its 9 tokens -> 4 of 7 shingles:
+        # containment 4/4 = 1.0 >= 0.8, Jaccard 4/7 < 0.5 at the near-dup
+        # gate if it ever got there)
+        [(402, "the data pipeline stages run tasks", "en")],
+    ]
+    in_dir = tmp_path / "arriving"
+    for i, rows_ in enumerate(batches):
+        spark.createDataFrame(rows_, SCHEMA).write.parquet(str(in_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    admitted = []
+
+    def sink(curated, batch_id):
+        admitted.extend(r.doc_id for r in curated.collect())
+
+    q = run_ingestion_stream(
+        spark, topo, stream, sink,
+        cache_registry=caches,
+        upsert_containment_index_path=ct_path,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    drain(q)
+    assert sorted(admitted) == [102], admitted

@@ -354,3 +354,79 @@ def test_containment_index_probe_matches_inline(spark, tmp_path):
         D.CONTAINMENT_THRESHOLD_NUM,
         D.CONTAINMENT_THRESHOLD_DEN,
     )
+
+
+def test_containment_index_upsert_matches_rebuild_and_is_idempotent(spark, tmp_path):
+    """Lifecycle parity with the other persisted indexes: build on
+    corpus part A then upsert part B must answer probes identically to
+    an index built on A ∪ B, and re-upserting already-indexed docs must
+    be a no-op (the add-only anti-join)."""
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    probe = docs.filter(F.col("doc_id") % 10 == 0)
+    part_a = corpus.filter(F.col("doc_id") % 3 != 0)
+    part_b = corpus.filter(F.col("doc_id") % 3 == 0)
+
+    def rows(df):
+        return sorted(
+            (r.probe_id, r.corpus_id, r.n_shared, r.containment_r)
+            for r in df.collect()
+        )
+
+    inc = str(tmp_path / "inc")
+    D.build_containment_index(part_a, inc)
+    D.containment_index_upsert(spark, inc, part_b)
+
+    full = str(tmp_path / "full")
+    D.build_containment_index(corpus, full)
+
+    want = rows(D.containment_index_probe(spark, full, probe))
+    got = rows(D.containment_index_probe(spark, inc, probe))
+    assert got == want and want
+
+    D.containment_index_upsert(spark, inc, corpus)  # all already indexed
+    assert rows(D.containment_index_probe(spark, inc, probe)) == want
+
+
+def test_containment_index_delete_compact_readd(spark, tmp_path):
+    """Tombstone lifecycle: a deleted corpus doc stops matching
+    immediately, compaction folds it in physically (byte-identical
+    probes, tombstone set cleared), and the id can be re-added after
+    the compact."""
+    import os
+
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    probe = docs.filter(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "tomb")
+    D.build_containment_index(corpus, path)
+
+    def rows():
+        return sorted(
+            (r.probe_id, r.corpus_id, r.n_shared, r.containment_r)
+            for r in D.containment_index_probe(spark, path, probe).collect()
+        )
+
+    before = rows()
+    assert before, "fixture slice must produce containment pairs"
+    victim = before[0][1]
+
+    D.containment_index_delete(spark, path, [victim])
+    after_del = rows()
+    assert after_del == [r for r in before if r[1] != victim]
+
+    D.compact_containment_index(spark, path)
+    assert not os.path.exists(f"{path}/tombstones")
+    assert rows() == after_del
+    live = {
+        r.doc_id
+        for r in spark.read.parquet(f"{path}/sets").select("doc_id").collect()
+    }
+    assert victim not in live
+
+    D.containment_index_upsert(spark, path, corpus.filter(F.col("doc_id") == victim))
+    assert rows() == before
