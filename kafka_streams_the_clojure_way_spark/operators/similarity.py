@@ -798,6 +798,123 @@ def ivf_index_topk_stream(
     return writer.trigger(**(trigger or {"availableNow": True})).start()
 
 
+def ivf_index_neardup_pairs(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Semantic near-duplicate PROBE against a persisted IVF index: the
+    embedding-space twin of ``dedup.minhash_index_probe`` — every query
+    vector retrieves its candidates from the probed cells (same
+    partition-pruned postings scan as :func:`ivf_index_topk`) and every
+    (probe, corpus) pair with cosine >= ``threshold`` is emitted. This
+    is the SemDeDup-style "is an arriving doc semantically already in
+    the corpus?" gate served from disk: per-batch cost is
+    O(batch x n_cells) routing + a scan of only the probed cell
+    directories, independent of corpus size.
+
+    Approximation contract (identical to every IVF serve): only the
+    ``n_probe`` best cells per query are searched, so a near-dup whose
+    vector landed in an unprobed cell is missed — recall is the n_probe
+    dial, and the oracle (:func:`ivf_neardup_pairs_between_sql`) models
+    the probed-cells semantics exactly. A probe is never its own
+    duplicate (probe_id != corpus_id). Tombstoned vectors never match.
+
+    Output: (probe_id, corpus_id, cosine_r)."""
+    from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
+
+    cents = F.broadcast(
+        spark.read.parquet(f"{index_path}/centroids").select(
+            F.col("cent_id"), F.col("cent_vec")
+        )
+    )
+    q = queries.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__qvec"))
+    probe = top_k_per_key(
+        q.join(cents).select(
+            "probe_id",
+            "__qvec",
+            "cent_id",
+            cosine(F.col("__qvec"), F.col("cent_vec")).alias("__cos"),
+        ),
+        keys=["probe_id"],
+        order_by=[F.col("__cos").desc(), F.col("cent_id")],
+        k=n_probe,
+        rank_col="__cr",
+    ).select("probe_id", "__qvec", F.col("cent_id").alias("cell"))
+
+    postings = spark.read.parquet(f"{index_path}/postings")
+    scored = (
+        postings.join(F.broadcast(probe), "cell")
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("cosine", cosine(F.col("__qvec"), F.col("vec")))
+        .filter(F.col("cosine") >= threshold)
+    )
+    tomb = _ivf_tombstones(spark, index_path)
+    if tomb is not None:
+        scored = scored.join(
+            F.broadcast(tomb.select("neighbor_id").distinct()),
+            "neighbor_id",
+            "left_anti",
+        )
+    return scored.select(
+        "probe_id",
+        F.col("neighbor_id").alias("corpus_id"),
+        F.round("cosine", 6).alias("cosine_r"),
+    )
+
+
+def ivf_neardup_pairs_between_sql(
+    probe_pred: str,
+    corpus_pred: str,
+    *,
+    threshold: float,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = IVF_NPROBE,
+    centroid_mod: int = IVF_CENTROID_MOD,
+    n_cells: int = IVF_N_CELLS,
+) -> str:
+    """DuckDB twin of :func:`ivf_index_neardup_pairs` with both sides
+    selected from ``table`` by predicate (``probe_pred`` may reference
+    outer CTEs — the composed ingestion oracle passes an
+    ``IN (SELECT ...)`` form). Centroids come from the CORPUS side only,
+    exactly like an index built on the corpus slice; the probed-cells
+    approximation is modeled, not idealized."""
+    cos_cent = cosine_sql(f"s.{vec_col}", f"c.{vec_col}")
+    cos_pn = cosine_sql("p.qvec", "n.cvec")
+    return f"""
+    WITH cents AS (
+        SELECT {id_col} AS cent_id, {vec_col} FROM {table}
+        WHERE ({corpus_pred}) AND {id_col} % {centroid_mod} = 1
+        ORDER BY {id_col} LIMIT {n_cells}
+    ),
+    cscore AS (
+        SELECT s.{id_col} AS nid, s.{vec_col} AS cvec, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY s.{id_col}
+                                  ORDER BY {cos_cent} DESC, c.cent_id) AS r
+        FROM (SELECT * FROM {table} s WHERE {corpus_pred}) s, cents c
+    ),
+    corpus_cells AS (SELECT nid, cvec, cent_id AS cell FROM cscore WHERE r = 1),
+    qscore AS (
+        SELECT s.{id_col} AS pid, s.{vec_col} AS qvec, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY s.{id_col}
+                                  ORDER BY {cos_cent} DESC, c.cent_id) AS r
+        FROM (SELECT * FROM {table} s WHERE {probe_pred}) s, cents c
+    ),
+    probe AS (SELECT pid, qvec, cent_id AS cell FROM qscore WHERE r <= {n_probe})
+    SELECT p.pid AS probe_id, n.nid AS corpus_id, round({cos_pn}, 6) AS cosine_r
+    FROM probe p JOIN corpus_cells n
+      ON n.cell = p.cell AND n.nid != p.pid
+    WHERE {cos_pn} >= {threshold}
+    """
+
+
 # --------------------------------------------------------------------------
 # int8 quantized similarity: 4x memory/bandwidth, integer-exact oracle
 # --------------------------------------------------------------------------

@@ -31,6 +31,13 @@ must pass before it joins the training corpus:
     stream/containment-gate  asymmetric shingle containment — drop
         │                    docs already covered by (or swallowing) a
         │                    corpus doc (operators/dedup.py)
+    stream/semantic-gate     (optional) persisted IVF-index probe over
+        │                    the docs' EMBEDDINGS (SemDeDup as a serve
+        │                    path) — drop docs whose vector has a
+        │                    cosine-near corpus vector in its probed
+        │                    cells; the one gate that sees
+        │                    paraphrase-class duplicates with zero
+        │                    shingle overlap (operators/similarity.py)
     topic/curated-docs
 
 Because every gate is a ``DataFrame -> DataFrame`` xform, the SAME
@@ -61,6 +68,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_the_clojure_way_spark.operators import dedup as D
+from kafka_streams_the_clojure_way_spark.operators import similarity as S
 from kafka_streams_the_clojure_way_spark.operators import text as T
 from kafka_streams_the_clojure_way_spark.plans.spec import Topology
 
@@ -72,6 +80,13 @@ INGEST_JACCARD_THRESHOLD = 0.8
 #: slice is concentrated), so 0.0 would admit almost nothing; -0.5
 #: admits roughly the top half, which is what a gate demo should do.
 INGEST_DSIR_CUTOFF = -0.5
+#: semantic-gate cosine cutoff. The synthetic embeddings are
+#: isotropic-random (max pairwise cosine ~0.48 — see the neardup-pairs
+#: query's note), so a production-style 0.95 would make the gate
+#: vacuous; 0.35 flags roughly the most-similar third of probes within
+#: their probed IVF cells at the shipped SFs — enough signal to
+#: value-check the gate without emptying the curated set.
+INGEST_SEMANTIC_COS = 0.35
 
 
 def ingestion_topology(
@@ -88,6 +103,10 @@ def ingestion_topology(
     text: str = "text",
     containment_index_path: str | None = None,
     hash_index_path: str | None = None,
+    ivf_index_path: str | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = INGEST_SEMANTIC_COS,
+    semantic_n_probe: int = S.IVF_NPROBE,
     cache_registry: list | None = None,
 ) -> Topology:
     """Build the curation-loop topology dict. ``index_path`` is a
@@ -108,6 +127,17 @@ def ingestion_topology(
     Jaccard 1.0 => the near-dup gate drops the same docs) — the gate
     buys per-batch cost, not semantics, which also means enabling it
     never changes the composed pipeline's oracle.
+
+    ``ivf_index_path`` + ``embeddings`` append the SEMANTIC gate (the
+    SemDeDup idea as a serve path): survivors of the lexical gates look
+    up their embedding in ``embeddings`` (an id->vector side table —
+    the stand-in for "embed the batch"; docs with no embedding pass
+    through un-probed) and probe the persisted IVF index
+    (``build_ivf_index`` over the corpus vectors); any probe with
+    cosine >= ``semantic_threshold`` to a corpus vector within its
+    ``semantic_n_probe`` best cells is dropped. This catches the
+    paraphrase/translation/re-render duplicates that share no shingles
+    — the one duplicate class the lexical gates cannot see.
 
     Gate outputs: the near-dup and containment gates pass survivor rows
     through unchanged (anti-join on flagged probe ids); the DSIR gate
@@ -179,6 +209,28 @@ def ingestion_topology(
         flagged = pairs.select(F.col("probe_id").alias(id_col)).distinct()
         return _pin(batch.join(flagged, id_col, "left_anti"))
 
+    def semantic_gate(batch: DataFrame) -> DataFrame:
+        # batch ids -> vectors via the side table (inner join: a doc
+        # with no embedding has no semantic signal and passes through),
+        # then one partition-pruned probe of the persisted IVF index.
+        probes = batch.select(F.col(id_col)).join(
+            embeddings.select(
+                F.col("vec_id").alias(id_col), F.col("embedding")
+            ),
+            id_col,
+        )
+        pairs = S.ivf_index_neardup_pairs(
+            spark,
+            ivf_index_path,
+            probes,
+            threshold=semantic_threshold,
+            id_col=id_col,
+            vec_col="embedding",
+            n_probe=semantic_n_probe,
+        )
+        flagged = pairs.select(F.col("probe_id").alias(id_col)).distinct()
+        return _pin(batch.join(flagged, id_col, "left_anti"))
+
     entities = {
         "topic/raw-docs": {"type": "topic", "name": "raw-docs"},
         "stream/neardup-gate": {"type": "stream", "xform": neardup_gate},
@@ -196,8 +248,15 @@ def ingestion_topology(
         [head, "stream/neardup-gate"],
         ["stream/neardup-gate", "stream/dsir-gate"],
         ["stream/dsir-gate", "stream/containment-gate"],
-        ["stream/containment-gate", "topic/curated-docs"],
     ]
+    tail = "stream/containment-gate"
+    if ivf_index_path is not None:
+        if embeddings is None:
+            raise ValueError("ivf_index_path requires an embeddings side table")
+        entities["stream/semantic-gate"] = {"type": "stream", "xform": semantic_gate}
+        workflow.append(["stream/containment-gate", "stream/semantic-gate"])
+        tail = "stream/semantic-gate"
+    workflow.append([tail, "topic/curated-docs"])
     return {"entities": entities, "workflow": workflow}
 
 
@@ -224,6 +283,8 @@ def run_ingestion_stream(
     upsert_index_path: str | None = None,
     upsert_hash_index_path: str | None = None,
     upsert_containment_index_path: str | None = None,
+    upsert_ivf_index_path: str | None = None,
+    embeddings: DataFrame | None = None,
     compact_every: int | None = None,
     id_col: str = "doc_id",
     text: str = "text",
@@ -254,7 +315,10 @@ def run_ingestion_stream(
     byte-identical later arrival is caught at the cheapest gate — and
     ``upsert_containment_index_path`` for the containment gate's index,
     so a later fragment (or concatenation) of an admitted doc is caught
-    too.
+    too. ``upsert_ivf_index_path`` (requires the same ``embeddings``
+    side table the semantic gate uses) adds admitted docs' VECTORS to
+    the IVF index through its frozen centroids, so a later semantic
+    twin of an admitted doc dies at the semantic gate.
     ``compact_every=N`` compacts the upserted index(es) after every
     N-th upserting batch. foreachBatch is at-least-once, so the default
     ``assume_new_ids=False`` keeps replayed batches idempotent via the
@@ -308,6 +372,20 @@ def run_ingestion_stream(
                     id_col=id_col,
                     assume_new_ids=assume_new_ids,
                 )
+            if upsert_ivf_index_path is not None:
+                S.ivf_index_upsert(
+                    spark,
+                    upsert_ivf_index_path,
+                    curated.select(F.col(id_col)).join(
+                        embeddings.select(
+                            F.col("vec_id").alias(id_col), F.col("embedding")
+                        ),
+                        id_col,
+                    ).select(
+                        F.col(id_col).alias("vec_id"), F.col("embedding")
+                    ),
+                    assume_new_ids=assume_new_ids,
+                )
         finally:
             if cache_registry is not None:
                 for frame in cache_registry:
@@ -320,6 +398,8 @@ def run_ingestion_stream(
                 D.compact_hash_index(spark, upsert_hash_index_path)
             if upsert_containment_index_path is not None:
                 D.compact_containment_index(spark, upsert_containment_index_path)
+            if upsert_ivf_index_path is not None:
+                S.compact_ivf_index(spark, upsert_ivf_index_path)
 
     writer = stream.writeStream.foreachBatch(serve)
     if checkpoint is not None:

@@ -15,11 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_the_clojure_way_spark.operators import dedup as D
+from kafka_streams_the_clojure_way_spark.operators import similarity as S
 from kafka_streams_the_clojure_way_spark.operators import text as T
 from kafka_streams_the_clojure_way_spark.functions import portable as P
 from kafka_streams_the_clojure_way_spark.plans.ingestion import (
     INGEST_DSIR_CUTOFF,
     INGEST_JACCARD_THRESHOLD,
+    INGEST_SEMANTIC_COS,
     ingestion_topology,
     run_ingestion_batch,
 )
@@ -123,8 +125,11 @@ def dedup_containment_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _containment_index_path(spark, sf_dir), probe
     )
 
-_INGESTION_ORACLE = f"""
-WITH nd AS (
+#: the shared CTE chain of the composed-pipeline oracles: near-dup gate
+#: -> DSIR gate -> containment gate. ``surv2`` carries every doc that
+#: reached the DSIR scorer with its score; the final filters differ per
+#: oracle below.
+_INGESTION_CTES = f"""nd AS (
     {D.minhash_lsh_pairs_between_sql(_PROBE_PRED, _BUILD_PRED, threshold=INGEST_JACCARD_THRESHOLD)}
 ),
 surv1 AS (
@@ -176,7 +181,10 @@ surv2 AS (
 ),
 cont AS (
     {D.containment_pairs_between_sql(_PROBE_PRED, _BUILD_PRED)}
-)
+)"""
+
+_INGESTION_ORACLE = f"""
+WITH {_INGESTION_CTES}
 SELECT doc_id, n_tokens, dsir_logweight_r
 FROM surv2
 WHERE dsir_logweight_r >= {INGEST_DSIR_CUTOFF}
@@ -211,6 +219,84 @@ def pipeline_ingestion_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratios=_ingest_ratios(spark, sf_dir),
         containment_index_path=_containment_index_path(spark, sf_dir),
         hash_index_path=_ingest_hash_index_path(spark, sf_dir),
+    )
+    curated = run_ingestion_batch(spark, topo, probe)
+    return curated.select("doc_id", "n_tokens", "dsir_logweight_r")
+
+
+#: per-process persisted IVF index over the CORPUS slice of the
+#: embeddings table (the semantic gate's serve side) — distinct from
+#: llm_pipeline._ivf_index_path, which indexes the whole table.
+_INGEST_IVF_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _ingest_ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (sf_dir, _INCR_NEW_MOD, S.IVF_CENTROID_MOD, S.IVF_N_CELLS)
+    path = _INGEST_IVF_INDEX_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ingest_ivf_index_")
+        S.build_ivf_index(
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") % _INCR_NEW_MOD != 0
+            ),
+            path,
+        )
+        _INGEST_IVF_INDEX_CACHE[key] = path
+    return path
+
+
+_EMB_PROBE_PRED = f"vec_id % {_INCR_NEW_MOD} = 0"
+_EMB_BUILD_PRED = f"vec_id % {_INCR_NEW_MOD} != 0"
+
+_INGESTION_SEMANTIC_ORACLE = f"""
+WITH {_INGESTION_CTES},
+surv3 AS (
+    SELECT doc_id, n_tokens, dsir_logweight_r
+    FROM surv2
+    WHERE dsir_logweight_r >= {INGEST_DSIR_CUTOFF}
+      AND doc_id NOT IN (SELECT probe_id FROM cont)
+),
+sem AS (
+    {S.ivf_neardup_pairs_between_sql(
+        f"({_EMB_PROBE_PRED}) AND vec_id IN (SELECT doc_id FROM surv3)",
+        _EMB_BUILD_PRED,
+        threshold=INGEST_SEMANTIC_COS,
+    )}
+)
+SELECT doc_id, n_tokens, dsir_logweight_r FROM surv3
+WHERE doc_id NOT IN (SELECT probe_id FROM sem)
+"""
+
+
+@query("pipeline_ingestion_semantic", oracle=_INGESTION_SEMANTIC_ORACLE)
+def pipeline_ingestion_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL five-gate curation topology: pipeline_ingestion_curated
+    plus the semantic gate — survivors of the lexical gates look up
+    their embedding (documents and embeddings align 1:1 by id at every
+    SF — the stand-in for "embed the batch") and probe the persisted
+    IVF index built over the CORPUS slice's vectors
+    (operators/similarity.py: ivf_index_neardup_pairs); any probe with
+    cosine >= {INGEST_SEMANTIC_COS} to a corpus vector within its 3
+    probed cells is dropped. This is the gate that catches
+    paraphrase-class duplicates with zero shingle overlap — SemDeDup
+    (Abbas et al. 2023) re-expressed as an index serve path. The oracle
+    composes the lexical chain with the probed-cells IVF CTE, so the
+    gate's approximation contract (only probed cells are searched) is
+    value-checked, not idealized."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _INCR_NEW_MOD != 0)
+    topo = ingestion_topology(
+        spark,
+        index_path=_minhash_index_path(spark, sf_dir),
+        corpus=corpus,
+        ratios=_ingest_ratios(spark, sf_dir),
+        containment_index_path=_containment_index_path(spark, sf_dir),
+        hash_index_path=_ingest_hash_index_path(spark, sf_dir),
+        ivf_index_path=_ingest_ivf_index_path(spark, sf_dir),
+        embeddings=load_table(spark, sf_dir, "embeddings"),
     )
     curated = run_ingestion_batch(spark, topo, probe)
     return curated.select("doc_id", "n_tokens", "dsir_logweight_r")

@@ -552,3 +552,42 @@ def test_ivf_stream_serve_helper_upsert_loop(spark, tmp_path):
         if n:
             per_dir[dirpath] = n
     assert per_dir and all(n == 1 for n in per_dir.values()), per_dir
+
+
+def test_ivf_neardup_probe_matches_thresholded_inline_and_tombstones(spark, tmp_path):
+    """ivf_index_neardup_pairs (the semantic-dedup serve probe) must
+    emit exactly the inline IVF candidate set thresholded by cosine —
+    same probed-cells approximation, no top-k truncation — and respect
+    tombstones like every other index probe."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.operators import similarity as S
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    probes = emb.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 2000))
+    path = str(tmp_path / "ivf_nd")
+    S.build_ivf_index(corpus, path)
+
+    th = 0.30
+    # inline truth: every candidate in the probed cells (k larger than
+    # the corpus = no truncation), thresholded on the exact cosine
+    inline = {
+        (r.query_id, r.neighbor_id, r.cosine_r)
+        for r in S.ivf_topk(corpus, probes, k=10**6).collect()
+        if r.cosine_r >= th
+    }
+    got = {
+        (r.probe_id, r.corpus_id, r.cosine_r)
+        for r in S.ivf_index_neardup_pairs(spark, path, probes, threshold=th).collect()
+    }
+    assert got == inline and got
+
+    victim = max(c for _, c, _ in got)
+    S.ivf_index_delete(spark, path, [victim])
+    after = {
+        (r.probe_id, r.corpus_id, r.cosine_r)
+        for r in S.ivf_index_neardup_pairs(spark, path, probes, threshold=th).collect()
+    }
+    assert after == {t for t in got if t[1] != victim}

@@ -402,3 +402,127 @@ def test_stream_containment_upsert_catches_later_fragment(spark, tmp_path):
     )
     drain(q)
     assert sorted(admitted) == [102], admitted
+
+
+# ---------------------------------------------------------------------------
+# semantic gate (persisted IVF index over embeddings)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import ArrayType, FloatType  # noqa: E402
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def _basis(i, dim=64):
+    v = [0.0] * dim
+    v[i] = 1.0
+    return v
+
+
+#: id -> embedding for corpus AND arriving docs (the "embed the batch"
+#: side table). Doc 105's vector coincides with corpus doc 2's — the
+#: paraphrase-class duplicate the lexical gates cannot see.
+EMB_ROWS = [
+    (1, _basis(3)),
+    (2, _basis(0)),
+    (3, _basis(4)),
+    (101, _basis(5)),
+    (102, _basis(1)),
+    (103, _basis(6)),
+    (104, _basis(7)),
+    (105, _basis(0)),  # semantic twin of corpus doc 2
+    (403, _basis(1)),  # semantic twin of ARRIVING doc 102
+]
+
+# lexically novel (passes near-dup/DSIR/containment) but embedding-
+# identical to corpus doc 2 -> must die at the semantic gate only.
+SEM_TWIN = (105, "the executors run data stages and schedule pipeline tasks tonight", "en")
+
+
+def _mk_semantic_topology(spark, tmp_path, cache_registry=None):
+    from kafka_streams_the_clojure_way_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    mh_path = str(tmp_path / "mh_idx")
+    build_minhash_index(corpus, mh_path)
+    emb = spark.createDataFrame(EMB_ROWS, EMB_SCHEMA)
+    ivf_path = str(tmp_path / "ivf_idx")
+    build_ivf_index(emb.filter(F.col("vec_id") <= 3), ivf_path)
+    topo = ingestion_topology(
+        spark,
+        index_path=mh_path,
+        corpus=corpus,
+        ratios=dsir_bucket_ratios(corpus, F.col("lang") == "en"),
+        dsir_cutoff=0.0,
+        jaccard_threshold=0.5,
+        ivf_index_path=ivf_path,
+        embeddings=emb,
+        cache_registry=cache_registry,
+    )
+    return topo, ivf_path, emb
+
+
+def test_semantic_gate_drops_embedding_twin_only(spark, tmp_path):
+    """Per-gate attribution with the semantic gate appended: doc 105 is
+    lexically clean (survives every shingle-based gate) but its vector
+    coincides with a corpus vector -> only the semantic gate kills it;
+    doc 102's orthogonal vector sails through."""
+    from kafka_streams_the_clojure_way_spark.plans.compiler import compile_topology
+
+    topo, _, _ = _mk_semantic_topology(spark, tmp_path)
+    batch = spark.createDataFrame(ARRIVING + [SEM_TWIN], SCHEMA)
+    compiled = compile_topology(spark, topo, {"topic/raw-docs": batch})
+    after_cont = {
+        r.doc_id for r in compiled["stream/containment-gate"].select("doc_id").collect()
+    }
+    curated = {
+        r.doc_id for r in compiled["topic/curated-docs"].select("doc_id").collect()
+    }
+    assert after_cont == {102, 105}, after_cont  # lexical gates blind to 105
+    assert curated == {102}, curated             # semantic gate sees it
+
+
+def test_stream_ivf_upsert_catches_later_semantic_twin(spark, tmp_path):
+    """Close the semantic loop in streaming: with upsert_ivf_index_path,
+    an admitted doc's VECTOR joins the IVF index through the frozen
+    centroids, so a lexically-novel semantic twin arriving in a later
+    micro-batch dies at the semantic gate (only the IVF index is
+    upserted here, isolating the mechanism)."""
+    caches: list = []
+    topo, ivf_path, emb = _mk_semantic_topology(spark, tmp_path, cache_registry=caches)
+    batches = [
+        [ARRIVING[1]],  # 102 admitted (vector basis(1) upserted)
+        # lexically unrelated to 102, but embedding == 102's
+        [(403, "executors compile quick stages into lazy tasks for spark today", "en")],
+    ]
+    in_dir = tmp_path / "arriving"
+    for i, rows_ in enumerate(batches):
+        spark.createDataFrame(rows_, SCHEMA).write.parquet(str(in_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    admitted = []
+
+    def sink(curated, batch_id):
+        admitted.extend(r.doc_id for r in curated.collect())
+
+    q = run_ingestion_stream(
+        spark, topo, stream, sink,
+        cache_registry=caches,
+        upsert_ivf_index_path=ivf_path,
+        embeddings=emb,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    drain(q)
+    assert sorted(admitted) == [102], admitted

@@ -306,6 +306,11 @@ def test_no_accidental_cartesian_products(spark):
         # centroid cross); its PAIR join is separately pinned as
         # cluster-keyed by test_semdedup_pair_join_is_cluster_keyed
         "dedup_semantic_cluster_flags",
+        # the five-gate pipeline's semantic gate routes its (batch-
+        # bounded) probe vectors against the same tiny broadcast
+        # centroid table — the sim_ivf_index_topk shape; the candidate
+        # join itself is an equi-join on the cell partition column
+        "pipeline_ingestion_semantic",
     }
     offenders = {}
     for name in sorted(QUERIES):
