@@ -5,9 +5,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced with a noop write (full computation, no driver-side
 collect bottleneck). A warmup query amortizes JVM/codegen startup, and
-each query is timed as the min of two runs so one-time costs (codegen of
-large expression trees, executor-side pandas import) don't masquerade as
-plan cost — the numbers measure the plans, not the JIT.
+each query is timed as the min over two FULL PASSES of the registry so
+one-time costs (codegen of large expression trees, executor-side pandas
+import) don't masquerade as plan cost — the numbers measure the plans,
+not the JIT. The two samples of a query are minutes apart, so a
+transient host-contention burst (measured: a co-scheduled run inflated
+back-to-back min-of-2 timings up to 17x in round 5) can no longer poison
+both samples of the same query.
 """
 
 from __future__ import annotations
@@ -35,19 +39,20 @@ def main() -> None:
     # Warmup: JVM + whole-stage-codegen compilation paths.
     force(QUERIES["agg_pricing_summary"](spark, sf_dir))
 
-    timings: dict[str, float] = {}
-    for name, fn in sorted(QUERIES.items()):
-        best = float("inf")
-        for _ in range(2):
+    best: dict[str, float] = {}
+    for _pass in range(2):
+        for name, fn in sorted(QUERIES.items()):
             t0 = time.time()
             force(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        # Drop caches the query may have built (dedup/sim pipelines cache
-        # signature frames): accumulated cache blocks from 100+ queries
-        # otherwise build executor-memory pressure that skews later
-        # queries' timings (measured ~5% total drift across a run).
-        spark.catalog.clearCache()
+            dt = time.time() - t0
+            if dt < best.get(name, float("inf")):
+                best[name] = dt
+            # Drop caches the query may have built (dedup/sim pipelines
+            # cache signature frames): accumulated cache blocks from 100+
+            # queries otherwise build executor-memory pressure that skews
+            # later queries' timings (measured ~5% total drift per run).
+            spark.catalog.clearCache()
+    timings = {name: round(sec, 3) for name, sec in sorted(best.items())}
 
     families: dict[str, float] = {}
     for name, sec in timings.items():

@@ -222,6 +222,170 @@ def fingerprint_sql(text: str = "text") -> str:
 
 
 # --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03)
+# --------------------------------------------------------------------------
+
+#: winnowing parameters: k-gram size and window width. Guarantee: any
+#: shared substring of >= WINNOW_K + WINNOW_W - 1 tokens produces at
+#: least one shared selected fingerprint.
+WINNOW_K = 5
+WINNOW_W = 4
+
+
+def winnow_fingerprints(
+    df: DataFrame, text: str = "text"
+) -> DataFrame:
+    """Per-document winnowing fingerprint summary (Schleimer et al.
+    SIGMOD'03 — the MOSS local fingerprinting scheme): hash every
+    k-token gram, slide a w-gram window, keep each window's MINIMUM
+    hash; the distinct selected hashes are the document's fingerprints.
+    Unlike MinHash (a global sketch) the guarantee is LOCAL: any shared
+    run of >= k+w-1 tokens yields a shared fingerprint, which is what
+    plagiarism/partial-copy detection needs.
+
+    Output columns: ``n_grams``, ``n_fingerprints`` (distinct selected
+    hashes) and ``fp_xor`` (order-free XOR fold of the selected set —
+    a comparable per-doc digest). Entirely row-local higher-order
+    functions — zero shuffle, zero Python; selection uses the hash
+    VALUE only (not its position), so the result is deterministic and
+    engine-portable without the rightmost-tie rule."""
+    from kafka_streams_the_clojure_way_spark.functions.portable import hash60
+
+    toks = tokens_col(F.col(text))
+    n = F.array_size(toks)
+    grams = F.when(
+        n < WINNOW_K, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (WINNOW_K - 1)),
+            lambda i: hash60(F.array_join(F.slice(toks, i, WINNOW_K), " ")),
+        )
+    )
+    df = df.withColumn("_grams", grams)
+    ng = F.array_size(F.col("_grams"))
+    sel = F.when(ng == 0, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(ng - (WINNOW_W - 1), F.lit(1))
+                ),
+                lambda j: F.array_min(F.slice(F.col("_grams"), j, WINNOW_W)),
+            )
+        )
+    )
+    df = df.withColumn("_sel", sel)
+    fp_xor = F.aggregate(
+        F.col("_sel"),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseXOR(v),
+    )
+    return df.select(
+        *[c for c in df.columns if c not in ("_grams", "_sel")],
+        ng.cast("long").alias("n_grams"),
+        F.array_size(F.col("_sel")).cast("long").alias("n_fingerprints"),
+        fp_xor.alias("fp_xor"),
+    )
+
+
+#: document-frequency cap for fingerprint postings: a fingerprint
+#: selected in more than this many documents is corpus boilerplate —
+#: joining on it would fan out quadratically in its df (the hot-shingle
+#: pathology), and MOSS-style matching drops such grams for relevance
+#: anyway.
+WINNOW_MAX_DF = 10
+
+
+def winnow_pairs(
+    df: DataFrame,
+    *,
+    min_shared: int = 3,
+    max_df: int = WINNOW_MAX_DF,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Partial-copy candidate pairs via shared winnowing fingerprints
+    (the corpus-level MOSS join): documents sharing >= ``min_shared``
+    selected fingerprints. Because selection keeps ~1/w of the grams,
+    the posting table is a fraction of a full shingle-posting join's,
+    and the local guarantee still holds — any shared run of
+    >= k + w - 1 tokens contributes a shared fingerprint.
+
+    Scale shape: one explode -> df-capped postings -> equi-join on the
+    fingerprint hash -> pair count. The ``max_df`` cap bounds the fanout
+    of any single fingerprint to df^2 <= {max_df}^2 pairs, so a
+    boilerplate gram can never funnel O(corpus^2) rows through one key
+    (drop it: it carries no copy signal)."""
+    from kafka_streams_the_clojure_way_spark.functions.portable import hash60
+
+    toks = tokens_col(F.col(text))
+    n = F.array_size(toks)
+    grams = F.when(
+        n < WINNOW_K, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (WINNOW_K - 1)),
+            lambda i: hash60(F.array_join(F.slice(toks, i, WINNOW_K), " ")),
+        )
+    )
+    g = df.select(F.col(id_col), grams.alias("_grams"))
+    ng = F.array_size(F.col("_grams"))
+    sel = F.when(ng == 0, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(ng - (WINNOW_W - 1), F.lit(1))
+                ),
+                lambda j: F.array_min(F.slice(F.col("_grams"), j, WINNOW_W)),
+            )
+        )
+    )
+    posts = g.select(F.col(id_col), F.explode(sel).alias("h"))
+    live = (
+        posts.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("h")
+    )
+    posts = posts.join(live, "h")
+    a = posts.select(F.col("h"), F.col(id_col).alias("id_a"))
+    b = posts.select(F.col("h"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_sql(text: str = "text") -> dict[str, str]:
+    """DuckDB twins of :func:`winnow_fingerprints`'s three outputs, as
+    expressions over a ``grams`` list column (see the query's CTE)."""
+    from kafka_streams_the_clojure_way_spark.functions.portable import hash60_sql
+
+    toks = tokens_sql(text)
+    gram = hash60_sql(
+        f"array_to_string({toks}[i:i+{WINNOW_K - 1}], ' ')"
+    )
+    grams = (
+        f"CASE WHEN len({toks}) < {WINNOW_K} THEN CAST([] AS BIGINT[]) "
+        f"ELSE list_transform(range(1, len({toks}) - {WINNOW_K - 2}), "
+        f"i -> {gram}) END"
+    )
+    sel = (
+        f"CASE WHEN len(grams) = 0 THEN CAST([] AS BIGINT[]) "
+        f"ELSE list_distinct(list_transform("
+        f"range(1, greatest(len(grams) - {WINNOW_W - 1}, 1) + 1), "
+        f"j -> list_min(grams[j:j+{WINNOW_W - 1}]))) END"
+    )
+    fp_xor = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), sel), "
+        "(acc, v) -> xor(acc, v))"
+    )
+    return {"grams": grams, "sel": sel, "fp_xor": fp_xor}
+
+
+# --------------------------------------------------------------------------
 # Gopher-style quality rules (repetition + structure signals)
 # --------------------------------------------------------------------------
 

@@ -224,6 +224,59 @@ def pipeline_ingestion_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curated.select("doc_id", "n_tokens", "dsir_logweight_r")
 
 
+def pipeline_ingestion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DROP ATTRIBUTION for the curation topology — the
+    observability artifact an operator reads when an ingest wave's
+    admit rate moves: every probe doc labeled with the FIRST gate that
+    dropped it (neardup / dsir / containment / semantic) or 'curated'.
+    Because the compiler returns EVERY entity's frame (not just the
+    sink), the audit is four survivor-id left joins over the gates'
+    already-cached outputs — attribution costs four batch-sized joins
+    on top of the pipeline itself, no gate re-runs. The exact gate is
+    deliberately absent: it is a semantic no-op (an exact dup has
+    Jaccard 1.0, the near-dup gate owns the drop), and including it
+    would attribute those drops to a cost optimization.
+
+    The oracle composes the same gate CTE chain with a first-match
+    CASE, so the ATTRIBUTION — not just the curated set — is
+    value-checked end to end."""
+    from kafka_streams_the_clojure_way_spark.plans.compiler import compile_topology
+
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _INCR_NEW_MOD != 0)
+    topo = ingestion_topology(
+        spark,
+        index_path=_minhash_index_path(spark, sf_dir),
+        corpus=corpus,
+        ratios=_ingest_ratios(spark, sf_dir),
+        containment_index_path=_containment_index_path(spark, sf_dir),
+        ivf_index_path=_ingest_ivf_index_path(spark, sf_dir),
+        embeddings=load_table(spark, sf_dir, "embeddings"),
+    )
+    compiled = compile_topology(spark, topo, {"topic/raw-docs": probe})
+
+    def survivors(entity: str, flag: str) -> DataFrame:
+        return compiled[entity].select("doc_id", F.lit(True).alias(flag))
+
+    return (
+        probe.select("doc_id")
+        .join(survivors("stream/neardup-gate", "s1"), "doc_id", "left")
+        .join(survivors("stream/dsir-gate", "s2"), "doc_id", "left")
+        .join(survivors("stream/containment-gate", "s3"), "doc_id", "left")
+        .join(survivors("stream/semantic-gate", "s4"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("s1").isNull(), "neardup")
+            .when(F.col("s2").isNull(), "dsir")
+            .when(F.col("s3").isNull(), "containment")
+            .when(F.col("s4").isNull(), "semantic")
+            .otherwise("curated")
+            .alias("verdict"),
+        )
+    )
+
+
 #: per-process persisted IVF index over the CORPUS slice of the
 #: embeddings table (the semantic gate's serve side) — distinct from
 #: llm_pipeline._ivf_index_path, which indexes the whole table.
@@ -300,3 +353,36 @@ def pipeline_ingestion_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     curated = run_ingestion_batch(spark, topo, probe)
     return curated.select("doc_id", "n_tokens", "dsir_logweight_r")
+
+
+#: drop-attribution oracle: the same gate CTE chain with a FIRST-MATCH
+#: CASE — checks the attribution, not just the curated set. Registered
+#: down here (not at the function) because the semantic CTE needs the
+#: _EMB_* predicates defined above.
+_INGESTION_AUDIT_ORACLE = f"""
+WITH {_INGESTION_CTES},
+surv3 AS (
+    SELECT doc_id FROM surv2
+    WHERE dsir_logweight_r >= {INGEST_DSIR_CUTOFF}
+      AND doc_id NOT IN (SELECT probe_id FROM cont)
+),
+sem AS (
+    {S.ivf_neardup_pairs_between_sql(
+        f"({_EMB_PROBE_PRED}) AND vec_id IN (SELECT doc_id FROM surv3)",
+        _EMB_BUILD_PRED,
+        threshold=INGEST_SEMANTIC_COS,
+    )}
+)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id IN (SELECT probe_id FROM nd) THEN 'neardup'
+            WHEN s2.dsir_logweight_r < {INGEST_DSIR_CUTOFF} THEN 'dsir'
+            WHEN d.doc_id IN (SELECT probe_id FROM cont) THEN 'containment'
+            WHEN d.doc_id IN (SELECT probe_id FROM sem) THEN 'semantic'
+            ELSE 'curated' END AS verdict
+FROM documents d LEFT JOIN surv2 s2 ON s2.doc_id = d.doc_id
+WHERE d.doc_id % {_INCR_NEW_MOD} = 0
+"""
+
+query("pipeline_ingestion_audit", oracle=_INGESTION_AUDIT_ORACLE)(
+    pipeline_ingestion_audit
+)

@@ -75,6 +75,79 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(docs).select("doc_id", "fingerprint")
 
 
+_WINNOW_SQL = T.winnow_sql()
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, {_WINNOW_SQL['grams']} AS grams FROM documents
+    ),
+    w AS (
+        SELECT doc_id, len(grams) AS n_grams, {_WINNOW_SQL['sel']} AS sel
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(sel) AS BIGINT) AS n_fingerprints,
+           CAST({_WINNOW_SQL['fp_xor']} AS BIGINT) AS fp_xor
+    FROM w
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint summary (Schleimer et al. SIGMOD'03, the
+    MOSS scheme): per-doc count + XOR digest of the window-minimum
+    k-gram hashes. The LOCAL dedup guarantee MinHash lacks: any shared
+    token run of >= k+w-1 tokens produces a shared fingerprint, so the
+    selected-hash sets feed partial-copy / plagiarism detection the way
+    the band index feeds whole-doc near-dup. Row-local higher-order
+    functions end to end — zero shuffle, zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.winnow_fingerprints(docs).select(
+        "doc_id", "n_grams", "n_fingerprints", "fp_xor"
+    )
+
+
+_WINNOW_MIN_SHARED = 3
+
+
+@query(
+    "dedup_winnow_pairs",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, {_WINNOW_SQL['grams']} AS grams FROM documents
+    ),
+    posts AS (
+        SELECT doc_id, unnest({_WINNOW_SQL['sel']}) AS h FROM g
+    ),
+    live AS (
+        SELECT h FROM posts GROUP BY h
+        HAVING COUNT(*) <= {T.WINNOW_MAX_DF}
+    ),
+    lp AS (SELECT p.doc_id, p.h FROM posts p JOIN live USING (h))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM lp a JOIN lp b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-copy candidate pairs via shared winnowing fingerprints —
+    the corpus-level MOSS join. Complements the resemblance (MinHash)
+    and containment (prefix-posting) dedup tiers with the LOCAL-overlap
+    tier: two documents sharing any >= k+w-1-token run share a selected
+    fingerprint, so extensive quotation / section reuse surfaces even
+    when whole-doc Jaccard and containment are both low. The df cap
+    drops boilerplate fingerprints (df > {T.WINNOW_MAX_DF}) before the
+    join, bounding any single key's pair fanout — the hot-shingle
+    pathology structurally can't occur."""
+    return T.winnow_pairs(
+        load_table(spark, sf_dir, "documents"), min_shared=_WINNOW_MIN_SHARED
+    )
+
+
 # --------------------------------------------------------------------------
 # Dedup
 # --------------------------------------------------------------------------
@@ -2087,10 +2160,10 @@ _BM25_B = 0.75
 _BM25_TOPK = 20
 
 
-@query(
-    "text_bm25_topk",
-    oracle=f"""
-    WITH dl AS (
+#: shared BM25 scoring CTE chain (per-doc rounded score for the fixed
+#: probe terms) — the sparse leg of both text_bm25_topk and the RRF
+#: hybrid query, extracted so the two oracles cannot drift.
+_BM25_SCORED_CTES = f"""dl AS (
         SELECT doc_id, CAST(len({T.tokens_sql('text')}) AS DOUBLE) AS dl
         FROM documents
     ),
@@ -2121,7 +2194,13 @@ _BM25_TOPK = 20
         JOIN dl USING (doc_id)
         CROSS JOIN stats
         GROUP BY tf.doc_id
-    ),
+    )"""
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES},
     ranked AS (
         SELECT doc_id, round(score, 6) AS bm25_r,
                ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id)
@@ -2153,6 +2232,19 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     task."""
     from pyspark.sql.window import Window
 
+    top = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPK)
+    )
+    w = Window.orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25_r): per-doc rounded BM25 score for the fixed probe
+    terms — the Spark twin of _BM25_SCORED_CTES, shared by
+    text_bm25_topk and the RRF hybrid query so the two cannot drift."""
     docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
     toks = T.tokens_col(F.col("text"))
     dl = docs.select(
@@ -2174,18 +2266,134 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _BM25_K1
         * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
     )
-    scored = (
+    return (
         tf.join(F.broadcast(df_), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(contrib), 6).alias("bm25_r"))
     )
-    top = scored.orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc()).limit(
-        _BM25_TOPK
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion of BM25 + dense cosine
+# --------------------------------------------------------------------------
+
+#: RRF constant (Cormack, Clarke & Buettcher SIGIR'09 use k=60) and the
+#: candidate-list / fused-output sizes. Contributions are folded as
+#: INTEGER micro-units 1_000_000 div (k + rank), so the fused score is
+#: bit-identical in both engines — no float summation anywhere.
+_RRF_K = 60
+_RRF_N_CAND = 50
+_RRF_TOPK = 20
+#: the dense leg's fixed probe: the embedding of vec_id 0 (documents and
+#: embeddings align 1:1 by id at every SF). One row — broadcasts.
+_RRF_QUERY_VEC_ID = 0
+
+
+@query(
+    "sim_rrf_hybrid_topk",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES},
+    sparse AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id)
+                   AS s_rnk
+        FROM scored
+        QUALIFY s_rnk <= {_RRF_N_CAND}
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings
+          WHERE vec_id = {_RRF_QUERY_VEC_ID}),
+    dense AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY {S.cosine_sql('q.qvec', 'e.embedding')} DESC,
+                            e.vec_id
+               ) AS d_rnk
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != {_RRF_QUERY_VEC_ID}
+        QUALIFY d_rnk <= {_RRF_N_CAND}
+    ),
+    fused AS (
+        SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+               s.s_rnk, d.d_rnk,
+               COALESCE(1000000 // ({_RRF_K} + s.s_rnk), 0)
+                   + COALESCE(1000000 // ({_RRF_K} + d.d_rnk), 0)
+                   AS rrf_micro
+        FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
     )
-    w = Window.orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
-    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+    SELECT doc_id,
+           CAST(s_rnk AS BIGINT) AS sparse_rnk,
+           CAST(d_rnk AS BIGINT) AS dense_rnk,
+           CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id)
+                AS BIGINT) AS rnk
+    FROM fused
+    QUALIFY rnk <= {_RRF_TOPK}
+    """,
+)
+def sim_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion (Cormack et al.
+    SIGIR'09): the sparse leg ranks documents by BM25 for the fixed
+    probe terms, the dense leg ranks by cosine against one probe
+    embedding, and the fused score sums 1/(60 + rank) over the legs a
+    doc appears in — the standard way to combine lexical and semantic
+    retrieval without score calibration, since only RANKS cross the
+    fusion boundary. Contributions are integer micro-units
+    (1_000_000 div (60 + rank)), so fusion is exact and order-free.
+
+    Scale shape: each leg independently reduces to a bounded candidate
+    list ({_RRF_N_CAND} rows) via TakeOrderedAndProject BEFORE any
+    ranking window — per-partition top-N, driver merge; the fusion join
+    and both ranking windows then touch at most 2 x {_RRF_N_CAND} rows
+    total regardless of corpus size. The dense leg broadcasts its
+    single query vector (1-row frame) against the streamed corpus — no
+    corpus shuffle in either leg."""
+    from pyspark.sql.window import Window
+
+    sparse_top = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
+        .limit(_RRF_N_CAND)
+    )
+    sw = Window.orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
+    sparse = sparse_top.select(
+        "doc_id", F.row_number().over(sw).alias("s_rnk")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    cos = S.cosine(F.col("qvec"), F.col("embedding"))
+    dense_top = (
+        emb.filter(F.col("vec_id") != _RRF_QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+        .limit(_RRF_N_CAND)
+    )
+    dw = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    dense = dense_top.select(
+        "doc_id", F.row_number().over(dw).alias("d_rnk")
+    )
+
+    def contrib(r: str):  # SQL `div` = exact integer division, as the oracle's //
+        return F.coalesce(
+            F.expr(f"1000000 div ({_RRF_K} + {r})").cast("long"), F.lit(0).cast("long")
+        )
+
+    fused = sparse.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("s_rnk").cast("long").alias("sparse_rnk"),
+        F.col("d_rnk").cast("long").alias("dense_rnk"),
+        (contrib("s_rnk") + contrib("d_rnk")).alias("rrf_micro"),
+    )
+    top = fused.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc()).limit(
+        _RRF_TOPK
+    )
+    fw = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+    return top.withColumn("rnk", F.row_number().over(fw).cast("long"))
 
 
 #: DSIR hashed-feature bucket count (Xie et al., NeurIPS'23 "Data
@@ -3015,6 +3223,115 @@ def eval_ann_ivf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
     ).select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     return _ann_quality_frame(spark, sf_dir, approx)
+
+
+@query(
+    "eval_cluster_label_agreement",
+    oracle=f"""
+    WITH assignments AS ({C.kmeans_sql()}),
+    j AS (
+        SELECT a.vec_id, a.cluster, e.label
+        FROM assignments a JOIN embeddings e USING (vec_id)
+    ),
+    cont AS (SELECT cluster, label, COUNT(*) AS n FROM j GROUP BY 1, 2),
+    per_cluster AS (
+        SELECT cluster, SUM(n) AS a, MAX(n) AS top FROM cont GROUP BY cluster
+    ),
+    per_label AS (SELECT label, SUM(n) AS b FROM cont GROUP BY label),
+    s AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_points,
+               CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+               CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+               CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS pairs_both
+        FROM cont
+    ),
+    sa AS (
+        SELECT CAST(SUM((a * (a - 1)) // 2) AS BIGINT) AS pairs_cluster,
+               CAST(SUM(top) AS BIGINT) AS purity_hits
+        FROM per_cluster
+    ),
+    sb AS (
+        SELECT CAST(SUM((b * (b - 1)) // 2) AS BIGINT) AS pairs_label
+        FROM per_label
+    )
+    SELECT s.n_points, s.n_clusters, s.n_labels,
+           s.pairs_both, sa.pairs_cluster, sb.pairs_label,
+           round(CAST((s.n_points * (s.n_points - 1)) // 2 + 2 * s.pairs_both
+                      - sa.pairs_cluster - sb.pairs_label AS DOUBLE)
+                 / CAST((s.n_points * (s.n_points - 1)) // 2 AS DOUBLE),
+                 6) AS rand_index_r,
+           round(CAST(sa.purity_hits AS DOUBLE) / s.n_points, 6) AS purity_r
+    FROM s CROSS JOIN sa CROSS JOIN sb
+    """,
+)
+def eval_cluster_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality eval against the corpus's reference labels:
+    pair-counting Rand index + purity of the deterministic k-means
+    assignment vs the embeddings' ``label`` column — the quantitative
+    gate for "did semantic clustering recover the known grouping",
+    run before a cluster-balanced sample or SemDeDup pass trusts the
+    clusters. All pair counts are INTEGER combinatorics over the
+    (clusters x labels) contingency table — n*(n-1) div 2 sums, no
+    float accumulation — so the iterative-algorithm eval carries a
+    bit-exact oracle like the clustering itself.
+
+    Scale shape: ONE shuffle builds the contingency table (groupBy
+    cluster,label — at most k x |labels| rows regardless of corpus
+    size); everything after is arithmetic over that tiny frame, stitched
+    by 1-row broadcast crosses. The Rand index is computed from
+    contingency marginals, never from materialized pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = C.kmeans_assignments(emb, model=_kmeans_model(spark, sf_dir))
+    j = assign.join(emb.select("vec_id", "label"), "vec_id")
+    cont = j.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
+
+    def comb2(c: str):
+        return F.expr(f"({c} * ({c} - 1)) div 2")
+
+    s = cont.agg(
+        F.sum("n").cast("long").alias("n_points"),
+        F.countDistinct("cluster").cast("long").alias("n_clusters"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+        F.sum(comb2("n")).cast("long").alias("pairs_both"),
+    )
+    per_cluster = cont.groupBy("cluster").agg(
+        F.sum("n").alias("a"), F.max("n").alias("top")
+    )
+    sa = per_cluster.agg(
+        F.sum(comb2("a")).cast("long").alias("pairs_cluster"),
+        F.sum("top").cast("long").alias("purity_hits"),
+    )
+    sb = (
+        cont.groupBy("label")
+        .agg(F.sum("n").alias("b"))
+        .agg(F.sum(comb2("b")).cast("long").alias("pairs_label"))
+    )
+    pairs_total = comb2("n_points")
+    return (
+        s.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .select(
+            "n_points",
+            "n_clusters",
+            "n_labels",
+            "pairs_both",
+            "pairs_cluster",
+            "pairs_label",
+            F.round(
+                (
+                    pairs_total
+                    + 2 * F.col("pairs_both")
+                    - F.col("pairs_cluster")
+                    - F.col("pairs_label")
+                ).cast("double")
+                / pairs_total.cast("double"),
+                6,
+            ).alias("rand_index_r"),
+            F.round(
+                F.col("purity_hits").cast("double") / F.col("n_points"), 6
+            ).alias("purity_r"),
+        )
+    )
 
 
 @query(

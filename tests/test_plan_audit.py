@@ -311,6 +311,15 @@ def test_no_accidental_cartesian_products(spark):
         # centroid table — the sim_ivf_index_topk shape; the candidate
         # join itself is an equi-join on the cell partition column
         "pipeline_ingestion_semantic",
+        # the drop-attribution audit compiles the same five-gate
+        # topology (semantic gate included), so it inherits the same
+        # probe-vs-broadcast-centroid routing
+        "pipeline_ingestion_audit",
+        # the clustering eval composes the Lloyd assignment (k-row
+        # broadcast centroid cross, the cluster_kmeans_embeddings
+        # shape); its own arithmetic is 1-row broadcast crosses over
+        # the contingency marginals
+        "eval_cluster_label_agreement",
     }
     offenders = {}
     for name in sorted(QUERIES):
