@@ -732,6 +732,168 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.kmeans_assignments(emb, model=_kmeans_model(spark, sf_dir))
 
 
+#: shared CTE: per-(label, dim) INTEGER-unit sums of the embedding
+#: corpus — the exact cross-row vector aggregation (the fixed_point_sums
+#: trick from the k-means update step) that both centroid queries build
+#: on. 1-based dims to match DuckDB's unnest(range(...)) convention.
+_LABEL_SUMS_CTE = f"""v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    per AS (
+        SELECT label, CAST(i AS INTEGER) AS dim,
+               CAST(SUM(CAST(floor(v[CAST(i AS INTEGER)] * {C.MEAN_UNITS}
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS su,
+               COUNT(*) AS n
+        FROM v, unnest(range(1, len(v) + 1)) AS t(i)
+        GROUP BY 1, 2
+    )"""
+
+
+def _label_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, dim, su, n): integer-unit per-dimension sums per label —
+    the Spark twin of _LABEL_SUMS_CTE."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "val"
+        ),
+    )
+    return (
+        x.groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.sum(
+                F.floor(F.col("val") * C.MEAN_UNITS + 0.5).cast("long")
+            ).alias("su"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_embedding_centroid_per_label",
+    oracle=f"""
+    WITH {_LABEL_SUMS_CTE}
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(dim AS BIGINT) AS dim,
+           round(CAST(su AS DOUBLE) / {C.MEAN_UNITS} / n, 6) AS centroid_r,
+           CAST(n AS BIGINT) AS n_vecs
+    FROM per
+    """,
+)
+def agg_embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes) — the cross-ROW
+    vector aggregation a prototype classifier, per-class drift monitor,
+    or cluster-seed warm start needs. Means use the k-means update
+    step's INTEGER-unit sum (floor(x * 1e9 + 0.5) longs), so the only
+    cross-row float hazard — summation order — is eliminated and the
+    result is bit-exact cross-engine.
+
+    Scale shape: ONE posexplode shuffle to (label, dim) partial sums —
+    |labels| x dim output rows regardless of corpus size, and the sums
+    combine map-side."""
+    return _label_sums(spark, sf_dir).select(
+        F.col("label").cast("long"),
+        F.col("dim").cast("long"),
+        F.round(
+            F.col("su").cast("double") / C.MEAN_UNITS / F.col("n"), 6
+        ).alias("centroid_r"),
+        F.col("n").cast("long").alias("n_vecs"),
+    )
+
+
+@query(
+    "sim_centroid_classify",
+    oracle=f"""
+    WITH {_LABEL_SUMS_CTE},
+    cent AS (
+        SELECT label AS pred_label,
+               list(CAST(su AS DOUBLE) / {C.MEAN_UNITS} / n ORDER BY dim)
+                   AS c
+        FROM per GROUP BY label
+    ),
+    assigned AS (
+        SELECT vec_id, label, pred_label FROM (
+            SELECT v.vec_id, v.label, cent.pred_label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {C._sq_dist_sql('v.v', 'cent.c')},
+                                cent.pred_label
+                   ) AS r
+            FROM v CROSS JOIN cent
+        ) WHERE r = 1
+    )
+    SELECT CAST(label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean classification confusion matrix: assign every
+    vector to its closest label centroid (portable squared-L2 fold,
+    ties to the lower label) and count (true_label, pred_label) cells —
+    the label-separability diagnostic that says whether the embedding
+    space supports label-driven curation at all (a near-diagonal matrix
+    justifies per-label sampling; the isotropic synthetic corpus should
+    show the opposite). Deterministic end to end: integer-unit centroid
+    means + per-row fold distances, same as k-means, so the eval
+    carries a bit-exact oracle.
+
+    Scale shape: centroid construction is the one posexplode shuffle
+    (|labels| x dim sums, map-side combine); the |labels|-row centroid
+    table then BROADCASTS into the same tiny-cross argmin shape as
+    Lloyd assignment; the confusion matrix is a |labels|^2-row groupBy."""
+    from kafka_streams_the_clojure_way_spark.operators.relational import (
+        top_k_per_key,
+    )
+
+    sums = _label_sums(spark, sf_dir)
+    cent = sums.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("dim"),
+                        (
+                            F.col("su").cast("double")
+                            / C.MEAN_UNITS
+                            / F.col("n")
+                        ).alias("cval"),
+                    )
+                )
+            ),
+            lambda s: s.cval,
+        ).alias("c")
+    ).select(F.col("label").alias("pred_label"), "c")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scored = vecs.join(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "pred_label",
+        C._sq_dist(F.col("v"), F.col("c")).alias("d"),
+    )
+    assigned = top_k_per_key(
+        scored,
+        keys=["vec_id"],
+        order_by=[F.col("d").asc(), F.col("pred_label").asc()],
+        k=1,
+        rank_col="__r",
+    )
+    return (
+        assigned.groupBy(
+            F.col("label").cast("long").alias("true_label"),
+            F.col("pred_label").cast("long").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 _CLUSTER_SAMPLE_K = 32
 _CLUSTER_SAMPLE_SALT = "cluster-sample:v1:"
 

@@ -320,6 +320,10 @@ def test_no_accidental_cartesian_products(spark):
         # shape); its own arithmetic is 1-row broadcast crosses over
         # the contingency marginals
         "eval_cluster_label_agreement",
+        # nearest-class-mean assignment scores every vector against the
+        # |labels|-row broadcast centroid table — the Lloyd-assignment
+        # tiny-broadcast BNLJ shape
+        "sim_centroid_classify",
     }
     offenders = {}
     for name in sorted(QUERIES):

@@ -185,6 +185,26 @@ def test_cluster_label_agreement_perfect_on_identical_partitions(spark):
     assert ri == 1.0
 
 
+def test_label_centroids_shape_and_exactness(spark):
+    rows = QUERIES["agg_embedding_centroid_per_label"](spark, SF).collect()
+    labels = {r.label for r in rows}
+    dims = {r.dim for r in rows}
+    assert dims == set(range(1, 65))
+    assert len(rows) == len(labels) * 64
+    # centroid of unit-scale embeddings stays in a sane range
+    assert all(-1.5 <= r.centroid_r <= 1.5 for r in rows)
+
+
+def test_centroid_classify_partitions_corpus(spark):
+    conf = QUERIES["sim_centroid_classify"](spark, SF).collect()
+    total = sum(r.n for r in conf)
+    n_vecs = (
+        spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    )
+    assert total == n_vecs  # every vector classified exactly once
+    assert all(r.n > 0 for r in conf)
+
+
 # -- ingestion audit ---------------------------------------------------------
 
 def test_ingestion_audit_consistent_with_curated(spark):
