@@ -2411,3 +2411,246 @@ def compact_containment_index(spark, index_path: str) -> None:
         compact_files(spark, f"{index_path}/{leg}", transform=drop)
     if tomb is not None:
         shutil.rmtree(f"{index_path}/tombstones")
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter index: the negative-probe fast path of the exact gate
+# --------------------------------------------------------------------------
+
+BLOOM_SEGMENTS = 16
+#: 63 bits per word keeps every mask strictly positive in a signed int64
+#: (1 << 63 flips the sign bit and engines disagree on overflow wrapping).
+BLOOM_BITS_PER_WORD = 63
+BLOOM_WORDS_PER_SEGMENT = 64  # 64 words x 63 bits = 4032 bits/segment
+BLOOM_K = 5
+#: (a, b) seed pairs for the k member hashes h_i = ((a*h + b) % M31) % m —
+#: fixed primes so build and probe derive the identical family.
+BLOOM_SEEDS = (
+    (1299721, 15485863),
+    (2750161, 32452843),
+    (4256233, 49979687),
+    (5800079, 67867967),
+    (7368787, 86028121),
+)
+
+
+def _bloom_bit_rows(
+    df: DataFrame,
+    *,
+    text: str,
+    n_segments: int,
+    words_per_segment: int,
+    k: int,
+    id_col: str | None = None,
+) -> DataFrame:
+    """(segment, word_idx, mask) rows for every member-hash position of
+    every input doc — the shared kernel of build, upsert, and probe.
+    With ``id_col`` the id and content hash ride along (probe shape);
+    without, rows are ready for the bit-fold (build/upsert shape)."""
+    if k > len(BLOOM_SEEDS):
+        raise ValueError(f"k={k} exceeds the fixed seed family ({len(BLOOM_SEEDS)})")
+    m_bits = words_per_segment * BLOOM_BITS_PER_WORD
+    h = content_hash(F.col(text))
+    folded = h % F.lit(MERSENNE_31)
+    positions = F.array(
+        *[
+            ((F.lit(a) * folded + F.lit(b)) % F.lit(MERSENNE_31)) % F.lit(m_bits)
+            for a, b in BLOOM_SEEDS[:k]
+        ]
+    )
+    keep = [F.col(id_col).alias("probe_id"), h.alias("content_hash")] if id_col else []
+    rows = df.select(
+        *keep,
+        F.pmod(h, F.lit(n_segments)).alias("segment"),
+        F.explode(positions).alias("pos"),
+    )
+    return rows.select(
+        *(["probe_id", "content_hash"] if id_col else []),
+        "segment",
+        F.floor(F.col("pos") / F.lit(BLOOM_BITS_PER_WORD)).cast("long").alias("word_idx"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_BITS_PER_WORD} AS INT))").alias("mask"),
+    )
+
+
+def build_bloom_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_segments: int = BLOOM_SEGMENTS,
+    words_per_segment: int = BLOOM_WORDS_PER_SEGMENT,
+    k: int = BLOOM_K,
+) -> None:
+    """Materialize a partitioned Bloom filter over the corpus's 60-bit
+    content hashes — the NEGATIVE-probe fast path in front of the
+    persisted hash index (the fifth persisted-index family member after
+    the hash, MinHash band, containment, and IVF indexes).
+
+    Why it exists at 100 TB: in steady-state continuous ingestion most
+    arriving docs are NEW, so the common case of the exact gate is a
+    miss. The hash index answers a miss by scanning the probed bucket
+    directories; the Bloom filter answers it from ~10 bits/doc of
+    set-membership state with zero false negatives, so only the
+    (rare) maybe-duplicates ever touch the hash index at all. Sizing:
+    bits = n_docs * bits_per_key (9.6 bits/key = 1% FPR at k=5-7), then
+    n_segments = bits / (words_per_segment * 63); at 1e10 docs and 1%
+    FPR that is ~12 GB of bits total — far too big to broadcast whole,
+    which is exactly why the filter is hash-partitioned into segments:
+    a probe batch routes each doc to ONE segment directory and reads
+    only the probed segments' sparse (word_idx, word) rows.
+
+    Layout: ``path/bits`` = (word_idx, word) hive-partitioned by
+    ``segment`` (one file per directory, same rule as the other
+    indexes); ``path/meta`` = every derivation parameter, read back by
+    probes so a filter can never be probed with a mismatched family.
+
+    Deletes: a plain Bloom filter cannot unset bits. The exact gate's
+    correctness is owned by the CONFIRMING hash-index probe (which
+    honors its tombstones); a deleted doc only costs a false positive
+    here until the next rebuild. That is the standard production
+    trade (RocksDB/Cassandra SSTable filters behave identically)."""
+    from kafka_streams_the_clojure_way_spark.sources.files import write_partitioned
+
+    bits = (
+        _bloom_bit_rows(
+            with_min_parallelism(corpus),
+            text=text,
+            n_segments=n_segments,
+            words_per_segment=words_per_segment,
+            k=k,
+        )
+        .groupBy("segment", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    write_partitioned(bits.repartition("segment"), f"{path}/bits", "segment")
+    corpus.sparkSession.createDataFrame(
+        [(n_segments, words_per_segment, k, id_col, text)],
+        "n_segments int, words_per_segment int, k int, id_col string, text_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def bloom_index_probe(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Membership pre-test for an arriving batch: (probe_id,
+    content_hash) for every batch doc the filter CANNOT rule out.
+    Guarantees: no false negatives (every true exact-dup survives);
+    false positives bounded by the build-time bits/key. The batch
+    hashes ONLY itself; its distinct segments — bounded by the index's
+    ``n_segments`` no matter the batch size — become a literal static
+    PartitionFilter on the bits scan, the probed segments' rows fold
+    once (bounded by words_per_segment x probed segments, so the
+    pre-fold shuffle is constant-sized), and the batch's per-word needs
+    broadcast into one map-side inner join. A doc passes iff every one
+    of its needed words has all needed bits set."""
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    base = batch if batch.isStreaming else with_min_parallelism(batch)
+    need = (
+        _bloom_bit_rows(
+            base,
+            text=meta["text_col"] if text == "text" else text,
+            n_segments=meta["n_segments"],
+            words_per_segment=meta["words_per_segment"],
+            k=meta["k"],
+            id_col=id_col,
+        )
+        .groupBy("probe_id", "content_hash", "segment", "word_idx")
+        .agg(F.bit_or("mask").alias("need"))
+    )
+    bits = spark.read.parquet(f"{index_path}/bits")
+    if not batch.isStreaming:
+        segs = [r["segment"] for r in need.select("segment").distinct().collect()]
+        if not segs:
+            return need.select("probe_id", "content_hash").limit(0)
+        bits = bits.filter(F.col("segment").isin(segs))
+    # upsert batches append rows per (segment, word_idx); fold them so a
+    # doc's bits spread across appends still count as set.
+    folded = bits.groupBy("segment", "word_idx").agg(F.bit_or("word").alias("word"))
+    hits = (
+        folded.join(F.broadcast(need), ["segment", "word_idx"])
+        .filter(F.col("word").bitwiseAND(F.col("need")) == F.col("need"))
+        .groupBy("probe_id", "content_hash")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    totals = need.groupBy("probe_id", "content_hash").agg(
+        F.count(F.lit(1)).alias("n_need")
+    )
+    return (
+        totals.join(hits, ["probe_id", "content_hash"])
+        .filter(F.col("n_hit") == F.col("n_need"))
+        .select("probe_id", "content_hash")
+    )
+
+
+def bloom_index_upsert(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    *,
+    text: str = "text",
+) -> None:
+    """OR the batch's bits into the filter: append (word_idx, word) rows
+    to the touched segment directories only (one file per touched
+    partition per batch, same append discipline as the other index
+    upserts). Bit-OR is associative and commutative, so upsert-then-
+    probe is bit-identical to rebuild-then-probe, and replayed batches
+    are naturally idempotent (at-least-once safe with no anti-join)."""
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    bits = (
+        _bloom_bit_rows(
+            with_min_parallelism(batch),
+            text=text,
+            n_segments=meta["n_segments"],
+            words_per_segment=meta["words_per_segment"],
+            k=meta["k"],
+        )
+        .groupBy("segment", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    bits.repartition("segment").write.mode("append").partitionBy("segment").parquet(
+        f"{index_path}/bits"
+    )
+
+
+def compact_bloom_index(spark, index_path: str) -> None:
+    """Fold upsert-appended rows back to at most one (word_idx, word)
+    row per word and ONE file per segment directory — probe answers
+    byte-identical before/after (the probe folds rows itself; compaction
+    just moves that fold to write time). Crash-safe rename-aside swap;
+    not concurrent-probe safe — run between probe batches."""
+    from kafka_streams_the_clojure_way_spark.sources.files import compact_partitioned
+
+    def fold(df: DataFrame) -> DataFrame:
+        return df.groupBy("segment", "word_idx").agg(F.bit_or("word").alias("word"))
+
+    compact_partitioned(spark, f"{index_path}/bits", "segment", transform=fold)
+
+
+def bloom_gated_exact_probe(
+    spark,
+    bloom_path: str,
+    hash_index_path: str,
+    batch: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed exact gate a production ingestion loop runs: Bloom
+    pre-test first (ZERO false negatives, so nothing true is lost),
+    then ONLY the maybe-duplicates probe the persisted hash index for
+    confirmation. Output contract identical to :func:`hash_index_probe`
+    — (probe_id, corpus_id, content_hash) — because the confirm step
+    eliminates every Bloom false positive; at steady state (mostly-new
+    batches) the hash index sees a small fraction of the batch and
+    pure-new batches skip it entirely."""
+    maybe = bloom_index_probe(
+        spark, bloom_path, batch, text=text, id_col=id_col
+    ).select(F.col("probe_id").alias(id_col))
+    gated = batch.join(F.broadcast(maybe), id_col, "left_semi")
+    return hash_index_probe(spark, hash_index_path, gated, text=text, id_col=id_col)

@@ -383,6 +383,58 @@ def dedup_incremental_exact_indexed(spark: SparkSession, sf_dir: str) -> DataFra
     return D.hash_index_probe(spark, path, batch)
 
 
+#: per-process Bloom-filter cache, keyed by every build parameter (same
+#: stale-model rule as the hash/MinHash/k-means/PQ caches).
+_BLOOM_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _bloom_index_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (
+        sf_dir,
+        D.BLOOM_SEGMENTS,
+        D.BLOOM_WORDS_PER_SEGMENT,
+        D.BLOOM_K,
+    )
+    path = _BLOOM_INDEX_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="bloom_index_")
+        D.build_bloom_index(load_table(spark, sf_dir, "documents"), path)
+        _BLOOM_INDEX_CACHE[key] = path
+    return path
+
+
+@query(
+    "dedup_incremental_bloom_gated",
+    oracle=f"""
+    SELECT a.doc_id + {_EXACT_PROBE_ID_SHIFT} AS probe_id,
+           b.doc_id AS corpus_id,
+           {D.content_hash_sql('a.text')} AS content_hash
+    FROM documents a JOIN documents b ON md5(a.text) = md5(b.text)
+    WHERE a.doc_id % {_EXACT_PROBE_MOD} = 0
+    """,
+)
+def dedup_incremental_bloom_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact gate with its NEGATIVE-probe fast path: a partitioned
+    Bloom filter over the corpus's content hashes (~10 bits/doc,
+    operators/dedup.build_bloom_index — the fifth persisted-index
+    family member) pre-tests the arriving batch, and only the
+    maybe-duplicates probe the hash index for confirmation. No false
+    negatives (the filter ORs the same member-hash family the probe
+    tests), so the output — and the oracle — are identical to
+    dedup_incremental_exact_indexed; what changes is the steady-state
+    cost profile: mostly-new batches resolve from the filter's probed
+    segment directories alone and touch zero corpus hash buckets."""
+    bloom = _bloom_index_path(spark, sf_dir)
+    hashes = _hash_index_path(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % _EXACT_PROBE_MOD == 0).select(
+        (F.col("doc_id") + F.lit(_EXACT_PROBE_ID_SHIFT)).alias("doc_id"), "text"
+    )
+    return D.bloom_gated_exact_probe(spark, bloom, hashes, batch)
+
+
 @query("dedup_simhash_pairs", oracle=D.simhash_pairs_sql())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(60) near-dup pairs with 4x15-bit banding: hamming<=3 is
@@ -3710,4 +3762,244 @@ def meta_minhash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_postings",
             "n_docs",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus drift / quality-model scoring / bloom-index audit
+# --------------------------------------------------------------------------
+
+#: PSI token-length bins: 6 fixed-width bins over the observed 10..99
+#: token range. Fixed edges (not quantiles) so two revisions bin
+#: identically — a quantile binning would move the edges with the data
+#: and hide exactly the drift being measured.
+_PSI_BINS = 6
+_PSI_LO = 10
+_PSI_WIDTH = 16
+_PSI_Q = 1_000_000
+
+_PSI_ORACLE = f"""
+WITH binned AS (
+    SELECT source,
+           doc_id % 2 = 0 AS is_a,
+           least({_PSI_BINS - 1},
+                 greatest(0, len({T.tokens_sql('text')}) - {_PSI_LO})
+                     // {_PSI_WIDTH}) AS bin
+    FROM documents
+),
+counts AS (
+    SELECT source, bin,
+           CAST(count_if(is_a) AS BIGINT) AS c_a,
+           CAST(count_if(NOT is_a) AS BIGINT) AS c_b
+    FROM binned GROUP BY 1, 2
+),
+totals AS (
+    SELECT source, CAST(SUM(c_a) AS BIGINT) AS n_a,
+           CAST(SUM(c_b) AS BIGINT) AS n_b
+    FROM counts GROUP BY 1
+),
+grid AS (
+    SELECT t.source, t.n_a, t.n_b, g.bin,
+           COALESCE(c.c_a, 0) AS c_a, COALESCE(c.c_b, 0) AS c_b
+    FROM totals t
+    CROSS JOIN (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin) g
+    LEFT JOIN counts c ON c.source = t.source AND c.bin = g.bin
+),
+terms AS (
+    SELECT source, n_a, n_b,
+           CAST(round(((CAST(c_a + 1 AS DOUBLE) / CAST(n_a + {_PSI_BINS} AS DOUBLE)
+                        - CAST(c_b + 1 AS DOUBLE) / CAST(n_b + {_PSI_BINS} AS DOUBLE))
+                       * ln((CAST(c_a + 1 AS DOUBLE) / CAST(n_a + {_PSI_BINS} AS DOUBLE))
+                            / (CAST(c_b + 1 AS DOUBLE) / CAST(n_b + {_PSI_BINS} AS DOUBLE))))
+                      * 1000000.0) AS BIGINT) AS q
+    FROM grid
+)
+SELECT source, n_a, n_b,
+       round(CAST(SUM(q) AS DOUBLE) / {_PSI_Q}, 6) AS psi_r
+FROM terms GROUP BY source, n_a, n_b
+"""
+
+
+@query("dq_source_drift_psi", oracle=_PSI_ORACLE)
+def dq_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus revisions per
+    source — the drift monitor a data-ops team reads when a crawler or
+    an upstream filter changes behavior between ingest waves (PSI > 0.1
+    = investigate, > 0.25 = the distribution moved; standard credit-
+    scoring thresholds). Revisions are the deterministic doc_id halves;
+    the feature is token count over {_PSI_BINS} FIXED bins (fixed edges,
+    so the binning itself cannot absorb the drift), add-1 smoothed so
+    empty bins stay defined.
+
+    Scale design: ONE corpus scan into a (source x bin) count grid —
+    a shuffle of |sources| x {_PSI_BINS} rows — then all PSI arithmetic
+    happens on that grid; the bin completion is an explode of the
+    |sources|-row totals frame, never a corpus-sized join. Per-bin
+    terms quantize to BIGINT micro-units before the sum (same
+    ULP-proofing as the quantized DSIR gate), so the reported PSI is
+    bit-reproducible at any partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(P.tokens(F.col("text")))
+    bin_ = F.least(
+        F.lit(_PSI_BINS - 1),
+        F.floor(F.greatest(F.lit(0), n_tok - F.lit(_PSI_LO)) / F.lit(_PSI_WIDTH)),
+    )
+    counts = (
+        docs.select(
+            "source", bin_.alias("bin"), (F.col("doc_id") % 2 == 0).alias("is_a")
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count_if(F.col("is_a")).alias("c_a"),
+            F.count_if(~F.col("is_a")).alias("c_b"),
+        )
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    full = (
+        totals.select(
+            "source",
+            "n_a",
+            "n_b",
+            F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("bin"),
+        )
+        .join(counts, ["source", "bin"], "left")
+        .select(
+            "source",
+            "n_a",
+            "n_b",
+            F.coalesce("c_a", F.lit(0)).alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        )
+    )
+    pa = (F.col("c_a") + F.lit(1)).cast("double") / (
+        F.col("n_a") + F.lit(_PSI_BINS)
+    ).cast("double")
+    pb = (F.col("c_b") + F.lit(1)).cast("double") / (
+        F.col("n_b") + F.lit(_PSI_BINS)
+    ).cast("double")
+    q = F.round(((pa - pb) * F.log(pa / pb)) * F.lit(1000000.0)).cast("long")
+    return (
+        full.select("source", "n_a", "n_b", q.alias("q"))
+        .groupBy("source", "n_a", "n_b")
+        .agg(F.round(F.sum("q").cast("double") / F.lit(_PSI_Q), 6).alias("psi_r"))
+    )
+
+
+#: fixed integer micro-unit weights for the quality logit — the shape of
+#: a trained fastText/logreg quality filter's serve path (training is
+#: out of scope; what matters at 100 TB is that scoring is a row-local
+#: dot product over in-plan features, zero shuffle, zero Python).
+_QL_W_TOKENS = 12_000        # longer docs lean higher-quality
+_QL_W_REPEATS = -45_000      # repeated tokens lean boilerplate
+_QL_W_STOP = -20_000         # stopword-heavy leans low-information
+_QL_BIAS = -300_000
+_QL_THRESHOLD = 0
+_QL_STOPWORDS = ("the", "a", "of", "and", "to")
+
+_QL_STOP_IN = ", ".join(f"'{w}'" for w in _QL_STOPWORDS)
+
+_QUALITY_LOGIT_ORACLE = f"""
+WITH feats AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS n_repeats,
+           CAST(len(list_filter(toks, t -> t IN ({_QL_STOP_IN}))) AS BIGINT)
+               AS n_stop
+    FROM (SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents)
+)
+SELECT doc_id, n_tokens, n_repeats, n_stop,
+       {_QL_BIAS} + {_QL_W_TOKENS} * n_tokens
+                  + {_QL_W_REPEATS} * n_repeats
+                  + {_QL_W_STOP} * n_stop AS logit_micro,
+       ({_QL_BIAS} + {_QL_W_TOKENS} * n_tokens
+                   + {_QL_W_REPEATS} * n_repeats
+                   + {_QL_W_STOP} * n_stop) >= {_QL_THRESHOLD} AS admit
+FROM feats
+"""
+
+
+@query("text_quality_logit", oracle=_QUALITY_LOGIT_ORACLE)
+def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored quality filter SERVE path (the fastText/logistic-
+    regression quality classifier every production pretraining pipeline
+    runs — CCNet, Gopher, LLaMA all gate on one): a linear model over
+    in-plan engineered features, weights as INTEGER micro-unit
+    literals so the logit is exact integer arithmetic — the admit
+    threshold can never flip on float ULPs, and the oracle is bit-exact
+    by construction. Features (token count, repeated-token count,
+    stopword count) are row-local higher-order-function expressions:
+    the whole score is one narrow projection inside WholeStageCodegen —
+    zero shuffle, zero Python, embarrassingly parallel at any corpus
+    size. Swapping in real trained weights changes the literals, not
+    the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = P.tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_repeats = (F.size(toks) - F.size(F.array_distinct(toks))).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in _QL_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+        "long"
+    )
+    feats = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_repeats.alias("n_repeats"),
+        n_stop.alias("n_stop"),
+    )
+    logit = (
+        F.lit(_QL_BIAS)
+        + F.lit(_QL_W_TOKENS) * F.col("n_tokens")
+        + F.lit(_QL_W_REPEATS) * F.col("n_repeats")
+        + F.lit(_QL_W_STOP) * F.col("n_stop")
+    )
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        "n_repeats",
+        "n_stop",
+        logit.alias("logit_micro"),
+        (logit >= F.lit(_QL_THRESHOLD)).alias("admit"),
+    )
+
+
+_BLOOM_M_BITS = D.BLOOM_WORDS_PER_SEGMENT * D.BLOOM_BITS_PER_WORD
+
+_BLOOM_SEED_VALUES = ", ".join(f"({a}, {b})" for a, b in D.BLOOM_SEEDS[: D.BLOOM_K])
+
+_BLOOM_LAYOUT_ORACLE = f"""
+WITH h AS (
+    SELECT {D.content_hash_sql('text')} AS h FROM documents
+),
+pos AS (
+    SELECT h % {D.BLOOM_SEGMENTS} AS segment,
+           ((s.a * (h % {P.MERSENNE_31}) + s.b) % {P.MERSENNE_31})
+               % {_BLOOM_M_BITS} AS pos
+    FROM h CROSS JOIN (VALUES {_BLOOM_SEED_VALUES}) AS s(a, b)
+)
+SELECT segment,
+       pos // {D.BLOOM_BITS_PER_WORD} AS word_idx,
+       bit_or(1::BIGINT << CAST(pos % {D.BLOOM_BITS_PER_WORD} AS INT)) AS word
+FROM pos GROUP BY 1, 2
+"""
+
+
+@query("meta_bloom_index_layout", oracle=_BLOOM_LAYOUT_ORACLE)
+def meta_bloom_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity audit of the persisted Bloom filter: every (segment,
+    word_idx, word) bit-word read from the ON-DISK artifact, oracle-
+    checked against recomputing the whole member-hash family and
+    bit-fold in SQL — so the filter's exact BITS, not just its counts,
+    are pinned engine-independently. A drifted seed family, a wrong
+    modulus, or a lost upsert flips a word here before it silently
+    turns into false negatives (the one failure a Bloom gate must never
+    have). Scan cost: the bits table only (~10 bits/doc), never the
+    corpus text."""
+    path = _bloom_index_path(spark, sf_dir)
+    return (
+        spark.read.parquet(f"{path}/bits")
+        .groupBy("segment", "word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .select(F.col("segment").cast("long").alias("segment"), "word_idx", "word")
     )
