@@ -103,6 +103,7 @@ def ingestion_topology(
     text: str = "text",
     containment_index_path: str | None = None,
     hash_index_path: str | None = None,
+    bloom_index_path: str | None = None,
     ivf_index_path: str | None = None,
     embeddings: DataFrame | None = None,
     semantic_threshold: float = INGEST_SEMANTIC_COS,
@@ -127,6 +128,13 @@ def ingestion_topology(
     Jaccard 1.0 => the near-dup gate drops the same docs) — the gate
     buys per-batch cost, not semantics, which also means enabling it
     never changes the composed pipeline's oracle.
+    ``bloom_index_path`` (a ``build_bloom_index`` artifact; requires
+    ``hash_index_path``) puts the filter's negative-probe fast path in
+    FRONT of the exact gate's confirm join: only maybe-duplicates touch
+    the hash index, so a steady-state mostly-new batch resolves the
+    exact gate from ~10 bits/doc of probed filter segments alone. Zero
+    false negatives structurally; false positives die in the confirm —
+    a third layer of the same cost-not-semantics contract.
 
     ``ivf_index_path`` + ``embeddings`` append the SEMANTIC gate (the
     SemDeDup idea as a serve path): survivors of the lexical gates look
@@ -165,9 +173,15 @@ def ingestion_topology(
         return df
 
     def exact_gate(batch: DataFrame) -> DataFrame:
-        pairs = D.hash_index_probe(
-            spark, hash_index_path, batch, text=text, id_col=id_col
-        )
+        if bloom_index_path is not None:
+            pairs = D.bloom_gated_exact_probe(
+                spark, bloom_index_path, hash_index_path, batch,
+                text=text, id_col=id_col,
+            )
+        else:
+            pairs = D.hash_index_probe(
+                spark, hash_index_path, batch, text=text, id_col=id_col
+            )
         flagged = pairs.select(F.col("probe_id").alias(id_col)).distinct()
         return _pin(batch.join(flagged, id_col, "left_anti"))
 
@@ -240,6 +254,12 @@ def ingestion_topology(
     }
     head = "topic/raw-docs"
     workflow = []
+    if bloom_index_path is not None and hash_index_path is None:
+        raise ValueError(
+            "bloom_index_path requires hash_index_path — the filter is a "
+            "pre-test for the exact gate's confirm join, not a gate itself "
+            "(its false positives must die somewhere)"
+        )
     if hash_index_path is not None:
         entities["stream/exact-gate"] = {"type": "stream", "xform": exact_gate}
         workflow.append(["topic/raw-docs", "stream/exact-gate"])
@@ -282,6 +302,7 @@ def run_ingestion_stream(
     cache_registry: list | None = None,
     upsert_index_path: str | None = None,
     upsert_hash_index_path: str | None = None,
+    upsert_bloom_index_path: str | None = None,
     upsert_containment_index_path: str | None = None,
     upsert_ivf_index_path: str | None = None,
     embeddings: DataFrame | None = None,
@@ -315,7 +336,10 @@ def run_ingestion_stream(
     byte-identical later arrival is caught at the cheapest gate — and
     ``upsert_containment_index_path`` for the containment gate's index,
     so a later fragment (or concatenation) of an admitted doc is caught
-    too. ``upsert_ivf_index_path`` (requires the same ``embeddings``
+    too. ``upsert_bloom_index_path`` ORs admitted docs' bits into the
+    exact gate's Bloom pre-filter (replays idempotent by bit-or; keep
+    it paired with the hash-index upsert so the filter never asserts
+    membership the confirm join cannot resolve). ``upsert_ivf_index_path`` (requires the same ``embeddings``
     side table the semantic gate uses) adds admitted docs' VECTORS to
     the IVF index through its frozen centroids, so a later semantic
     twin of an admitted doc dies at the semantic gate.
@@ -363,6 +387,12 @@ def run_ingestion_stream(
                     id_col=id_col,
                     assume_new_ids=assume_new_ids,
                 )
+            if upsert_bloom_index_path is not None:
+                # OR-in admitted docs' bits; replays are idempotent by
+                # bit-or, no anti-join needed.
+                D.bloom_index_upsert(
+                    spark, upsert_bloom_index_path, curated, text=text
+                )
             if upsert_containment_index_path is not None:
                 D.containment_index_upsert(
                     spark,
@@ -396,6 +426,8 @@ def run_ingestion_stream(
                 D.compact_minhash_index(spark, upsert_index_path)
             if upsert_hash_index_path is not None:
                 D.compact_hash_index(spark, upsert_hash_index_path)
+            if upsert_bloom_index_path is not None:
+                D.compact_bloom_index(spark, upsert_bloom_index_path)
             if upsert_containment_index_path is not None:
                 D.compact_containment_index(spark, upsert_containment_index_path)
             if upsert_ivf_index_path is not None:

@@ -77,6 +77,34 @@ def _ingest_hash_index_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+#: per-process Bloom pre-filter over the corpus slice (the exact gate's
+#: negative-probe fast path) — keyed by every build parameter.
+_INGEST_BLOOM_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _ingest_bloom_index_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (
+        sf_dir,
+        _INCR_NEW_MOD,
+        D.BLOOM_SEGMENTS,
+        D.BLOOM_WORDS_PER_SEGMENT,
+        D.BLOOM_K,
+    )
+    path = _INGEST_BLOOM_INDEX_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ingest_bloom_index_")
+        D.build_bloom_index(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % _INCR_NEW_MOD != 0
+            ),
+            path,
+        )
+        _INGEST_BLOOM_INDEX_CACHE[key] = path
+    return path
+
+
 #: per-process persisted containment index over the corpus slice —
 #: keyed by every build parameter (same staleness rule as the other
 #: model/index caches).
@@ -196,7 +224,9 @@ WHERE dsir_logweight_r >= {INGEST_DSIR_CUTOFF}
 def pipeline_ingestion_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation loop AS A TOPOLOGY (reference: topology-as-data,
     core.clj:139-157): the arriving batch flows raw-docs -> exact gate
-    (persisted hash-index probe, bucket-routed) -> near-dup gate
+    (Bloom pre-filter, then persisted hash-index confirm, bucket-routed
+    — mostly-new batches resolve from the filter's probed segments
+    alone) -> near-dup gate
     (persisted band-index probe with static partition routing) ->
     DSIR gate (quantized stateless fold, keep target-domain-leaning
     docs) -> containment gate (prefix-posting probe x corpus) ->
@@ -219,6 +249,7 @@ def pipeline_ingestion_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratios=_ingest_ratios(spark, sf_dir),
         containment_index_path=_containment_index_path(spark, sf_dir),
         hash_index_path=_ingest_hash_index_path(spark, sf_dir),
+        bloom_index_path=_ingest_bloom_index_path(spark, sf_dir),
     )
     curated = run_ingestion_batch(spark, topo, probe)
     return curated.select("doc_id", "n_tokens", "dsir_logweight_r")
@@ -348,6 +379,7 @@ def pipeline_ingestion_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratios=_ingest_ratios(spark, sf_dir),
         containment_index_path=_containment_index_path(spark, sf_dir),
         hash_index_path=_ingest_hash_index_path(spark, sf_dir),
+        bloom_index_path=_ingest_bloom_index_path(spark, sf_dir),
         ivf_index_path=_ingest_ivf_index_path(spark, sf_dir),
         embeddings=load_table(spark, sf_dir, "embeddings"),
     )

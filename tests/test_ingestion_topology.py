@@ -526,3 +526,118 @@ def test_stream_ivf_upsert_catches_later_semantic_twin(spark, tmp_path):
     )
     drain(q)
     assert sorted(admitted) == [102], admitted
+
+
+def test_bloom_pretest_is_cost_only_and_requires_confirm(spark, tmp_path):
+    """The Bloom pre-filter is a third layer of the cost-not-semantics
+    contract: curated output with bloom+hash must be IDENTICAL to
+    hash-only and to no-exact-gate-at-all, re-crawls included. And a
+    bloom without a confirming hash index must be rejected — its false
+    positives would have nowhere to die."""
+    import pytest
+
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        build_bloom_index,
+        build_hash_index,
+    )
+    from kafka_streams_the_clojure_way_spark.operators.text import dsir_bucket_ratios
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    mh_path = str(tmp_path / "mh_idx")
+    build_minhash_index(corpus, mh_path)
+    hx_path = str(tmp_path / "hx_idx")
+    build_hash_index(corpus, hx_path)
+    bf_path = str(tmp_path / "bf_idx")
+    build_bloom_index(corpus, bf_path)
+    common = dict(
+        index_path=mh_path,
+        corpus=corpus,
+        ratios=dsir_bucket_ratios(corpus, F.col("lang") == "en"),
+        dsir_cutoff=0.0,
+        jaccard_threshold=0.5,
+    )
+    batch = spark.createDataFrame(
+        [(201, CORPUS[0][1], "en"), (202, CORPUS[1][1], "en")] + ARRIVING, SCHEMA
+    )
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    with_bloom = rows(
+        run_ingestion_batch(
+            spark,
+            ingestion_topology(
+                spark, hash_index_path=hx_path, bloom_index_path=bf_path, **common
+            ),
+            batch,
+        )
+    )
+    hash_only = rows(
+        run_ingestion_batch(
+            spark, ingestion_topology(spark, hash_index_path=hx_path, **common), batch
+        )
+    )
+    no_gate = rows(
+        run_ingestion_batch(spark, ingestion_topology(spark, **common), batch)
+    )
+    assert with_bloom == hash_only == no_gate
+    assert sorted(t[0] for t in with_bloom) == SURVIVOR_IDS
+    with pytest.raises(ValueError, match="requires hash_index_path"):
+        ingestion_topology(spark, bloom_index_path=bf_path, **common)
+
+
+def test_stream_bloom_upsert_catches_later_recrawl(spark, tmp_path):
+    """Close the exact-gate loop with BOTH layers upserted: an admitted
+    doc's bits join the Bloom filter and its hash joins the index, so a
+    byte-identical copy in a LATER micro-batch is pre-tested positive by
+    the filter and confirmed dead by the hash join."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        build_bloom_index,
+        build_hash_index,
+    )
+    from kafka_streams_the_clojure_way_spark.operators.text import dsir_bucket_ratios
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    mh_path = str(tmp_path / "mh_idx")
+    build_minhash_index(corpus, mh_path)
+    hx_path = str(tmp_path / "hx_idx")
+    build_hash_index(corpus, hx_path)
+    bf_path = str(tmp_path / "bf_idx")
+    build_bloom_index(corpus, bf_path)
+    caches: list = []
+    topo = ingestion_topology(
+        spark,
+        index_path=mh_path,
+        corpus=corpus,
+        ratios=dsir_bucket_ratios(corpus, F.col("lang") == "en"),
+        dsir_cutoff=0.0,
+        jaccard_threshold=0.5,
+        hash_index_path=hx_path,
+        bloom_index_path=bf_path,
+        cache_registry=caches,
+    )
+    batches = [
+        [ARRIVING[1]],                        # 102 admitted
+        [(302, ARRIVING[1][1], "en")],        # byte-identical re-crawl of 102
+    ]
+    in_dir = tmp_path / "arriving"
+    for i, rows_ in enumerate(batches):
+        spark.createDataFrame(rows_, SCHEMA).write.parquet(str(in_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    admitted = []
+
+    def sink(curated, batch_id):
+        admitted.extend(r.doc_id for r in curated.collect())
+
+    q = run_ingestion_stream(
+        spark, topo, stream, sink,
+        cache_registry=caches,
+        upsert_hash_index_path=hx_path,
+        upsert_bloom_index_path=bf_path,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    drain(q)
+    assert sorted(admitted) == [102], admitted
