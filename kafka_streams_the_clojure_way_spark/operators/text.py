@@ -764,3 +764,106 @@ def dsir_score_stateless(
         F.coalesce(F.array_size(toks), F.lit(0)).cast("long").alias("n_tokens"),
         F.coalesce(logw, F.lit(0.0)).alias("dsir_logweight_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# PSI drift monitoring (stateless-per-batch form, streaming-safe)
+# --------------------------------------------------------------------------
+
+#: PSI token-length bins: fixed edges (not quantiles) so two populations
+#: bin identically — quantile edges would move with the data and absorb
+#: exactly the drift being measured. 6 bins over the shipped 10..99
+#: token range; values outside clamp into the edge bins.
+PSI_BINS = 6
+PSI_LO = 10
+PSI_WIDTH = 16
+#: fixed-point micro-units for per-bin PSI terms — quantized BEFORE the
+#: sum so the reported index is exact and order/partitioning-free (same
+#: ULP-proofing as the quantized DSIR fold).
+PSI_Q = 1_000_000
+
+
+def psi_token_bin(text: Column) -> Column:
+    """Fixed-edge token-count bin of a text column (0..PSI_BINS-1).
+    Clamped BEFORE the division: DuckDB's // truncates toward zero
+    while Spark's floor() floors, so negatives must never reach it."""
+    n_tok = F.size(tokens_col(text))
+    return F.least(
+        F.lit(PSI_BINS - 1),
+        F.floor(F.greatest(F.lit(0), n_tok - F.lit(PSI_LO)) / F.lit(PSI_WIDTH)),
+    )
+
+
+def psi_reference_counts(
+    df: DataFrame, *, text: str = "text", source_col: str = "source"
+) -> list[tuple]:
+    """Train the drift monitor's reference: per-(source, bin) doc counts
+    of the reference corpus, collected to the driver — model-sized
+    (|sources| x PSI_BINS rows, like the 256-entry DSIR ratio table),
+    so the monitor can score every arriving batch against a broadcast
+    literal with no reference re-scan."""
+    rows = (
+        df.select(F.col(source_col).alias("source"), psi_token_bin(F.col(text)).alias("bin"))
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return [(r["source"], int(r["bin"]), int(r["n"])) for r in rows]
+
+
+def psi_against_reference(
+    spark,
+    batch: DataFrame,
+    ref_counts: list[tuple],
+    *,
+    text: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Population Stability Index of an arriving batch against a trained
+    reference, per source: ONE batch scan into a (source x bin) count
+    grid, then all arithmetic on the grid joined to the broadcast
+    reference literal. Add-1 smoothing keeps empty bins defined; per-bin
+    terms quantize to BIGINT micro-units before the sum (exact,
+    order-free — the same contract as the registered
+    ``dq_source_drift_psi``, pinned by a parity test). Sources absent
+    from the reference are ignored: a NEW source is a topology event
+    for the ingest operator, not a drift measurement (PSI against an
+    empty reference is unbounded by construction).
+
+    Output: (source, n_batch, n_ref, psi_r) — one row per reference
+    source, including sources the batch never hit (their drift is
+    exactly the batch's absence)."""
+    srcs = sorted({s for s, _, _ in ref_counts})
+    lookup = {(s, b): n for s, b, n in ref_counts}
+    grid_rows = [
+        (s, b, lookup.get((s, b), 0)) for s in srcs for b in range(PSI_BINS)
+    ]
+    grid = spark.createDataFrame(grid_rows, "source string, bin long, c_ref long")
+    counts = (
+        batch.select(
+            F.col(source_col).alias("source"), psi_token_bin(F.col(text)).alias("bin")
+        )
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("c_new"))
+    )
+    # broadcast the batch-count side (bounded by |batch sources| x bins);
+    # the grid must stay the preserved side of the left join.
+    joined = grid.join(F.broadcast(counts), ["source", "bin"], "left").select(
+        "source", "bin", "c_ref", F.coalesce("c_new", F.lit(0)).alias("c_new")
+    )
+    totals = joined.groupBy("source").agg(
+        F.sum("c_new").alias("n_batch"), F.sum("c_ref").alias("n_ref")
+    )
+    full = joined.join(totals, "source")
+    pa = (F.col("c_new") + F.lit(1)).cast("double") / (
+        F.col("n_batch") + F.lit(PSI_BINS)
+    ).cast("double")
+    pb = (F.col("c_ref") + F.lit(1)).cast("double") / (
+        F.col("n_ref") + F.lit(PSI_BINS)
+    ).cast("double")
+    q = F.round(((pa - pb) * F.log(pa / pb)) * F.lit(1000000.0)).cast("long")
+    return (
+        full.select("source", "n_batch", "n_ref", q.alias("q"))
+        .groupBy("source", "n_batch", "n_ref")
+        .agg(F.round(F.sum("q").cast("double") / F.lit(PSI_Q), 6).alias("psi_r"))
+    )

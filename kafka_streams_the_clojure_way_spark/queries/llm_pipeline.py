@@ -3769,19 +3769,18 @@ def meta_minhash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus drift / quality-model scoring / bloom-index audit
 # --------------------------------------------------------------------------
 
-#: PSI token-length bins: 6 fixed-width bins over the observed 10..99
-#: token range. Fixed edges (not quantiles) so two revisions bin
-#: identically — a quantile binning would move the edges with the data
-#: and hide exactly the drift being measured.
-_PSI_BINS = 6
-_PSI_LO = 10
-_PSI_WIDTH = 16
-_PSI_Q = 1_000_000
+#: PSI token-length bins — single source of truth in operators/text.py
+#: (shared with the streaming drift monitor, whose parity with this
+#: query is pinned by tests/test_streaming_psi.py).
+_PSI_BINS = T.PSI_BINS
+_PSI_LO = T.PSI_LO
+_PSI_WIDTH = T.PSI_WIDTH
+_PSI_Q = T.PSI_Q
 
 _PSI_ORACLE = f"""
 WITH binned AS (
     SELECT source,
-           doc_id % 2 = 0 AS is_a,
+           doc_id % 40 < 20 AS is_a,
            least({_PSI_BINS - 1},
                  greatest(0, len({T.tokens_sql('text')}) - {_PSI_LO})
                      // {_PSI_WIDTH}) AS bin
@@ -3826,7 +3825,10 @@ def dq_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     source — the drift monitor a data-ops team reads when a crawler or
     an upstream filter changes behavior between ingest waves (PSI > 0.1
     = investigate, > 0.25 = the distribution moved; standard credit-
-    scoring thresholds). Revisions are the deterministic doc_id halves;
+    scoring thresholds). Revisions are deterministic doc_id blocks
+    (doc_id % 40 < 20 — NOT even/odd, which would degenerate because
+    the synthetic source is doc_id % 20, putting every source wholly in
+    one parity class; the block split halves each source);
     the feature is token count over {_PSI_BINS} FIXED bins (fixed edges,
     so the binning itself cannot absorb the drift), add-1 smoothed so
     empty bins stay defined.
@@ -3839,14 +3841,10 @@ def dq_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ULP-proofing as the quantized DSIR gate), so the reported PSI is
     bit-reproducible at any partitioning."""
     docs = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(P.tokens(F.col("text")))
-    bin_ = F.least(
-        F.lit(_PSI_BINS - 1),
-        F.floor(F.greatest(F.lit(0), n_tok - F.lit(_PSI_LO)) / F.lit(_PSI_WIDTH)),
-    )
+    bin_ = T.psi_token_bin(F.col("text"))
     counts = (
         docs.select(
-            "source", bin_.alias("bin"), (F.col("doc_id") % 2 == 0).alias("is_a")
+            "source", bin_.alias("bin"), (F.col("doc_id") % 40 < 20).alias("is_a")
         )
         .groupBy("source", "bin")
         .agg(
