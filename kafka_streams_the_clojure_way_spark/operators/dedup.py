@@ -37,6 +37,27 @@ from kafka_streams_the_clojure_way_spark.sources.files import with_min_paralleli
 
 SHINGLE_K = 3
 
+#: per-process cache of persisted-index meta rows, keyed by index path.
+#: Meta is WRITE-ONCE per build (upsert/delete/compact never touch it),
+#: so re-reading it per probe costs one driver-side Spark job each time
+#: for bytes that cannot have changed — in the composed ingestion
+#: pipeline that is 4-5 redundant jobs per batch. build_* functions
+#: invalidate their path, which covers in-process rebuilds.
+_INDEX_META_CACHE: dict[str, object] = {}
+
+
+def _index_meta(spark, index_path: str):
+    """The index's one meta row, cached per process (see cache note)."""
+    row = _INDEX_META_CACHE.get(index_path)
+    if row is None:
+        row = spark.read.parquet(f"{index_path}/meta").collect()[0]
+        _INDEX_META_CACHE[index_path] = row
+    return row
+
+
+def _invalidate_index_meta(path: str) -> None:
+    _INDEX_META_CACHE.pop(path, None)
+
 #: (a, b) seeds for the portable universal-hash family h_i(x) = (a*x+b) % M31.
 #: Fixed constants — NOT runtime-random — so signatures are reproducible
 #: across engines, runs, and the DuckDB oracle.
@@ -602,6 +623,7 @@ def build_minhash_index(
     re-signing. At 100 TB the banding table is ~1% of corpus bytes, and
     re-signing the corpus per arriving batch (what the index-less
     ``minhash_lsh_pairs_between`` does) would dominate every batch."""
+    _invalidate_index_meta(path)
     from kafka_streams_the_clojure_way_spark.sources.files import write_partitioned
 
     if n_hashes % bands:
@@ -687,7 +709,7 @@ def minhash_index_upsert(
     regresses to the tiny-file listing cost the build path avoids.
     After many batches, run :func:`compact_minhash_index` to restore
     the one-file-per-directory build layout."""
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    meta = _index_meta(spark, index_path)
     n_hashes, bands, n_buckets = meta["n_hashes"], meta["bands"], meta["n_buckets"]
     rows = n_hashes // bands
     if not assume_new_ids:
@@ -783,7 +805,7 @@ def minhash_index_probe(
     for the process lifetime (fine for one-shot queries, a leak for
     long-running probe loops). Pass a list and the cached frame is
     appended to it instead — unpersist after materializing results."""
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    meta = _index_meta(spark, index_path)
     n_hashes, bands, n_buckets = meta["n_hashes"], meta["bands"], meta["n_buckets"]
     rows = n_hashes // bands
     wm_streaming = watermark is not None and batch.isStreaming
@@ -915,7 +937,7 @@ def minhash_index_delete(spark, index_path: str, ids, *, id_col: str = "doc_id")
     an append-only log with no read-modify-write on the index. Cost:
     one tiny append now; each probe pays a broadcast anti-join bounded
     by the live tombstone count (reset to zero by compaction)."""
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    meta = _index_meta(spark, index_path)
     if isinstance(ids, DataFrame):
         frame = ids.select(F.col(id_col).cast("long").alias(meta["id_col"]))
     else:
@@ -947,7 +969,7 @@ def compact_minhash_index(spark, index_path: str) -> None:
         compact_partitioned,
     )
 
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    meta = _index_meta(spark, index_path)
     tomb = _read_optional(spark, f"{index_path}/tombstones")
     drop = None
     if tomb is not None:
@@ -1093,6 +1115,7 @@ def build_hash_index(
     probed 1/``n_buckets`` slices per batch, vs re-hashing the full
     corpus per batch without the index. One file per bucket directory
     (same layout rule as build_minhash_index)."""
+    _invalidate_index_meta(path)
     from kafka_streams_the_clojure_way_spark.sources.files import write_partitioned
 
     hashed = with_min_parallelism(corpus).select(
@@ -1126,7 +1149,7 @@ def hash_index_upsert(
     repartitioned onto the bucket column first — at most ONE file per
     touched directory per batch; run :func:`compact_hash_index` on a
     cadence to restore the build layout."""
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    meta = _index_meta(spark, index_path)
     n_buckets = meta["n_buckets"]
     if not assume_new_ids:
         existing = spark.read.parquet(f"{index_path}/hashes").select(
@@ -1173,7 +1196,7 @@ def hash_index_probe(
     per-batch cost independent of corpus size use
     :func:`hash_index_probe_stream`, which runs each micro-batch
     through THIS batch routing inside ``foreachBatch``."""
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    meta = _index_meta(spark, index_path)
     n_buckets = meta["n_buckets"]
     base = batch if batch.isStreaming else with_min_parallelism(batch)
     probe = base.select(
@@ -1219,7 +1242,7 @@ def hash_index_delete(spark, index_path: str, ids, *, id_col: str = "doc_id") ->
     folds them in physically and clears the set. A tombstoned id stays
     visible to the upsert anti-join until compaction (re-add requires a
     compact first)."""
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    meta = _index_meta(spark, index_path)
     if isinstance(ids, DataFrame):
         frame = ids.select(F.col(id_col).cast("long").alias(meta["id_col"]))
     else:
@@ -1238,7 +1261,7 @@ def compact_hash_index(spark, index_path: str) -> None:
 
     from kafka_streams_the_clojure_way_spark.sources.files import compact_partitioned
 
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    meta = _index_meta(spark, index_path)
     tomb = _read_optional(spark, f"{index_path}/tombstones")
     drop = None
     if tomb is not None:
@@ -2190,6 +2213,7 @@ def build_containment_index(
     incremental gate) — any fixed total order keeps the pigeonhole
     guarantee; corpus-frequency order would go stale as batches arrive.
     """
+    _invalidate_index_meta(path)
     spark = corpus.sparkSession
     sets = (
         with_min_parallelism(corpus)
@@ -2235,7 +2259,7 @@ def containment_index_probe(
     persisted sets table. ``cache_registry``: same lifecycle contract
     as ``minhash_index_probe`` — the batch's shingle-set frame is
     cached; pass a list to own the unpersist."""
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    meta = _index_meta(spark, index_path)
     t_num, t_den = meta["t_num"], meta["t_den"]
     psets = (
         (batch if batch.isStreaming else with_min_parallelism(batch))
@@ -2339,7 +2363,7 @@ def containment_index_upsert(
     postings, the same orphan-direction choice as the MinHash index.
     Each append is one file per batch; run
     :func:`compact_containment_index` on a cadence."""
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    meta = _index_meta(spark, index_path)
     t_num, t_den, cid = meta["t_num"], meta["t_den"], meta["id_col"]
     if not assume_new_ids:
         existing = spark.read.parquet(f"{index_path}/sets").select(
@@ -2377,7 +2401,7 @@ def containment_index_delete(
     set, :func:`compact_containment_index` folds them in physically and
     clears the set. A tombstoned id stays visible to the upsert
     anti-join until compaction (re-add requires a compact first)."""
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    meta = _index_meta(spark, index_path)
     if isinstance(ids, DataFrame):
         frame = ids.select(F.col(id_col).cast("long").alias(meta["id_col"]))
     else:
@@ -2398,7 +2422,7 @@ def compact_containment_index(spark, index_path: str) -> None:
 
     from kafka_streams_the_clojure_way_spark.sources.files import compact_files
 
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    meta = _index_meta(spark, index_path)
     tomb = _read_optional(spark, f"{index_path}/tombstones")
     drop = None
     if tomb is not None:
@@ -2510,6 +2534,7 @@ def build_bloom_index(
     honors its tombstones); a deleted doc only costs a false positive
     here until the next rebuild. That is the standard production
     trade (RocksDB/Cassandra SSTable filters behave identically)."""
+    _invalidate_index_meta(path)
     from kafka_streams_the_clojure_way_spark.sources.files import write_partitioned
 
     bits = (
@@ -2549,7 +2574,7 @@ def bloom_index_probe(
     pre-fold shuffle is constant-sized), and the batch's per-word needs
     broadcast into one map-side inner join. A doc passes iff every one
     of its needed words has all needed bits set."""
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    meta = _index_meta(spark, index_path)
     base = batch if batch.isStreaming else with_min_parallelism(batch)
     need = (
         _bloom_bit_rows(
@@ -2601,7 +2626,7 @@ def bloom_index_upsert(
     upserts). Bit-OR is associative and commutative, so upsert-then-
     probe is bit-identical to rebuild-then-probe, and replayed batches
     are naturally idempotent (at-least-once safe with no anti-join)."""
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    meta = _index_meta(spark, index_path)
     bits = (
         _bloom_bit_rows(
             with_min_parallelism(batch),
