@@ -2461,35 +2461,37 @@ BLOOM_SEEDS = (
 def _bloom_bit_rows(
     df: DataFrame,
     *,
-    text: str,
+    hash_expr: Column,
     n_segments: int,
     words_per_segment: int,
     k: int,
-    id_col: str | None = None,
+    keep: list | None = None,
 ) -> DataFrame:
     """(segment, word_idx, mask) rows for every member-hash position of
-    every input doc — the shared kernel of build, upsert, and probe.
-    With ``id_col`` the id and content hash ride along (probe shape);
-    without, rows are ready for the bit-fold (build/upsert shape)."""
+    every input row — the shared kernel of the Bloom and keyset
+    indexes' build, upsert, and probe. ``hash_expr`` is any
+    non-negative BIGINT column expression (content hash for the doc
+    filter, hash60 of the raw key for the keyset index); ``keep`` is a
+    list of aliased Columns to carry through (probe shape)."""
     if k > len(BLOOM_SEEDS):
         raise ValueError(f"k={k} exceeds the fixed seed family ({len(BLOOM_SEEDS)})")
     m_bits = words_per_segment * BLOOM_BITS_PER_WORD
-    h = content_hash(F.col(text))
-    folded = h % F.lit(MERSENNE_31)
+    folded = hash_expr % F.lit(MERSENNE_31)
     positions = F.array(
         *[
             ((F.lit(a) * folded + F.lit(b)) % F.lit(MERSENNE_31)) % F.lit(m_bits)
             for a, b in BLOOM_SEEDS[:k]
         ]
     )
-    keep = [F.col(id_col).alias("probe_id"), h.alias("content_hash")] if id_col else []
+    keep = list(keep or [])
+    keep_names = [df.select(c).columns[0] for c in keep]
     rows = df.select(
         *keep,
-        F.pmod(h, F.lit(n_segments)).alias("segment"),
+        F.pmod(hash_expr, F.lit(n_segments)).alias("segment"),
         F.explode(positions).alias("pos"),
     )
     return rows.select(
-        *(["probe_id", "content_hash"] if id_col else []),
+        *keep_names,
         "segment",
         F.floor(F.col("pos") / F.lit(BLOOM_BITS_PER_WORD)).cast("long").alias("word_idx"),
         F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_BITS_PER_WORD} AS INT))").alias("mask"),
@@ -2540,7 +2542,7 @@ def build_bloom_index(
     bits = (
         _bloom_bit_rows(
             with_min_parallelism(corpus),
-            text=text,
+            hash_expr=content_hash(F.col(text)),
             n_segments=n_segments,
             words_per_segment=words_per_segment,
             k=k,
@@ -2576,14 +2578,16 @@ def bloom_index_probe(
     of its needed words has all needed bits set."""
     meta = _index_meta(spark, index_path)
     base = batch if batch.isStreaming else with_min_parallelism(batch)
+    tcol = meta["text_col"] if text == "text" else text
+    h = content_hash(F.col(tcol))
     need = (
         _bloom_bit_rows(
             base,
-            text=meta["text_col"] if text == "text" else text,
+            hash_expr=h,
             n_segments=meta["n_segments"],
             words_per_segment=meta["words_per_segment"],
             k=meta["k"],
-            id_col=id_col,
+            keep=[F.col(id_col).alias("probe_id"), h.alias("content_hash")],
         )
         .groupBy("probe_id", "content_hash", "segment", "word_idx")
         .agg(F.bit_or("mask").alias("need"))
@@ -2630,7 +2634,7 @@ def bloom_index_upsert(
     bits = (
         _bloom_bit_rows(
             with_min_parallelism(batch),
-            text=text,
+            hash_expr=content_hash(F.col(text)),
             n_segments=meta["n_segments"],
             words_per_segment=meta["words_per_segment"],
             k=meta["k"],
@@ -2679,3 +2683,190 @@ def bloom_gated_exact_probe(
     ).select(F.col("probe_id").alias(id_col))
     gated = batch.join(F.broadcast(maybe), id_col, "left_semi")
     return hash_index_probe(spark, hash_index_path, gated, text=text, id_col=id_col)
+
+
+# --------------------------------------------------------------------------
+# Keyset index: bloom-fronted exact-membership set over arbitrary keys
+# --------------------------------------------------------------------------
+
+def build_keyset_index(
+    keys: DataFrame,
+    path: str,
+    *,
+    key_col: str = "key",
+    n_segments: int = BLOOM_SEGMENTS,
+    words_per_segment: int = BLOOM_WORDS_PER_SEGMENT,
+    k: int = BLOOM_K,
+) -> None:
+    """Materialize an exact-membership SET over arbitrary string keys
+    with a Bloom-filter negative fast path — the generalization of the
+    content-hash Bloom index from "is this document in the corpus" to
+    "is this KEY in a protected set". The motivating workload is
+    benchmark DECONTAMINATION when the protected n-gram set is too big
+    to broadcast (the whole-corpus cross-wave case, or a consolidated
+    eval suite at 1e9+ grams): membership must stay EXACT (a missed
+    contamination is a train/test leak), but most corpus grams are NOT
+    protected, so the common case should never touch the exact set.
+
+    Layout: ``path/bits`` = the Bloom filter over hash60(key), segment-
+    partitioned exactly like the doc filter; ``path/keys`` = the exact
+    keys (RAW STRINGS — the confirm join matches strings, so a 60-bit
+    hash collision can never produce a false member at any scale),
+    hive-partitioned by the same segment; ``path/meta``. Probe cost:
+    negatives resolve from probed bit segments (~10 bits/key of state);
+    only Bloom-positives join the keys table, segment-pruned.
+
+    Deletes: drop rows from ``keys`` and rebuild ``bits`` — bits alone
+    cannot unset; until then a deleted key costs a confirm lookup, never
+    a wrong answer (membership truth lives in ``keys``)."""
+    from kafka_streams_the_clojure_way_spark.functions.portable import hash60
+    from kafka_streams_the_clojure_way_spark.sources.files import write_partitioned
+
+    _invalidate_index_meta(path)
+    base = (
+        with_min_parallelism(keys)
+        .select(F.col(key_col).alias("key"))
+        .distinct()
+        .withColumn("segment", F.pmod(hash60(F.col("key")), F.lit(n_segments)))
+    )
+    bits = (
+        _bloom_bit_rows(
+            base,
+            hash_expr=hash60(F.col("key")),
+            n_segments=n_segments,
+            words_per_segment=words_per_segment,
+            k=k,
+        )
+        .groupBy("segment", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    write_partitioned(bits.repartition("segment"), f"{path}/bits", "segment")
+    write_partitioned(base.repartition("segment"), f"{path}/keys", "segment")
+    keys.sparkSession.createDataFrame(
+        [(n_segments, words_per_segment, k, key_col)],
+        "n_segments int, words_per_segment int, k int, key_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def keyset_index_probe(
+    spark,
+    index_path: str,
+    probe: DataFrame,
+    *,
+    key_col: str = "key",
+) -> DataFrame:
+    """Exact membership test for a batch of keys: returns the DISTINCT
+    probe keys that ARE in the set (one ``key`` column). Two stages,
+    both pruned by the batch: (1) Bloom pre-test — distinct probe keys
+    hash to positions, probed segments become a literal PartitionFilter
+    on the bits scan, zero false negatives; (2) confirm — only the
+    Bloom-positives equi-join the exact keys table on the RAW STRING
+    (collision-proof), again scanning only their segment directories.
+    Negatives — the common case in decontamination — never touch the
+    keys table at all."""
+    from kafka_streams_the_clojure_way_spark.functions.portable import hash60
+
+    meta = _index_meta(spark, index_path)
+    pkeys = (
+        with_min_parallelism(probe)
+        .select(F.col(key_col).alias("key"))
+        .distinct()
+    )
+    h = hash60(F.col("key"))
+    need = (
+        _bloom_bit_rows(
+            pkeys,
+            hash_expr=h,
+            n_segments=meta["n_segments"],
+            words_per_segment=meta["words_per_segment"],
+            k=meta["k"],
+            keep=[F.col("key")],
+        )
+        .groupBy("key", "segment", "word_idx")
+        .agg(F.bit_or("mask").alias("need"))
+    )
+    bits = spark.read.parquet(f"{index_path}/bits")
+    if not probe.isStreaming:
+        segs = [r["segment"] for r in need.select("segment").distinct().collect()]
+        if not segs:
+            return pkeys.limit(0)
+        bits = bits.filter(F.col("segment").isin(segs))
+    folded = bits.groupBy("segment", "word_idx").agg(F.bit_or("word").alias("word"))
+    hits = (
+        folded.join(F.broadcast(need), ["segment", "word_idx"])
+        .filter(F.col("word").bitwiseAND(F.col("need")) == F.col("need"))
+        .groupBy("key", "segment")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    totals = need.groupBy("key", "segment").agg(F.count(F.lit(1)).alias("n_need"))
+    maybe = (
+        totals.join(hits, ["key", "segment"])
+        .filter(F.col("n_hit") == F.col("n_need"))
+        .select("key", "segment")
+    )
+    keys_tbl = spark.read.parquet(f"{index_path}/keys")
+    if not probe.isStreaming:
+        msegs = [r["segment"] for r in maybe.select("segment").distinct().collect()]
+        if not msegs:
+            return pkeys.limit(0)
+        keys_tbl = keys_tbl.filter(F.col("segment").isin(msegs))
+    return keys_tbl.join(F.broadcast(maybe), ["key", "segment"], "left_semi").select(
+        "key"
+    )
+
+
+def keyset_index_upsert(
+    spark,
+    index_path: str,
+    new_keys: DataFrame,
+    *,
+    key_col: str = "key",
+) -> None:
+    """Add keys to the set: OR their bits into the filter and append
+    them (anti-joined against existing members, so replays and re-adds
+    are idempotent and the keys table stays duplicate-free) to the
+    touched segment directories only."""
+    from kafka_streams_the_clojure_way_spark.functions.portable import hash60
+
+    meta = _index_meta(spark, index_path)
+    base = (
+        with_min_parallelism(new_keys)
+        .select(F.col(key_col).alias("key"))
+        .distinct()
+        .withColumn(
+            "segment", F.pmod(hash60(F.col("key")), F.lit(meta["n_segments"]))
+        )
+    )
+    existing = keyset_index_probe(spark, index_path, base)
+    fresh = base.join(F.broadcast(existing), "key", "left_anti")
+    bits = (
+        _bloom_bit_rows(
+            fresh,
+            hash_expr=hash60(F.col("key")),
+            n_segments=meta["n_segments"],
+            words_per_segment=meta["words_per_segment"],
+            k=meta["k"],
+        )
+        .groupBy("segment", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    bits.repartition("segment").write.mode("append").partitionBy("segment").parquet(
+        f"{index_path}/bits"
+    )
+    fresh.repartition("segment").write.mode("append").partitionBy("segment").parquet(
+        f"{index_path}/keys"
+    )
+
+
+def compact_keyset_index(spark, index_path: str) -> None:
+    """Fold upsert-appended bit rows and restore ONE file per segment
+    directory in both legs — probe answers byte-identical before/after
+    (upserts anti-join, so keys are already duplicate-free; the bit
+    fold just moves the probe's own fold to write time)."""
+    from kafka_streams_the_clojure_way_spark.sources.files import compact_partitioned
+
+    def fold(df: DataFrame) -> DataFrame:
+        return df.groupBy("segment", "word_idx").agg(F.bit_or("word").alias("word"))
+
+    compact_partitioned(spark, f"{index_path}/bits", "segment", transform=fold)
+    compact_partitioned(spark, f"{index_path}/keys", "segment")

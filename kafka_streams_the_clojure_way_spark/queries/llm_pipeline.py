@@ -24,7 +24,7 @@ from kafka_streams_the_clojure_way_spark.operators.multimodal import (
     sample_frames,
     wrap_binary_assets,
 )
-from kafka_streams_the_clojure_way_spark.queries.registry import query
+from kafka_streams_the_clojure_way_spark.queries.registry import ORACLES, query
 from kafka_streams_the_clojure_way_spark.sources.files import load_table, with_min_parallelism
 
 
@@ -4000,4 +4000,76 @@ def meta_bloom_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment", "word_idx")
         .agg(F.bit_or("word").alias("word"))
         .select(F.col("segment").cast("long").alias("segment"), "word_idx", "word")
+    )
+
+
+#: per-process keyset index over the benchmark slice's shingles (the
+#: decontamination gate's serve side) — keyed by every build parameter.
+_KEYSET_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _bench_keyset_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (
+        sf_dir,
+        _BENCH_SOURCE,
+        T.CONTAM_NGRAM,
+        D.BLOOM_SEGMENTS,
+        D.BLOOM_WORDS_PER_SEGMENT,
+        D.BLOOM_K,
+    )
+    path = _KEYSET_INDEX_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="bench_keyset_")
+        docs = load_table(spark, sf_dir, "documents")
+        bench_grams = (
+            docs.filter(F.col("source") == _BENCH_SOURCE)
+            .select(F.explode_outer(T.shingles_col(F.col("text"))).alias("key"))
+            .filter(F.col("key").isNotNull())
+        )
+        D.build_keyset_index(bench_grams, path)
+        _KEYSET_INDEX_CACHE[key] = path
+    return path
+
+
+@query("text_contamination_bloom_gated", oracle=ORACLES["text_ngram_contamination"])
+def text_contamination_bloom_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination against a PERSISTED keyset index — the
+    serve path for protected n-gram sets too big to broadcast (the
+    whole-corpus cross-wave case, consolidated eval suites at 1e9+
+    grams; text_ngram_contamination's broadcast of the full gram set is
+    its small-set oracle twin). The benchmark slice's 5-gram shingles
+    are built ONCE into a bloom-fronted exact-membership set
+    (operators/dedup.build_keyset_index); each corpus document's grams
+    probe it: non-protected grams — the overwhelming majority — resolve
+    from ~10 bits/gram of probed filter segments, and only
+    Bloom-positives confirm against the exact keys table (RAW-STRING
+    join, so a hash collision can never flag a clean doc). Same per-doc
+    contamination counts, same oracle, as the broadcast form."""
+    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
+    path = _bench_keyset_path(spark, sf_dir)
+    corpus = (
+        docs.filter(F.col("source") != _BENCH_SOURCE)
+        .select(
+            "doc_id", F.explode_outer(T.shingles_col(F.col("text"))).alias("s")
+        )
+        .filter(F.col("s").isNotNull())
+    )
+    members = (
+        D.keyset_index_probe(spark, path, corpus.select(F.col("s").alias("key")))
+        .withColumnRenamed("key", "s")
+        .withColumn("__hit", F.lit(1))
+    )
+    hit = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+    return (
+        corpus.join(members, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            hit.alias("n_contaminated"),
+            F.round(hit.cast("double") / F.count(F.lit(1)), 6).alias(
+                "contamination_frac"
+            ),
+        )
     )

@@ -78,6 +78,11 @@ PROBE_QUERIES = [
                                     # matches per probe ~factor under exact-copy
                                     # replication -> output ~factor^2)
                                     # [factor-capped, see PROBE_FACTOR_CAP]
+    "dedup_incremental_bloom_gated",  # bloom pre-test + hash confirm (same
+                                    # output-quadratic replication artifact)
+                                    # [factor-capped, see PROBE_FACTOR_CAP]
+    "dq_source_drift_psi",          # one corpus scan -> |sources|x6 grid arithmetic
+    "text_quality_logit",           # scan-bound WholeStageCodegen projection
 ]
 
 
@@ -146,6 +151,7 @@ PROBE_FACTOR_CAP = {
     "eval_ann_quantized_quality": 10,
     "pipeline_ingestion_curated": 10,
     "dedup_incremental_exact_indexed": 10,
+    "dedup_incremental_bloom_gated": 10,
 }
 
 
