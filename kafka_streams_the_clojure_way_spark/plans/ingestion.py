@@ -108,6 +108,7 @@ def ingestion_topology(
     embeddings: DataFrame | None = None,
     semantic_threshold: float = INGEST_SEMANTIC_COS,
     semantic_n_probe: int = S.IVF_NPROBE,
+    keyset_index_path: str | None = None,
     cache_registry: list | None = None,
 ) -> Topology:
     """Build the curation-loop topology dict. ``index_path`` is a
@@ -223,6 +224,33 @@ def ingestion_topology(
         flagged = pairs.select(F.col("probe_id").alias(id_col)).distinct()
         return _pin(batch.join(flagged, id_col, "left_anti"))
 
+    def contamination_gate(batch: DataFrame) -> DataFrame:
+        # a doc sharing ANY protected 5-gram with the benchmark is a
+        # train/test leak — absolute drop, no threshold. Non-protected
+        # grams (the overwhelming majority) resolve from the keyset
+        # index's bloom segments; only bloom-positives confirm against
+        # the exact keys table by raw string.
+        from kafka_streams_the_clojure_way_spark.operators import text as TX
+
+        if not batch.isStreaming:
+            # five gates of verdict-derive-and-join-back lineage feed this
+            # point, and the keyset probe references its input several
+            # times (need/totals/hits + the confirm and flag joins) — on
+            # the RAW lineage that duplication makes the ANALYZED plan
+            # tree exponentially large (observed: plan stringification
+            # alone OOMs the driver). Truncate to a batch-sized RDD scan;
+            # lazy, so nothing materializes before the sink runs.
+            batch = batch.localCheckpoint(eager=False)
+        grams = batch.select(
+            F.col(id_col),
+            F.explode_outer(TX.shingles_col(F.col(text))).alias("key"),
+        ).filter(F.col("key").isNotNull())
+        members = D.keyset_index_probe(spark, keyset_index_path, grams)
+        flagged = (
+            grams.join(members, "key", "left_semi").select(id_col).distinct()
+        )
+        return _pin(batch.join(flagged, id_col, "left_anti"))
+
     def semantic_gate(batch: DataFrame) -> DataFrame:
         # batch ids -> vectors via the side table (inner join: a doc
         # with no embedding has no semantic signal and passes through),
@@ -270,11 +298,18 @@ def ingestion_topology(
         ["stream/dsir-gate", "stream/containment-gate"],
     ]
     tail = "stream/containment-gate"
+    if keyset_index_path is not None:
+        entities["stream/contamination-gate"] = {
+            "type": "stream",
+            "xform": contamination_gate,
+        }
+        workflow.append([tail, "stream/contamination-gate"])
+        tail = "stream/contamination-gate"
     if ivf_index_path is not None:
         if embeddings is None:
             raise ValueError("ivf_index_path requires an embeddings side table")
         entities["stream/semantic-gate"] = {"type": "stream", "xform": semantic_gate}
-        workflow.append(["stream/containment-gate", "stream/semantic-gate"])
+        workflow.append([tail, "stream/semantic-gate"])
         tail = "stream/semantic-gate"
     workflow.append([tail, "topic/curated-docs"])
     return {"entities": entities, "workflow": workflow}

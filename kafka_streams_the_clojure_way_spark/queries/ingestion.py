@@ -418,3 +418,102 @@ WHERE d.doc_id % {_INCR_NEW_MOD} = 0
 query("pipeline_ingestion_audit", oracle=_INGESTION_AUDIT_ORACLE)(
     pipeline_ingestion_audit
 )
+
+
+#: per-process keyset index over the benchmark slice's shingles — the
+#: ingestion decontamination gate's serve side (bench slice = the
+#: held-out 'src0' source, same convention as text_ngram_contamination).
+_INGEST_KEYSET_CACHE: dict[tuple, str] = {}
+
+_BENCH_SOURCE = "src0"
+
+
+def _ingest_keyset_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (
+        sf_dir,
+        _BENCH_SOURCE,
+        T.CONTAM_NGRAM,
+        D.BLOOM_SEGMENTS,
+        D.BLOOM_WORDS_PER_SEGMENT,
+        D.BLOOM_K,
+    )
+    path = _INGEST_KEYSET_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ingest_keyset_")
+        docs = load_table(spark, sf_dir, "documents")
+        bench = (
+            docs.filter(F.col("source") == _BENCH_SOURCE)
+            .select(F.explode_outer(T.shingles_col(F.col("text"))).alias("key"))
+            .filter(F.col("key").isNotNull())
+        )
+        D.build_keyset_index(bench, path)
+        _INGEST_KEYSET_CACHE[key] = path
+    return path
+
+
+_INGESTION_DECONTAM_ORACLE = f"""
+WITH {_INGESTION_CTES},
+surv3 AS (
+    SELECT doc_id, n_tokens, dsir_logweight_r
+    FROM surv2
+    WHERE dsir_logweight_r >= {INGEST_DSIR_CUTOFF}
+      AND doc_id NOT IN (SELECT probe_id FROM cont)
+),
+contam AS (
+    SELECT DISTINCT c.doc_id
+    FROM (SELECT doc_id, unnest({T.shingles_sql('text')}) AS s
+          FROM documents WHERE {_PROBE_PRED}) c
+    JOIN (SELECT DISTINCT unnest({T.shingles_sql('text')}) AS s
+          FROM documents WHERE source = '{_BENCH_SOURCE}') b USING (s)
+),
+surv4 AS (
+    SELECT doc_id, n_tokens, dsir_logweight_r FROM surv3
+    WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+),
+sem AS (
+    {S.ivf_neardup_pairs_between_sql(
+        f"({_EMB_PROBE_PRED}) AND vec_id IN (SELECT doc_id FROM surv4)",
+        _EMB_BUILD_PRED,
+        threshold=INGEST_SEMANTIC_COS,
+    )}
+)
+SELECT doc_id, n_tokens, dsir_logweight_r FROM surv4
+WHERE doc_id NOT IN (SELECT probe_id FROM sem)
+"""
+
+
+@query("pipeline_ingestion_decontaminated", oracle=_INGESTION_DECONTAM_ORACLE)
+def pipeline_ingestion_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE six-gate curation topology — the shape a production
+    pretraining ingest actually runs: exact gate (Bloom pre-filter +
+    hash-index confirm) -> near-dup gate (MinHash band index) -> DSIR
+    gate -> containment gate -> DECONTAMINATION gate -> semantic gate.
+    The new fifth gate drops any doc sharing >= 1 protected 5-gram with
+    the held-out benchmark slice (a train/test leak is an absolute
+    drop, no threshold — GPT-3 appendix C / PaLM section 7 hygiene),
+    served from the persisted keyset index
+    (operators/dedup.build_keyset_index): non-protected grams — the
+    overwhelming majority of every batch — resolve from ~10 bits/gram
+    of probed bloom segments and never touch the exact keys table. The
+    oracle composes the full lexical chain + an exact string-join
+    contamination CTE + the probed-cells semantic CTE restricted to
+    decontamination survivors, so gate ORDER is value-checked too."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _INCR_NEW_MOD != 0)
+    topo = ingestion_topology(
+        spark,
+        index_path=_minhash_index_path(spark, sf_dir),
+        corpus=corpus,
+        ratios=_ingest_ratios(spark, sf_dir),
+        containment_index_path=_containment_index_path(spark, sf_dir),
+        hash_index_path=_ingest_hash_index_path(spark, sf_dir),
+        bloom_index_path=_ingest_bloom_index_path(spark, sf_dir),
+        keyset_index_path=_ingest_keyset_path(spark, sf_dir),
+        ivf_index_path=_ingest_ivf_index_path(spark, sf_dir),
+        embeddings=load_table(spark, sf_dir, "embeddings"),
+    )
+    curated = run_ingestion_batch(spark, topo, probe)
+    return curated.select("doc_id", "n_tokens", "dsir_logweight_r")

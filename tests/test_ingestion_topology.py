@@ -641,3 +641,55 @@ def test_stream_bloom_upsert_catches_later_recrawl(spark, tmp_path):
     )
     drain(q)
     assert sorted(admitted) == [102], admitted
+
+
+def test_contamination_gate_drops_benchmark_leak(spark, tmp_path):
+    """The decontamination gate (keyset-index serve path) must drop
+    exactly the arriving doc that shares a protected 5-gram with the
+    benchmark set, leave the clean survivor untouched, and sit BETWEEN
+    the containment and curated nodes in the compiled chain."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        build_keyset_index,
+    )
+    from kafka_streams_the_clojure_way_spark.operators.text import (
+        dsir_bucket_ratios,
+        shingles_col,
+    )
+    from kafka_streams_the_clojure_way_spark.plans.compiler import compile_topology
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    mh_path = str(tmp_path / "mh_idx")
+    build_minhash_index(corpus, mh_path)
+    # protected benchmark: one held-out eval doc, NOT in the corpus
+    bench = spark.createDataFrame(
+        [(900, "the benchmark evaluation suite holds this exact protected sentence", "en")],
+        SCHEMA,
+    )
+    ks_path = str(tmp_path / "ks_idx")
+    build_keyset_index(
+        bench.select(F.explode(shingles_col(F.col("text"))).alias("key")), ks_path
+    )
+    topo = ingestion_topology(
+        spark,
+        index_path=mh_path,
+        corpus=corpus,
+        ratios=dsir_bucket_ratios(corpus, F.col("lang") == "en"),
+        dsir_cutoff=0.0,
+        jaccard_threshold=0.5,
+        keyset_index_path=ks_path,
+    )
+    # 105: en-style vocabulary (passes DSIR), unrelated to the corpus
+    # (passes near-dup/containment), but embeds a protected 5-gram
+    leak = (
+        105,
+        "the data pipeline runs and suite holds this exact protected sentence too",
+        "en",
+    )
+    batch = spark.createDataFrame(ARRIVING + [leak], SCHEMA)
+    compiled = compile_topology(spark, topo, {"topic/raw-docs": batch})
+    after_cont = {r.doc_id for r in compiled["stream/containment-gate"].select("doc_id").collect()}
+    assert 105 in after_cont, "leak doc must reach the decontamination gate"
+    after_decon = {r.doc_id for r in compiled["stream/contamination-gate"].select("doc_id").collect()}
+    assert after_decon == after_cont - {105}
+    curated = {r.doc_id for r in compiled["topic/curated-docs"].select("doc_id").collect()}
+    assert curated == set(SURVIVOR_IDS)
