@@ -53,6 +53,9 @@ def _ingest_ratios(spark: SparkSession, sf_dir: str) -> list[float]:
 
 
 _PROBE_PRED = f"doc_id % {_INCR_NEW_MOD} = 0"
+
+#: held-out "benchmark" slice (same convention as text_ngram_contamination)
+_BENCH_SOURCE = "src0"
 _BUILD_PRED = f"doc_id % {_INCR_NEW_MOD} != 0"
 
 #: per-process persisted hash index over the corpus slice (the exact
@@ -259,14 +262,14 @@ def pipeline_ingestion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document DROP ATTRIBUTION for the curation topology — the
     observability artifact an operator reads when an ingest wave's
     admit rate moves: every probe doc labeled with the FIRST gate that
-    dropped it (neardup / dsir / containment / semantic) or 'curated'.
-    Because the compiler returns EVERY entity's frame (not just the
-    sink), the audit is four survivor-id left joins over the gates'
-    already-cached outputs — attribution costs four batch-sized joins
-    on top of the pipeline itself, no gate re-runs. The exact gate is
-    deliberately absent: it is a semantic no-op (an exact dup has
-    Jaccard 1.0, the near-dup gate owns the drop), and including it
-    would attribute those drops to a cost optimization.
+    dropped it (neardup / dsir / containment / contamination /
+    semantic) or 'curated'. Because the compiler returns EVERY entity's
+    frame (not just the sink), the audit is five survivor-id left joins
+    over the gates' already-cached outputs — attribution costs five
+    batch-sized joins on top of the pipeline itself, no gate re-runs.
+    The exact gate is deliberately absent: it is a semantic no-op (an
+    exact dup has Jaccard 1.0, the near-dup gate owns the drop), and
+    including it would attribute those drops to a cost optimization.
 
     The oracle composes the same gate CTE chain with a first-match
     CASE, so the ATTRIBUTION — not just the curated set — is
@@ -282,6 +285,7 @@ def pipeline_ingestion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus=corpus,
         ratios=_ingest_ratios(spark, sf_dir),
         containment_index_path=_containment_index_path(spark, sf_dir),
+        keyset_index_path=_ingest_keyset_path(spark, sf_dir),
         ivf_index_path=_ingest_ivf_index_path(spark, sf_dir),
         embeddings=load_table(spark, sf_dir, "embeddings"),
     )
@@ -295,13 +299,15 @@ def pipeline_ingestion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(survivors("stream/neardup-gate", "s1"), "doc_id", "left")
         .join(survivors("stream/dsir-gate", "s2"), "doc_id", "left")
         .join(survivors("stream/containment-gate", "s3"), "doc_id", "left")
-        .join(survivors("stream/semantic-gate", "s4"), "doc_id", "left")
+        .join(survivors("stream/contamination-gate", "s4"), "doc_id", "left")
+        .join(survivors("stream/semantic-gate", "s5"), "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("s1").isNull(), "neardup")
             .when(F.col("s2").isNull(), "dsir")
             .when(F.col("s3").isNull(), "containment")
-            .when(F.col("s4").isNull(), "semantic")
+            .when(F.col("s4").isNull(), "contamination")
+            .when(F.col("s5").isNull(), "semantic")
             .otherwise("curated")
             .alias("verdict"),
         )
@@ -398,9 +404,20 @@ surv3 AS (
     WHERE dsir_logweight_r >= {INGEST_DSIR_CUTOFF}
       AND doc_id NOT IN (SELECT probe_id FROM cont)
 ),
+contam AS (
+    SELECT DISTINCT c.doc_id
+    FROM (SELECT doc_id, unnest({T.shingles_sql('text')}) AS s
+          FROM documents WHERE {_PROBE_PRED}) c
+    JOIN (SELECT DISTINCT unnest({T.shingles_sql('text')}) AS s
+          FROM documents WHERE source = '{_BENCH_SOURCE}') b USING (s)
+),
+surv4 AS (
+    SELECT doc_id FROM surv3
+    WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+),
 sem AS (
     {S.ivf_neardup_pairs_between_sql(
-        f"({_EMB_PROBE_PRED}) AND vec_id IN (SELECT doc_id FROM surv3)",
+        f"({_EMB_PROBE_PRED}) AND vec_id IN (SELECT doc_id FROM surv4)",
         _EMB_BUILD_PRED,
         threshold=INGEST_SEMANTIC_COS,
     )}
@@ -409,6 +426,7 @@ SELECT d.doc_id,
        CASE WHEN d.doc_id IN (SELECT probe_id FROM nd) THEN 'neardup'
             WHEN s2.dsir_logweight_r < {INGEST_DSIR_CUTOFF} THEN 'dsir'
             WHEN d.doc_id IN (SELECT probe_id FROM cont) THEN 'containment'
+            WHEN d.doc_id IN (SELECT doc_id FROM contam) THEN 'contamination'
             WHEN d.doc_id IN (SELECT probe_id FROM sem) THEN 'semantic'
             ELSE 'curated' END AS verdict
 FROM documents d LEFT JOIN surv2 s2 ON s2.doc_id = d.doc_id
@@ -424,9 +442,6 @@ query("pipeline_ingestion_audit", oracle=_INGESTION_AUDIT_ORACLE)(
 #: ingestion decontamination gate's serve side (bench slice = the
 #: held-out 'src0' source, same convention as text_ngram_contamination).
 _INGEST_KEYSET_CACHE: dict[tuple, str] = {}
-
-_BENCH_SOURCE = "src0"
-
 
 def _ingest_keyset_path(spark: SparkSession, sf_dir: str) -> str:
     key = (

@@ -4073,3 +4073,43 @@ def text_contamination_bloom_gated(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+_KEYSET_LAYOUT_ORACLE = f"""
+WITH bench AS (
+    SELECT DISTINCT unnest({T.shingles_sql('text')}) AS key
+    FROM documents WHERE source = '{_BENCH_SOURCE}'
+),
+h AS (
+    SELECT key, {P.hash60_sql('key')} AS h FROM bench
+),
+pos AS (
+    SELECT h % {D.BLOOM_SEGMENTS} AS segment,
+           ((s.a * (h % {P.MERSENNE_31}) + s.b) % {P.MERSENNE_31})
+               % {_BLOOM_M_BITS} AS pos
+    FROM h CROSS JOIN (VALUES {_BLOOM_SEED_VALUES}) AS s(a, b)
+)
+SELECT segment,
+       pos // {D.BLOOM_BITS_PER_WORD} AS word_idx,
+       bit_or(1::BIGINT << CAST(pos % {D.BLOOM_BITS_PER_WORD} AS INT)) AS word
+FROM pos GROUP BY 1, 2
+"""
+
+
+@query("meta_keyset_index_layout", oracle=_KEYSET_LAYOUT_ORACLE)
+def meta_keyset_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity audit of the persisted keyset index's Bloom leg: every
+    (segment, word_idx, word) read from the ON-DISK artifact,
+    oracle-checked against recomputing the member-hash family over the
+    benchmark gram set in SQL. A wrong seed family or a lost upsert
+    flips a word here before it turns into a false NEGATIVE — the one
+    failure a decontamination gate must never have (a false positive
+    just costs a confirm lookup; a false negative is a silent
+    train/test leak). Scan cost: the bits table only (~10 bits/gram)."""
+    path = _bench_keyset_path(spark, sf_dir)
+    return (
+        spark.read.parquet(f"{path}/bits")
+        .groupBy("segment", "word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .select(F.col("segment").cast("long").alias("segment"), "word_idx", "word")
+    )

@@ -311,6 +311,9 @@ def test_no_accidental_cartesian_products(spark):
         # centroid table — the sim_ivf_index_topk shape; the candidate
         # join itself is an equi-join on the cell partition column
         "pipeline_ingestion_semantic",
+        # the six-gate topology ends in the same semantic gate, so it
+        # inherits the probe-vs-broadcast-centroid routing too
+        "pipeline_ingestion_decontaminated",
         # the drop-attribution audit compiles the same five-gate
         # topology (semantic gate included), so it inherits the same
         # probe-vs-broadcast-centroid routing

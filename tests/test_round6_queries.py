@@ -208,10 +208,15 @@ def test_centroid_classify_partitions_corpus(spark):
 # -- ingestion audit ---------------------------------------------------------
 
 def test_ingestion_audit_consistent_with_curated(spark):
-    """The audit's 'curated' rows are exactly pipeline_ingestion_semantic's
-    output ids, and every probe doc gets exactly one verdict."""
+    """The audit's 'curated' rows are exactly the six-gate
+    pipeline_ingestion_decontaminated output ids (the audit compiles the
+    same topology, minus the semantically-no-op exact gate), and every
+    probe doc gets exactly one verdict."""
     audit = {r.doc_id: r.verdict for r in QUERIES["pipeline_ingestion_audit"](spark, SF).collect()}
-    curated = {r.doc_id for r in QUERIES["pipeline_ingestion_semantic"](spark, SF).collect()}
+    curated = {
+        r.doc_id
+        for r in QUERIES["pipeline_ingestion_decontaminated"](spark, SF).collect()
+    }
     assert {d for d, v in audit.items() if v == "curated"} == curated
     probe_ids = {
         r.doc_id
@@ -225,6 +230,11 @@ def test_ingestion_audit_consistent_with_curated(spark):
         "neardup",
         "dsir",
         "containment",
+        "contamination",
         "semantic",
         "curated",
     }
+    # the fixture must actually exercise the contamination verdict: the
+    # probe slice contains src0 (benchmark) docs, which share their own
+    # grams with the protected set unless an earlier gate drops them
+    assert "contamination" in set(audit.values())
