@@ -61,6 +61,15 @@ def get_spark(
         )
 
     builder = SparkSession.builder.appName(app_name).master(master)
+    # In local mode the driver JVM IS the executor: Spark's 1g default is
+    # sized for a driver that only coordinates, not for 32 in-process task
+    # threads + a 190-query registry's cached/checkpointed frames in one
+    # heap (observed: suite-wide JVM OOM at the registry sweep). Static
+    # conf — must be set before the JVM exists, so it lives here, not in
+    # apply_engine_conf. Cluster deployments size executors separately.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    )
     for key, value in ENGINE_CONF.items():
         builder = builder.config(key, value)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -693,3 +693,96 @@ def test_contamination_gate_drops_benchmark_leak(spark, tmp_path):
     assert after_decon == after_cont - {105}
     curated = {r.doc_id for r in compiled["topic/curated-docs"].select("doc_id").collect()}
     assert curated == set(SURVIVOR_IDS)
+
+
+def test_six_gate_stream_matches_batch(spark, tmp_path):
+    """The COMPLETE production topology — exact (bloom+hash), near-dup,
+    DSIR, containment, decontamination, semantic — must serve streaming
+    micro-batches with output identical to the one-shot batch compile,
+    while each specialized drop (re-crawl, benchmark leak, semantic
+    twin) dies at its own gate."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        build_bloom_index,
+        build_hash_index,
+        build_keyset_index,
+    )
+    from kafka_streams_the_clojure_way_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from kafka_streams_the_clojure_way_spark.operators.text import (
+        dsir_bucket_ratios,
+        shingles_col,
+    )
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    mh_path = str(tmp_path / "mh")
+    build_minhash_index(corpus, mh_path)
+    hx_path = str(tmp_path / "hx")
+    build_hash_index(corpus, hx_path)
+    bf_path = str(tmp_path / "bf")
+    build_bloom_index(corpus, bf_path)
+    bench = spark.createDataFrame(
+        [(900, "the benchmark evaluation suite holds this exact protected sentence", "en")],
+        SCHEMA,
+    )
+    ks_path = str(tmp_path / "ks")
+    build_keyset_index(
+        bench.select(F.explode(shingles_col(F.col("text"))).alias("key")), ks_path
+    )
+    emb = spark.createDataFrame(EMB_ROWS, EMB_SCHEMA)
+    ivf_path = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") <= 3), ivf_path)
+    caches: list = []
+    topo = ingestion_topology(
+        spark,
+        index_path=mh_path,
+        corpus=corpus,
+        ratios=dsir_bucket_ratios(corpus, F.col("lang") == "en"),
+        dsir_cutoff=0.0,
+        jaccard_threshold=0.5,
+        hash_index_path=hx_path,
+        bloom_index_path=bf_path,
+        keyset_index_path=ks_path,
+        ivf_index_path=ivf_path,
+        embeddings=emb,
+        cache_registry=caches,
+    )
+    leak = (
+        106,
+        "the data pipeline runs and suite holds this exact protected sentence too",
+        "en",
+    )
+    recrawl = (201, CORPUS[1][1], "en")
+    rows = ARRIVING + [SEM_TWIN, leak, recrawl]
+    batch = spark.createDataFrame(rows, SCHEMA)
+    expected = sorted(
+        (r.doc_id, r.n_tokens, r.dsir_logweight_r)
+        for r in run_ingestion_batch(spark, topo, batch).collect()
+    )
+    assert [d for d, _, _ in expected] == [102], expected
+
+    in_dir = tmp_path / "arriving"
+    for i, row in enumerate(rows):
+        spark.createDataFrame([row], SCHEMA).write.parquet(str(in_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    got = []
+
+    def sink(curated, batch_id):
+        got.extend(
+            (r.doc_id, r.n_tokens, r.dsir_logweight_r) for r in curated.collect()
+        )
+
+    q = run_ingestion_stream(
+        spark, topo, stream, sink,
+        cache_registry=caches,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    drain(q)
+    assert sorted(got) == expected
+    assert caches == []
