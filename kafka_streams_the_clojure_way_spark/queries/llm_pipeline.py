@@ -4113,3 +4113,137 @@ def meta_keyset_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.bit_or("word").alias("word"))
         .select(F.col("segment").cast("long").alias("segment"), "word_idx", "word")
     )
+
+
+#: Gumbel-top-k resample size and the exact-rational uniform's modulus:
+#: 2^53 keeps every intermediate ((h % M) + 0.5) / M exactly
+#: representable in a double, so both engines derive the identical
+#: uniform — and therefore the identical Gumbel key — from the hash.
+_RESAMPLE_K = 50
+_GUMBEL_M = 1 << 53
+
+_DSIR_RESAMPLE_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, lang, unnest({T.tokens_sql('text')}) AS tok
+    FROM documents
+),
+bucketed AS (
+    SELECT doc_id, lang,
+           {P.hash60_sql('tok')} % {_DSIR_BUCKETS} AS bucket
+    FROM tok
+),
+dist AS (
+    SELECT bucket,
+           COUNT(*) AS n_s,
+           COUNT(*) FILTER (WHERE lang = 'en') AS n_t
+    FROM bucketed GROUP BY bucket
+),
+tot AS (
+    SELECT CAST(SUM(n_s) AS DOUBLE) AS t_s, CAST(SUM(n_t) AS DOUBLE) AS t_t
+    FROM dist
+),
+ratio AS (
+    SELECT bucket,
+           ln(((n_t + 1.0) / (t_t + {_DSIR_BUCKETS}))
+              / ((n_s + 1.0) / (t_s + {_DSIR_BUCKETS}))) AS log_ratio
+    FROM dist CROSS JOIN tot
+),
+doc_buckets AS (
+    SELECT doc_id, bucket, COUNT(*) AS cnt FROM bucketed GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.doc_id,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_tokens,
+           SUM(d.cnt * r.log_ratio) AS w
+    FROM doc_buckets d JOIN ratio r USING (bucket)
+    GROUP BY d.doc_id
+),
+keyed AS (
+    SELECT doc_id, n_tokens, w,
+           w - ln(-ln((({P.hash60_sql("CAST(doc_id AS VARCHAR) || ':gumbel'")}
+                        % {_GUMBEL_M}) + 0.5) / {_GUMBEL_M})) AS gkey
+    FROM scored
+)
+SELECT doc_id, n_tokens,
+       round(w, 6) AS dsir_logweight_r,
+       round(gkey, 6) AS gumbel_key_r
+FROM keyed
+ORDER BY gkey DESC
+LIMIT {_RESAMPLE_K}
+"""
+
+
+@query("sample_dsir_resample_topk", oracle=_DSIR_RESAMPLE_ORACLE)
+def sample_dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING (the actual sampling step of Xie et
+    al. NeurIPS'23, which sample_dsir_logweights only scores): draw k
+    documents WITHOUT replacement with probability proportional to
+    exp(logweight) via the Gumbel-top-k trick — key = logweight +
+    Gumbel(0,1), take the k largest. The Gumbel noise is DERIVED, not
+    drawn: u = ((hash60(doc_id || ':gumbel') % 2^53) + 0.5) / 2^53 is
+    an exact-rational uniform in (0,1) (every intermediate exactly
+    representable in a double), so the sample is reproducible across
+    engines, reruns, and repartitioning — the property a training-data
+    pipeline needs from its sampler and RNG-based sampling cannot give.
+
+    Scale: the weight computation is the DSIR shape (one token pass,
+    256-row broadcast ratio table); the key is a row-local expression;
+    selection is TakeOrderedAndProject (per-partition top-k, k-row
+    driver merge) — no global sort at any corpus size."""
+    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode_outer(T.tokens_col(F.col("text"))).alias("tok"),
+    ).filter(F.col("tok").isNotNull())
+    bucketed = tok.select(
+        "doc_id",
+        "lang",
+        (P.hash60(F.col("tok")) % _DSIR_BUCKETS).alias("bucket"),
+    )
+    dist = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.count_if(F.col("lang") == "en").alias("n_t"),
+    )
+    tot = dist.agg(
+        F.sum("n_s").cast("double").alias("t_s"),
+        F.sum("n_t").cast("double").alias("t_t"),
+    )
+    ratio = dist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.log(
+            ((F.col("n_t") + 1.0) / (F.col("t_t") + _DSIR_BUCKETS))
+            / ((F.col("n_s") + 1.0) / (F.col("t_s") + _DSIR_BUCKETS))
+        ).alias("log_ratio"),
+    )
+    doc_buckets = bucketed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    scored = (
+        doc_buckets.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("log_ratio")).alias("w"),
+        )
+    )
+    u = (
+        (
+            P.hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":gumbel")))
+            % F.lit(_GUMBEL_M)
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(_GUMBEL_M))
+    gkey = F.col("w") - F.log(-F.log(u))
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("w"), 6).alias("dsir_logweight_r"),
+            F.round(gkey, 6).alias("gumbel_key_r"),
+            gkey.alias("__gkey"),
+        )
+        .orderBy(F.col("__gkey").desc())
+        .limit(_RESAMPLE_K)
+        .drop("__gkey")
+    )

@@ -79,3 +79,25 @@ def test_shard_assignments_deterministic_and_manifest_consistent(spark):
         want[shard][0] += 1
         want[shard][1] += n_tokens
     assert manifest == {s: tuple(v) for s, v in want.items()}
+
+
+def test_dsir_resample_is_deterministic_and_weight_biased(spark):
+    """Gumbel-top-k resampling must be reproducible under repartitioning
+    (the noise is hash-derived, not drawn) and actually biased toward
+    high-weight docs: the selected set's mean logweight must exceed the
+    corpus mean."""
+    from kafka_streams_the_clojure_way_spark.queries.llm_pipeline import (
+        sample_dsir_resample_topk,
+        sample_dsir_logweights,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, sample_dsir_resample_topk(spark, sf).collect()))
+    b = sorted(map(tuple, sample_dsir_resample_topk(spark, sf).collect()))
+    assert a == b and len(a) == 50
+    weights = {r.doc_id: r.dsir_logweight_r for r in sample_dsir_logweights(spark, sf).collect()}
+    picked = [weights[d] for d, *_ in a]
+    corpus_mean = sum(weights.values()) / len(weights)
+    assert sum(picked) / len(picked) > corpus_mean
+    plan = sample_dsir_resample_topk(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
