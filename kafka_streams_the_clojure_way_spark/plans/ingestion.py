@@ -341,6 +341,8 @@ def run_ingestion_stream(
     upsert_containment_index_path: str | None = None,
     upsert_ivf_index_path: str | None = None,
     embeddings: DataFrame | None = None,
+    psi_ref_counts: list[tuple] | None = None,
+    psi_sink=None,
     compact_every: int | None = None,
     id_col: str = "doc_id",
     text: str = "text",
@@ -383,6 +385,15 @@ def run_ingestion_stream(
     ``assume_new_ids=False`` keeps replayed batches idempotent via the
     upserts' anti-joins.
 
+    ``psi_ref_counts`` + ``psi_sink``: the drift-monitor tap — every
+    RAW micro-batch (pre-gates: drift is a property of what ARRIVES,
+    not of what survives curation) is PSI-scored against the trained
+    reference (``text.psi_reference_counts``) and the per-source report
+    goes to ``psi_sink`` (same callable/path contract as ``sink``).
+    One extra batch scan + grid-sized arithmetic per trigger; the
+    curation path is untouched, so enabling the monitor can never
+    change the curated set.
+
     ``cache_registry``: pass the SAME list given to
     :func:`ingestion_topology` — cached frames the gates create are
     unpersisted after every batch (no per-trigger cache leak).
@@ -398,9 +409,27 @@ def run_ingestion_stream(
     else:
         sink_fn = sink
 
+    if isinstance(psi_sink, str):
+        psi_path = psi_sink
+
+        def psi_sink_fn(report: DataFrame, batch_id: int) -> None:
+            report.coalesce(1).write.mode("append").parquet(psi_path)
+
+    else:
+        psi_sink_fn = psi_sink
+
     def serve(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # availableNow emits empty triggers; skip
             return
+        if psi_ref_counts is not None and psi_sink_fn is not None:
+            from kafka_streams_the_clojure_way_spark.operators.text import (
+                psi_against_reference,
+            )
+
+            report = psi_against_reference(
+                spark, batch_df, psi_ref_counts, text=text
+            ).withColumn("batch_id", F.lit(batch_id))
+            psi_sink_fn(report, batch_id)
         curated = run_ingestion_batch(spark, topology, batch_df)
         try:
             sink_fn(curated, batch_id)

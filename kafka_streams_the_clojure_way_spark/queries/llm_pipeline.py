@@ -4247,3 +4247,102 @@ def sample_dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RESAMPLE_K)
         .drop("__gkey")
     )
+
+
+_TRAINING_ORDER_ORACLE = f"""
+WITH feats AS (
+    SELECT doc_id, source,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS n_repeats,
+           CAST(len(list_filter(toks, t -> t IN ({_QL_STOP_IN}))) AS BIGINT)
+               AS n_stop
+    FROM (SELECT doc_id, source, {T.tokens_sql('text')} AS toks FROM documents)
+),
+scored AS (
+    SELECT doc_id, source,
+           {_QL_BIAS} + {_QL_W_TOKENS} * n_tokens
+                      + {_QL_W_REPEATS} * n_repeats
+                      + {_QL_W_STOP} * n_stop AS logit_micro
+    FROM feats
+),
+ranked AS (
+    SELECT doc_id, source, logit_micro,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY logit_micro DESC, doc_id
+           ) AS BIGINT) AS rank_in_source
+    FROM scored
+),
+srcs AS (
+    SELECT source,
+           CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) AS src_ix,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_sources
+    FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT r.doc_id, r.source, r.logit_micro, r.rank_in_source,
+       (r.rank_in_source - 1) * s.n_sources + s.src_ix AS train_pos
+FROM ranked r JOIN srcs s USING (source)
+"""
+
+
+@query("meta_training_order", oracle=_TRAINING_ORDER_ORACLE)
+def meta_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TRAINING ORDER for the curated corpus: quality-
+    descending within each source (the text_quality_logit score — exact
+    integer arithmetic, so ranks can never flip on ULPs; doc_id breaks
+    ties), round-robin interleaved ACROSS sources so no single source
+    monopolizes any stretch of training — the standard anti-curriculum-
+    collapse ordering a pretraining run wants from its data loader, as
+    a reproducible column instead of loader-side shuffling.
+
+    Scale: the per-source rank is a window PARTITIONED BY source (each
+    partition ranks in parallel; no global sort), and the interleave
+    arithmetic joins a |sources|-row broadcast frame — train_pos is
+    computed, never materialized by a single-partition global window.
+    Writing the corpus range-sorted on train_pos (write_range_sorted)
+    then gives the loader sequential reads in training order."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = P.tokens(F.col("text"))
+    logit = (
+        F.lit(_QL_BIAS)
+        + F.lit(_QL_W_TOKENS) * F.size(toks).cast("long")
+        + F.lit(_QL_W_REPEATS)
+        * (F.size(toks) - F.size(F.array_distinct(toks))).cast("long")
+        + F.lit(_QL_W_STOP)
+        * F.size(
+            F.filter(
+                toks,
+                lambda t: F.array_contains(
+                    F.array(*[F.lit(w) for w in _QL_STOPWORDS]), t
+                ),
+            )
+        ).cast("long")
+    )
+    from pyspark.sql import Window
+
+    scored = docs.select("doc_id", "source", logit.alias("logit_micro"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("logit_micro").desc(), F.col("doc_id")
+    )
+    ranked = scored.withColumn(
+        "rank_in_source", F.row_number().over(w).cast("long")
+    )
+    srcs = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "src_ix",
+            F.row_number()
+            .over(Window.orderBy("source"))
+            .cast("long"),
+        )
+        .withColumn("n_sources", F.count(F.lit(1)).over(Window.partitionBy()).cast("long"))
+    )
+    return ranked.join(F.broadcast(srcs), "source").select(
+        "doc_id",
+        "source",
+        "logit_micro",
+        "rank_in_source",
+        (
+            (F.col("rank_in_source") - 1) * F.col("n_sources") + F.col("src_ix")
+        ).alias("train_pos"),
+    )

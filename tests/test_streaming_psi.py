@@ -145,3 +145,107 @@ def test_stream_monitor_scores_each_trigger_like_batch(spark, tmp_path):
     flat = {tuple(r) for rep in reports.values() for r in rep}
     a_scores = sorted(p for s, _, _, p in flat if s == "srcA")
     assert a_scores[0] < 0.1 and a_scores[-1] > 0.25
+
+
+def test_psi_tap_in_ingestion_stream_observes_raw_batches(spark, tmp_path):
+    """The drift tap in run_ingestion_stream scores every RAW
+    micro-batch (pre-gates) and cannot change the curated output:
+    curated ids with the tap on equal the tap-off run, and the drifted
+    second wave alarms while the in-distribution first wave stays
+    quiet."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from kafka_streams_the_clojure_way_spark.operators.text import (
+        dsir_bucket_ratios,
+    )
+    from kafka_streams_the_clojure_way_spark.plans.ingestion import (
+        ingestion_topology,
+        run_ingestion_stream,
+    )
+
+    # lexically DISTINCT docs (every token unique per doc) so the
+    # near-dup/containment gates stay out of the way; only LENGTH
+    # varies, which is what the PSI bins measure.
+    def short_doc(i):
+        return " ".join(f"w{i}x{k}" for k in range(12 + i % 3))
+
+    def long_doc(i):
+        return " ".join(f"v{i}y{k}" for k in range(90 + i % 3))
+
+    corpus = spark.createDataFrame(
+        [(i, short_doc(i), "en") for i in range(30)], SCHEMA
+    ).select(F.col("doc_id"), F.col("text"), F.col("source").alias("lang"))
+    mh_path = str(tmp_path / "mh")
+    build_minhash_index(corpus, mh_path)
+    ref = psi_reference_counts(
+        spark.createDataFrame(
+            [(i, short_doc(i), "srcA") for i in range(30)], SCHEMA
+        )
+    )
+    # batch size matches the reference size: add-1 smoothing over 6 bins
+    # puts a floor of ~0.18 on PSI when a 10-doc batch meets a 30-doc
+    # reference (the (c+1)/(n+6) terms differ in every EMPTY bin), which
+    # would drown the in-distribution signal at toy scale.
+    batches = [
+        [(1000 + i, short_doc(100 + i), "srcA") for i in range(30)],  # in-dist
+        [(2000 + i, long_doc(i), "srcA") for i in range(30)],         # drifted
+    ]
+    in_dir = tmp_path / "arriving"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(in_dir / f"b{i}")
+        )
+    # the topology consumes (doc_id, text, lang); the PSI tap groups by
+    # 'source' — reuse the source column as both by renaming on read
+    stream_schema = SCHEMA
+    stream = (
+        spark.readStream.schema(stream_schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+
+    def run(psi_on: bool, ckpt: str):
+        caches: list = []
+        topo = ingestion_topology(
+            spark,
+            index_path=mh_path,
+            corpus=corpus,
+            ratios=dsir_bucket_ratios(corpus, F.lit(True)),
+            dsir_cutoff=-100.0,
+            jaccard_threshold=0.99,
+            cache_registry=caches,
+        )
+        admitted, reports = [], []
+
+        def sink(curated, batch_id):
+            admitted.extend(r.doc_id for r in curated.collect())
+
+        def psink(report, batch_id):
+            reports.extend(
+                (r.source, r.n_batch, r.psi_r) for r in report.collect()
+            )
+
+        q = run_ingestion_stream(
+            spark,
+            topo,
+            stream,
+            sink,
+            cache_registry=caches,
+            psi_ref_counts=ref if psi_on else None,
+            psi_sink=psink if psi_on else None,
+            checkpoint=str(tmp_path / ckpt),
+        )
+        drain(q)
+        return sorted(admitted), reports
+
+    with_tap, reports = run(True, "ck1")
+    without_tap, _ = run(False, "ck2")
+    assert with_tap == without_tap and len(with_tap) == 60
+    scores = sorted(p for _, _, p in reports)
+    assert len(reports) == 2
+    assert scores[0] < 0.1 and scores[-1] > 0.25
