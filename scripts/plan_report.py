@@ -59,6 +59,20 @@ HEADLINERS = [
         "per-doc ranking via WindowGroupLimit partial top-k.",
     ),
     (
+        "dedup_incremental_bloom_gated",
+        "Exact gate with a Bloom negative fast path: the batch's distinct "
+        "segments become a literal PartitionFilter on the bits scan, only "
+        "maybe-duplicates reach the (also bucket-pruned) hash-index confirm "
+        "join — a mostly-new batch never touches the corpus hash table.",
+    ),
+    (
+        "sample_dsir_resample_topk",
+        "Gumbel-top-k importance resampling: hash-derived noise is a "
+        "row-local expression over the broadcast-ratio DSIR score; selection "
+        "is TakeOrderedAndProject (per-partition top-k, k-row driver merge), "
+        "never a global sort.",
+    ),
+    (
         "text_unigram_logprob",
         "Unigram LM scoring: Zipf-head vocabulary broadcast (head tokens "
         "never shuffle) + low-skew tail shuffle join — the frequency-"
