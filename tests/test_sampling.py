@@ -101,3 +101,29 @@ def test_dsir_resample_is_deterministic_and_weight_biased(spark):
     assert sum(picked) / len(picked) > corpus_mean
     plan = sample_dsir_resample_topk(spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_training_order_is_a_round_robin_permutation(spark):
+    """train_pos must be a permutation of 1..N in which every
+    consecutive |sources| block contains each source at most once
+    (no source monopolizes any stretch), and within a source the
+    order is quality-descending."""
+    from kafka_streams_the_clojure_way_spark.queries.llm_pipeline import (
+        meta_training_order,
+    )
+
+    rows = meta_training_order(spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    positions = sorted(r.train_pos for r in rows)
+    assert positions == list(range(1, n + 1))
+    srcs = {r.source for r in rows}
+    by_pos = {r.train_pos: r for r in rows}
+    for block_start in range(1, n + 1 - len(srcs), len(srcs)):
+        block = [by_pos[p].source for p in range(block_start, block_start + len(srcs))]
+        assert len(set(block)) == len(block), f"block at {block_start}: {block}"
+    for s in srcs:
+        mine = sorted(
+            (r for r in rows if r.source == s), key=lambda r: r.rank_in_source
+        )
+        logits = [r.logit_micro for r in mine]
+        assert logits == sorted(logits, reverse=True)
