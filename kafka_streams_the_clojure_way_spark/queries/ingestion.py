@@ -532,3 +532,33 @@ def pipeline_ingestion_decontaminated(spark: SparkSession, sf_dir: str) -> DataF
     )
     curated = run_ingestion_batch(spark, topo, probe)
     return curated.select("doc_id", "n_tokens", "dsir_logweight_r")
+
+
+_INGESTION_FUNNEL_ORACLE = f"""
+WITH audit AS ({_INGESTION_AUDIT_ORACLE}),
+labeled AS (
+    SELECT d.source, a.verdict
+    FROM audit a JOIN documents d USING (doc_id)
+)
+SELECT source, verdict, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM labeled GROUP BY source, verdict
+"""
+
+
+@query("pipeline_ingestion_funnel", oracle=_INGESTION_FUNNEL_ORACLE)
+def pipeline_ingestion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source CURATION FUNNEL — the one-screen rollup an
+    operator reads next to the PSI drift report when a wave's admit
+    rate moves: (source, first-dropping-gate-or-curated, count). Built
+    on the drop-attribution audit's already-cached gate outputs plus
+    one batch-sized source join and a |sources|x|verdicts| aggregate,
+    so the funnel costs nothing beyond the pipeline it observes. The
+    oracle wraps the audit's value-checked CASE chain, so the rollup's
+    numbers inherit end-to-end verification."""
+    audit = pipeline_ingestion_audit(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        audit.join(docs, "doc_id")
+        .groupBy("source", "verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

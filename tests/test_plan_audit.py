@@ -318,6 +318,9 @@ def test_no_accidental_cartesian_products(spark):
         # topology (semantic gate included), so it inherits the same
         # probe-vs-broadcast-centroid routing
         "pipeline_ingestion_audit",
+        # the funnel rollup is the audit plus one groupBy — same
+        # inherited probe-vs-broadcast-centroid routing
+        "pipeline_ingestion_funnel",
         # the clustering eval composes the Lloyd assignment (k-row
         # broadcast centroid cross, the cluster_kmeans_embeddings
         # shape); its own arithmetic is 1-row broadcast crosses over
