@@ -28,6 +28,8 @@ this whole module is north-star surface.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -47,16 +49,30 @@ _INDEX_META_CACHE: dict[str, object] = {}
 
 
 def _index_meta(spark, index_path: str):
-    """The index's one meta row, cached per process (see cache note)."""
-    row = _INDEX_META_CACHE.get(index_path)
+    """The index's one meta row, cached per process (see cache note).
+    Keys are normalized (normpath) so a trailing-slash or ``./`` spelling
+    variant of the same directory cannot dodge invalidation and serve
+    stale routing parameters. Out-of-process rebuilds of the SAME path
+    must call :func:`invalidate_index_meta` (or use a fresh path — the
+    tempdir-per-build convention every shipped caller follows)."""
+    key = os.path.normpath(index_path)
+    row = _INDEX_META_CACHE.get(key)
     if row is None:
         row = spark.read.parquet(f"{index_path}/meta").collect()[0]
-        _INDEX_META_CACHE[index_path] = row
+        _INDEX_META_CACHE[key] = row
     return row
 
 
 def _invalidate_index_meta(path: str) -> None:
-    _INDEX_META_CACHE.pop(path, None)
+    _INDEX_META_CACHE.pop(os.path.normpath(path), None)
+
+
+def invalidate_index_meta(path: str) -> None:
+    """Public hook: drop the cached meta row for ``path``. Call after an
+    index at ``path`` is REBUILT by another process (in-process rebuilds
+    via build_* invalidate automatically). Upsert/delete/compact never
+    touch meta, so they need no invalidation."""
+    _invalidate_index_meta(path)
 
 #: (a, b) seeds for the portable universal-hash family h_i(x) = (a*x+b) % M31.
 #: Fixed constants — NOT runtime-random — so signatures are reproducible
@@ -2578,8 +2594,12 @@ def bloom_index_probe(
     of its needed words has all needed bits set."""
     meta = _index_meta(spark, index_path)
     base = batch if batch.isStreaming else with_min_parallelism(batch)
-    tcol = meta["text_col"] if text == "text" else text
-    h = content_hash(F.col(tcol))
+    # hash the CALLER's text column, exactly like hash_index_probe: the
+    # composed bloom->hash exact gate must hash the same column in both
+    # stages, or the pre-test can rule out docs the confirm join would
+    # have matched (silent false negatives). meta["text_col"] records
+    # the build-time column for audits; it is not a probe-time default.
+    h = content_hash(F.col(text))
     need = (
         _bloom_bit_rows(
             base,
@@ -2754,6 +2774,7 @@ def keyset_index_probe(
     probe: DataFrame,
     *,
     key_col: str = "key",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Exact membership test for a batch of keys: returns the DISTINCT
     probe keys that ARE in the set (one ``key`` column). Two stages,
@@ -2763,7 +2784,15 @@ def keyset_index_probe(
     Bloom-positives equi-join the exact keys table on the RAW STRING
     (collision-proof), again scanning only their segment directories.
     Negatives — the common case in decontamination — never touch the
-    keys table at all."""
+    keys table at all.
+
+    The distinct probe-key frame is CACHED on the batch path: the two
+    segment-routing collects (bits, then keys) plus the final job would
+    otherwise each re-run the probe's full upstream lineage — for a
+    corpus-wide decontamination sweep that is the shingle explode three
+    times. ``cache_registry``: same lifecycle contract as
+    :func:`minhash_index_probe` — by default the frame stays cached for
+    the process; pass a list to drain/unpersist per batch."""
     from kafka_streams_the_clojure_way_spark.functions.portable import hash60
 
     meta = _index_meta(spark, index_path)
@@ -2772,6 +2801,10 @@ def keyset_index_probe(
         .select(F.col(key_col).alias("key"))
         .distinct()
     )
+    if not probe.isStreaming:
+        pkeys = pkeys.cache()
+        if cache_registry is not None:
+            cache_registry.append(pkeys)
     h = hash60(F.col("key"))
     need = (
         _bloom_bit_rows(

@@ -245,7 +245,9 @@ def ingestion_topology(
             F.col(id_col),
             F.explode_outer(TX.shingles_col(F.col(text))).alias("key"),
         ).filter(F.col("key").isNotNull())
-        members = D.keyset_index_probe(spark, keyset_index_path, grams)
+        members = D.keyset_index_probe(
+            spark, keyset_index_path, grams, cache_registry=cache_registry
+        )
         flagged = (
             grams.join(members, "key", "left_semi").select(id_col).distinct()
         )
@@ -312,7 +314,16 @@ def ingestion_topology(
         workflow.append([tail, "stream/semantic-gate"])
         tail = "stream/semantic-gate"
     workflow.append([tail, "topic/curated-docs"])
-    return {"entities": entities, "workflow": workflow}
+    # gate metadata (extra keys are ignored by validate_topology/compile):
+    # lets run_ingestion_stream check upsert pairings against the gates
+    # this topology actually has.
+    gates = {
+        "exact": hash_index_path is not None,
+        "bloom": bloom_index_path is not None,
+        "contamination": keyset_index_path is not None,
+        "semantic": ivf_index_path is not None,
+    }
+    return {"entities": entities, "workflow": workflow, "gates": gates}
 
 
 def run_ingestion_batch(
@@ -343,6 +354,7 @@ def run_ingestion_stream(
     embeddings: DataFrame | None = None,
     psi_ref_counts: list[tuple] | None = None,
     psi_sink=None,
+    psi_source_col: str = "source",
     compact_every: int | None = None,
     id_col: str = "doc_id",
     text: str = "text",
@@ -389,7 +401,11 @@ def run_ingestion_stream(
     RAW micro-batch (pre-gates: drift is a property of what ARRIVES,
     not of what survives curation) is PSI-scored against the trained
     reference (``text.psi_reference_counts``) and the per-source report
-    goes to ``psi_sink`` (same callable/path contract as ``sink``).
+    goes to ``psi_sink`` (same callable/path contract as ``sink``);
+    ``psi_source_col`` names the grouping column (must match the one
+    the reference counts were trained over). Setting ``psi_ref_counts``
+    without a sink raises — a silently no-op monitor is a
+    misconfiguration, not a default.
     One extra batch scan + grid-sized arithmetic per trigger; the
     curation path is untouched, so enabling the monitor can never
     change the curated set.
@@ -400,6 +416,27 @@ def run_ingestion_stream(
 
     Returns the started ``StreamingQuery``; default trigger is
     ``availableNow`` (drain-what-exists, then stop)."""
+    gates = topology.get("gates", {})
+    if (
+        upsert_hash_index_path is not None
+        and upsert_bloom_index_path is None
+        and gates.get("bloom")
+    ):
+        # with a Bloom pre-filter in the exact gate, hash-upserting
+        # admitted docs WITHOUT OR-ing their bits into the filter means a
+        # later byte-identical replay gets a Bloom negative and bypasses
+        # the hash confirm entirely — the upsert would be silently inert.
+        raise ValueError(
+            "upsert_hash_index_path without upsert_bloom_index_path, but the "
+            "topology's exact gate has a Bloom pre-filter: hash-upserted docs "
+            "would never be re-checked (Bloom negative skips the confirm). "
+            "Pass upsert_bloom_index_path for the same filter."
+        )
+    if psi_ref_counts is not None and psi_sink is None:
+        raise ValueError(
+            "psi_ref_counts without psi_sink: the drift monitor would "
+            "silently no-op — pass a psi_sink (callable or parquet path)"
+        )
     if isinstance(sink, str):
         out_path = sink
 
@@ -427,7 +464,8 @@ def run_ingestion_stream(
             )
 
             report = psi_against_reference(
-                spark, batch_df, psi_ref_counts, text=text
+                spark, batch_df, psi_ref_counts, text=text,
+                source_col=psi_source_col,
             ).withColumn("batch_id", F.lit(batch_id))
             psi_sink_fn(report, batch_id)
         curated = run_ingestion_batch(spark, topology, batch_df)

@@ -429,20 +429,47 @@ def meta_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct_users")
+@query(
+    "agg_approx_distinct_users",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events_exact,
+           true AS users_within_bound,
+           true AS events_within_bound
+    FROM events
+    """,
+)
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distincts — THE distinct-count operator at
     100 TB (exact distinct shuffles every key; HLL ships a KB-scale sketch
     per partition). rsd=0.02 is the operating point: per-row update cost
     grows steeply with precision (measured 5x from rsd 0.05 to 0.01 on
     this engine) while 2% error is far tighter than corpus-cardinality
-    decisions need; the test gate asserts the bound against exact counts.
-    No oracle: DuckDB's approx_count_distinct uses a different sketch, so
-    the driver records the rows-only check."""
+    decisions need. DuckDB's approx_count_distinct uses a different
+    sketch, so the hashable output is the BOUND VERDICT: the HLL++
+    estimate must sit within 5 sigma (rsd is a standard deviation, not a
+    hard bound) of the exact distinct computed in the same query; the
+    oracle asserts constant-true over the same exact counts — a
+    deterministic pass/fail the value hash can catch instead of a
+    rows-only row."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
+    agg = ev.agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
+        F.count_distinct("user_id").alias("n_users_exact"),
+        F.count_distinct("event_id").alias("n_events_exact"),
+    )
+
+    def within(approx: str, exact: str):
+        return F.abs(F.col(approx) - F.col(exact)) <= (
+            5 * 0.02 * F.col(exact) + F.lit(2)
+        )
+
+    return agg.select(
+        "n_users_exact",
+        "n_events_exact",
+        within("approx_users", "n_users_exact").alias("users_within_bound"),
+        within("approx_events", "n_events_exact").alias("events_within_bound"),
     )
 
 

@@ -23,7 +23,6 @@ from kafka_streams_the_clojure_way_spark.plans.ingestion import (
     INGEST_JACCARD_THRESHOLD,
     INGEST_SEMANTIC_COS,
     ingestion_topology,
-    run_ingestion_batch,
 )
 from kafka_streams_the_clojure_way_spark.queries.llm_pipeline import (
     _INCR_NEW_MOD,
@@ -223,6 +222,107 @@ WHERE dsir_logweight_r >= {INGEST_DSIR_CUTOFF}
 """
 
 
+#: per-process compiled six-gate topology + derived views, keyed by
+#: (session, sf_dir, slice params). DataFrames are session-bound, so the
+#: applicationId is part of the key (unlike the on-disk index-path
+#: caches, which survive session restarts).
+_SHARED_INGEST_CACHE: dict[tuple, dict] = {}
+
+
+def _shared_ingestion(spark: SparkSession, sf_dir: str) -> dict:
+    """Compile the FULL six-gate curation topology ONCE per (session,
+    sf_dir) and serve every ``pipeline_ingestion_*`` registry query as a
+    view over its cached gate outputs (reference: topology-as-data,
+    core.clj:139-157 — ONE topology, many outputs read per entity, the
+    run-experiment shape at core.clj:224-244).
+
+    Why one compile is enough for five differently-shaped queries: every
+    gate verdict is PER-DOC — each doc is scored/probed against a
+    persisted index or a fixed ratio table, never against its
+    batch-mates — so admit/drop for any doc is independent of which
+    other docs flow beside it, and any gate-subset query is a selection
+    over the six verdict sets. The gates still run sequentially inside
+    the topology (later gates see fewer docs — the cost design), but the
+    registry no longer pays the exact+neardup+DSIR+containment prefix
+    once per registered query: the compiler's per-gate caches make the
+    second through fifth queries batch-sized joins over materialized
+    survivor frames.
+
+    The one verdict set the sequential compile lacks: the five-gate
+    (no-decontamination) view needs SEMANTIC verdicts for all
+    containment survivors, but the compiled semantic gate only probed
+    the contamination survivors. The missing docs are exactly the
+    contamination gate's drops (batch-small by construction), so one
+    extra probe of the same IVF index over just those ids completes the
+    verdict set — per-doc independence makes the union identical to
+    probing all containment survivors at once.
+
+    Returns {"probe", "compiled", "sem_flagged_surv3", "embeddings"}.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, _INCR_NEW_MOD)
+    shared = _SHARED_INGEST_CACHE.get(key)
+    if shared is not None:
+        return shared
+    from kafka_streams_the_clojure_way_spark.plans.compiler import compile_topology
+
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _INCR_NEW_MOD != 0)
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    ivf_path = _ingest_ivf_index_path(spark, sf_dir)
+    topo = ingestion_topology(
+        spark,
+        index_path=_minhash_index_path(spark, sf_dir),
+        corpus=corpus,
+        ratios=_ingest_ratios(spark, sf_dir),
+        containment_index_path=_containment_index_path(spark, sf_dir),
+        hash_index_path=_ingest_hash_index_path(spark, sf_dir),
+        bloom_index_path=_ingest_bloom_index_path(spark, sf_dir),
+        keyset_index_path=_ingest_keyset_path(spark, sf_dir),
+        ivf_index_path=ivf_path,
+        embeddings=embeddings,
+    )
+    compiled = compile_topology(spark, topo, {"topic/raw-docs": probe})
+    surv3 = compiled["stream/containment-gate"]
+    surv4 = compiled["stream/contamination-gate"]
+    surv5 = compiled["stream/semantic-gate"]
+    # semantic verdicts over ALL containment survivors: the compiled
+    # gate's flags (surv4 \ surv5) plus one extra probe over the
+    # contamination drops (surv3 \ surv4).
+    contam_dropped = surv3.join(surv4.select("doc_id"), "doc_id", "left_anti")
+    extra_probes = contam_dropped.select("doc_id").join(
+        embeddings.select(F.col("vec_id").alias("doc_id"), F.col("embedding")),
+        "doc_id",
+    )
+    extra_flagged = (
+        S.ivf_index_neardup_pairs(
+            spark,
+            ivf_path,
+            extra_probes,
+            threshold=INGEST_SEMANTIC_COS,
+            id_col="doc_id",
+            vec_col="embedding",
+            n_probe=S.IVF_NPROBE,
+        )
+        .select(F.col("probe_id").alias("doc_id"))
+        .distinct()
+    )
+    sem_flagged_surv3 = (
+        surv4.select("doc_id")
+        .join(surv5.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(extra_flagged)
+        .distinct()
+        .cache()
+    )
+    shared = {
+        "probe": probe,
+        "compiled": compiled,
+        "sem_flagged_surv3": sem_flagged_surv3,
+    }
+    _SHARED_INGEST_CACHE[key] = shared
+    return shared
+
+
 @query("pipeline_ingestion_curated", oracle=_INGESTION_ORACLE)
 def pipeline_ingestion_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation loop AS A TOPOLOGY (reference: topology-as-data,
@@ -236,26 +336,18 @@ def pipeline_ingestion_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     curated sink, all declared as one dict and compiled by
     plans.compiler. The SAME dict serves the streaming loop via
     run_ingestion_stream (foreachBatch, per-trigger cost independent of
-    corpus size); here it runs batch-mode against the standard
-    incremental slice so the ENTIRE composed pipeline is oracle-checked,
-    not just each gate in isolation. The oracle has no exact-gate CTE
+    corpus size); here it reads the containment gate's entity from the
+    SHARED six-gate compile (one topology, many outputs — the five
+    pipeline_ingestion_* queries are views over one set of cached gate
+    frames), so the ENTIRE composed pipeline is oracle-checked, not
+    just each gate in isolation. The oracle has no exact-gate CTE
     ON PURPOSE: an exact dup has Jaccard 1.0, so the near-dup CTE
     subsumes every exact drop — the gate changes per-batch cost, never
     the curated set (pinned by test_exact_gate_is_semantic_noop)."""
-    docs = load_table(spark, sf_dir, "documents")
-    probe = docs.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
-    corpus = docs.filter(F.col("doc_id") % _INCR_NEW_MOD != 0)
-    topo = ingestion_topology(
-        spark,
-        index_path=_minhash_index_path(spark, sf_dir),
-        corpus=corpus,
-        ratios=_ingest_ratios(spark, sf_dir),
-        containment_index_path=_containment_index_path(spark, sf_dir),
-        hash_index_path=_ingest_hash_index_path(spark, sf_dir),
-        bloom_index_path=_ingest_bloom_index_path(spark, sf_dir),
+    shared = _shared_ingestion(spark, sf_dir)
+    return shared["compiled"]["stream/containment-gate"].select(
+        "doc_id", "n_tokens", "dsir_logweight_r"
     )
-    curated = run_ingestion_batch(spark, topo, probe)
-    return curated.select("doc_id", "n_tokens", "dsir_logweight_r")
 
 
 def pipeline_ingestion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,29 +365,21 @@ def pipeline_ingestion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle composes the same gate CTE chain with a first-match
     CASE, so the ATTRIBUTION — not just the curated set — is
-    value-checked end to end."""
-    from kafka_streams_the_clojure_way_spark.plans.compiler import compile_topology
-
-    docs = load_table(spark, sf_dir, "documents")
-    probe = docs.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
-    corpus = docs.filter(F.col("doc_id") % _INCR_NEW_MOD != 0)
-    topo = ingestion_topology(
-        spark,
-        index_path=_minhash_index_path(spark, sf_dir),
-        corpus=corpus,
-        ratios=_ingest_ratios(spark, sf_dir),
-        containment_index_path=_containment_index_path(spark, sf_dir),
-        keyset_index_path=_ingest_keyset_path(spark, sf_dir),
-        ivf_index_path=_ingest_ivf_index_path(spark, sf_dir),
-        embeddings=load_table(spark, sf_dir, "embeddings"),
-    )
-    compiled = compile_topology(spark, topo, {"topic/raw-docs": probe})
+    value-checked end to end. Reads the SHARED six-gate compile (the
+    exact gate's presence there changes nothing here: its drops are a
+    subset of the near-dup gate's, so they surface as 'neardup', which
+    is exactly the oracle's attribution)."""
+    shared = _shared_ingestion(spark, sf_dir)
+    audit = shared.get("audit")
+    if audit is not None:
+        return audit
+    compiled = shared["compiled"]
 
     def survivors(entity: str, flag: str) -> DataFrame:
         return compiled[entity].select("doc_id", F.lit(True).alias(flag))
 
-    return (
-        probe.select("doc_id")
+    audit = (
+        shared["probe"].select("doc_id")
         .join(survivors("stream/neardup-gate", "s1"), "doc_id", "left")
         .join(survivors("stream/dsir-gate", "s2"), "doc_id", "left")
         .join(survivors("stream/containment-gate", "s3"), "doc_id", "left")
@@ -311,7 +395,10 @@ def pipeline_ingestion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("curated")
             .alias("verdict"),
         )
+        .cache()
     )
+    shared["audit"] = audit
+    return audit
 
 
 #: per-process persisted IVF index over the CORPUS slice of the
@@ -374,23 +461,18 @@ def pipeline_ingestion_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Abbas et al. 2023) re-expressed as an index serve path. The oracle
     composes the lexical chain with the probed-cells IVF CTE, so the
     gate's approximation contract (only probed cells are searched) is
-    value-checked, not idealized."""
-    docs = load_table(spark, sf_dir, "documents")
-    probe = docs.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
-    corpus = docs.filter(F.col("doc_id") % _INCR_NEW_MOD != 0)
-    topo = ingestion_topology(
-        spark,
-        index_path=_minhash_index_path(spark, sf_dir),
-        corpus=corpus,
-        ratios=_ingest_ratios(spark, sf_dir),
-        containment_index_path=_containment_index_path(spark, sf_dir),
-        hash_index_path=_ingest_hash_index_path(spark, sf_dir),
-        bloom_index_path=_ingest_bloom_index_path(spark, sf_dir),
-        ivf_index_path=_ingest_ivf_index_path(spark, sf_dir),
-        embeddings=load_table(spark, sf_dir, "embeddings"),
+    value-checked, not idealized.
+
+    Served from the SHARED six-gate compile: semantic verdicts are
+    per-doc (each probe vector meets only the persisted index), so this
+    five-gate view is the containment survivors anti-joined with the
+    shared semantic flag set — no second topology compile, no re-probe
+    of the lexical gates."""
+    shared = _shared_ingestion(spark, sf_dir)
+    surv3 = shared["compiled"]["stream/containment-gate"]
+    return surv3.join(shared["sem_flagged_surv3"], "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", "dsir_logweight_r"
     )
-    curated = run_ingestion_batch(spark, topo, probe)
-    return curated.select("doc_id", "n_tokens", "dsir_logweight_r")
 
 
 #: drop-attribution oracle: the same gate CTE chain with a FIRST-MATCH
@@ -514,24 +596,15 @@ def pipeline_ingestion_decontaminated(spark: SparkSession, sf_dir: str) -> DataF
     of probed bloom segments and never touch the exact keys table. The
     oracle composes the full lexical chain + an exact string-join
     contamination CTE + the probed-cells semantic CTE restricted to
-    decontamination survivors, so gate ORDER is value-checked too."""
-    docs = load_table(spark, sf_dir, "documents")
-    probe = docs.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
-    corpus = docs.filter(F.col("doc_id") % _INCR_NEW_MOD != 0)
-    topo = ingestion_topology(
-        spark,
-        index_path=_minhash_index_path(spark, sf_dir),
-        corpus=corpus,
-        ratios=_ingest_ratios(spark, sf_dir),
-        containment_index_path=_containment_index_path(spark, sf_dir),
-        hash_index_path=_ingest_hash_index_path(spark, sf_dir),
-        bloom_index_path=_ingest_bloom_index_path(spark, sf_dir),
-        keyset_index_path=_ingest_keyset_path(spark, sf_dir),
-        ivf_index_path=_ingest_ivf_index_path(spark, sf_dir),
-        embeddings=load_table(spark, sf_dir, "embeddings"),
+    decontamination survivors, so gate ORDER is value-checked too.
+
+    This query IS the shared compile's curated sink — the other four
+    pipeline_ingestion_* queries are views over the same topology's
+    cached gate entities."""
+    shared = _shared_ingestion(spark, sf_dir)
+    return shared["compiled"]["topic/curated-docs"].select(
+        "doc_id", "n_tokens", "dsir_logweight_r"
     )
-    curated = run_ingestion_batch(spark, topo, probe)
-    return curated.select("doc_id", "n_tokens", "dsir_logweight_r")
 
 
 _INGESTION_FUNNEL_ORACLE = f"""

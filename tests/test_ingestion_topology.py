@@ -786,3 +786,63 @@ def test_six_gate_stream_matches_batch(spark, tmp_path):
     drain(q)
     assert sorted(got) == expected
     assert caches == []
+
+
+def test_stream_upsert_pairing_and_psi_sink_validation(spark, tmp_path):
+    """Misconfigurations must raise at wiring time, not silently no-op:
+    (1) hash-upsert without bloom-upsert when the topology's exact gate
+    has a Bloom pre-filter (the upserted doc's replay would get a Bloom
+    negative and never reach the confirm join); (2) psi_ref_counts
+    without a psi_sink (the monitor would score batches into the void)."""
+    import pytest
+
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        build_bloom_index,
+        build_hash_index,
+    )
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    mh = str(tmp_path / "mh")
+    hx = str(tmp_path / "hx")
+    bf = str(tmp_path / "bf")
+    build_minhash_index(corpus, mh)
+    build_hash_index(corpus, hx)
+    build_bloom_index(corpus, bf)
+    topo = ingestion_topology(
+        spark,
+        index_path=mh,
+        corpus=corpus,
+        ratios=dsir_bucket_ratios(corpus, F.col("lang") == "en"),
+        hash_index_path=hx,
+        bloom_index_path=bf,
+    )
+    in_dir = tmp_path / "in"
+    spark.createDataFrame([CORPUS[0]], SCHEMA).write.parquet(str(in_dir / "b0"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(in_dir))
+    )
+    with pytest.raises(ValueError, match="upsert_bloom_index_path"):
+        run_ingestion_stream(
+            spark, topo, stream, lambda df, bid: None,
+            upsert_hash_index_path=hx,
+        )
+    with pytest.raises(ValueError, match="psi_sink"):
+        run_ingestion_stream(
+            spark, topo, stream, lambda df, bid: None,
+            psi_ref_counts=[("src0", 0, 1)],
+        )
+    # the paired form passes wiring validation (bad input path surfaces
+    # at stream start, not in the pairing checks we're testing).
+    topo_nobloom = ingestion_topology(
+        spark,
+        index_path=mh,
+        corpus=corpus,
+        ratios=dsir_bucket_ratios(corpus, F.col("lang") == "en"),
+        hash_index_path=hx,
+    )
+    assert topo_nobloom["gates"] == {
+        "exact": True, "bloom": False, "contamination": False, "semantic": False,
+    }

@@ -27,9 +27,16 @@ def test_hash_sample_rate_and_stability(spark):
 
 
 def test_stratified_rates_and_determinism(spark):
+    """The registered query's per-stratum verdicts must all be true, the
+    underlying sampler's rates must meet the same 4-sigma Bernoulli
+    bound recomputed here, and the seeded sampler must be
+    row-deterministic across invocations."""
     docs = load_table(spark, SF, "documents")
     strata = dict(docs.groupBy("lang").count().collect())
-    sample = QUERIES["sample_stratified_documents"](spark, SF)
+    for r in QUERIES["sample_stratified_documents"](spark, SF).collect():
+        assert r.in_rate_bound, r
+        assert r.n_docs == strata[r.lang]
+    sample = docs.sampleBy("lang", _STRATA_FRACTIONS, seed=42)
     got = dict(sample.groupBy("lang").count().collect())
     for lang, frac in _STRATA_FRACTIONS.items():
         n, k = strata[lang], got.get(lang, 0)
@@ -38,7 +45,8 @@ def test_stratified_rates_and_determinism(spark):
         assert abs(k - n * frac) <= 4 * sigma + 1, (lang, k, n)
     a = sorted(r.doc_id for r in sample.collect())
     b = sorted(
-        r.doc_id for r in QUERIES["sample_stratified_documents"](spark, SF).collect()
+        r.doc_id
+        for r in docs.sampleBy("lang", _STRATA_FRACTIONS, seed=42).collect()
     )
     assert a == b
 
