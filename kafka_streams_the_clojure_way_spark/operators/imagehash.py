@@ -1,0 +1,430 @@
+"""Perceptual image hashing + Hamming-banded near-dup dedup — the image
+leg of the dedup tier (SURVEY.md §7 M5 multimodal x the §2.4 index
+families). Text has six persisted index families; this module gives the
+image modality the same treatment: a deterministic integer pHash over
+the gated decode path, a banded (never all-pairs) pair join, and a
+persisted band index with the build/probe/upsert/compact lifecycle of
+``operators/dedup.build_minhash_index``.
+
+pHash variant (deterministic-integer by construction, so the DuckDB
+oracle can recompute it bit-for-bit):
+
+1. sample the decoded pixel stream to an 8x8 grid by nearest-neighbor:
+   ``pix[k] = byte[(k * n) // 64]`` (the stub decoder's "pixels" ARE the
+   payload bytes; a real build decodes to grayscale first — the
+   downsample/DCT/threshold pipeline is the real pHash kernel either
+   way, cf. Zauner, "Implementation and Benchmarking of Perceptual
+   Image Hash Functions", 2010);
+2. 2D DCT-II with a FIXED-POINT integer coefficient table
+   ``C[u][x] = round(2^14 * cos((2x+1) u pi / 16))`` — exact int64
+   arithmetic, identical in numpy and SQL (max |term| < 2^42);
+3. drop the DC coefficient, threshold the 63 AC coefficients at their
+   lower median (rank-32 smallest — deterministic under ties because
+   the THRESHOLD VALUE is rank-selected, not a tie-broken row);
+4. bit ``k-1`` (k = u*8+v, 1..63) set iff ``coef > median`` — a 63-bit
+   signature that stays positive in signed int64 on both engines.
+
+Hamming banding: 9 bands x 7 bits over the 63-bit hash. Pigeonhole: any
+pair within Hamming distance 8 shares >= 1 identical band, so with the
+default ``max_dist=8`` the banded join is LOSSLESS — candidates come
+from band equi-joins, popcount-on-xor verifies, and no all-pairs product
+exists anywhere (the ``operators/dedup.simhash_pairs`` shape applied to
+image signatures).
+
+Scale notes (100 TB): signatures are 8 bytes/image — the banding table
+is negligible next to payload bytes; the persisted index routes each
+probe batch's distinct (band, bkey) keys into a literal PartitionFilter
+so per-batch probe cost is O(batch + matching postings), independent of
+corpus size; the verify join moves only (id, 8-byte sig) pairs.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_the_clojure_way_spark.sources.files import with_min_parallelism
+
+PHASH_GRID = 8
+PHASH_SCALE = 1 << 14
+PHASH_BITS = PHASH_GRID * PHASH_GRID - 1  # 63: DC dropped, sign bit never set
+PHASH_BANDS = 9
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS  # 7
+PHASH_MAX_DIST = PHASH_BANDS - 1  # 8: pigeonhole => banding is lossless
+
+#: fixed-point DCT-II coefficients, shared verbatim (as integer literals)
+#: by the numpy kernel and the generated oracle SQL — no float crosses an
+#: engine boundary.
+DCT_COEF: tuple[tuple[int, ...], ...] = tuple(
+    tuple(
+        round(PHASH_SCALE * math.cos((2 * x + 1) * u * math.pi / (2 * PHASH_GRID)))
+        for x in range(PHASH_GRID)
+    )
+    for u in range(PHASH_GRID)
+)
+
+_MEDIAN_RANK = (PHASH_BITS + 1) // 2  # 32: lower median of 63 AC coeffs
+
+
+def phash_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, phash) per asset via one Arrow-batched mapInPandas kernel —
+    vectorized across the batch: all payloads concatenate into ONE uint8
+    buffer, the 8x8 grids gather with a single fancy-index, and the DCT
+    is one (batch, 8, 8) einsum in int64. The only per-row Python is
+    collecting the variable-length payload references (same contract as
+    ``multimodal.extract_features``)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(DCT_COEF, dtype=np.int64)
+    grid2 = PHASH_GRID * PHASH_GRID
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = [bytes(a["bytes"]) for a in pdf["asset"].values]
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64)
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            k = np.arange(grid2, dtype=np.int64)
+            # nearest-neighbor downsample; empty payloads read as zeros
+            idx = offs[:, None] + (k[None, :] * lens[:, None]) // grid2
+            pix = np.where(
+                lens[:, None] > 0, buf[np.minimum(idx, buf.size - 1)] if buf.size else 0, 0
+            ).astype(np.int64)
+            P = pix.reshape(-1, PHASH_GRID, PHASH_GRID)
+            D = np.einsum("ui,bij,vj->buv", C, P, C, dtype=np.int64)
+            flat = D.reshape(-1, grid2)[:, 1:]  # drop DC; flat[j] = coef k=j+1
+            med = np.partition(flat, _MEDIAN_RANK - 1, axis=1)[:, _MEDIAN_RANK - 1]
+            bits = (flat > med[:, None]).astype(np.int64)
+            powers = np.left_shift(np.int64(1), np.arange(PHASH_BITS, dtype=np.int64))
+            ph = (bits * powers[None, :]).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "phash": ph})
+
+    return df.select(id_col, "asset").mapInPandas(
+        kernel, schema=f"{id_col} long, phash long"
+    )
+
+
+def phash_sql(table: str = "documents", id_col: str = "doc_id", text: str = "text") -> str:
+    """DuckDB twin of :func:`phash_assets` for the stub decode path
+    (payload = UTF-8 bytes of ``text``; the corpus is ASCII, so code
+    points ARE bytes — the ``multimodal_feature_histogram`` convention).
+    Returns a sub-SELECT producing (id_col, phash)."""
+    coef_rows = ", ".join(
+        f"({u}, {x}, {c})"
+        for u, row in enumerate(DCT_COEF)
+        for x, c in enumerate(row)
+    )
+    grid2 = PHASH_GRID * PHASH_GRID
+    return f"""(
+    WITH px AS (
+        SELECT {id_col} AS pid, k.g AS k,
+               CASE WHEN octet_length(CAST({text} AS BLOB)) = 0 THEN 0
+                    ELSE unicode(substr({text},
+                         1 + CAST((k.g * octet_length(CAST({text} AS BLOB))) // {grid2} AS INT),
+                         1)) END AS pix
+        FROM {table}, generate_series(0, {grid2 - 1}) k(g)
+    ),
+    coef(u, x, c) AS (VALUES {coef_rows}),
+    dct AS (
+        SELECT p.pid, cu.u AS u, cv.u AS v,
+               SUM(CAST(p.pix AS BIGINT) * cu.c * cv.c) AS val
+        FROM px p
+        JOIN coef cu ON cu.x = p.k // {PHASH_GRID}
+        JOIN coef cv ON cv.x = p.k % {PHASH_GRID}
+        GROUP BY 1, 2, 3
+    ),
+    ac AS (
+        SELECT pid, u * {PHASH_GRID} + v AS k, val
+        FROM dct WHERE NOT (u = 0 AND v = 0)
+    ),
+    med AS (
+        SELECT pid, val AS medval FROM (
+            SELECT pid, val,
+                   row_number() OVER (PARTITION BY pid ORDER BY val) AS rn
+            FROM ac
+        ) WHERE rn = {_MEDIAN_RANK}
+    )
+    SELECT a.pid AS {id_col},
+           SUM(CASE WHEN a.val > m.medval
+                    THEN (1::BIGINT << (a.k - 1)) ELSE 0 END) AS phash
+    FROM ac a JOIN med m USING (pid) GROUP BY a.pid
+)"""
+
+
+def _band_bits(n_bands: int) -> int:
+    """Band width for ``n_bands`` — the recall/cost dial. 9 bands x 7
+    bits is lossless up to distance 8 but each band key has only 128
+    values, so the per-band candidate join is quadratic-over-128ths — a
+    demo-scale setting. A 1e9+-image corpus wants FEWER, WIDER bands
+    with a tighter distance (3 bands x 21 bits, lossless to d=2): 2^21
+    key values shrink band collisions by ~4 orders of magnitude and the
+    pigeonhole guarantee still holds."""
+    if PHASH_BITS % n_bands:
+        raise ValueError(
+            f"n_bands={n_bands} must divide {PHASH_BITS} (use 1, 3, 7, 9, 21, 63)"
+        )
+    return PHASH_BITS // n_bands
+
+
+def _band_structs(sig_col, n_bands: int):
+    bits = _band_bits(n_bands)
+    mask = (1 << bits) - 1
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(sig_col, b * bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bkey"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+    )
+
+
+def _banded(sigs: DataFrame, id_col: str, n_bands: int = PHASH_BANDS) -> DataFrame:
+    return sigs.select(
+        id_col, "phash", _band_structs(F.col("phash"), n_bands).alias("bk")
+    ).select(
+        id_col, "phash", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+
+
+def phash_pairs(
+    assets: DataFrame,
+    id_col: str = "doc_id",
+    max_dist: int = PHASH_MAX_DIST,
+    n_bands: int = PHASH_BANDS,
+) -> DataFrame:
+    """Image near-dup pairs (id_a < id_b, hamming): banded candidate
+    join over the 63-bit pHash, popcount-on-xor verify — lossless for
+    ``max_dist <= n_bands - 1`` by pigeonhole, so the output equals
+    the all-pairs definition without an all-pairs product. The hamming
+    filter runs BEFORE the pair-distinct (the simhash_pairs lesson:
+    popcount is free per row, distinct is a shuffle). ``n_bands`` is
+    the scale dial — see :func:`_band_bits`."""
+    if max_dist > n_bands - 1:
+        raise ValueError(
+            f"max_dist={max_dist} breaks the {n_bands}-band pigeonhole "
+            f"guarantee (lossless only up to {n_bands - 1})"
+        )
+    sigs = phash_assets(with_min_parallelism(assets), id_col).cache()
+    banded = _banded(sigs, id_col, n_bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.phash").alias("ph_a"),
+        F.col("b.phash").alias("ph_b"),
+    )
+    dist = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long")
+    return (
+        cand.withColumn("hamming", dist)
+        .filter(F.col("hamming") <= max_dist)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def phash_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_dist: int = PHASH_MAX_DIST,
+) -> str:
+    """DuckDB twin of :func:`phash_pairs` — the ALL-PAIRS definition
+    (banding is lossless at this distance, so the two agree exactly;
+    the oracle states the semantics, the engine earns the plan)."""
+    return f"""
+    WITH sigs AS (SELECT {id_col}, phash FROM {phash_sql(table, id_col, text)} s)
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.{id_col} < b.{id_col}
+    WHERE bit_count(xor(a.phash, b.phash)) <= {max_dist}
+    """
+
+
+def phash_pairs_between_sql(
+    probe_pred: str,
+    corpus_pred: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_dist: int = PHASH_MAX_DIST,
+) -> str:
+    """Oracle for the incremental (probe x corpus) form: (probe_id,
+    corpus_id, hamming) for every probe/corpus pair within distance."""
+    return f"""
+    WITH sigs AS (SELECT {id_col}, phash FROM {phash_sql(table, id_col, text)} s)
+    SELECT p.{id_col} AS probe_id, c.{id_col} AS corpus_id,
+           CAST(bit_count(xor(p.phash, c.phash)) AS BIGINT) AS hamming
+    FROM sigs p JOIN sigs c ON p.{id_col} != c.{id_col}
+    WHERE p.{id_col} IN (SELECT {id_col} FROM {table} WHERE {probe_pred})
+      AND c.{id_col} IN (SELECT {id_col} FROM {table} WHERE {corpus_pred})
+      AND bit_count(xor(p.phash, c.phash)) <= {max_dist}
+    """
+
+
+# --------------------------------------------------------------------------
+# Persisted pHash band index: build / probe / upsert / compact
+# --------------------------------------------------------------------------
+
+def build_phash_index(
+    corpus_assets: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    n_bands: int = PHASH_BANDS,
+) -> None:
+    """Materialize the corpus side of the image near-dup gate — the same
+    build/serve split as ``dedup.build_minhash_index``:
+
+    - ``path/bands``: one (id, phash, bkey) row per (image, band),
+      hive-PARTITIONED BY (band, bkey) — the 7-bit band key IS the
+      partition key (9 x 128 = 1152 directories), so a probe batch's
+      distinct keys become a literal PartitionFilter with no hash-bucket
+      indirection;
+    - ``path/meta``: banding parameters + the DCT table's checksum, read
+      back by the probe so an index can never be probed with mismatched
+      signature parameters.
+
+    Signing the corpus runs ONCE; after this, per-batch probe cost is
+    O(batch + matching postings) regardless of corpus size."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        _invalidate_index_meta,
+    )
+    from kafka_streams_the_clojure_way_spark.sources.files import write_partitioned
+
+    _invalidate_index_meta(path)
+    sigs = phash_assets(with_min_parallelism(corpus_assets), id_col)
+    banded = _banded(sigs, id_col, n_bands)
+    write_partitioned(
+        banded.repartition("band", "bkey"), f"{path}/bands", "band", "bkey"
+    )
+    coef_sum = sum(c for row in DCT_COEF for c in row)
+    corpus_assets.sparkSession.createDataFrame(
+        [(n_bands, _band_bits(n_bands), n_bands - 1, coef_sum, id_col)],
+        "n_bands int, band_bits int, max_dist int, dct_checksum long, id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def phash_index_probe(
+    spark,
+    index_path: str,
+    batch_assets: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_dist: int | None = None,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Probe the persisted band index with an arriving image batch:
+    (probe_id, corpus_id, hamming) for every batch image within
+    ``max_dist`` of an indexed one. The batch signs ONLY itself; its
+    distinct (band, bkey) keys — bounded by 9 x 128 no matter the batch
+    size — become a literal static PartitionFilter on the bands scan,
+    and the batch side broadcasts into the candidate equi-join. Verify
+    is popcount-on-xor over the stored signatures (no payload ever
+    rejoins)."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import _index_meta
+
+    meta = _index_meta(spark, index_path)
+    dist = meta["max_dist"] if max_dist is None else max_dist
+    if dist > meta["n_bands"] - 1:
+        raise ValueError(
+            f"max_dist={dist} breaks the {meta['n_bands']}-band pigeonhole"
+        )
+    sigs = phash_assets(with_min_parallelism(batch_assets), id_col)
+    if not batch_assets.isStreaming:
+        sigs = sigs.cache()
+        if cache_registry is not None:
+            cache_registry.append(sigs)
+    probe = _banded(sigs, id_col, meta["n_bands"]).withColumnRenamed(
+        id_col, "probe_id"
+    )
+    bands = spark.read.parquet(f"{index_path}/bands")
+    if not batch_assets.isStreaming:
+        keys = [
+            (r["band"], r["bkey"])
+            for r in probe.select("band", "bkey").distinct().collect()
+        ]
+        if not keys:
+            return spark.createDataFrame(
+                [], "probe_id long, corpus_id long, hamming long"
+            )
+        # two single-column IN literals, not one (band, bkey) disjunction:
+        # both are partition columns so each IN prunes directories, the
+        # literal count stays bounded by n_bands + 2^band_bits, and a
+        # thousand-leg OR tree (which overflows the expression-converter
+        # stack) never exists. The cross-product superset directories are
+        # eliminated by the candidate equi-join.
+        bands = bands.filter(
+            F.col("band").isin(sorted({b for b, _ in keys}))
+            & F.col("bkey").isin(sorted({k for _, k in keys}))
+        )
+    cand = bands.join(
+        F.broadcast(probe.withColumnRenamed("phash", "probe_phash")),
+        ["band", "bkey"],
+    ).filter(F.col(meta["id_col"]) != F.col("probe_id"))
+    ham = F.bit_count(F.col("phash").bitwiseXOR(F.col("probe_phash"))).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= dist)
+        .select(
+            "probe_id",
+            F.col(meta["id_col"]).alias("corpus_id"),
+            "hamming",
+        )
+        .dropDuplicates(["probe_id", "corpus_id"])
+    )
+
+
+def phash_index_upsert(
+    spark,
+    index_path: str,
+    new_assets: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    assume_new_ids: bool = False,
+) -> None:
+    """Add images to the index: sign the new batch and append its band
+    rows to the touched (band, bkey) directories only. With the default
+    ``assume_new_ids=False``, already-indexed ids are anti-joined out
+    first so at-least-once replays stay idempotent (the
+    ``minhash_index_upsert`` contract)."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import _index_meta
+
+    meta = _index_meta(spark, index_path)
+    sigs = phash_assets(with_min_parallelism(new_assets), id_col)
+    banded = _banded(sigs, id_col, meta["n_bands"])
+    if not assume_new_ids:
+        existing = (
+            spark.read.parquet(f"{index_path}/bands")
+            .select(meta["id_col"])
+            .distinct()
+        )
+        banded = banded.join(existing, id_col, "left_anti")
+    banded.repartition("band", "bkey").write.mode("append").partitionBy(
+        "band", "bkey"
+    ).parquet(f"{index_path}/bands")
+
+
+def compact_phash_index(spark, index_path: str) -> None:
+    """Fold upsert-appended slivers back to one file per (band, bkey)
+    directory — answers unchanged, file-listing cost restored. Same
+    crash-safe rename-aside swap as ``compact_minhash_index``."""
+    from kafka_streams_the_clojure_way_spark.sources.files import (
+        compact_partitioned,
+    )
+
+    compact_partitioned(spark, f"{index_path}/bands", "band", "bkey")

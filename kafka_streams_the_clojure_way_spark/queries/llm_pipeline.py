@@ -1203,6 +1203,173 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Image near-dup dedup: deterministic integer pHash + Hamming banding
+# --------------------------------------------------------------------------
+
+from kafka_streams_the_clojure_way_spark.operators import imagehash as IH
+
+
+def _image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard image-asset frame: each doc's UTF-8 payload wrapped
+    as an image/png asset (the stub-decode convention every multimodal
+    query shares — a real build swaps the decoder, not the plumbing)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    return wrap_binary_assets(docs, "payload", "image/png")
+
+
+@query(
+    "multimodal_image_phash",
+    oracle=f"SELECT doc_id, phash FROM {IH.phash_sql()} p",
+)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image perceptual hash: 8x8 nearest-neighbor downsample of the
+    decoded pixel stream -> fixed-point integer 2D DCT-II -> median
+    threshold over the 63 AC coefficients -> 63-bit signature
+    (operators/imagehash.py). The kernel is a vectorized mapInPandas over
+    the binary asset column (one einsum per Arrow batch); because every
+    step is exact int64 arithmetic, the DuckDB oracle recomputes the hash
+    BIT-FOR-BIT from the same bytes — the per-doc value pin under the
+    pair/index queries below."""
+    return IH.phash_assets(_image_assets(spark, sf_dir)).select("doc_id", "phash")
+
+
+#: offset for synthetic "re-encoded copy" ids — keeps the twin id space
+#: disjoint from real doc ids at every SF.
+_TWIN_OFFSET = 10_000_000
+
+#: DuckDB twin of :func:`_twin_text_expr` — the SAME single-byte
+#: substitution, so both engines hash identical payloads.
+_TWIN_TEXT_SQL = (
+    "substring(text, 1, CAST(doc_id % length(text) AS INT)) || 'x' || "
+    "substring(text, CAST(doc_id % length(text) AS INT) + 2)"
+)
+
+
+def _perturbed_twins(docs: DataFrame) -> DataFrame:
+    """A deterministically corrupted copy of every doc — one byte
+    substituted at a doc_id-derived position (the stand-in for a
+    re-encode/transcode artifact: most substitutions miss the 64
+    sampled pixels entirely, some nudge a few DCT bits — the exact
+    corruption class a perceptual hash exists to see through)."""
+    text2 = F.expr(
+        "concat(substring(text, 1, CAST(doc_id % length(text) AS INT)), 'x', "
+        "substring(text, CAST(doc_id % length(text) AS INT) + 2))"
+    )
+    return docs.select(
+        (F.col("doc_id") + _TWIN_OFFSET).alias("doc_id"), text2.alias("text")
+    )
+
+
+_PHASH_PAIRS_ORACLE = f"""
+WITH all_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_TWIN_OFFSET} AS doc_id, {_TWIN_TEXT_SQL} AS text
+    FROM documents
+),
+sigs AS (SELECT doc_id, phash FROM {IH.phash_sql('all_docs')} s)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {IH.PHASH_MAX_DIST}
+"""
+
+
+@query("dedup_image_phash_pairs", oracle=_PHASH_PAIRS_ORACLE)
+def dedup_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by pHash Hamming banding over a corpus of
+    originals + re-encoded copies (each doc unioned with its perturbed
+    twin — the synthetic corpus has no byte-level image dups of its
+    own): 9 bands x 7 bits over the 63-bit signature, band equi-join
+    for candidates, popcount-on-xor verify at distance <= 8 — lossless
+    by pigeonhole, so the banded plan must equal the oracle's all-pairs
+    definition exactly. Unrelated docs sit at distance >= 14 on this
+    corpus while most twins land at 0-8, so the threshold separates
+    cleanly (twins past 8 drop from BOTH sides — the approximation
+    contract is value-checked, not idealized). The image twin of
+    dedup_simhash_pairs; n_bands is the scale dial (3 bands x 21 bits
+    for tight-distance web-scale corpora)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    both = docs.unionByName(_perturbed_twins(docs))
+    assets = wrap_binary_assets(
+        both.withColumn("payload", F.encode(F.col("text"), "UTF-8")),
+        "payload",
+        "image/png",
+    )
+    return IH.phash_pairs(assets)
+
+
+#: per-process persisted pHash band index over the corpus slice — same
+#: staleness key convention as the other index caches.
+_PHASH_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _phash_index_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (sf_dir, _INCR_NEW_MOD, IH.PHASH_BANDS)
+    path = _PHASH_INDEX_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="phash_index_")
+        IH.build_phash_index(
+            _image_assets(spark, sf_dir).filter(
+                F.col("doc_id") % _INCR_NEW_MOD != 0
+            ),
+            path,
+        )
+        _PHASH_INDEX_CACHE[key] = path
+    return path
+
+
+#: the probe slice: re-encoded copies of docs already IN the corpus
+#: (doc_id % 10 == 1 c corpus slice % 10 != 0) — the steady-state
+#: ingestion event an image dedup index exists to catch.
+_PHASH_PROBE_MOD_VAL = 1
+
+_PHASH_INDEXED_ORACLE = f"""
+WITH probe_docs AS (
+    SELECT doc_id + {_TWIN_OFFSET} AS doc_id, {_TWIN_TEXT_SQL} AS text
+    FROM documents WHERE doc_id % {_INCR_NEW_MOD} = {_PHASH_PROBE_MOD_VAL}
+),
+corpus_docs AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % {_INCR_NEW_MOD} != 0
+),
+psig AS (SELECT doc_id, phash FROM {IH.phash_sql('probe_docs')} s),
+csig AS (SELECT doc_id, phash FROM {IH.phash_sql('corpus_docs')} s)
+SELECT p.doc_id AS probe_id, c.doc_id AS corpus_id,
+       CAST(bit_count(xor(p.phash, c.phash)) AS BIGINT) AS hamming
+FROM psig p JOIN csig c ON true
+WHERE bit_count(xor(p.phash, c.phash)) <= {IH.PHASH_MAX_DIST}
+"""
+
+
+@query("dedup_image_phash_indexed", oracle=_PHASH_INDEXED_ORACLE)
+def dedup_image_phash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-INDEX serve path for incremental image near-dup —
+    the seventh index family (after hash, MinHash band, containment,
+    IVF, Bloom, keyset): the corpus's band rows live hive-partitioned by
+    (band, bkey); the arriving batch — re-encoded copies of already-
+    ingested images — signs ONLY itself, routes its distinct keys into a
+    literal PartitionFilter, and verifies by popcount against the stored
+    8-byte signatures. Build once, probe per batch at O(batch + matching
+    postings) — corpus payload bytes are never re-decoded. Same
+    probe/upsert/compact lifecycle contracts as
+    dedup.build_minhash_index (pytest-pinned in tests/test_imagehash.py)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    probe_docs = _perturbed_twins(
+        docs.filter(F.col("doc_id") % _INCR_NEW_MOD == _PHASH_PROBE_MOD_VAL)
+    )
+    probe = wrap_binary_assets(
+        probe_docs.withColumn("payload", F.encode(F.col("text"), "UTF-8")),
+        "payload",
+        "image/png",
+    )
+    return IH.phash_index_probe(spark, _phash_index_path(spark, sf_dir), probe)
+
+
+# --------------------------------------------------------------------------
 # Near-dup clustering (iterative connected components over LSH pairs)
 # --------------------------------------------------------------------------
 
