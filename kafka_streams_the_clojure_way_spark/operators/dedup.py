@@ -2903,3 +2903,109 @@ def compact_keyset_index(spark, index_path: str) -> None:
 
     compact_partitioned(spark, f"{index_path}/bits", "segment", transform=fold)
     compact_partitioned(spark, f"{index_path}/keys", "segment")
+
+
+# --------------------------------------------------------------------------
+# Line-level dedup (C4-style: exact-duplicate lines keep one occurrence)
+# --------------------------------------------------------------------------
+
+#: words per "line". The synthetic corpus is a flat token stream (no
+#: newlines), so lines are consecutive fixed-width word windows — the
+#: same segmentation C4 applies to real newline-delimited text (Raffel
+#: et al., JMLR'20 §2.2 dedup at the "three-sentence span"/line level;
+#: exact-line here, complementing the substring-level dedup_ngram_span_*
+#: operators which re-express Lee et al. ACL'22).
+LINE_WIDTH = 5
+
+#: canonical-occurrence key = doc_id * LINE_KEY_BASE + line_idx — a
+#: portable integer (no struct-comparison semantics to match across
+#: engines). Safe while docs stay under LINE_KEY_BASE lines, which a
+#: 100 TB corpus of documents satisfies by ~6 orders of magnitude.
+LINE_KEY_BASE = 100_000
+
+
+def line_occurrences(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", width: int = LINE_WIDTH
+) -> DataFrame:
+    """(id, line_idx, line, nw, key): every doc's word stream split into
+    consecutive ``width``-word lines (ragged tail kept — it is a line).
+    Pure per-row HOFs into one posexplode; no shuffle."""
+    words = tokens_col(F.col(text))
+    n_lines = F.ceil(F.size(words) / F.lit(width)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.struct(
+            F.array_join(F.slice(words, i * width + 1, width), " ").alias("line"),
+            F.size(F.slice(words, i * width + 1, width)).cast("long").alias("nw"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("line_idx", "c")
+    ).select(
+        id_col,
+        "line_idx",
+        F.col("c.line").alias("line"),
+        F.col("c.nw").alias("nw"),
+        (F.col(id_col) * LINE_KEY_BASE + F.col("line_idx")).alias("key"),
+    )
+
+
+def line_dedup_stats(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", width: int = LINE_WIDTH
+) -> DataFrame:
+    """Per-doc line-dedup report: of the doc's ``n_lines`` lines, how
+    many are non-canonical repeats of a line seen elsewhere
+    (``n_dup_lines`` — the canonical copy is the globally FIRST
+    occurrence by (doc, position), which keeps exactly one copy
+    corpus-wide, C4's rule) and how many words removal would drop
+    (``n_tokens_removed``). One hash-groupBy over the line text (the
+    exact-dedup shuffle shape — group state is one min, so a
+    boilerplate line repeated millions of times costs a partial min,
+    never a blowup) plus one join back to the occurrences."""
+    occ = line_occurrences(df, text=text, id_col=id_col, width=width)
+    canon = occ.groupBy("line").agg(F.min("key").alias("own"))
+    dup = F.col("key") != F.col("own")
+    return (
+        occ.join(canon, "line")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(dup.cast("long")).alias("n_dup_lines"),
+            F.coalesce(F.sum(F.when(dup, F.col("nw"))), F.lit(0))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )
+
+
+def line_dedup_stats_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    width: int = LINE_WIDTH,
+) -> str:
+    """DuckDB twin of :func:`line_dedup_stats` (same aliases)."""
+    toks = tokens_sql(text)
+    return f"""
+    WITH occ AS (
+        SELECT {id_col}, (u.idx - 1) // {width} AS line_idx, u.tok, u.idx
+        FROM (SELECT {id_col}, {toks} AS ts FROM {table}),
+             unnest(list_transform(ts, (t, i) -> struct_pack(tok := t, idx := i))) AS t(u)
+    ),
+    lines AS (
+        SELECT {id_col}, line_idx,
+               string_agg(tok, ' ' ORDER BY idx) AS line,
+               CAST(COUNT(*) AS BIGINT) AS nw,
+               {id_col} * {LINE_KEY_BASE} + line_idx AS key
+        FROM occ GROUP BY {id_col}, line_idx
+    ),
+    canon AS (SELECT line, MIN(key) AS own FROM lines GROUP BY line)
+    SELECT l.{id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l.key != c.own THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_lines,
+           CAST(COALESCE(SUM(CASE WHEN l.key != c.own THEN l.nw END), 0) AS BIGINT)
+               AS n_tokens_removed
+    FROM lines l JOIN canon c USING (line)
+    GROUP BY l.{id_col}
+    """

@@ -47,6 +47,34 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bpe_token_stats",
+    oracle=f"""
+    WITH bpe AS (SELECT doc_id, n_tokens_bpe FROM {T.bpe_token_counts_sql()} b)
+    SELECT d.doc_id,
+           CAST(len({T.tokens_sql('text')}) AS BIGINT) AS n_tokens_ws,
+           b.n_tokens_bpe
+    FROM documents d JOIN bpe b USING (doc_id)
+    """,
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER-FAITHFUL token accounting: greedy longest-match subword
+    segmentation of every word against the frozen literal vocab
+    (operators/text.BPE_VOCAB) — the unit real pipelines budget, shard,
+    and mix in (whitespace counts misprice morphology-heavy text). The
+    whole tokenizer is row-local HOFs (a per-word aggregate fold whose
+    body is a 40-branch greatest) — whole-stage codegen, no UDF, no
+    shuffle — and the oracle replays the identical greedy fold as a
+    DuckDB recursive CTE, so the SEGMENTATION, not just the count
+    shape, is value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.array_size(T.tokens_col(F.col("text"))).cast("long").alias("n_tokens_ws"),
+        T.bpe_token_count_col(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
 @query("text_quality_scores", oracle=_select_sql(T.quality_scores_sql(), "documents"))
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punctuation/stopword features + composite
@@ -1200,6 +1228,23 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assets = wrap_binary_assets(docs, "payload", "video/mp4")
     return sample_frames(assets).select("doc_id", "frame_idx", "frame_len")
+
+
+@query("dedup_line_level_stats", oracle=D.line_dedup_stats_sql())
+def dedup_line_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style LINE-level dedup report (Raffel et al. JMLR'20 §2.2):
+    every doc's word stream splits into consecutive {D.LINE_WIDTH}-word
+    lines; a line occurring more than once corpus-wide keeps exactly its
+    globally-first occurrence (by doc, position) and every other copy is
+    flagged for removal — the exact-line complement to the substring-
+    level dedup_ngram_span_* operators (Lee et al. ACL'22). Per doc:
+    n_lines, n_dup_lines, n_tokens_removed. Plan: per-row chunking HOFs
+    -> one hash-groupBy on the line text (group state is a single min —
+    boilerplate lines repeated millions of times cost a partial min,
+    never a blowup) -> join back, the dedup_exact_documents shuffle
+    shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.line_dedup_stats(docs)
 
 
 # --------------------------------------------------------------------------
@@ -3364,15 +3409,35 @@ def sample_token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFram
     explode); the greedy cut is one running-sum window per source — a
     single shuffle on source, integer arithmetic end to end (no float
     threshold ambiguity). Per-source skew equals docs-per-source, the
-    same profile every per-source op here carries."""
+    same profile every per-source op here carries.
+
+    ``tokenizer``: the counting unit — 'ws' (whitespace words) or 'bpe'
+    (the greedy-subword count of text_bpe_token_stats; budgets stated in
+    the unit the training run actually consumes). Both forms are
+    registered and oracle-locked."""
+    return _token_budget_per_source(spark, sf_dir, tokenizer="ws")
+
+
+#: the BPE budget prices the SAME selection pressure in the finer unit:
+#: greedy-subword counts run ~3x whitespace counts on this corpus.
+_TOKEN_BUDGET_PER_SOURCE_BPE = 3 * _TOKEN_BUDGET_PER_SOURCE
+
+
+def _token_budget_per_source(
+    spark: SparkSession, sf_dir: str, *, tokenizer: str
+) -> DataFrame:
     from pyspark.sql.window import Window
 
+    if tokenizer == "ws":
+        n_tokens = F.array_size(T.tokens_col(F.col("text"))).cast("long")
+        budget = _TOKEN_BUDGET_PER_SOURCE
+    elif tokenizer == "bpe":
+        n_tokens = T.bpe_token_count_col(F.col("text"))
+        budget = _TOKEN_BUDGET_PER_SOURCE_BPE
+    else:
+        raise ValueError(f"tokenizer must be 'ws' or 'bpe', got {tokenizer!r}")
     docs = load_table(spark, sf_dir, "documents")
-    sized = docs.select(
-        "doc_id",
-        "source",
-        F.array_size(T.tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
-    )
+    sized = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
     w = (
         Window.partitionBy("source")
         .orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
@@ -3380,8 +3445,39 @@ def sample_token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return (
         sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET_PER_SOURCE)
+        .filter(F.col("cum_tokens") <= budget)
     )
+
+
+@query(
+    "sample_token_budget_per_source_bpe",
+    oracle=f"""
+    WITH sized AS (
+        SELECT d.doc_id, d.source, b.n_tokens_bpe AS n_tokens
+        FROM documents d JOIN {T.bpe_token_counts_sql()} b USING (doc_id)
+    ),
+    running AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY n_tokens DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM sized
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM running WHERE cum_tokens <= {3 * _TOKEN_BUDGET_PER_SOURCE}
+    """,
+)
+def sample_token_budget_per_source_bpe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """sample_token_budget_per_source with the budget stated in GREEDY-
+    SUBWORD tokens (tokenizer='bpe') — the unit the training run
+    consumes. Same one-window plan; only the scan-side count expression
+    changes (the HOF fold of text_bpe_token_stats), which is exactly the
+    property a tokenizer= switch should have: re-pricing the budget must
+    never re-shape the plan."""
+    return _token_budget_per_source(spark, sf_dir, tokenizer="bpe")
 
 
 _SHARD_TOKEN_BUDGET = 2_000

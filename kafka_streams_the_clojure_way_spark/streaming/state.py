@@ -151,6 +151,24 @@ def distinct_types_seen(df: DataFrame, key_col: str, type_col: str) -> DataFrame
     src = df.select(F.col(key_col).alias("key"), F.col(type_col).alias("t"))
     if not df.isStreaming:
         return src.groupBy("key").agg(F.count_distinct("t").alias("n_types"))
+    # import-gate (the Pillow / kafka-lib convention): Spark's
+    # transformWithStateInPandas state server speaks protobuf from the
+    # Python worker, so without python-protobuf the query dies executor-
+    # side with an opaque py4j traceback. Fail loud and early instead.
+    # Vendoring protobuf was evaluated and rejected: it is generated
+    # C++/upb-backed code, not a single-file shim, and this container
+    # forbids installs — the batch twin above plus the MapState-fake
+    # logic test (tests/test_streaming.py) cover the semantics.
+    try:  # pragma: no cover - exercised only where protobuf exists
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError(
+            "distinct_types_seen on a STREAMING frame requires python-"
+            "protobuf (the transformWithState state-server wire format); "
+            "it is absent in this environment. Batch mode works without "
+            "it, and the processor logic is unit-tested against a "
+            "MapState fake."
+        ) from exc
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     proc = type(

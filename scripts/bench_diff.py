@@ -9,6 +9,11 @@ query regressed by more than --threshold x AND by more than 0.5 s
 absolute (sub-second queries live in the host-noise band — BASELINE.md
 documents +/-15-25% run-to-run there, so a pure ratio gate on them
 would cry wolf every round).
+
+When BOTH artifacts carry ``canary_sec`` (bench.py writes it since
+round 7), every time is divided by its run's canary first, so a
+slower/faster VM between rounds normalizes out and the gate judges the
+CODE (the manual host_drift_r6.json A/B, automated).
 """
 
 from __future__ import annotations
@@ -18,10 +23,12 @@ import os
 import sys
 
 
-def load(path: str) -> dict[str, float]:
+def load(path: str) -> tuple[dict[str, float], float | None]:
     with open(path) as fh:
         payload = json.load(fh)
-    return payload.get("queries", payload)
+    if "queries" not in payload:
+        return payload, None
+    return payload["queries"], payload.get("canary_sec")
 
 
 def main() -> int:
@@ -37,7 +44,16 @@ def main() -> int:
     new_path = argv[1] if len(argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.json"
     )
-    old, new = load(old_path), load(new_path)
+    (old, old_canary), (new, new_canary) = load(old_path), load(new_path)
+    # ratio gets canary-normalized (judges the code, not the VM); the
+    # absolute +0.5s leg and all displayed times stay in raw seconds.
+    host = 1.0
+    if old_canary and new_canary:
+        host = new_canary / old_canary
+        print(
+            f"canary old={old_canary:.3f}s new={new_canary:.3f}s "
+            f"(host speed ratio {host:.2f}x — ratios normalized by it)"
+        )
     common = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
@@ -45,7 +61,7 @@ def main() -> int:
     moves = []
     for name in common:
         o, n = old[name], new[name]
-        ratio = (n / o) if o > 0 else float("inf")
+        ratio = (n / (o * host)) if o > 0 else float("inf")
         moves.append((ratio, n - o, name, o, n))
 
     moves.sort(reverse=True)

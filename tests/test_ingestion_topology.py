@@ -846,3 +846,63 @@ def test_stream_upsert_pairing_and_psi_sink_validation(spark, tmp_path):
     assert topo_nobloom["gates"] == {
         "exact": True, "bloom": False, "contamination": False, "semantic": False,
     }
+
+
+def test_six_gate_analyzed_plan_stays_bounded(spark, tmp_path):
+    """Pin WHY the contamination gate lazily localCheckpoints its input
+    (plans/ingestion.py): five gates of verdict-derive-and-join-back
+    lineage, each referencing its input 2-3x, make the raw analyzed
+    plan tree grow ~exponentially with gate count — before the cut was
+    added, merely STRINGIFYING the six-gate sink's plan OOMed the
+    driver. With the cut, the full plan must stringify quickly and stay
+    bounded. If a future refactor removes the cut and this still
+    passes, the cut is no longer needed and may be dropped — the test
+    is the decision record either way."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        build_bloom_index,
+        build_hash_index,
+        build_keyset_index,
+    )
+    from kafka_streams_the_clojure_way_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from kafka_streams_the_clojure_way_spark.operators.text import (
+        dsir_bucket_ratios,
+        shingles_col,
+    )
+    from kafka_streams_the_clojure_way_spark.plans.compiler import (
+        compile_topology,
+    )
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    mh_path, hx_path, bf_path, ks_path, ivf_path = (
+        str(tmp_path / p) for p in ("mh", "hx", "bf", "ks", "ivf")
+    )
+    build_minhash_index(corpus, mh_path)
+    build_hash_index(corpus, hx_path)
+    build_bloom_index(corpus, bf_path)
+    build_keyset_index(
+        corpus.limit(1).select(
+            F.explode(shingles_col(F.col("text"))).alias("key")
+        ),
+        ks_path,
+    )
+    emb = spark.createDataFrame(EMB_ROWS, EMB_SCHEMA)
+    build_ivf_index(emb.filter(F.col("vec_id") <= 3), ivf_path)
+    topo = ingestion_topology(
+        spark,
+        index_path=mh_path,
+        corpus=corpus,
+        ratios=dsir_bucket_ratios(corpus, F.col("lang") == "en"),
+        hash_index_path=hx_path,
+        bloom_index_path=bf_path,
+        keyset_index_path=ks_path,
+        ivf_index_path=ivf_path,
+        embeddings=emb,
+    )
+    batch = spark.createDataFrame(ARRIVING, SCHEMA)
+    sink = compile_topology(spark, topo, {"topic/raw-docs": batch})[
+        "topic/curated-docs"
+    ]
+    plan = sink._jdf.queryExecution().analyzed().treeString()
+    assert len(plan) < 5_000_000, f"analyzed plan ballooned to {len(plan)} chars"
