@@ -2958,15 +2958,18 @@ def line_dedup_stats(
     (``n_dup_lines`` — the canonical copy is the globally FIRST
     occurrence by (doc, position), which keeps exactly one copy
     corpus-wide, C4's rule) and how many words removal would drop
-    (``n_tokens_removed``). One hash-groupBy over the line text (the
-    exact-dedup shuffle shape — group state is one min, so a
-    boilerplate line repeated millions of times costs a partial min,
-    never a blowup) plus one join back to the occurrences."""
+    (``n_tokens_removed``). ONE corpus scan: the canonical owner is a
+    min window over the line partition (unbounded-frame agg, no sort —
+    a boilerplate line repeated millions of times costs a partial min,
+    never a blowup), then one per-doc re-aggregate — two shuffles total
+    (line, then doc), no self-join, no second scan."""
+    from pyspark.sql.window import Window
+
     occ = line_occurrences(df, text=text, id_col=id_col, width=width)
-    canon = occ.groupBy("line").agg(F.min("key").alias("own"))
+    own = F.min("key").over(Window.partitionBy("line"))
     dup = F.col("key") != F.col("own")
     return (
-        occ.join(canon, "line")
+        occ.withColumn("own", own)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),

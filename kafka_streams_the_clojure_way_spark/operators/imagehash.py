@@ -428,3 +428,75 @@ def compact_phash_index(spark, index_path: str) -> None:
     )
 
     compact_partitioned(spark, f"{index_path}/bands", "band", "bkey")
+
+
+def phash_index_probe_stream(
+    spark,
+    index_path: str,
+    stream: DataFrame,
+    sink,
+    *,
+    id_col: str = "doc_id",
+    max_dist: int | None = None,
+    checkpoint: str | None = None,
+    upsert: bool = False,
+    assume_new_ids: bool = False,
+    compact_every: int | None = None,
+    trigger: dict | None = None,
+):
+    """The streaming serve loop for the persisted pHash index — the
+    image twin of ``dedup.minhash_index_probe_stream``: every
+    micro-batch of asset rows runs through :func:`phash_index_probe`'s
+    BATCH path inside ``foreachBatch`` (the micro-batch is a plain batch
+    frame, so the probe's literal (band, bkey) partition routing applies
+    and per-trigger cost stays O(batch + matching postings), independent
+    of corpus size). ``sink`` is a callable ``(pairs_df, batch_id) ->
+    None`` or a parquet directory path; callables MUST materialize
+    before returning when ``upsert=True`` (the batch joins the index
+    right after the sink runs). ``upsert=True`` closes the loop — later
+    batches near-dup against every image already admitted; replays stay
+    idempotent via the upsert's anti-join with the default
+    ``assume_new_ids=False``. ``compact_every=N`` compacts after every
+    N-th upserting batch (serial with the loop, so the
+    not-concurrent-reader-safe swap is safe here)."""
+    if isinstance(sink, str):
+        out_path = sink
+
+        def sink_fn(pairs: DataFrame, batch_id: int) -> None:
+            pairs.coalesce(1).write.mode("append").parquet(out_path)
+
+    else:
+        sink_fn = sink
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        caches: list[DataFrame] = []
+        pairs = phash_index_probe(
+            spark,
+            index_path,
+            batch_df,
+            id_col=id_col,
+            max_dist=max_dist,
+            cache_registry=caches,
+        )
+        try:
+            sink_fn(pairs, batch_id)
+            if upsert:
+                phash_index_upsert(
+                    spark,
+                    index_path,
+                    batch_df,
+                    id_col=id_col,
+                    assume_new_ids=assume_new_ids,
+                )
+        finally:
+            for frame in caches:
+                frame.unpersist()
+        if upsert and compact_every and (batch_id + 1) % compact_every == 0:
+            compact_phash_index(spark, index_path)
+
+    writer = stream.writeStream.foreachBatch(serve)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(**(trigger or {"availableNow": True})).start()

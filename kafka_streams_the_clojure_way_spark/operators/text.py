@@ -122,9 +122,11 @@ def bpe_token_count_col(text: Column) -> Column:
     the unit a training-data pipeline actually budgets in (whitespace
     counts misprice morphology-heavy text by 2-3x). Entirely row-local
     HOFs: per word, one ``aggregate`` fold over its character positions
-    advancing ``pos`` by the longest match (so the fold body is a
-    40-branch ``greatest`` inside whole-stage codegen — no UDF, no
-    shuffle, and a DuckDB recursive-CTE twin can replay it exactly)."""
+    advancing ``pos`` by the longest match (the fold body is a 40-branch
+    ``greatest`` evaluated JVM-side — higher-order functions sit outside
+    whole-stage codegen but remain columnar-batched expression eval: no
+    Python, no shuffle — and a DuckDB recursive-CTE twin replays it
+    exactly)."""
     words = tokens_col(text)
 
     def word_count(w: Column) -> Column:

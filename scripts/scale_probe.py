@@ -83,6 +83,13 @@ PROBE_QUERIES = [
                                     # [factor-capped, see PROBE_FACTOR_CAP]
     "dq_source_drift_psi",          # one corpus scan -> |sources|x6 grid arithmetic
     "text_quality_logit",           # scan-bound WholeStageCodegen projection
+    "text_bpe_token_stats",         # scan-bound per-word aggregate-fold HOFs
+    "dedup_line_level_stats",       # line hash-groupBy (group state = one min;
+                                    # replication grows group SIZES, output ~factor)
+    "dedup_image_phash_indexed",    # pHash band-index probe (probe signs itself;
+                                    # replica originals are byte-identical, so each
+                                    # probe twin matches every replica -> output
+                                    # ~factor^2) [factor-capped, see PROBE_FACTOR_CAP]
 ]
 
 
@@ -152,6 +159,7 @@ PROBE_FACTOR_CAP = {
     "pipeline_ingestion_curated": 10,
     "dedup_incremental_exact_indexed": 10,
     "dedup_incremental_bloom_gated": 10,
+    "dedup_image_phash_indexed": 10,
 }
 
 

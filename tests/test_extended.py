@@ -15,14 +15,24 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_approx_distinct_within_rsd(spark):
+    """The registered query now emits bound VERDICTS (round 7: in-query
+    exact counts + within-bound booleans so the DuckDB oracle can hash
+    it); assert the verdicts AND re-derive the raw envelope from the
+    sketch directly."""
     from kafka_streams_the_clojure_way_spark.sources.files import load_table
 
     ev = load_table(spark, SF, "events")
     exact = ev.agg(
         F.count_distinct("user_id").alias("u"), F.count_distinct("event_id").alias("e")
     ).collect()[0]
-    approx = agg_approx_distinct_users(spark, SF).collect()[0]
-    # rsd=0.01 -> generous 5% envelope
+    row = agg_approx_distinct_users(spark, SF).collect()[0]
+    assert row.n_users_exact == exact.u and row.n_events_exact == exact.e
+    assert row.users_within_bound and row.events_within_bound, row
+    approx = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
+    ).collect()[0]
+    # rsd is a std-dev, not a hard bound -> generous 5% envelope
     assert abs(approx.approx_users - exact.u) <= max(1, 0.05 * exact.u)
     assert abs(approx.approx_events - exact.e) <= 0.05 * exact.e
 

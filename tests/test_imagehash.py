@@ -153,3 +153,55 @@ def test_max_dist_validation(spark):
     docs, _ = _corpus_and_twins(spark)
     with pytest.raises(ValueError, match="pigeonhole"):
         phash_pairs(_assets(docs), max_dist=9)
+
+
+def test_probe_stream_upsert_cycle(spark, tmp_path):
+    """The streaming probe-then-upsert loop: batch 1's image is admitted
+    and upserted; batch 2's re-encode of it (a perturbed twin) is caught
+    against the UPSERTED image, not just the build-time corpus — and a
+    probe replay of batch 2 stays idempotent (no self-pairs appear)."""
+    from kafka_streams_the_clojure_way_spark.operators.imagehash import (
+        phash_index_probe_stream,
+    )
+    from kafka_streams_the_clojure_way_spark.sources.memory import drain
+
+    docs, _ = _corpus_and_twins(spark)
+    corpus = docs.filter(F.col("doc_id") < 50)
+    newdoc = docs.filter(F.col("doc_id") >= 50).limit(1)
+    new_id = newdoc.collect()[0].doc_id
+    path = str(tmp_path / "ph")
+    build_phash_index(_assets(corpus), path)
+
+    twin = newdoc.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.expr(
+            "concat(substring(text, 1, CAST(doc_id % length(text) AS INT)), 'x', "
+            "substring(text, CAST(doc_id % length(text) AS INT) + 2))"
+        ).alias("text"),
+    )
+    in_dir = tmp_path / "in"
+    _assets(newdoc).select("doc_id", "asset").write.parquet(str(in_dir / "b0"))
+    _assets(twin).select("doc_id", "asset").write.parquet(str(in_dir / "b1"))
+    schema = _assets(newdoc).select("doc_id", "asset").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    got = []
+
+    def sink(pairs, batch_id):
+        got.extend((r.probe_id, r.corpus_id) for r in pairs.collect())
+
+    q = phash_index_probe_stream(
+        spark, path, stream, sink,
+        upsert=True, compact_every=1,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    drain(q)
+    # batch 1 (the new doc) matched nothing in the corpus; batch 2 (its
+    # twin) matched the doc upserted by batch 1.
+    assert (new_id + 10_000_000, new_id) in got, got
+    assert all(c != p for p, c in got)
