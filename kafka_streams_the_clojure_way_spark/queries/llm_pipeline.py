@@ -1415,6 +1415,66 @@ def dedup_image_phash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Audio fingerprint dedup: frame band-energy sign fingerprints
+# --------------------------------------------------------------------------
+
+from kafka_streams_the_clojure_way_spark.operators import audiofp as AFP
+
+
+def _audio_assets_from(docs: DataFrame) -> DataFrame:
+    return wrap_binary_assets(
+        docs.withColumn("payload", F.encode(F.col("text"), "UTF-8")),
+        "payload",
+        "audio/wav",
+    )
+
+
+@query(
+    "multimodal_audio_fingerprint",
+    oracle=f"SELECT doc_id, frame_idx, fp FROM {AFP.audio_fingerprints_sql()} s",
+)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip audio fingerprints (operators/audiofp.py — the
+    Chromaprint/Haitsma-Kalker shape over the stub decode path): 32-
+    sample frames, 8 band energies, one 7-bit fingerprint per adjacent
+    frame pair from the SIGN of the energy double-difference across
+    (band, time) — volume-invariant by construction. Vectorized
+    mapInPandas kernel; exact integer arithmetic, so the oracle
+    recomputes every fingerprint bit-for-bit from the same bytes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return AFP.audio_fingerprints(_audio_assets_from(docs))
+
+
+_AUDIO_PAIRS_ORACLE = AFP.audio_fp_pairs_sql(
+    "all_docs",
+    prelude_ctes=f"""all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_TWIN_OFFSET} AS doc_id, {_TWIN_TEXT_SQL} AS text
+        FROM documents
+    ),""",
+)
+
+
+@query("dedup_audio_fp_pairs", oracle=_AUDIO_PAIRS_ORACLE)
+def dedup_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs over originals + re-encoded copies (the
+    perturbed-twin convention of dedup_image_phash_pairs): docs sharing
+    >= {AFP.AUDIO_MIN_SHARED} frame-aligned fingerprints pair up — a
+    one-byte corruption disturbs at most two frames' fingerprints, so a
+    twin shares nearly all of them, while unrelated clips rarely reach
+    4 aligned collisions (measured knee — see AUDIO_MIN_SHARED; twins
+    shorter than ~6 frames drop from BOTH engines symmetrically, the
+    approximation contract value-checked as usual). Posting keys in more than
+    {AFP.AUDIO_DF_CAP} docs are dropped BEFORE the join (df-cap, the
+    winnowing discipline — the oracle applies the same cap), so no
+    boilerplate fingerprint can fan out quadratically."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    both = docs.unionByName(_perturbed_twins(docs))
+    return AFP.audio_fp_pairs(_audio_assets_from(both))
+
+
+# --------------------------------------------------------------------------
 # Near-dup clustering (iterative connected components over LSH pairs)
 # --------------------------------------------------------------------------
 

@@ -111,3 +111,50 @@ def test_line_dedup_totals_consistent_on_corpus(spark):
 
     distinct = line_occurrences(docs).select("line").distinct().count()
     assert agg.occ - distinct == agg.dups and agg.dups > 0
+
+
+def test_audio_fingerprints_match_python_reference(spark):
+    """Third opinion for the audio kernel: pure-Python frame/band/
+    double-diff reference vs the mapInPandas kernel on real docs."""
+    from kafka_streams_the_clojure_way_spark.operators.audiofp import (
+        BAND_W,
+        FP_BITS,
+        FRAME_W,
+        N_BANDS,
+        audio_fingerprints,
+    )
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        wrap_binary_assets,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(40)
+    assets = wrap_binary_assets(
+        docs.withColumn("payload", F.encode(F.col("text"), "UTF-8")),
+        "payload",
+        "audio/wav",
+    )
+    got = {
+        (r.doc_id, r.frame_idx): r.fp
+        for r in audio_fingerprints(assets).collect()
+    }
+
+    want = {}
+    for row in docs.collect():
+        raw = row.text.encode()
+        nf = len(raw) // FRAME_W
+        if nf < 2:
+            continue
+        e = [
+            [
+                sum(raw[f * FRAME_W + b * BAND_W + j] for j in range(BAND_W))
+                for b in range(N_BANDS)
+            ]
+            for f in range(nf)
+        ]
+        for f in range(nf - 1):
+            fp = 0
+            for b in range(FP_BITS):
+                if (e[f][b] - e[f + 1][b]) > (e[f][b + 1] - e[f + 1][b + 1]):
+                    fp |= 1 << b
+            want[(row.doc_id, f)] = fp
+    assert got == want and got
