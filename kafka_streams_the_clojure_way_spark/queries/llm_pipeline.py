@@ -1414,6 +1414,41 @@ def dedup_image_phash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IH.phash_index_probe(spark, _phash_index_path(spark, sf_dir), probe)
 
 
+_PHASH_LAYOUT_ORACLE = f"""
+WITH sigs AS (
+    SELECT doc_id, phash
+    FROM {IH.phash_sql()} s
+    WHERE doc_id % {_INCR_NEW_MOD} != 0
+)
+SELECT doc_id, phash, b.g AS band,
+       (phash >> (b.g * {IH.PHASH_BAND_BITS})) & {(1 << IH.PHASH_BAND_BITS) - 1}
+           AS bkey
+FROM sigs, generate_series(0, {IH.PHASH_BANDS - 1}) b(g)
+"""
+
+
+@query("meta_phash_index_layout", oracle=_PHASH_LAYOUT_ORACLE)
+def meta_phash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity audit of the persisted pHash band index: every
+    (doc_id, phash, band, bkey) posting read from the ON-DISK artifact,
+    oracle-checked against recomputing the full hash + band
+    decomposition in SQL — the index's exact bits and routing keys,
+    not just its counts, pinned engine-independently (a drifted DCT
+    table or band shift mis-routes probes into silent false negatives).
+    Scan cost: the bands table only (9 rows x ~20 bytes per image),
+    never the corpus payloads."""
+    path = _phash_index_path(spark, sf_dir)
+    return (
+        spark.read.parquet(f"{path}/bands")
+        .select(
+            "doc_id",
+            "phash",
+            F.col("band").cast("long").alias("band"),
+            F.col("bkey").cast("long").alias("bkey"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Audio fingerprint dedup: frame band-energy sign fingerprints
 # --------------------------------------------------------------------------
