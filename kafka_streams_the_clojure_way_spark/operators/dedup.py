@@ -48,18 +48,36 @@ SHINGLE_K = 3
 _INDEX_META_CACHE: dict[str, object] = {}
 
 
+def _meta_mtime(index_path: str):
+    """Best-effort change token for the meta dataset: the directory
+    mtime (a rebuild rewrites the directory contents). None on
+    non-local filesystems / missing paths — validation degrades to the
+    explicit-invalidation contract there."""
+    try:
+        return os.path.getmtime(os.path.join(index_path, "meta"))
+    except OSError:
+        return None
+
+
 def _index_meta(spark, index_path: str):
     """The index's one meta row, cached per process (see cache note).
     Keys are normalized (normpath) so a trailing-slash or ``./`` spelling
     variant of the same directory cannot dodge invalidation and serve
-    stale routing parameters. Out-of-process rebuilds of the SAME path
-    must call :func:`invalidate_index_meta` (or use a fresh path — the
-    tempdir-per-build convention every shipped caller follows)."""
+    stale routing parameters. On local filesystems a cache hit also
+    validates the meta directory's mtime, so an out-of-process rebuild
+    of the SAME path is picked up without a hook call; elsewhere (object
+    stores), call :func:`invalidate_index_meta` after external rebuilds
+    — or use a fresh path, the tempdir-per-build convention every
+    shipped caller follows."""
     key = os.path.normpath(index_path)
-    row = _INDEX_META_CACHE.get(key)
-    if row is None:
-        row = spark.read.parquet(f"{index_path}/meta").collect()[0]
-        _INDEX_META_CACHE[key] = row
+    hit = _INDEX_META_CACHE.get(key)
+    mtime = _meta_mtime(index_path)
+    if hit is not None:
+        row, cached_mtime = hit
+        if mtime is None or cached_mtime == mtime:
+            return row
+    row = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    _INDEX_META_CACHE[key] = (row, mtime)
     return row
 
 

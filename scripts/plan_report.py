@@ -156,6 +156,33 @@ HEADLINERS = [
         "|sources|-row aggregate broadcast back — no corpus rows ever "
         "pass through a single-partition window.",
     ),
+    (
+        "text_bpe_token_stats",
+        "Greedy-subword token accounting: the entire tokenizer is "
+        "row-local HOF expression eval on the scan — zero exchanges, "
+        "no Python, output one row per doc.",
+    ),
+    (
+        "dedup_line_level_stats",
+        "C4-style line dedup: ONE corpus scan; canonical ownership is a "
+        "min window over the line partition (no self-join, no second "
+        "scan), then one per-doc re-aggregate — two shuffles total.",
+    ),
+    (
+        "dedup_image_phash_indexed",
+        "pHash band-index probe: the batch signs ONLY itself "
+        "(mapInPandas), its distinct keys become literal band/bkey "
+        "partition filters on the postings scan, and the probe side "
+        "broadcasts into the candidate equi-join — per-batch cost "
+        "independent of corpus size.",
+    ),
+    (
+        "dedup_audio_fp_pairs",
+        "Frame-fingerprint audio pairs: df-capped (frame_idx, fp) "
+        "posting equi-join — the left-semi cap filter runs BEFORE the "
+        "pair join, so no boilerplate fingerprint can fan out "
+        "quadratically; verify is a grouped count, never waveforms.",
+    ),
 ]
 
 

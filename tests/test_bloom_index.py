@@ -192,3 +192,25 @@ def test_meta_cache_key_is_path_normalized(spark, tmp_path):
     # the plain-path probe must see the NEW meta.
     build_bloom_index(corpus, path + "/", n_segments=2)
     assert D._index_meta(spark, path)["n_segments"] == 2
+
+
+def test_meta_cache_detects_out_of_process_rebuild(spark, tmp_path):
+    """A rebuild that bypasses the in-process invalidation hook (e.g.
+    another process) must still be picked up on local filesystems via
+    the meta directory's mtime — no stale routing parameters."""
+    import os
+    import time
+
+    from kafka_streams_the_clojure_way_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    path = str(tmp_path / "bloom")
+    build_bloom_index(corpus, path)
+    assert D._index_meta(spark, path)["n_segments"] == D.BLOOM_SEGMENTS
+    # simulate an external rebuild: change geometry, then RESTORE the
+    # cache entry as if this process never saw the rebuild.
+    stale = D._INDEX_META_CACHE[os.path.normpath(path)]
+    build_bloom_index(corpus, path, n_segments=2)
+    D._INDEX_META_CACHE[os.path.normpath(path)] = stale
+    time.sleep(0.01)
+    assert D._index_meta(spark, path)["n_segments"] == 2
