@@ -1,0 +1,332 @@
+"""Pure-stdlib media codecs for the multimodal tier — REAL container
+formats with zero non-baked-in dependencies, so the image/audio/video
+dedup queries hash genuinely decoded pixels/samples instead of the
+deterministic stub geometry (`operators/multimodal._decode_stub`).
+
+Three codecs, each chosen because the std library can implement it
+completely and the decode round-trips the payload bytes EXACTLY:
+
+- **PNG** (grayscale, 8-bit): full spec-conformant encode/decode via
+  ``zlib`` — chunk framing with CRC-32 validation, IHDR/IDAT/IEND, and
+  ALL FIVE scanline filters (None/Sub/Up/Average/Paeth) on both sides.
+  The encoder space-pads the last scanline to the fixed width, so
+  ``decode(encode(data)) == data + b' ' * pad`` — a padding the DuckDB
+  oracle reproduces with one ``rpad``.
+- **WAV** (PCM, 8-bit mono) via the std ``wave`` module: 8-bit WAV is
+  unsigned bytes, so ``decode(encode(data)) == data`` with no padding
+  at all.
+- **PGM video container**: a video is a CONCATENATION of binary P5
+  (netpbm "portable graymap") frames, each with a real ASCII header
+  (``P5 <w> <h> 255\\n``) parsed — not assumed — by the demuxer. Frame
+  pixels are the raw chunk bytes, so per-frame decode round-trips
+  exactly and the oracle reads frames with ``substring``.
+
+Why exact round-trips matter: the pHash / audio-fingerprint oracles
+recompute signatures bit-for-bit from the documents' text in DuckDB.
+With these codecs the Spark side encodes text -> REAL container ->
+decodes through the REAL parser -> hashes the decoded stream, and the
+oracle still only needs the text (plus the documented space-pad) — the
+decode path is exercised end to end while the correctness gate stays
+bit-exact.
+
+Scale notes: encode here exists to manufacture fixtures (a production
+corpus arrives already encoded); decode is the hot path. zlib inflate
+and the per-row numpy defilter run at C speed; the per-frame Python is
+one loop over scanlines (width 64 default -> len/64 iterations per
+image). Real web-scale image decode would swap in a C codec behind the
+same `decode=` seam — the Spark plumbing (schema, mapInPandas batch
+shape, funnel) is identical, which is the property the queries pin.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+# --------------------------------------------------------------------------
+# PNG: grayscale 8-bit, all five filters
+# --------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: scanline width for encoded fixtures; the last row is padded with
+#: PNG_PAD (space) so the oracle's rpad(text, ..., ' ') reproduces the
+#: decoded pixel stream exactly.
+PNG_WIDTH = 64
+PNG_PAD = b" "
+
+#: filters the fixture ENCODER cycles through by default: None/Sub/Up
+#: are exactly the filters whose inverse is a vectorized cumsum/add —
+#: the hot decode path stays numpy-speed. Average/Paeth are a per-pixel
+#: recurrence with a nonlinear step (floor-div / predictor choice), so
+#: the general decoder pays a Python loop for them; they're exercised
+#: by the round-trip tests via filter_cycle=(0,1,2,3,4). Filter choice
+#: is an encoder freedom under the spec — decoders must take all five.
+DEFAULT_FILTER_CYCLE = (0, 1, 2)
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_encode_gray(
+    data: bytes,
+    width: int = PNG_WIDTH,
+    filter_cycle: tuple[int, ...] = DEFAULT_FILTER_CYCLE,
+) -> bytes:
+    """Encode ``data`` as a spec-conformant 8-bit grayscale PNG: rows of
+    ``width`` pixels, last row space-padded, one filter per row chosen
+    round-robin from ``filter_cycle`` (so multi-row images exercise
+    real prior-row filter context). Exact inverse:
+    ``png_decode_gray(png) == data + b' ' * (-len(data) % width)``."""
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    pad = -len(data) % width
+    pixels = data + PNG_PAD * pad
+    height = max(1, len(pixels) // width)
+    if not data:
+        pixels = PNG_PAD * width  # zero-byte payload -> one blank row
+    raw = bytearray()
+    prev = bytes(width)
+    for r in range(height):
+        row = pixels[r * width : (r + 1) * width]
+        ftype = filter_cycle[r % len(filter_cycle)]
+        raw.append(ftype)
+        if ftype == 0:  # None
+            raw += row
+        elif ftype == 1:  # Sub
+            raw += bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(width))
+        elif ftype == 2:  # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(width))
+        elif ftype == 3:  # Average
+            raw += bytes(
+                (row[i] - (((row[i - 1] if i else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(width)
+            )
+        elif ftype == 4:  # Paeth
+            raw += bytes(
+                (row[i] - _paeth(row[i - 1] if i else 0, prev[i], prev[i - 1] if i else 0))
+                & 0xFF
+                for i in range(width)
+            )
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    return (
+        _PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode_gray(png: bytes) -> bytes:
+    """Decode an 8-bit grayscale PNG to its raw pixel stream (row-major
+    bytes). A REAL decoder, not a fixture-shaped one: validates the
+    magic, every chunk's CRC-32, the IHDR geometry (8-bit, color type
+    0), concatenates multi-IDAT streams, inflates, and inverts all five
+    scanline filters. Raises ``ValueError`` on any corruption — the
+    behavior a corrupt-object quarantine path needs."""
+    import numpy as np
+
+    if png[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG: bad magic")
+    pos = len(_PNG_MAGIC)
+    width = height = -1
+    idat = bytearray()
+    seen_end = False
+    while pos < len(png):
+        if pos + 8 > len(png):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", png[pos : pos + 4])
+        tag = png[pos + 4 : pos + 8]
+        body = png[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated PNG chunk {tag!r}")
+        (crc,) = struct.unpack(">I", png[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in chunk {tag!r}")
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG variant (need 8-bit grayscale, "
+                    f"got depth={depth} color={ctype} interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            seen_end = True
+            break
+    if width < 0:
+        raise ValueError("PNG missing IHDR")
+    if not seen_end:
+        raise ValueError("PNG missing IEND")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != height * (width + 1):
+        raise ValueError(
+            f"PNG pixel payload {raw.size} != {height}x({width}+1)"
+        )
+    rows = raw.reshape(height, width + 1)
+    ftypes = rows[:, 0]
+    data = rows[:, 1:].astype(np.int64)
+    out = np.empty((height, width), dtype=np.int64)
+    prev = np.zeros(width, dtype=np.int64)
+    for r in range(height):
+        f, row = int(ftypes[r]), data[r]
+        if f == 0:
+            cur = row
+        elif f == 1:  # Sub: x[i] = f[i] + x[i-1] -> cumsum mod 256
+            cur = np.cumsum(row) & 0xFF
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif f == 3:  # Average: per-pixel recurrence (floor-div is nonlinear)
+            cur = np.empty(width, dtype=np.int64)
+            left = 0
+            for i in range(width):
+                left = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+                cur[i] = left
+        elif f == 4:  # Paeth: per-pixel recurrence (predictor choice)
+            cur = np.empty(width, dtype=np.int64)
+            left = upleft = 0
+            for i in range(width):
+                left = (row[i] + _paeth(left, int(prev[i]), upleft)) & 0xFF
+                cur[i] = left
+                upleft = int(prev[i])
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[r] = cur
+        prev = cur
+    return out.astype(np.uint8).tobytes()
+
+
+def png_padded_len_sql(text: str) -> str:
+    """DuckDB expression: length of the decoded pixel stream for a PNG
+    encoded from ``text`` (space-padded to a PNG_WIDTH multiple; empty
+    text still encodes one blank scanline — PNG geometry is >= 1x1)."""
+    n = f"octet_length(CAST({text} AS BLOB))"
+    return (
+        f"(CAST(greatest(({n} + {PNG_WIDTH} - 1) // {PNG_WIDTH}, 1) AS BIGINT)"
+        f" * {PNG_WIDTH})"
+    )
+
+
+def png_pixels_sql(text: str) -> str:
+    """DuckDB expression producing EXACTLY the pixel stream
+    :func:`png_decode_gray` returns for ``png_encode_gray(text bytes)``:
+    the text space-padded to the scanline width (ASCII corpus => code
+    points are bytes, the shared multimodal convention)."""
+    return f"rpad({text}, CAST({png_padded_len_sql(text)} AS INT), ' ')"
+
+
+# --------------------------------------------------------------------------
+# WAV: 8-bit mono PCM via the std `wave` module
+# --------------------------------------------------------------------------
+
+WAV_RATE = 16_000
+
+
+def wav_encode_pcm8(data: bytes, rate: int = WAV_RATE) -> bytes:
+    """Encode ``data`` as a real RIFF/WAVE file: mono, 8-bit unsigned
+    PCM (the one sample width whose samples ARE raw bytes), via the std
+    ``wave`` writer. ``wav_decode_pcm8(encode(data)) == data``."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(rate)
+        w.writeframes(data)
+    return buf.getvalue()
+
+
+def wav_decode_pcm8(payload: bytes) -> bytes:
+    """Decode a RIFF/WAVE payload to its raw 8-bit sample stream through
+    the std ``wave`` parser (real RIFF chunk walking, not a fixed-offset
+    slice). Raises ``ValueError`` on non-WAV bytes or unsupported
+    geometry (the quarantine contract, same as :func:`png_decode_gray`)."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 1:
+                raise ValueError(
+                    f"unsupported WAV geometry: channels={w.getnchannels()} "
+                    f"sampwidth={w.getsampwidth()} (need mono 8-bit PCM)"
+                )
+            return w.readframes(w.getnframes())
+    except wave.Error as exc:
+        raise ValueError(f"not a decodable WAV: {exc}") from exc
+
+
+# --------------------------------------------------------------------------
+# PGM (P5) frame container for the video modality
+# --------------------------------------------------------------------------
+
+#: pixels per video frame in the fixture container (1 x PGM_FRAME_LEN
+#: scanline frames: exact round-trip, no padding anywhere).
+PGM_FRAME_LEN = 64
+
+
+def pgm_encode_video(data: bytes, frame_len: int = PGM_FRAME_LEN) -> bytes:
+    """Pack ``data`` into a concatenation of binary P5 (netpbm) frames —
+    each chunk of ``frame_len`` bytes becomes one 1-row grayscale frame
+    with a REAL ASCII header (``P5 <w> 1 255\\n``); the final frame is
+    simply narrower (no padding), so the concatenated frame pixels ARE
+    the payload bytes. Zero-byte payloads encode to zero frames."""
+    out = bytearray()
+    for off in range(0, len(data), frame_len):
+        chunk = data[off : off + frame_len]
+        out += b"P5 %d 1 255\n" % len(chunk) + chunk
+    return bytes(out)
+
+
+def pgm_decode_frames(payload: bytes) -> list[bytes]:
+    """Demux a concatenated-P5 container: parse each frame's ASCII
+    header (magic, width, height, maxval), validate it, slice exactly
+    width*height pixel bytes, repeat until the payload is exhausted.
+    Raises ``ValueError`` on bad magic / truncated frames."""
+    frames: list[bytes] = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 2] != b"P5":
+            raise ValueError(f"bad PGM magic at offset {pos}")
+        hdr_end = payload.find(b"\n", pos)
+        if hdr_end < 0:
+            raise ValueError(f"unterminated PGM header at offset {pos}")
+        fields = payload[pos:hdr_end].split()
+        if len(fields) != 4:
+            raise ValueError(f"malformed PGM header {payload[pos:hdr_end]!r}")
+        w, h, maxval = int(fields[1]), int(fields[2]), int(fields[3])
+        if maxval != 255 or w < 1 or h < 1:
+            raise ValueError(f"unsupported PGM geometry w={w} h={h} maxval={maxval}")
+        start = hdr_end + 1
+        end = start + w * h
+        if end > n:
+            raise ValueError(f"truncated PGM frame at offset {pos}")
+        frames.append(payload[start:end])
+        pos = end
+    return frames

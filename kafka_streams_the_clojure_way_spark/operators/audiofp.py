@@ -55,25 +55,44 @@ AUDIO_DF_CAP = 50
 AUDIO_MIN_SHARED = 4
 
 
-def audio_fingerprints(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def audio_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", decode: str | None = None
+) -> DataFrame:
     """(id, frame_idx, fp) per asset via one Arrow-batched mapInPandas
     kernel — each payload's energy matrix, double-diff, and bit-pack are
     whole-array numpy ops; the only per-row Python is the payload loop
     (variable-length binary has no columnar kernel). Clips shorter than
-    two frames (64 bytes) emit no fingerprint — too short to match."""
+    two frames (64 bytes) emit no fingerprint — too short to match.
+
+    ``decode=None`` fingerprints the raw payload bytes as the sample
+    stream (the stub convention); ``decode="wav"`` runs every payload
+    through the REAL stdlib RIFF/WAVE parser
+    (``functions/codecs.wav_decode_pcm8``) and fingerprints the DECODED
+    8-bit PCM samples — same plan, and still oracle-bit-exact because
+    mono 8-bit PCM decode round-trips the sample bytes exactly."""
     import numpy as np
     import pandas as pd
 
+    if decode not in (None, "wav"):
+        raise ValueError(f"decode must be None or 'wav', got {decode!r}")
     bitpow = None
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         nonlocal bitpow
         if bitpow is None:
             bitpow = np.left_shift(1, np.arange(FP_BITS, dtype=np.int64))
+        if decode == "wav":
+            from kafka_streams_the_clojure_way_spark.functions.codecs import (
+                wav_decode_pcm8,
+            )
+
+            unwrap = lambda raw: wav_decode_pcm8(bytes(raw))  # noqa: E731
+        else:
+            unwrap = bytes
         for pdf in batches:
             ids, frames, fps = [], [], []
             for doc_id, asset in zip(pdf[id_col].values, pdf["asset"].values):
-                buf = np.frombuffer(bytes(asset["bytes"]), dtype=np.uint8)
+                buf = np.frombuffer(unwrap(asset["bytes"]), dtype=np.uint8)
                 n_frames = buf.size // FRAME_W
                 if n_frames < 2:
                     continue
@@ -136,6 +155,8 @@ def audio_fp_pairs(
     id_col: str = "doc_id",
     min_shared: int = AUDIO_MIN_SHARED,
     df_cap: int = AUDIO_DF_CAP,
+    decode: str | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Audio near-dup pairs (id_a < id_b, n_shared): equi-join the
     (frame_idx, fp) posting lists — frame-aligned, so a match means the
@@ -143,8 +164,13 @@ def audio_fp_pairs(
     same clip clears and unrelated clips don't — count shared postings
     per pair, keep pairs with >= ``min_shared``. Posting keys in more
     than ``df_cap`` docs are dropped BEFORE the join (the winnowing
-    discipline): no key can fan out past cap^2/2 candidate rows."""
-    fps = audio_fingerprints(with_min_parallelism(assets), id_col).cache()
+    discipline): no key can fan out past cap^2/2 candidate rows. The
+    fingerprint frame is cached (it feeds the df-cap pass and both join
+    sides); pass ``cache_registry`` to own its unpersist (the
+    ``minhash_index_probe`` lifecycle contract)."""
+    fps = audio_fingerprints(with_min_parallelism(assets), id_col, decode).cache()
+    if cache_registry is not None:
+        cache_registry.append(fps)
     keys = (
         fps.groupBy("frame_idx", "fp")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -69,22 +69,42 @@ DCT_COEF: tuple[tuple[int, ...], ...] = tuple(
 _MEDIAN_RANK = (PHASH_BITS + 1) // 2  # 32: lower median of 63 AC coeffs
 
 
-def phash_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def phash_assets(
+    df: DataFrame, id_col: str = "doc_id", decode: str | None = None
+) -> DataFrame:
     """(id, phash) per asset via one Arrow-batched mapInPandas kernel —
     vectorized across the batch: all payloads concatenate into ONE uint8
     buffer, the 8x8 grids gather with a single fancy-index, and the DCT
     is one (batch, 8, 8) einsum in int64. The only per-row Python is
     collecting the variable-length payload references (same contract as
-    ``multimodal.extract_features``)."""
+    ``multimodal.extract_features``).
+
+    ``decode=None`` hashes the raw payload bytes as the pixel stream
+    (the stub convention); ``decode="png"`` runs every payload through
+    the REAL stdlib PNG decoder (``functions/codecs.png_decode_gray``:
+    chunk CRCs, inflate, all five scanline filters) and hashes the
+    DECODED pixels — same plan, same downstream banding, and still
+    bit-exact against the DuckDB oracle because 8-bit grayscale decode
+    round-trips the payload (plus the documented space-pad)."""
     import numpy as np
     import pandas as pd
 
+    if decode not in (None, "png"):
+        raise ValueError(f"decode must be None or 'png', got {decode!r}")
     C = np.asarray(DCT_COEF, dtype=np.int64)
     grid2 = PHASH_GRID * PHASH_GRID
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        if decode == "png":
+            from kafka_streams_the_clojure_way_spark.functions.codecs import (
+                png_decode_gray,
+            )
+
+            unwrap = lambda raw: png_decode_gray(bytes(raw))  # noqa: E731
+        else:
+            unwrap = bytes
         for pdf in batches:
-            payloads = [bytes(a["bytes"]) for a in pdf["asset"].values]
+            payloads = [unwrap(a["bytes"]) for a in pdf["asset"].values]
             lens = np.fromiter((len(p) for p in payloads), dtype=np.int64)
             buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
             offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
@@ -201,6 +221,8 @@ def phash_pairs(
     id_col: str = "doc_id",
     max_dist: int = PHASH_MAX_DIST,
     n_bands: int = PHASH_BANDS,
+    decode: str | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Image near-dup pairs (id_a < id_b, hamming): banded candidate
     join over the 63-bit pHash, popcount-on-xor verify — lossless for
@@ -208,13 +230,18 @@ def phash_pairs(
     the all-pairs definition without an all-pairs product. The hamming
     filter runs BEFORE the pair-distinct (the simhash_pairs lesson:
     popcount is free per row, distinct is a shuffle). ``n_bands`` is
-    the scale dial — see :func:`_band_bits`."""
+    the scale dial — see :func:`_band_bits`. The signature frame is
+    cached (it feeds both join sides); pass ``cache_registry`` to own
+    its unpersist (the ``minhash_index_probe`` lifecycle contract) so
+    long-lived sessions don't accumulate executor cache blocks."""
     if max_dist > n_bands - 1:
         raise ValueError(
             f"max_dist={max_dist} breaks the {n_bands}-band pigeonhole "
             f"guarantee (lossless only up to {n_bands - 1})"
         )
-    sigs = phash_assets(with_min_parallelism(assets), id_col).cache()
+    sigs = phash_assets(with_min_parallelism(assets), id_col, decode).cache()
+    if cache_registry is not None:
+        cache_registry.append(sigs)
     banded = _banded(sigs, id_col, n_bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = a.join(
@@ -286,6 +313,7 @@ def build_phash_index(
     *,
     id_col: str = "doc_id",
     n_bands: int = PHASH_BANDS,
+    decode: str | None = None,
 ) -> None:
     """Materialize the corpus side of the image near-dup gate — the same
     build/serve split as ``dedup.build_minhash_index``:
@@ -307,15 +335,19 @@ def build_phash_index(
     from kafka_streams_the_clojure_way_spark.sources.files import write_partitioned
 
     _invalidate_index_meta(path)
-    sigs = phash_assets(with_min_parallelism(corpus_assets), id_col)
+    sigs = phash_assets(with_min_parallelism(corpus_assets), id_col, decode)
     banded = _banded(sigs, id_col, n_bands)
     write_partitioned(
         banded.repartition("band", "bkey"), f"{path}/bands", "band", "bkey"
     )
     coef_sum = sum(c for row in DCT_COEF for c in row)
+    # decode is a SIGNATURE PARAMETER: probing a real-pixel index with
+    # raw-byte signatures (or vice versa) would silently miss — the meta
+    # row pins it so every probe/upsert hashes the way the build did.
     corpus_assets.sparkSession.createDataFrame(
-        [(n_bands, _band_bits(n_bands), n_bands - 1, coef_sum, id_col)],
-        "n_bands int, band_bits int, max_dist int, dct_checksum long, id_col string",
+        [(n_bands, _band_bits(n_bands), n_bands - 1, coef_sum, id_col, decode or "")],
+        "n_bands int, band_bits int, max_dist int, dct_checksum long, "
+        "id_col string, decode string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -344,7 +376,9 @@ def phash_index_probe(
         raise ValueError(
             f"max_dist={dist} breaks the {meta['n_bands']}-band pigeonhole"
         )
-    sigs = phash_assets(with_min_parallelism(batch_assets), id_col)
+    sigs = phash_assets(
+        with_min_parallelism(batch_assets), id_col, meta["decode"] or None
+    )
     if not batch_assets.isStreaming:
         sigs = sigs.cache()
         if cache_registry is not None:
@@ -405,7 +439,9 @@ def phash_index_upsert(
     from kafka_streams_the_clojure_way_spark.operators.dedup import _index_meta
 
     meta = _index_meta(spark, index_path)
-    sigs = phash_assets(with_min_parallelism(new_assets), id_col)
+    sigs = phash_assets(
+        with_min_parallelism(new_assets), id_col, meta["decode"] or None
+    )
     banded = _banded(sigs, id_col, meta["n_bands"])
     if not assume_new_ids:
         existing = (

@@ -83,6 +83,62 @@ def wrap_binary_assets(df: DataFrame, bytes_col: str, mime: str) -> DataFrame:
     )
 
 
+def encode_text_assets(
+    df: DataFrame,
+    codec: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Manufacture REAL encoded media assets from a text column — the
+    fixture side of the stdlib codec seam (``functions/codecs``): each
+    row's UTF-8 bytes become the pixel/sample/frame payload of a
+    genuine container (``codec`` in {"png", "wav", "pgm"}), wrapped in
+    the standard asset struct. A production corpus arrives already
+    encoded; this exists so the decode paths are exercised against
+    payloads whose decoded stream the DuckDB oracle can reproduce from
+    the text (PNG: + the documented space-pad; WAV/PGM: exact).
+    Per-row Python is inherent — codecs are per-payload work — but the
+    kernel is Arrow-batched and the output stays one asset row per doc."""
+    import pandas as pd
+
+    if codec not in ("png", "wav", "pgm"):
+        raise ValueError(f"codec must be 'png', 'wav' or 'pgm', got {codec!r}")
+    mime = {"png": "image/png", "wav": "audio/wav", "pgm": "video/x-pgm-frames"}[
+        codec
+    ]
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from kafka_streams_the_clojure_way_spark.functions import codecs as CC
+
+        enc = {
+            "png": CC.png_encode_gray,
+            "wav": CC.wav_encode_pcm8,
+            "pgm": CC.pgm_encode_video,
+        }[codec]
+        for pdf in batches:
+            payloads = [enc(t.encode("utf-8")) for t in pdf[text_col].values]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "asset": [
+                        {
+                            "bytes": p,
+                            "mime": mime,
+                            "width": -1,
+                            "height": -1,
+                            "n_frames": -1,
+                            "sample_rate": -1,
+                        }
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} long, asset struct<{ASSET_SCHEMA}>"
+    )
+
+
 def decode_assets(
     df: DataFrame, id_col: str = "doc_id", decoder: str = "stub"
 ) -> DataFrame:
@@ -203,32 +259,60 @@ def resize_assets(df: DataFrame, width: int, height: int, id_col: str = "doc_id"
 FRAME_STRIDE = 5
 
 
-def sample_frames(df: DataFrame, id_col: str = "doc_id", stride: int = FRAME_STRIDE) -> DataFrame:
-    """Frame sampling for video assets: split the payload into the stub
-    decoder's ``n_frames`` equal chunks and emit every ``stride``-th one —
-    the 1->N row expansion shape (mapInPandas yielding MORE rows than it
-    reads). Frame geometry is a pure function of byte length, so even the
-    stub path is value-oracle-checkable in SQL."""
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stride: int = FRAME_STRIDE,
+    container: str | None = None,
+) -> DataFrame:
+    """Frame sampling for video assets — the 1->N row expansion shape
+    (mapInPandas yielding MORE rows than it reads).
+
+    ``container=None``: split the payload into the stub decoder's
+    ``n_frames`` equal chunks (geometry a pure function of byte length,
+    SQL-checkable). ``container="pgm"``: DEMUX a real concatenated-P5
+    netpbm stream through ``functions/codecs.pgm_decode_frames`` — each
+    frame's ASCII header is parsed and validated, and the emitted
+    ``frame_bytes`` are the frame's decoded pixels (which round-trip
+    the encoder's input chunks exactly, keeping the oracle a
+    ``substring``)."""
     import pandas as pd
 
+    if container not in (None, "pgm"):
+        raise ValueError(f"container must be None or 'pgm', got {container!r}")
+
     def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        if container == "pgm":
+            from kafka_streams_the_clojure_way_spark.functions.codecs import (
+                pgm_decode_frames,
+            )
+
+            def frames_of(payload: bytes) -> list[bytes]:
+                return pgm_decode_frames(payload)
+
+        else:
+
+            def frames_of(payload: bytes) -> list[bytes]:
+                n = len(payload)
+                n_frames = (n % 30) + 1  # = _decode_stub n_frames for video
+                chunk = (n + n_frames - 1) // n_frames if n_frames else 0
+                return [
+                    payload[i * chunk : (i + 1) * chunk] for i in range(n_frames)
+                ]
+
         # zip over .values (see resize): the frame slicing is per-payload
         # by nature, but nothing else should pay per-row pandas overhead
         for pdf in batches:
             out = []
             for doc_id, asset in zip(pdf[id_col].values, pdf["asset"].values):
-                payload = bytes(asset["bytes"])
-                n = len(payload)
-                n_frames = (n % 30) + 1  # = _decode_stub n_frames for video
-                chunk = (n + n_frames - 1) // n_frames if n_frames else 0
-                for idx in range(0, n_frames, stride):
-                    frame = payload[idx * chunk : (idx + 1) * chunk]
+                frames = frames_of(bytes(asset["bytes"]))
+                for idx in range(0, len(frames), stride):
                     out.append(
                         {
                             id_col: doc_id,
                             "frame_idx": idx,
-                            "frame_bytes": frame,
-                            "frame_len": len(frame),
+                            "frame_bytes": frames[idx],
+                            "frame_len": len(frames[idx]),
                         }
                     )
             yield pd.DataFrame(out)

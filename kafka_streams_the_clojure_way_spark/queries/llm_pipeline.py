@@ -18,8 +18,10 @@ from kafka_streams_the_clojure_way_spark.operators import dedup as D
 from kafka_streams_the_clojure_way_spark.operators import sketches as SK
 from kafka_streams_the_clojure_way_spark.operators import similarity as S
 from kafka_streams_the_clojure_way_spark.operators import text as T
+from kafka_streams_the_clojure_way_spark.functions import codecs as CC
 from kafka_streams_the_clojure_way_spark.operators.multimodal import (
     decode_assets,
+    encode_text_assets,
     extract_features,
     sample_frames,
     wrap_binary_assets,
@@ -1202,32 +1204,38 @@ def multimodal_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_frame_sample",
-    oracle="""
+    oracle=f"""
     WITH geo AS (
         SELECT doc_id,
                octet_length(CAST(text AS BLOB)) AS n,
-               (octet_length(CAST(text AS BLOB)) % 30) + 1 AS nf
+               (octet_length(CAST(text AS BLOB)) + {CC.PGM_FRAME_LEN - 1})
+                   // {CC.PGM_FRAME_LEN} AS nf
         FROM documents
-    ),
-    chunked AS (
-        SELECT doc_id, n, nf, (n + nf - 1) // nf AS chunk FROM geo
     )
     SELECT doc_id,
            CAST(t.idx AS INTEGER) AS frame_idx,
-           CAST(greatest(0, least(chunk, n - t.idx * chunk)) AS BIGINT) AS frame_len
-    FROM chunked, unnest(range(0, nf, 5)) AS t(idx)
+           CAST(least({CC.PGM_FRAME_LEN}, n - t.idx * {CC.PGM_FRAME_LEN})
+                AS BIGINT) AS frame_len
+    FROM geo, unnest(range(0, nf, 5)) AS t(idx)
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling (1->N mapInPandas expansion): payload split
-    into the stub decoder's n_frames chunks, every 5th frame emitted.
-    The stub geometry is arithmetic on byte length, so the sampled frame
-    lengths get a full value oracle despite the binary payload path."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "payload", F.encode(F.col("text"), "UTF-8")
+    """Video frame sampling (1->N mapInPandas expansion) over a REAL
+    container: each doc's bytes are muxed into a concatenated binary-P5
+    netpbm stream (functions/codecs.pgm_encode_video — genuine ASCII
+    headers per frame), and sample_frames DEMUXES it with the real
+    parser (header validation, per-frame pixel slicing), emitting every
+    5th frame. Frame pixels round-trip the encoder's 64-byte chunks, so
+    the oracle reproduces the sampled geometry with substring
+    arithmetic — the decode path is real, the correctness gate stays
+    exact. dedup_video_phash_pairs composes this demux with the pHash
+    kernel for content-level near-dup."""
+    assets = encode_text_assets(
+        load_table(spark, sf_dir, "documents"), "pgm"
     )
-    assets = wrap_binary_assets(docs, "payload", "video/mp4")
-    return sample_frames(assets).select("doc_id", "frame_idx", "frame_len")
+    return sample_frames(assets, container="pgm").select(
+        "doc_id", "frame_idx", "frame_len"
+    )
 
 
 @query("dedup_line_level_stats", oracle=D.line_dedup_stats_sql())
@@ -1255,29 +1263,42 @@ from kafka_streams_the_clojure_way_spark.operators import imagehash as IH
 
 
 def _image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The standard image-asset frame: each doc's UTF-8 payload wrapped
-    as an image/png asset (the stub-decode convention every multimodal
-    query shares — a real build swaps the decoder, not the plumbing)."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "payload", F.encode(F.col("text"), "UTF-8")
+    """The standard image-asset frame: each doc's UTF-8 payload encoded
+    as a REAL spec-conformant grayscale PNG (functions/codecs — zlib
+    IDAT, CRC-validated chunks, filtered scanlines). Every image query
+    below decodes these through the real parser (decode="png"), so the
+    pHash tier hashes genuinely decoded pixels; the oracle reproduces
+    the pixel stream as the text plus the documented scanline space-pad
+    (CC.png_pixels_sql)."""
+    return encode_text_assets(
+        load_table(spark, sf_dir, "documents"), "png"
     )
-    return wrap_binary_assets(docs, "payload", "image/png")
+
+
+#: DuckDB expression for the decoded-PNG pixel stream of a doc's text.
+_PNG_PIXELS_SQL = CC.png_pixels_sql("text")
 
 
 @query(
     "multimodal_image_phash",
-    oracle=f"SELECT doc_id, phash FROM {IH.phash_sql()} p",
+    oracle=f"SELECT doc_id, phash FROM {IH.phash_sql(text=_PNG_PIXELS_SQL)} p",
 )
 def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-image perceptual hash: 8x8 nearest-neighbor downsample of the
-    decoded pixel stream -> fixed-point integer 2D DCT-II -> median
-    threshold over the 63 AC coefficients -> 63-bit signature
-    (operators/imagehash.py). The kernel is a vectorized mapInPandas over
-    the binary asset column (one einsum per Arrow batch); because every
-    step is exact int64 arithmetic, the DuckDB oracle recomputes the hash
-    BIT-FOR-BIT from the same bytes — the per-doc value pin under the
+    """Per-image perceptual hash over REAL decoded pixels: each payload
+    is a genuine grayscale PNG (zlib inflate, CRC checks, scanline
+    defilter — functions/codecs.png_decode_gray), and the hash is 8x8
+    nearest-neighbor downsample of the DECODED pixel stream ->
+    fixed-point integer 2D DCT-II -> median threshold over the 63 AC
+    coefficients -> 63-bit signature (operators/imagehash.py). The
+    kernel is a vectorized mapInPandas over the binary asset column (one
+    einsum per Arrow batch); every step after decode is exact int64
+    arithmetic and 8-bit grayscale decode round-trips the payload, so
+    the DuckDB oracle recomputes the hash BIT-FOR-BIT from the text plus
+    the documented space-pad — the per-doc value pin under the
     pair/index queries below."""
-    return IH.phash_assets(_image_assets(spark, sf_dir)).select("doc_id", "phash")
+    return IH.phash_assets(_image_assets(spark, sf_dir), decode="png").select(
+        "doc_id", "phash"
+    )
 
 
 #: offset for synthetic "re-encoded copy" ids — keeps the twin id space
@@ -1314,7 +1335,7 @@ WITH all_docs AS (
     SELECT doc_id + {_TWIN_OFFSET} AS doc_id, {_TWIN_TEXT_SQL} AS text
     FROM documents
 ),
-sigs AS (SELECT doc_id, phash FROM {IH.phash_sql('all_docs')} s)
+sigs AS (SELECT doc_id, phash FROM {IH.phash_sql('all_docs', text=_PNG_PIXELS_SQL)} s)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
@@ -1338,12 +1359,7 @@ def dedup_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for tight-distance web-scale corpora)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     both = docs.unionByName(_perturbed_twins(docs))
-    assets = wrap_binary_assets(
-        both.withColumn("payload", F.encode(F.col("text"), "UTF-8")),
-        "payload",
-        "image/png",
-    )
-    return IH.phash_pairs(assets)
+    return IH.phash_pairs(encode_text_assets(both, "png"), decode="png")
 
 
 #: per-process persisted pHash band index over the corpus slice — same
@@ -1352,7 +1368,7 @@ _PHASH_INDEX_CACHE: dict[tuple, str] = {}
 
 
 def _phash_index_path(spark: SparkSession, sf_dir: str) -> str:
-    key = (sf_dir, _INCR_NEW_MOD, IH.PHASH_BANDS)
+    key = (sf_dir, _INCR_NEW_MOD, IH.PHASH_BANDS, "png")
     path = _PHASH_INDEX_CACHE.get(key)
     if path is None:
         import tempfile
@@ -1363,6 +1379,7 @@ def _phash_index_path(spark: SparkSession, sf_dir: str) -> str:
                 F.col("doc_id") % _INCR_NEW_MOD != 0
             ),
             path,
+            decode="png",
         )
         _PHASH_INDEX_CACHE[key] = path
     return path
@@ -1381,8 +1398,8 @@ WITH probe_docs AS (
 corpus_docs AS (
     SELECT doc_id, text FROM documents WHERE doc_id % {_INCR_NEW_MOD} != 0
 ),
-psig AS (SELECT doc_id, phash FROM {IH.phash_sql('probe_docs')} s),
-csig AS (SELECT doc_id, phash FROM {IH.phash_sql('corpus_docs')} s)
+psig AS (SELECT doc_id, phash FROM {IH.phash_sql('probe_docs', text=_PNG_PIXELS_SQL)} s),
+csig AS (SELECT doc_id, phash FROM {IH.phash_sql('corpus_docs', text=_PNG_PIXELS_SQL)} s)
 SELECT p.doc_id AS probe_id, c.doc_id AS corpus_id,
        CAST(bit_count(xor(p.phash, c.phash)) AS BIGINT) AS hamming
 FROM psig p JOIN csig c ON true
@@ -1406,18 +1423,14 @@ def dedup_image_phash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_docs = _perturbed_twins(
         docs.filter(F.col("doc_id") % _INCR_NEW_MOD == _PHASH_PROBE_MOD_VAL)
     )
-    probe = wrap_binary_assets(
-        probe_docs.withColumn("payload", F.encode(F.col("text"), "UTF-8")),
-        "payload",
-        "image/png",
-    )
+    probe = encode_text_assets(probe_docs, "png")
     return IH.phash_index_probe(spark, _phash_index_path(spark, sf_dir), probe)
 
 
 _PHASH_LAYOUT_ORACLE = f"""
 WITH sigs AS (
     SELECT doc_id, phash
-    FROM {IH.phash_sql()} s
+    FROM {IH.phash_sql(text=_PNG_PIXELS_SQL)} s
     WHERE doc_id % {_INCR_NEW_MOD} != 0
 )
 SELECT doc_id, phash, b.g AS band,
@@ -1457,11 +1470,12 @@ from kafka_streams_the_clojure_way_spark.operators import audiofp as AFP
 
 
 def _audio_assets_from(docs: DataFrame) -> DataFrame:
-    return wrap_binary_assets(
-        docs.withColumn("payload", F.encode(F.col("text"), "UTF-8")),
-        "payload",
-        "audio/wav",
-    )
+    """Each doc's UTF-8 bytes encoded as a REAL RIFF/WAVE file (mono
+    8-bit PCM via the std `wave` writer); every audio query decodes
+    these through the real RIFF parser (decode="wav"). 8-bit PCM
+    samples ARE raw bytes, so the decoded stream round-trips the text
+    exactly and the fingerprint oracles are unchanged."""
+    return encode_text_assets(docs, "wav")
 
 
 @query(
@@ -1470,14 +1484,16 @@ def _audio_assets_from(docs: DataFrame) -> DataFrame:
 )
 def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip audio fingerprints (operators/audiofp.py — the
-    Chromaprint/Haitsma-Kalker shape over the stub decode path): 32-
-    sample frames, 8 band energies, one 7-bit fingerprint per adjacent
-    frame pair from the SIGN of the energy double-difference across
-    (band, time) — volume-invariant by construction. Vectorized
-    mapInPandas kernel; exact integer arithmetic, so the oracle
-    recomputes every fingerprint bit-for-bit from the same bytes."""
+    Chromaprint/Haitsma-Kalker shape) over REALLY DECODED samples: each
+    payload is a genuine RIFF/WAVE file parsed by the std `wave` reader
+    (decode="wav"), then 32-sample frames, 8 band energies, one 7-bit
+    fingerprint per adjacent frame pair from the SIGN of the energy
+    double-difference across (band, time) — volume-invariant by
+    construction. Vectorized mapInPandas kernel; exact integer
+    arithmetic and 8-bit PCM decode round-trips the byte stream, so the
+    oracle recomputes every fingerprint bit-for-bit from the text."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return AFP.audio_fingerprints(_audio_assets_from(docs))
+    return AFP.audio_fingerprints(_audio_assets_from(docs), decode="wav")
 
 
 _AUDIO_PAIRS_ORACLE = AFP.audio_fp_pairs_sql(
@@ -1506,7 +1522,7 @@ def dedup_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate fingerprint can fan out quadratically."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     both = docs.unionByName(_perturbed_twins(docs))
-    return AFP.audio_fp_pairs(_audio_assets_from(both))
+    return AFP.audio_fp_pairs(_audio_assets_from(both), decode="wav")
 
 
 # --------------------------------------------------------------------------
