@@ -226,3 +226,288 @@ def audio_fp_pairs_sql(
      AND a.{id_col} < b.{id_col}
     GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
     """
+
+
+# --------------------------------------------------------------------------
+# Persisted audio fingerprint index: build / probe / upsert / compact
+# --------------------------------------------------------------------------
+
+def build_audiofp_index(
+    corpus_assets: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    df_cap: int = AUDIO_DF_CAP,
+    min_shared: int = AUDIO_MIN_SHARED,
+    decode: str | None = None,
+) -> None:
+    """Materialize the corpus side of audio near-dup — the EIGHTH
+    persisted index family, closing the one dedup tier that had no
+    serve path (incremental audio ingest used to re-fingerprint the
+    corpus per batch):
+
+    - ``path/postings``: one (id, frame_idx) row per kept corpus
+      fingerprint, hive-PARTITIONED BY fp — the 7-bit fingerprint IS
+      the partition key (128 directories), so a probe batch's distinct
+      fps become a literal PartitionFilter;
+    - ``path/dropped``: the (frame_idx, fp) keys whose corpus document
+      frequency exceeds ``df_cap`` — the winnowing discipline's drop
+      list, PERSISTED so upserts can maintain it incrementally (a key
+      that crosses the cap later is added here; its already-written
+      postings turn invisible to probes via anti-join and are
+      physically removed at the next compact — logical delete, physical
+      at compaction, the tombstone trade documented for IVF deletes);
+    - ``path/meta``: frame/band geometry checksum, cap, bar, id column,
+      and the decode codec — a probe can never run with mismatched
+      fingerprint parameters.
+
+    Fingerprinting the corpus runs ONCE; after this, per-batch probe
+    cost is O(batch + matching postings) regardless of corpus size."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        _invalidate_index_meta,
+    )
+    from kafka_streams_the_clojure_way_spark.sources.files import write_partitioned
+
+    _invalidate_index_meta(path)
+    fps = audio_fingerprints(
+        with_min_parallelism(corpus_assets), id_col, decode
+    ).cache()
+    keys = fps.groupBy("frame_idx", "fp").agg(F.count(F.lit(1)).alias("df"))
+    dropped = keys.filter(F.col("df") > df_cap).select("frame_idx", "fp")
+    kept = fps.join(dropped, ["frame_idx", "fp"], "left_anti")
+    write_partitioned(kept.repartition("fp"), f"{path}/postings", "fp")
+    dropped.coalesce(1).write.mode("overwrite").parquet(f"{path}/dropped")
+    corpus_assets.sparkSession.createDataFrame(
+        [(FRAME_W, N_BANDS, FP_BITS, df_cap, min_shared, id_col, decode or "")],
+        "frame_w int, n_bands int, fp_bits int, df_cap int, min_shared int, "
+        "id_col string, decode string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    fps.unpersist()
+
+
+def _read_postings(spark, index_path: str, id_col: str):
+    """Read the postings dataset with an EXPLICIT schema: a fully
+    df-capped (or freshly compacted-to-empty) index has zero part
+    files, where schema inference fails — an empty index must probe as
+    empty, not error."""
+    return spark.read.schema(
+        f"{id_col} long, frame_idx long, fp long"
+    ).parquet(f"{index_path}/postings")
+
+
+def audiofp_index_probe(
+    spark,
+    index_path: str,
+    batch_assets: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    min_shared: int | None = None,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Probe the persisted audio index with an arriving clip batch:
+    (probe_id, corpus_id, n_shared) for every batch clip sharing >=
+    ``min_shared`` frame-aligned fingerprints with an indexed one. The
+    batch fingerprints ONLY itself; its distinct fp values — bounded by
+    128 no matter the batch size — become a literal static
+    PartitionFilter on the postings scan, the persisted drop list is
+    anti-joined (so cap semantics match a fresh rebuild exactly), and
+    the batch side broadcasts into the (frame_idx, fp) equi-join. The
+    df cap is a property of the INDEXED corpus (the between-form
+    semantics); batch-side keys are never capped."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import _index_meta
+
+    meta = _index_meta(spark, index_path)
+    bar = meta["min_shared"] if min_shared is None else min_shared
+    fps = audio_fingerprints(
+        with_min_parallelism(batch_assets), id_col, meta["decode"] or None
+    )
+    if not batch_assets.isStreaming:
+        fps = fps.cache()
+        if cache_registry is not None:
+            cache_registry.append(fps)
+    probe = (
+        fps.withColumnRenamed(id_col, "probe_id")
+        .withColumnRenamed("frame_idx", "p_frame_idx")
+        .withColumnRenamed("fp", "p_fp")
+    )
+    postings = _read_postings(spark, index_path, meta["id_col"])
+    if not batch_assets.isStreaming:
+        fp_keys = [r["p_fp"] for r in probe.select("p_fp").distinct().collect()]
+        if not fp_keys:
+            return spark.createDataFrame(
+                [], "probe_id long, corpus_id long, n_shared long"
+            )
+        # one single-column IN literal on the partition column: prunes
+        # directories (<= 128 legs), the frame_idx leg resolves in the
+        # equi-join below.
+        postings = postings.filter(F.col("fp").isin(sorted(set(fp_keys))))
+    dropped = spark.read.parquet(f"{index_path}/dropped")
+    postings = postings.join(
+        F.broadcast(dropped), ["frame_idx", "fp"], "left_anti"
+    )
+    cand = postings.join(
+        F.broadcast(probe),
+        (F.col("frame_idx") == F.col("p_frame_idx"))
+        & (F.col("fp") == F.col("p_fp")),
+    ).filter(F.col(meta["id_col"]) != F.col("probe_id"))
+    return (
+        cand.groupBy("probe_id", F.col(meta["id_col"]).alias("corpus_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= bar)
+    )
+
+
+def audiofp_index_upsert(
+    spark,
+    index_path: str,
+    new_assets: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    assume_new_ids: bool = False,
+) -> None:
+    """Add clips to the index, MAINTAINING the df-cap invariant so a
+    probe after any number of upserts returns exactly what a probe of a
+    fresh rebuild over (corpus + batches) would:
+
+    1. fingerprint the batch (with the index's own codec/geometry);
+       anti-join already-indexed ids unless ``assume_new_ids`` (the
+       replay-idempotence contract shared by every index family);
+    2. drop postings on already-dropped keys (they're invisible anyway);
+    3. count existing postings for the batch's keys — partition-pruned
+       to the batch's <= 128 fp directories — and add the batch's own
+       per-key counts; keys whose TOTAL df crosses the cap go into the
+       persisted drop list (logical delete of their existing postings;
+       physical removal happens at the next compact), and the batch's
+       postings on those keys are never written;
+    4. append the surviving postings, one file per touched fp directory.
+
+    Crash-retry contract: the drop-list append (step 3) commits BEFORE
+    the postings append (step 4), so a crash between them leaves keys
+    dropped without their batch postings — probes stay cap-correct
+    (stricter, never looser), and the retry's id anti-join skips the
+    half-added docs; a rebuild restores them. The reverse order would
+    leave over-cap keys SERVING quadratic fanout until the retry."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import _index_meta
+
+    meta = _index_meta(spark, index_path)
+    fps = audio_fingerprints(
+        with_min_parallelism(new_assets), id_col, meta["decode"] or None
+    )
+    if not assume_new_ids:
+        existing_ids = (
+            _read_postings(spark, index_path, meta["id_col"])
+            .select(meta["id_col"])
+            .distinct()
+        )
+        fps = fps.join(existing_ids, id_col, "left_anti")
+    # Eager localCheckpoint: the cap arithmetic below reads the postings
+    # path this function then appends to — truncate lineage so the
+    # append can't recompute the batch against itself (the
+    # minhash_index_upsert lesson).
+    fps = fps.localCheckpoint(eager=True)
+    dropped = spark.read.parquet(f"{index_path}/dropped")
+    fps = fps.join(F.broadcast(dropped), ["frame_idx", "fp"], "left_anti")
+    batch_keys = fps.groupBy("frame_idx", "fp").agg(
+        F.count(F.lit(1)).alias("new_df")
+    )
+    fp_keys = [r["fp"] for r in batch_keys.select("fp").distinct().collect()]
+    if not fp_keys:
+        return
+    existing_df = (
+        _read_postings(spark, index_path, meta["id_col"])
+        .filter(F.col("fp").isin(sorted(set(fp_keys))))
+        .groupBy("frame_idx", "fp")
+        .agg(F.count(F.lit(1)).alias("old_df"))
+    )
+    totals = batch_keys.join(existing_df, ["frame_idx", "fp"], "left").select(
+        "frame_idx",
+        "fp",
+        (F.col("new_df") + F.coalesce(F.col("old_df"), F.lit(0))).alias("df"),
+    )
+    newly_dropped = totals.filter(F.col("df") > meta["df_cap"]).select(
+        "frame_idx", "fp"
+    ).localCheckpoint(eager=True)
+    if newly_dropped.count() > 0:
+        newly_dropped.coalesce(1).write.mode("append").parquet(
+            f"{index_path}/dropped"
+        )
+        fps = fps.join(F.broadcast(newly_dropped), ["frame_idx", "fp"], "left_anti")
+    fps.repartition("fp").write.mode("append").partitionBy("fp").parquet(
+        f"{index_path}/postings"
+    )
+
+
+def compact_audiofp_index(spark, index_path: str) -> None:
+    """Fold upsert-appended slivers back to one file per fp directory
+    AND physically remove postings on dropped keys (the logical deletes
+    the upsert path accrues). Answers unchanged — probes already
+    anti-join the drop list; this restores scan-planning cost and
+    reclaims the hidden rows' bytes. Same crash-safe rename-aside swap
+    as the other families."""
+    import os
+
+    from kafka_streams_the_clojure_way_spark.sources.files import (
+        compact_partitioned,
+    )
+
+    has_files = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(f"{index_path}/postings")
+        for f in files
+    )
+    if not has_files:  # already empty (e.g. fully df-capped): no-op
+        return
+    dropped = spark.read.parquet(f"{index_path}/dropped").localCheckpoint(
+        eager=True
+    )
+    compact_partitioned(
+        spark,
+        f"{index_path}/postings",
+        "fp",
+        transform=lambda df: df.join(
+            F.broadcast(dropped), ["frame_idx", "fp"], "left_anti"
+        ),
+    )
+
+
+def audio_fp_pairs_between_sql(
+    probe_pred: str,
+    corpus_pred: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_shared: int = AUDIO_MIN_SHARED,
+    df_cap: int = AUDIO_DF_CAP,
+    prelude_ctes: str = "",
+) -> str:
+    """Oracle for the incremental (probe x corpus) form: (probe_id,
+    corpus_id, n_shared) with the df cap computed over the CORPUS side
+    only — the indexed semantics (the cap is a property of the serving
+    index, not of any one arriving batch)."""
+    return f"""
+    WITH {prelude_ctes} allfps AS (
+        SELECT {id_col}, frame_idx, fp
+        FROM {audio_fingerprints_sql(table, id_col, text)} s
+    ),
+    cfps AS (
+        SELECT * FROM allfps
+        WHERE {id_col} IN (SELECT {id_col} FROM {table} WHERE {corpus_pred})
+    ),
+    ckeys AS (
+        SELECT frame_idx, fp FROM cfps
+        GROUP BY frame_idx, fp HAVING COUNT(*) <= {df_cap}
+    ),
+    ckept AS (
+        SELECT c.* FROM cfps c JOIN ckeys USING (frame_idx, fp)
+    ),
+    pfps AS (
+        SELECT * FROM allfps
+        WHERE {id_col} IN (SELECT {id_col} FROM {table} WHERE {probe_pred})
+    )
+    SELECT p.{id_col} AS probe_id, c.{id_col} AS corpus_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM pfps p JOIN ckept c
+      ON p.frame_idx = c.frame_idx AND p.fp = c.fp
+     AND p.{id_col} != c.{id_col}
+    GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+    """

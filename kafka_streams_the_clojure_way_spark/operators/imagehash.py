@@ -304,6 +304,181 @@ def phash_pairs_between_sql(
 
 
 # --------------------------------------------------------------------------
+# Video near-dup: per-frame pHash over the demuxed PGM container
+# --------------------------------------------------------------------------
+
+#: synthetic frame-id encoding: fid = video_id * VIDEO_FID_BASE +
+#: frame_idx. Guarded at runtime (see video_frame_phashes) — a video
+#: with >= 1e6 frames (norm-rate: ~9 hours at 30 fps) or an id near
+#: 2^63/1e6 would silently collide otherwise.
+VIDEO_FID_BASE = 1_000_000
+
+#: video banding default: 3 bands x 21 bits (lossless to Hamming 2 by
+#: pigeonhole). Wider/fewer than the image default on purpose — the
+#: video join key is (frame_idx, band, bkey) over MANY frames per
+#: asset, so the 7-bit image bands' 128-value key space would make
+#: every bucket quadratic; 2^21 keys keep band collisions ~4 orders of
+#: magnitude rarer (the scale dial documented at _band_bits).
+VIDEO_BANDS = 3
+VIDEO_MAX_DIST = VIDEO_BANDS - 1  # 2
+
+#: a video pair needs >= this many aligned sampled frames within
+#: distance. One corrupted byte disturbs at most one frame, so genuine
+#: re-encodes keep nearly all frames at Hamming 0; unrelated videos
+#: essentially never align a 21-bit band per frame.
+VIDEO_MIN_FRAMES = 2
+
+
+def video_frame_phashes(
+    assets: DataFrame,
+    id_col: str = "doc_id",
+    stride: int = 5,
+) -> DataFrame:
+    """(id, frame_idx, phash) for every ``stride``-th frame of each
+    video asset: demux the concatenated-P5 container through the REAL
+    parser (``multimodal.sample_frames(container="pgm")``), then run
+    the standard pHash kernel over the frame pixels. The two
+    mapInPandas stages compose without a shuffle (both are per-row);
+    the frame id is packed as video_id * VIDEO_FID_BASE + frame_idx
+    with a loud in-plan guard against overflow/collision (the
+    line_occurrences lesson: a silent key collision mis-attributes
+    matches)."""
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        sample_frames,
+        wrap_binary_assets,
+    )
+
+    frames = sample_frames(assets, id_col=id_col, stride=stride, container="pgm")
+    in_range = (F.col("frame_idx") < VIDEO_FID_BASE) & (
+        F.abs(F.col(id_col)) < (1 << 62) // VIDEO_FID_BASE
+    )
+    # assert_true returns NULL on success, errors loud on violation —
+    # the packed key is only ever computed under a checked range.
+    guard = F.when(
+        F.assert_true(in_range, F.lit("video fid overflow/collision")).isNull(),
+        F.col(id_col) * VIDEO_FID_BASE + F.col("frame_idx"),
+    )
+    framed = wrap_binary_assets(
+        frames.select(guard.alias("fid"), "frame_bytes"),
+        "frame_bytes",
+        "image/x-raw-gray",
+    )
+    sigs = phash_assets(framed, "fid")
+    return sigs.select(
+        F.expr(f"fid DIV {VIDEO_FID_BASE}").alias(id_col),
+        (F.col("fid") % VIDEO_FID_BASE).alias("frame_idx"),
+        "phash",
+    )
+
+
+def video_phash_pairs(
+    assets: DataFrame,
+    id_col: str = "doc_id",
+    stride: int = 5,
+    max_dist: int = VIDEO_MAX_DIST,
+    n_bands: int = VIDEO_BANDS,
+    min_frames: int = VIDEO_MIN_FRAMES,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Video near-dup pairs (id_a < id_b, n_close_frames): per-frame
+    pHash signatures band-join on (frame_idx, band, bkey) — candidates
+    must collide at the SAME sampled position, the bar a re-encode of
+    the same video clears — popcount-verify at ``max_dist`` (lossless
+    per frame by pigeonhole for max_dist <= n_bands - 1), dedup to one
+    row per (pair, frame), and keep pairs with >= ``min_frames`` close
+    aligned frames. The frame-aligned key joins the banding guarantee
+    of phash_pairs with the positional discipline of audio_fp_pairs;
+    output equals the all-pairs per-frame definition exactly, computed
+    without any all-pairs product."""
+    if max_dist > n_bands - 1:
+        raise ValueError(
+            f"max_dist={max_dist} breaks the {n_bands}-band pigeonhole "
+            f"guarantee (lossless only up to {n_bands - 1})"
+        )
+    sigs = video_frame_phashes(
+        with_min_parallelism(assets), id_col, stride=stride
+    ).cache()
+    if cache_registry is not None:
+        cache_registry.append(sigs)
+    banded = sigs.select(
+        id_col,
+        "frame_idx",
+        "phash",
+        _band_structs(F.col("phash"), n_bands).alias("bk"),
+    ).select(
+        id_col,
+        "frame_idx",
+        "phash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bkey").alias("bkey"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.frame_idx") == F.col("b.frame_idx"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.frame_idx").alias("frame_idx"),
+        F.col("a.phash").alias("ph_a"),
+        F.col("b.phash").alias("ph_b"),
+    )
+    dist = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long")
+    return (
+        cand.withColumn("hamming", dist)
+        .filter(F.col("hamming") <= max_dist)
+        .dropDuplicates(["id_a", "id_b", "frame_idx"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_close_frames"))
+        .filter(F.col("n_close_frames") >= min_frames)
+    )
+
+
+def video_phash_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    frame_len: int = 64,
+    stride: int = 5,
+    max_dist: int = VIDEO_MAX_DIST,
+    min_frames: int = VIDEO_MIN_FRAMES,
+    prelude_ctes: str = "",
+) -> str:
+    """DuckDB twin of :func:`video_phash_pairs` — the ALL-PAIRS
+    per-aligned-frame definition (banding is lossless per frame at this
+    distance). Frames are reproduced with substring arithmetic because
+    P5 frame pixels round-trip the encoder's input chunks exactly."""
+    n = f"octet_length(CAST({text} AS BLOB))"
+    return f"""
+    WITH {prelude_ctes} vframes AS (
+        SELECT {id_col} * {VIDEO_FID_BASE} + t.idx AS fid,
+               substring({text}, CAST(t.idx * {frame_len} + 1 AS INT), {frame_len})
+                   AS ftext
+        FROM {table},
+             unnest(range(0, ({n} + {frame_len} - 1) // {frame_len}, {stride}))
+                 AS t(idx)
+    ),
+    fsigs AS (
+        SELECT fid // {VIDEO_FID_BASE} AS vid,
+               fid % {VIDEO_FID_BASE} AS frame_idx,
+               phash
+        FROM {phash_sql('vframes', 'fid', 'ftext')} s
+    ),
+    close_frames AS (
+        SELECT a.vid AS id_a, b.vid AS id_b, a.frame_idx
+        FROM fsigs a JOIN fsigs b
+          ON a.frame_idx = b.frame_idx AND a.vid < b.vid
+        WHERE bit_count(xor(a.phash, b.phash)) <= {max_dist}
+    )
+    SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_close_frames
+    FROM close_frames GROUP BY 1, 2 HAVING COUNT(*) >= {min_frames}
+    """
+
+
+# --------------------------------------------------------------------------
 # Persisted pHash band index: build / probe / upsert / compact
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,101 @@
+"""Stdlib media codecs (functions/codecs.py): exact round-trips under
+hypothesis-generated payloads across every PNG filter type, corruption
+detection (CRC, truncation, bad magic, unsupported geometry), and the
+decode-seam contract — the pHash of a REAL decoded PNG equals the pHash
+of the (padded) raw bytes, so swapping the stub for the real decoder
+changes values only via the documented pad, never via the plan."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_streams_the_clojure_way_spark.functions.codecs import (
+    PGM_FRAME_LEN,
+    PNG_WIDTH,
+    pgm_decode_frames,
+    pgm_encode_video,
+    png_decode_gray,
+    png_encode_gray,
+    wav_decode_pcm8,
+    wav_encode_pcm8,
+)
+
+payloads = st.binary(min_size=0, max_size=600)
+
+
+@settings(max_examples=60, deadline=None)
+@given(payloads, st.sampled_from([(0,), (1,), (2,), (3,), (4,), (0, 1, 2), (0, 1, 2, 3, 4), (4, 3, 2, 1, 0)]))
+def test_png_roundtrip_all_filters(data, cycle):
+    dec = png_decode_gray(png_encode_gray(data, filter_cycle=cycle))
+    pad = (-len(data)) % PNG_WIDTH
+    want = data + b" " * pad if data else b" " * PNG_WIDTH
+    assert dec == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(payloads)
+def test_wav_and_pgm_roundtrip(data):
+    assert wav_decode_pcm8(wav_encode_pcm8(data)) == data
+    assert b"".join(pgm_decode_frames(pgm_encode_video(data))) == data
+    # frame geometry: all full-width frames except possibly the last
+    frames = pgm_decode_frames(pgm_encode_video(data))
+    assert all(len(f) == PGM_FRAME_LEN for f in frames[:-1])
+    assert len(frames) == (len(data) + PGM_FRAME_LEN - 1) // PGM_FRAME_LEN
+
+
+def test_png_corruption_detected():
+    png = png_encode_gray(b"the quick brown fox" * 9, filter_cycle=(0, 1, 2, 3, 4))
+    flipped = bytearray(png)
+    flipped[len(png) // 2] ^= 0x40
+    with pytest.raises(ValueError, match="CRC|filter|payload"):
+        png_decode_gray(bytes(flipped))
+    with pytest.raises(ValueError, match="magic"):
+        png_decode_gray(b"\x89PNX" + png[4:])
+    with pytest.raises(ValueError, match="truncated|missing"):
+        png_decode_gray(png[: len(png) - 20])
+
+
+def test_wav_and_pgm_corruption_detected():
+    with pytest.raises(ValueError, match="WAV"):
+        wav_decode_pcm8(b"not RIFF data at all")
+    with pytest.raises(ValueError, match="magic"):
+        pgm_decode_frames(b"P6 2 1 255\nxy")
+    with pytest.raises(ValueError, match="truncated"):
+        pgm_decode_frames(b"P5 64 1 255\nshort")
+
+
+def test_phash_real_decode_equals_padded_stub(spark):
+    """The decode-seam contract the registry queries rely on: pHash over
+    REAL-decoded PNG pixels == pHash over the space-padded raw bytes
+    (the oracle's rpad). Run through the actual Spark kernels."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.operators.imagehash import phash_assets
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        encode_text_assets,
+        wrap_binary_assets,
+    )
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    real = {
+        r.doc_id: r.phash
+        for r in phash_assets(encode_text_assets(docs, "png"), decode="png").collect()
+    }
+    pad_len = (
+        F.ceil(F.octet_length("text") / PNG_WIDTH).cast("long") * PNG_WIDTH
+    )
+    padded = docs.select(
+        "doc_id", F.encode(F.rpad("text", pad_len.cast("int"), " "), "UTF-8").alias("p")
+    )
+    stub = {
+        r.doc_id: r.phash
+        for r in phash_assets(wrap_binary_assets(padded, "p", "image/png")).collect()
+    }
+    assert real == stub and len(real) == 40

@@ -205,3 +205,42 @@ def test_probe_stream_upsert_cycle(spark, tmp_path):
     # twin) matched the doc upserted by batch 1.
     assert (new_id + 10_000_000, new_id) in got, got
     assert all(c != p for p, c in got)
+
+
+def test_video_phash_pairs_equal_brute_force(spark):
+    """Banded frame-aligned video pairs == the all-pairs per-frame
+    definition (3x21-bit banding is lossless to Hamming 2 by
+    pigeonhole), over real PGM containers demuxed by the real parser."""
+    from kafka_streams_the_clojure_way_spark.operators.imagehash import (
+        VIDEO_MAX_DIST,
+        VIDEO_MIN_FRAMES,
+        video_frame_phashes,
+        video_phash_pairs,
+    )
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        encode_text_assets,
+    )
+
+    docs, twins = _corpus_and_twins(spark)
+    both = docs.unionByName(twins)
+    assets = encode_text_assets(both, "pgm")
+    got = sorted(
+        (r.id_a, r.id_b, r.n_close_frames)
+        for r in video_phash_pairs(assets).collect()
+    )
+    sigs: dict[int, dict[int, int]] = {}
+    for r in video_frame_phashes(assets).collect():
+        sigs.setdefault(r.doc_id, {})[r.frame_idx] = r.phash
+    ids = sorted(sigs)
+    want = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            close = sum(
+                1
+                for fi, ph in sigs[a].items()
+                if fi in sigs[b]
+                and bin(ph ^ sigs[b][fi]).count("1") <= VIDEO_MAX_DIST
+            )
+            if close >= VIDEO_MIN_FRAMES:
+                want.append((a, b, close))
+    assert got == sorted(want) and got  # non-empty: twins pair via intact frames
