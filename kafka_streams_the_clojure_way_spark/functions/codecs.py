@@ -330,3 +330,60 @@ def pgm_decode_frames(payload: bytes) -> list[bytes]:
         frames.append(payload[start:end])
         pos = end
     return frames
+
+
+# --------------------------------------------------------------------------
+# Header-only metadata parsers (the decode_assets "stdlib" decoder)
+# --------------------------------------------------------------------------
+
+def png_parse_ihdr(payload: bytes) -> tuple[int, int]:
+    """(width, height) from a PNG's IHDR — header-only parse with magic
+    + IHDR CRC validation, no inflate (the metadata-extraction fast
+    path: geometry without paying decompression)."""
+    if payload[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG: bad magic")
+    (length,) = struct.unpack(">I", payload[8:12])
+    tag = payload[12:16]
+    if tag != b"IHDR" or length != 13:
+        raise ValueError("PNG first chunk is not a 13-byte IHDR")
+    body = payload[16:29]
+    (crc,) = struct.unpack(">I", payload[29:33])
+    if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+        raise ValueError("PNG IHDR CRC mismatch")
+    width, height = struct.unpack(">II", body[:8])
+    return width, height
+
+
+def wav_parse_meta(payload: bytes) -> tuple[int, int]:
+    """(n_samples, sample_rate) from a WAV via the std ``wave`` parser
+    (real RIFF chunk walking)."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            return w.getnframes(), w.getframerate()
+    except wave.Error as exc:
+        raise ValueError(f"not a parseable WAV: {exc}") from exc
+
+
+def pgm_parse_n_frames(payload: bytes) -> int:
+    """Frame count of a concatenated-P5 container — header walking only
+    (each header gives the exact pixel span to skip, so counting never
+    touches pixel bytes)."""
+    n_frames = 0
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 2] != b"P5":
+            raise ValueError(f"bad PGM magic at offset {pos}")
+        hdr_end = payload.find(b"\n", pos)
+        if hdr_end < 0:
+            raise ValueError(f"unterminated PGM header at offset {pos}")
+        fields = payload[pos:hdr_end].split()
+        w, h = int(fields[1]), int(fields[2])
+        pos = hdr_end + 1 + w * h
+        if pos > n:
+            raise ValueError("truncated PGM frame")
+        n_frames += 1
+    return n_frames

@@ -48,13 +48,23 @@ SHINGLE_K = 3
 _INDEX_META_CACHE: dict[str, object] = {}
 
 
-def _meta_mtime(index_path: str):
-    """Best-effort change token for the meta dataset: the directory
-    mtime (a rebuild rewrites the directory contents). None on
-    non-local filesystems / missing paths — validation degrades to the
-    explicit-invalidation contract there."""
+def _meta_token(index_path: str):
+    """Best-effort change token for the meta dataset: the sorted
+    (name, size) pairs of its data files. A rebuild writes a NEW
+    part-file whose name embeds a fresh task UUID, so the token changes
+    even when the rewrite lands within the filesystem's timestamp
+    granularity (the r7 mtime token missed coarse-mtime mounts). None
+    on non-local filesystems / missing paths — validation degrades to
+    the explicit-invalidation contract there."""
     try:
-        return os.path.getmtime(os.path.join(index_path, "meta"))
+        meta_dir = os.path.join(index_path, "meta")
+        return tuple(
+            sorted(
+                (name, os.path.getsize(os.path.join(meta_dir, name)))
+                for name in os.listdir(meta_dir)
+                if not name.startswith(("_", "."))
+            )
+        )
     except OSError:
         return None
 
@@ -64,20 +74,22 @@ def _index_meta(spark, index_path: str):
     Keys are normalized (normpath) so a trailing-slash or ``./`` spelling
     variant of the same directory cannot dodge invalidation and serve
     stale routing parameters. On local filesystems a cache hit also
-    validates the meta directory's mtime, so an out-of-process rebuild
-    of the SAME path is picked up without a hook call; elsewhere (object
-    stores), call :func:`invalidate_index_meta` after external rebuilds
-    — or use a fresh path, the tempdir-per-build convention every
-    shipped caller follows."""
+    validates a content token of the meta files (part-file names embed
+    task UUIDs, so any rebuild changes it regardless of timestamp
+    granularity), so an out-of-process rebuild of the SAME path is
+    picked up without a hook call; elsewhere (object stores), call
+    :func:`invalidate_index_meta` after external rebuilds — or use a
+    fresh path, the tempdir-per-build convention every shipped caller
+    follows."""
     key = os.path.normpath(index_path)
     hit = _INDEX_META_CACHE.get(key)
-    mtime = _meta_mtime(index_path)
+    token = _meta_token(index_path)
     if hit is not None:
-        row, cached_mtime = hit
-        if mtime is None or cached_mtime == mtime:
+        row, cached_token = hit
+        if token is None or cached_token == token:
             return row
     row = spark.read.parquet(f"{index_path}/meta").collect()[0]
-    _INDEX_META_CACHE[key] = (row, mtime)
+    _INDEX_META_CACHE[key] = (row, token)
     return row
 
 
@@ -2949,13 +2961,30 @@ def line_occurrences(
     consecutive ``width``-word lines (ragged tail kept — it is a line).
     Pure per-row HOFs into one posexplode; no shuffle."""
     words = tokens_col(F.col(text))
-    n_lines = F.ceil(F.size(words) / F.lit(width)).cast("int")
+    # greatest(n_lines, 1): sequence(0, -1) would DESCEND and fabricate
+    # two phantom lines for an empty token array — today unreachable
+    # only because split('') yields [''], an invariant correctness
+    # shouldn't hinge on (ADVICE r7).
+    n_lines = F.greatest(
+        F.ceil(F.size(words) / F.lit(width)).cast("int"), F.lit(1)
+    )
     chunks = F.transform(
         F.sequence(F.lit(0), n_lines - 1),
         lambda i: F.struct(
             F.array_join(F.slice(words, i * width + 1, width), " ").alias("line"),
             F.size(F.slice(words, i * width + 1, width)).cast("long").alias("nw"),
         ),
+    )
+    # the packed canonical key silently collides for >= LINE_KEY_BASE
+    # lines (or ids near 2^63 / LINE_KEY_BASE) — fail LOUD instead of
+    # mis-attributing canonical owners (ADVICE r7). assert_true returns
+    # NULL on success, so the guard never changes the key's value.
+    in_range = (F.col("line_idx") < F.lit(LINE_KEY_BASE)) & (
+        F.abs(F.col(id_col)) < F.lit((1 << 62) // LINE_KEY_BASE)
+    )
+    key = F.when(
+        F.assert_true(in_range, F.lit("line key overflow/collision")).isNull(),
+        F.col(id_col) * LINE_KEY_BASE + F.col("line_idx"),
     )
     return df.select(
         F.col(id_col), F.posexplode(chunks).alias("line_idx", "c")
@@ -2964,7 +2993,7 @@ def line_occurrences(
         "line_idx",
         F.col("c.line").alias("line"),
         F.col("c.nw").alias("nw"),
-        (F.col(id_col) * LINE_KEY_BASE + F.col("line_idx")).alias("key"),
+        key.alias("key"),
     )
 
 

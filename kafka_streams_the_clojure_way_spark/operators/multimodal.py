@@ -2,11 +2,14 @@
 opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 Pandas UDFs over ``mapInPandas``.
 
-The decode/resize/frame-sample kernels are STUBBED — the image/audio
-libraries (Pillow, ffmpeg, torchaudio, ...) are not in this container —
-but everything Spark-side is real and tested: the schema convention, the
-mapInPandas batch shape, partition sizing, and the metadata extraction
-path. Swapping ``_decode_stub`` for a real decoder changes no plan.
+Since r8 the decode paths are REAL where the std library can carry them
+(``functions/codecs``): grayscale PNG (zlib inflate, CRC validation, all
+five scanline filters), RIFF/WAVE 8-bit PCM, and a concatenated-P5 frame
+container — ``decoder="stdlib"`` here, ``decode="png"``/``"wav"`` in the
+pHash/fingerprint kernels, ``container="pgm"`` in the frame sampler. The
+deterministic stub remains the default for plumbing tests, and the
+Pillow/ffmpeg seam stays import-gated for builds that have real codec
+libraries; swapping decoders changes no plan shape.
 
 Schema convention for a multimodal asset column::
 
@@ -158,21 +161,35 @@ def decode_assets(
     inherently per-payload work — this is the one loop a decoder
     genuinely forces); audio/video fall back to the stub geometry since
     their codecs aren't import-gated here. Plan shape, schema, and batch
-    flow are identical to the stub path."""
+    flow are identical to the stub path.
+
+    ``decoder="stdlib"``: REAL header-only container parsing via
+    ``functions/codecs`` — PNG IHDR (magic + CRC validated, no
+    inflate), WAV through the std RIFF parser, concatenated-P5 frame
+    counting by header walking. Geometry comes from the actual
+    container bytes; no pixel/sample payload is decompressed on this
+    metadata path (the cheap-scan property a catalog-building pass
+    needs). Raises loud on any malformed container."""
     import numpy as np
     import pandas as pd
 
-    if decoder not in {"stub", "pillow"}:
-        raise ValueError(f"decoder must be 'stub' or 'pillow', got {decoder!r}")
+    if decoder not in {"stub", "pillow", "stdlib"}:
+        raise ValueError(
+            f"decoder must be 'stub', 'pillow' or 'stdlib', got {decoder!r}"
+        )
     if decoder == "pillow" and not HAS_PIL:
         raise ImportError(
             "decode_assets(decoder='pillow') requires Pillow; install it or "
             "use the deterministic stub decoder (decoder='stub')"
         )
     use_pil = decoder == "pillow"
+    use_stdlib = decoder == "stdlib"
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import io
+
+        if use_stdlib:
+            from kafka_streams_the_clojure_way_spark.functions import codecs as CC
 
         for pdf in batches:
             mimes = pdf["asset"].str.get("mime")
@@ -196,6 +213,42 @@ def decode_assets(
                     with _PILImage.open(io.BytesIO(bytes(payload))) as im:
                         width[i], height[i] = im.width, im.height
                         n_frames[i] = getattr(im, "n_frames", 1)
+            if use_stdlib:
+                # REAL header parsing per container (functions/codecs):
+                # PNG IHDR (CRC-checked, no inflate), WAV via the std
+                # RIFF parser, PGM header walking. Per-payload by
+                # necessity; header-only, so no pixel/sample bytes are
+                # decompressed on the metadata path.
+                rates = np.full(len(n), -1, dtype="int32")
+                for i, (mime, payload) in enumerate(
+                    zip(mimes.values, payloads.values)
+                ):
+                    raw = bytes(payload)
+                    if mime == "image/png":
+                        width[i], height[i] = CC.png_parse_ihdr(raw)
+                        n_frames[i] = 1
+                    elif mime == "audio/wav":
+                        n_frames[i], rates[i] = CC.wav_parse_meta(raw)
+                        width[i] = height[i] = -1
+                    elif mime == "video/x-pgm-frames":
+                        n_frames[i] = CC.pgm_parse_n_frames(raw)
+                        width[i], height[i] = CC.PGM_FRAME_LEN, 1
+                    else:
+                        raise NotImplementedError(
+                            f"no stdlib header parser for mime {mime!r}"
+                        )
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "mime": mimes,
+                        "n_bytes": n,
+                        "width": width,
+                        "height": height,
+                        "n_frames": n_frames,
+                        "sample_rate": rates,
+                    }
+                )
+                continue
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],

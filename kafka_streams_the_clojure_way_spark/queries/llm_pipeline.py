@@ -1462,6 +1462,52 @@ def meta_phash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_container_metadata",
+    oracle=f"""
+    WITH geo AS (
+        SELECT doc_id, doc_id % 3 AS m,
+               octet_length(CAST(text AS BLOB)) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                  ELSE 'video/x-pgm-frames' END AS mime,
+           CAST(CASE m WHEN 0 THEN {CC.PNG_WIDTH} WHEN 1 THEN -1
+                       ELSE {CC.PGM_FRAME_LEN} END AS INT) AS width,
+           CAST(CASE m WHEN 0 THEN greatest((n + {CC.PNG_WIDTH - 1}) // {CC.PNG_WIDTH}, 1)
+                       WHEN 1 THEN -1 ELSE 1 END AS INT) AS height,
+           CAST(CASE m WHEN 0 THEN 1 WHEN 1 THEN n
+                       ELSE (n + {CC.PGM_FRAME_LEN - 1}) // {CC.PGM_FRAME_LEN}
+                END AS INT) AS n_frames,
+           CAST(CASE m WHEN 1 THEN {CC.WAV_RATE} ELSE -1 END AS INT)
+               AS sample_rate
+    FROM geo
+    """,
+)
+def multimodal_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata extraction over a MIXED-MODALITY corpus with REAL
+    container parsing: each doc becomes a PNG, WAV, or concatenated-PGM
+    asset by doc_id % 3, and decode_assets(decoder="stdlib") reads the
+    geometry from the actual container headers — PNG IHDR (CRC
+    validated, no inflate), WAV via the std RIFF parser, P5 header
+    walking — never from the stub arithmetic. The catalog-building scan
+    shape: header-only parses, payload bytes never decompressed, output
+    rows orders of magnitude smaller than input (the funnel). The
+    oracle recomputes the expected geometry from the encoders'
+    documented layout, so a header mis-parse (wrong endianness, off-by-
+    one in the chunk walk) surfaces as a value mismatch."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    parts = [
+        encode_text_assets(docs.filter(F.col("doc_id") % 3 == m), codec)
+        for m, codec in enumerate(["png", "wav", "pgm"])
+    ]
+    assets = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return decode_assets(assets, decoder="stdlib").select(
+        "doc_id", "mime", "width", "height", "n_frames", "sample_rate"
+    )
+
+
 _VIDEO_PAIRS_ORACLE = IH.video_phash_pairs_sql(
     "all_docs",
     frame_len=CC.PGM_FRAME_LEN,

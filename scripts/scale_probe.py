@@ -89,7 +89,25 @@ PROBE_QUERIES = [
     "dedup_image_phash_indexed",    # pHash band-index probe (probe signs itself;
                                     # replica originals are byte-identical, so each
                                     # probe twin matches every replica -> output
-                                    # ~factor^2) [factor-capped, see PROBE_FACTOR_CAP]
+                                    # ~factor^2 — read the 30x ratio with that
+                                    # artifact in mind, VERDICT r7 #5)
+    "dedup_winnow_pairs",           # winnowing fingerprint postings join (df-capped;
+                                    # the uncovered heavy operator from r7's top-5)
+    "dedup_audio_fp_pairs",         # frame-aligned fp postings + df cap. Under
+                                    # exact-copy replication every copy shares ALL
+                                    # postings: at 10x keys stay under the cap and
+                                    # output grows ~factor^2; at 30x the same keys
+                                    # CROSS the cap and drop — both regimes are
+                                    # replication artifacts, the interesting read
+                                    # is the fingerprint-scan slope
+    "text_contamination_bloom_gated",  # corpus shingle explode -> segment Bloom
+                                    # probe + raw-string confirm (r7 #2 heavy op)
+    "dedup_audio_fp_indexed",       # persisted audio fp index probe (probe
+                                    # fingerprints only itself; output ~factor^2
+                                    # on copies) [factor-capped, see PROBE_FACTOR_CAP]
+    "dedup_video_phash_pairs",      # per-frame banded join over demuxed PGM frames
+                                    # (copies pair all-with-all -> output ~factor^2)
+                                    # [factor-capped, see PROBE_FACTOR_CAP]
 ]
 
 
@@ -159,7 +177,12 @@ PROBE_FACTOR_CAP = {
     "pipeline_ingestion_curated": 10,
     "dedup_incremental_exact_indexed": 10,
     "dedup_incremental_bloom_gated": 10,
-    "dedup_image_phash_indexed": 10,
+    # dedup_image_phash_indexed runs at 30x since r8 (VERDICT r7 #5) —
+    # its ~factor^2 output artifact is documented at the PROBE_QUERIES
+    # entry; the probe path itself is corpus-size-independent, which is
+    # exactly what the 30x row demonstrates.
+    "dedup_audio_fp_indexed": 10,
+    "dedup_video_phash_pairs": 10,
 }
 
 

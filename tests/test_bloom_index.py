@@ -197,9 +197,10 @@ def test_meta_cache_key_is_path_normalized(spark, tmp_path):
 def test_meta_cache_detects_out_of_process_rebuild(spark, tmp_path):
     """A rebuild that bypasses the in-process invalidation hook (e.g.
     another process) must still be picked up on local filesystems via
-    the meta directory's mtime — no stale routing parameters."""
+    the meta CONTENT token (part-file names embed task UUIDs, so the
+    token changes even when the rewrite lands within the filesystem's
+    timestamp granularity — no sleep needed, ADVICE r7)."""
     import os
-    import time
 
     from kafka_streams_the_clojure_way_spark.operators import dedup as D
 
@@ -212,5 +213,4 @@ def test_meta_cache_detects_out_of_process_rebuild(spark, tmp_path):
     stale = D._INDEX_META_CACHE[os.path.normpath(path)]
     build_bloom_index(corpus, path, n_segments=2)
     D._INDEX_META_CACHE[os.path.normpath(path)] = stale
-    time.sleep(0.01)
     assert D._index_meta(spark, path)["n_segments"] == 2

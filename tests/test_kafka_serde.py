@@ -65,10 +65,13 @@ def test_kafka_streaming_source_wires_without_broker(spark):
     try:
         src = read_stream(spark, TOPIC, bootstrap="localhost:9092")
     except AnalysisException as e:
+        # skip ONLY on the exact missing-connector error; any other
+        # analysis failure in the wiring must fail loud (VERDICT r7 #8)
         if "Failed to find data source: kafka" in str(e):
             pytest.skip(
-                "spark-sql-kafka connector jar not present in this container; "
-                "the serde halves are covered broker-free above"
+                "spark-sql-kafka connector jar not present in this container "
+                f"({str(e).splitlines()[0][:120]}); the serde halves are "
+                "covered broker-free above"
             )
         raise
     assert src.isStreaming

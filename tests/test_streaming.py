@@ -168,12 +168,21 @@ def test_transform_with_state_distinct_types(spark, tmp_path):
 
     try:
         from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
+    except ImportError as e:
+        # the skip is legitimate ONLY for protobuf being absent — any
+        # other import failure (broken install, transitive breakage)
+        # must fail LOUD, not hide behind the skip (VERDICT r7 #8)
+        assert "google" in str(e) or "protobuf" in str(e), (
+            f"unexpected import error gating transformWithState: {e!r}"
+        )
         batch = distinct_types_seen(
             spark.read.parquet(f"{in_dir}/*"), "user", "etype"
         ).collect()
         assert {r.key: r.n_types for r in batch} == {"a": 2, "b": 1}
-        pytest.skip("python protobuf unavailable: transformWithState streaming leg skipped")
+        pytest.skip(
+            f"python protobuf unavailable ({e}): transformWithState "
+            "streaming leg skipped"
+        )
 
     run_once("r1")
 
