@@ -10,11 +10,13 @@ the energy double-difference across (band, time) — robust to volume
 and small local edits because only orderings, not magnitudes, matter.
 Matching is shared-fingerprint counting, never waveform comparison.
 
-Stub decode (this container has no audio codecs): the asset payload's
-bytes ARE the 8-bit sample stream — the exact convention of the other
-multimodal kernels (a real build swaps the decoder; every Spark-side
-shape below is unchanged). All arithmetic is integer, so the DuckDB
-oracle recomputes fingerprints bit-for-bit from the same bytes.
+Decode: with ``decode="wav"`` every payload is parsed by the REAL
+stdlib RIFF/WAVE reader (``functions/codecs.wav_decode_pcm8`` — the
+registry queries' path since r8); 8-bit mono PCM samples ARE raw bytes,
+so the decoded stream round-trips exactly and the DuckDB oracle
+recomputes fingerprints bit-for-bit from the same bytes. ``decode=None``
+keeps the raw-byte stub convention for plumbing tests; a build with
+real compressed-audio codecs swaps the decoder, not the Spark shape.
 
 Geometry: frames of ``FRAME_W`` = 32 samples, ``N_BANDS`` = 8 bands of
 4 samples; energy E[f,b] = sum of the band's bytes; fingerprint of
@@ -511,3 +513,77 @@ def audio_fp_pairs_between_sql(
      AND p.{id_col} != c.{id_col}
     GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
     """
+
+
+def audiofp_index_probe_stream(
+    spark,
+    index_path: str,
+    stream: DataFrame,
+    sink,
+    *,
+    id_col: str = "doc_id",
+    min_shared: int | None = None,
+    checkpoint: str | None = None,
+    upsert: bool = False,
+    assume_new_ids: bool = False,
+    compact_every: int | None = None,
+    trigger: dict | None = None,
+):
+    """The streaming serve loop for the persisted audio index — the
+    audio twin of ``imagehash.phash_index_probe_stream``: every
+    micro-batch of clip assets runs through :func:`audiofp_index_probe`'s
+    BATCH path inside ``foreachBatch`` (a micro-batch is a plain batch
+    frame, so the probe's literal fp partition routing applies and
+    per-trigger cost stays O(batch + matching postings), independent of
+    corpus size). ``sink`` is a callable ``(pairs_df, batch_id) -> None``
+    or a parquet directory path; callables MUST materialize before
+    returning when ``upsert=True`` (the batch joins the index right
+    after the sink runs). ``upsert=True`` closes the loop — later
+    batches near-dup against every clip already admitted, with the
+    df-cap invariant maintained incrementally by the upsert path;
+    replays stay idempotent via its anti-join (default
+    ``assume_new_ids=False``). ``compact_every=N`` compacts after every
+    N-th upserting batch — serial with the loop, so the
+    not-concurrent-reader-safe swap is safe here, and each compaction
+    also PHYSICALLY removes postings the cap logically dropped."""
+    if isinstance(sink, str):
+        out_path = sink
+
+        def sink_fn(pairs: DataFrame, batch_id: int) -> None:
+            pairs.coalesce(1).write.mode("append").parquet(out_path)
+
+    else:
+        sink_fn = sink
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        caches: list[DataFrame] = []
+        pairs = audiofp_index_probe(
+            spark,
+            index_path,
+            batch_df,
+            id_col=id_col,
+            min_shared=min_shared,
+            cache_registry=caches,
+        )
+        try:
+            sink_fn(pairs, batch_id)
+            if upsert:
+                audiofp_index_upsert(
+                    spark,
+                    index_path,
+                    batch_df,
+                    id_col=id_col,
+                    assume_new_ids=assume_new_ids,
+                )
+        finally:
+            for frame in caches:
+                frame.unpersist()
+        if upsert and compact_every and (batch_id + 1) % compact_every == 0:
+            compact_audiofp_index(spark, index_path)
+
+    writer = stream.writeStream.foreachBatch(serve)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(**(trigger or {"availableNow": True})).start()

@@ -197,3 +197,58 @@ def test_upsert_maintains_df_cap_and_compact_removes_hidden(spark, tmp_path):
     raw_after, vis_after = visible_and_raw(inc)
     assert raw_after == 0 and vis_after == 0
     assert probe_rows(inc) == []
+
+
+def test_probe_stream_upsert_cycle(spark, tmp_path):
+    """The streaming probe-then-upsert loop: batch 1's clip is admitted
+    and upserted; batch 2's re-encode of it (a perturbed twin) is caught
+    against the UPSERTED clip, not just the build-time corpus."""
+    from kafka_streams_the_clojure_way_spark.operators.audiofp import (
+        audiofp_index_probe_stream,
+    )
+    from kafka_streams_the_clojure_way_spark.sources.memory import drain
+
+    docs, _ = _corpus_and_twins(spark)
+    corpus = docs.filter(F.col("doc_id") < 50)
+    # a clip long enough that its one-byte-perturbed twin still shares
+    # >= AUDIO_MIN_SHARED frame-aligned fingerprints (>= ~8 frames)
+    newdoc = docs.filter(
+        (F.col("doc_id") >= 50) & (F.length("text") >= 400)
+    ).limit(1)
+    new_id = newdoc.collect()[0].doc_id
+    path = str(tmp_path / "afp")
+    build_audiofp_index(_assets(corpus), path, decode="wav")
+
+    twin = newdoc.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.expr(
+            "concat(substring(text, 1, CAST(doc_id % length(text) AS INT)), 'x', "
+            "substring(text, CAST(doc_id % length(text) AS INT) + 2))"
+        ).alias("text"),
+    )
+    in_dir = tmp_path / "in"
+    _assets(newdoc).select("doc_id", "asset").write.parquet(str(in_dir / "b0"))
+    _assets(twin).select("doc_id", "asset").write.parquet(str(in_dir / "b1"))
+    schema = _assets(newdoc).select("doc_id", "asset").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    got = []
+
+    def sink(pairs, batch_id):
+        got.extend((r.probe_id, r.corpus_id) for r in pairs.collect())
+
+    q = audiofp_index_probe_stream(
+        spark, path, stream, sink,
+        upsert=True, compact_every=1,
+        checkpoint=str(tmp_path / "ck"),
+    )
+    drain(q)
+    # batch 0 (the new clip) matches nothing in the build corpus;
+    # batch 1 (its twin) must match the clip batch 0 UPSERTED.
+    assert (new_id + 10_000_000, new_id) in got
+    assert all(c != p for p, c in got)  # no self-pairs
