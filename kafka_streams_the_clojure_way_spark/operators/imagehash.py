@@ -711,3 +711,278 @@ def phash_index_probe_stream(
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.trigger(**(trigger or {"availableNow": True})).start()
+
+
+# --------------------------------------------------------------------------
+# Persisted VIDEO frame index: build / probe / upsert / compact
+# --------------------------------------------------------------------------
+
+#: (band, bucket) partition layout for the video index: 21-bit band keys
+#: have 2^21 values — far too many for one directory per key (the image
+#: index's luxury at 7 bits) — so bkeys hash into this many buckets per
+#: band, the minhash-index layout. 3 x 64 = 192 directories; a probe
+#: batch's distinct (band, bucket) keys still become a literal
+#: PartitionFilter, and the exact bkey resolves in the equi-join.
+VIDEO_INDEX_BUCKETS = 64
+
+
+def build_video_phash_index(
+    corpus_assets: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    stride: int = 5,
+    n_bands: int = VIDEO_BANDS,
+    min_frames: int = VIDEO_MIN_FRAMES,
+    n_buckets: int = VIDEO_INDEX_BUCKETS,
+) -> None:
+    """Materialize the corpus side of video near-dup — the NINTH
+    persisted index family, completing the tier symmetry (text x6,
+    image pHash, audio fp, video frames):
+
+    - ``path/frames``: one (id, frame_idx, phash, bkey) row per
+      (sampled frame, band), hive-PARTITIONED BY (band, bucket =
+      pmod(bkey, n_buckets));
+    - ``path/meta``: banding/stride/bar parameters + the DCT table
+      checksum, read back by every probe/upsert.
+
+    Demuxing + hashing the corpus's frames runs ONCE; after this, a
+    probe batch demuxes only itself and per-batch cost is O(batch +
+    matching postings) regardless of corpus size — re-encoded uploads
+    of already-ingested footage are caught without ever re-decoding the
+    archive."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        _invalidate_index_meta,
+    )
+    from kafka_streams_the_clojure_way_spark.sources.files import write_partitioned
+
+    _invalidate_index_meta(path)
+    sigs = video_frame_phashes(
+        with_min_parallelism(corpus_assets), id_col, stride=stride
+    )
+    banded = (
+        sigs.select(
+            id_col,
+            "frame_idx",
+            "phash",
+            _band_structs(F.col("phash"), n_bands).alias("bk"),
+        )
+        .select(
+            id_col,
+            "frame_idx",
+            "phash",
+            F.col("bk.band").alias("band"),
+            F.col("bk.bkey").alias("bkey"),
+        )
+        .withColumn("bucket", F.pmod(F.col("bkey"), F.lit(n_buckets)))
+    )
+    write_partitioned(
+        banded.repartition("band", "bucket"), f"{path}/frames", "band", "bucket"
+    )
+    coef_sum = sum(c for row in DCT_COEF for c in row)
+    corpus_assets.sparkSession.createDataFrame(
+        [
+            (
+                n_bands,
+                _band_bits(n_bands),
+                n_bands - 1,
+                min_frames,
+                stride,
+                n_buckets,
+                coef_sum,
+                id_col,
+            )
+        ],
+        "n_bands int, band_bits int, max_dist int, min_frames int, stride int, "
+        "n_buckets int, dct_checksum long, id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def video_phash_index_probe(
+    spark,
+    index_path: str,
+    batch_assets: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_dist: int | None = None,
+    min_frames: int | None = None,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Probe the persisted video frame index with an arriving batch:
+    (probe_id, corpus_id, n_close_frames) for every batch video with >=
+    ``min_frames`` aligned sampled frames within ``max_dist`` of an
+    indexed video's. The batch demuxes and hashes ONLY itself; its
+    distinct (band, bucket) keys — bounded by n_bands x n_buckets — become
+    a literal static PartitionFilter, the broadcast candidate join
+    resolves (band, bkey, frame_idx) exactly, and popcount-on-xor
+    verifies per aligned frame before the pair-frame dedup and the
+    per-pair count."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import _index_meta
+
+    meta = _index_meta(spark, index_path)
+    dist = meta["max_dist"] if max_dist is None else max_dist
+    bar = meta["min_frames"] if min_frames is None else min_frames
+    if dist > meta["n_bands"] - 1:
+        raise ValueError(
+            f"max_dist={dist} breaks the {meta['n_bands']}-band pigeonhole"
+        )
+    sigs = video_frame_phashes(
+        with_min_parallelism(batch_assets), id_col, stride=meta["stride"]
+    )
+    if not batch_assets.isStreaming:
+        sigs = sigs.cache()
+        if cache_registry is not None:
+            cache_registry.append(sigs)
+    probe = (
+        sigs.select(
+            F.col(id_col).alias("probe_id"),
+            F.col("frame_idx").alias("p_frame_idx"),
+            F.col("phash").alias("probe_phash"),
+            _band_structs(F.col("phash"), meta["n_bands"]).alias("bk"),
+        )
+        .select(
+            "probe_id",
+            "p_frame_idx",
+            "probe_phash",
+            F.col("bk.band").alias("p_band"),
+            F.col("bk.bkey").alias("p_bkey"),
+        )
+        .withColumn("p_bucket", F.pmod(F.col("p_bkey"), F.lit(meta["n_buckets"])))
+    )
+    frames = spark.read.parquet(f"{index_path}/frames")
+    if not batch_assets.isStreaming:
+        keys = [
+            (r["p_band"], r["p_bucket"])
+            for r in probe.select("p_band", "p_bucket").distinct().collect()
+        ]
+        if not keys:
+            return spark.createDataFrame(
+                [], "probe_id long, corpus_id long, n_close_frames long"
+            )
+        frames = frames.filter(
+            F.col("band").isin(sorted({b for b, _ in keys}))
+            & F.col("bucket").isin(sorted({k for _, k in keys}))
+        )
+    cand = frames.join(
+        F.broadcast(probe),
+        (F.col("band") == F.col("p_band"))
+        & (F.col("bucket") == F.col("p_bucket"))
+        & (F.col("bkey") == F.col("p_bkey"))
+        & (F.col("frame_idx") == F.col("p_frame_idx")),
+    ).filter(F.col(meta["id_col"]) != F.col("probe_id"))
+    ham = F.bit_count(F.col("phash").bitwiseXOR(F.col("probe_phash"))).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= dist)
+        .select(
+            "probe_id",
+            F.col(meta["id_col"]).alias("corpus_id"),
+            "frame_idx",
+        )
+        .dropDuplicates(["probe_id", "corpus_id", "frame_idx"])
+        .groupBy("probe_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_close_frames"))
+        .filter(F.col("n_close_frames") >= bar)
+    )
+
+
+def video_phash_index_upsert(
+    spark,
+    index_path: str,
+    new_assets: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    assume_new_ids: bool = False,
+) -> None:
+    """Add videos to the index: demux + hash the new batch with the
+    index's own parameters and append its band rows to the touched
+    (band, bucket) directories only. Already-indexed ids are anti-joined
+    out by default so at-least-once replays stay idempotent (the shared
+    upsert contract)."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import _index_meta
+
+    meta = _index_meta(spark, index_path)
+    sigs = video_frame_phashes(
+        with_min_parallelism(new_assets), id_col, stride=meta["stride"]
+    )
+    banded = (
+        sigs.select(
+            id_col,
+            "frame_idx",
+            "phash",
+            _band_structs(F.col("phash"), meta["n_bands"]).alias("bk"),
+        )
+        .select(
+            id_col,
+            "frame_idx",
+            "phash",
+            F.col("bk.band").alias("band"),
+            F.col("bk.bkey").alias("bkey"),
+        )
+        .withColumn("bucket", F.pmod(F.col("bkey"), F.lit(meta["n_buckets"])))
+    )
+    if not assume_new_ids:
+        existing = (
+            spark.read.parquet(f"{index_path}/frames")
+            .select(meta["id_col"])
+            .distinct()
+        )
+        banded = banded.join(existing, id_col, "left_anti")
+    banded.repartition("band", "bucket").write.mode("append").partitionBy(
+        "band", "bucket"
+    ).parquet(f"{index_path}/frames")
+
+
+def compact_video_phash_index(spark, index_path: str) -> None:
+    """Fold upsert-appended slivers back to one file per (band, bucket)
+    directory — answers unchanged, scan-planning cost restored."""
+    from kafka_streams_the_clojure_way_spark.sources.files import (
+        compact_partitioned,
+    )
+
+    compact_partitioned(spark, f"{index_path}/frames", "band", "bucket")
+
+
+def video_phash_pairs_between_sql(
+    probe_pred: str,
+    corpus_pred: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    frame_len: int = 64,
+    stride: int = 5,
+    max_dist: int = VIDEO_MAX_DIST,
+    min_frames: int = VIDEO_MIN_FRAMES,
+    prelude_ctes: str = "",
+) -> str:
+    """Oracle for the incremental (probe x corpus) form: (probe_id,
+    corpus_id, n_close_frames) for every probe video with enough
+    aligned close frames against a corpus one — the all-pairs per-frame
+    definition the banded index plan must match exactly."""
+    n = f"octet_length(CAST({text} AS BLOB))"
+    return f"""
+    WITH {prelude_ctes} vframes AS (
+        SELECT {id_col} AS vid, t.idx AS frame_idx,
+               substring({text}, CAST(t.idx * {frame_len} + 1 AS INT), {frame_len})
+                   AS ftext,
+               {id_col} * {VIDEO_FID_BASE} + t.idx AS fid
+        FROM {table},
+             unnest(range(0, ({n} + {frame_len} - 1) // {frame_len}, {stride}))
+                 AS t(idx)
+    ),
+    fsigs AS (
+        SELECT fid // {VIDEO_FID_BASE} AS vid,
+               fid % {VIDEO_FID_BASE} AS frame_idx, phash
+        FROM {phash_sql('vframes', 'fid', 'ftext')} s
+    ),
+    close_frames AS (
+        SELECT p.vid AS probe_id, c.vid AS corpus_id, p.frame_idx
+        FROM fsigs p JOIN fsigs c
+          ON p.frame_idx = c.frame_idx AND p.vid != c.vid
+        WHERE p.vid IN (SELECT {id_col} FROM {table} WHERE {probe_pred})
+          AND c.vid IN (SELECT {id_col} FROM {table} WHERE {corpus_pred})
+          AND bit_count(xor(p.phash, c.phash)) <= {max_dist}
+    )
+    SELECT probe_id, corpus_id, CAST(COUNT(*) AS BIGINT) AS n_close_frames
+    FROM close_frames GROUP BY 1, 2 HAVING COUNT(*) >= {min_frames}
+    """

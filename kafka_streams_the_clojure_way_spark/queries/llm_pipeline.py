@@ -1543,6 +1543,116 @@ def dedup_video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IH.video_phash_pairs(encode_text_assets(both, "pgm"))
 
 
+#: per-process persisted video frame index over the corpus slice.
+_VIDEO_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _video_index_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (sf_dir, _INCR_NEW_MOD, IH.VIDEO_BANDS, IH.VIDEO_INDEX_BUCKETS, "pgm")
+    path = _VIDEO_INDEX_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="video_phash_index_")
+        corpus = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") % _INCR_NEW_MOD != 0)
+        )
+        IH.build_video_phash_index(encode_text_assets(corpus, "pgm"), path)
+        _VIDEO_INDEX_CACHE[key] = path
+    return path
+
+
+_VIDEO_INDEXED_ORACLE = IH.video_phash_pairs_between_sql(
+    probe_pred=f"doc_id >= {_TWIN_OFFSET}",
+    corpus_pred=f"doc_id < {_TWIN_OFFSET}",
+    table="combined",
+    frame_len=CC.PGM_FRAME_LEN,
+    prelude_ctes=f"""combined AS (
+        SELECT doc_id + {_TWIN_OFFSET} AS doc_id, {_TWIN_TEXT_SQL} AS text
+        FROM documents
+        WHERE doc_id % {_INCR_NEW_MOD} = {_PHASH_PROBE_MOD_VAL}
+        UNION ALL
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % {_INCR_NEW_MOD} != 0
+    ),""",
+)
+
+
+@query("dedup_video_phash_indexed", oracle=_VIDEO_INDEXED_ORACLE)
+def dedup_video_phash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-INDEX serve path for incremental video near-dup —
+    the NINTH index family, completing tier symmetry (every modality's
+    near-dup gate now has a build/probe/upsert/compact serve side): the
+    corpus's per-frame pHash band rows live hive-partitioned by
+    (band, bucket = bkey mod {IH.VIDEO_INDEX_BUCKETS}) — 21-bit band
+    keys hash into buckets because one directory per key would mean 2^21
+    directories (the minhash-index layout, not the 7-bit image index's
+    one-dir-per-key luxury). The arriving batch — re-encoded uploads of
+    already-ingested footage — demuxes and hashes ONLY itself, routes
+    its distinct (band, bucket) keys into a literal PartitionFilter, and
+    verifies per ALIGNED frame by popcount before the >= {IH.VIDEO_MIN_FRAMES}
+    aligned-close-frames bar. Build once, probe per batch at O(batch +
+    matching postings) — archive footage is never re-demuxed. Lifecycle
+    pytest-pinned in tests/test_video_index.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    probe_docs = _perturbed_twins(
+        docs.filter(F.col("doc_id") % _INCR_NEW_MOD == _PHASH_PROBE_MOD_VAL)
+    )
+    return IH.video_phash_index_probe(
+        spark, _video_index_path(spark, sf_dir), encode_text_assets(probe_docs, "pgm")
+    )
+
+
+_VIDEO_LAYOUT_ORACLE = f"""
+WITH corpus_docs AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % {_INCR_NEW_MOD} != 0
+),
+vframes AS (
+    SELECT doc_id * {IH.VIDEO_FID_BASE} + t.idx AS fid,
+           substring(text, CAST(t.idx * {CC.PGM_FRAME_LEN} + 1 AS INT),
+                     {CC.PGM_FRAME_LEN}) AS ftext
+    FROM corpus_docs,
+         unnest(range(0, (octet_length(CAST(text AS BLOB)) + {CC.PGM_FRAME_LEN - 1})
+                         // {CC.PGM_FRAME_LEN}, 5)) AS t(idx)
+),
+fsigs AS (
+    SELECT fid // {IH.VIDEO_FID_BASE} AS doc_id,
+           fid % {IH.VIDEO_FID_BASE} AS frame_idx, phash
+    FROM {IH.phash_sql('vframes', 'fid', 'ftext')} s
+)
+SELECT doc_id, frame_idx, phash, b.g AS band,
+       (phash >> (b.g * {IH.PHASH_BITS // IH.VIDEO_BANDS}))
+           & {(1 << (IH.PHASH_BITS // IH.VIDEO_BANDS)) - 1} AS bkey,
+       ((phash >> (b.g * {IH.PHASH_BITS // IH.VIDEO_BANDS}))
+           & {(1 << (IH.PHASH_BITS // IH.VIDEO_BANDS)) - 1})
+           % {IH.VIDEO_INDEX_BUCKETS} AS bucket
+FROM fsigs, generate_series(0, {IH.VIDEO_BANDS - 1}) b(g)
+"""
+
+
+@query("meta_video_phash_index_layout", oracle=_VIDEO_LAYOUT_ORACLE)
+def meta_video_phash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity audit of the persisted video frame index: every
+    (doc_id, frame_idx, phash, band, bkey, bucket) row read from the
+    ON-DISK artifact, oracle-checked against recomputing the demux,
+    per-frame hash, band decomposition, AND the bucket routing in SQL —
+    the index's exact bits and partition keys pinned engine-
+    independently (a drifted bucket modulus would silently route probes
+    past their postings). Scan cost: the frames table only, never the
+    corpus payloads."""
+    path = _video_index_path(spark, sf_dir)
+    return spark.read.parquet(f"{path}/frames").select(
+        "doc_id",
+        "frame_idx",
+        "phash",
+        F.col("band").cast("long").alias("band"),
+        F.col("bkey").cast("long").alias("bkey"),
+        F.col("bucket").cast("long").alias("bucket"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Audio fingerprint dedup: frame band-energy sign fingerprints
 # --------------------------------------------------------------------------
