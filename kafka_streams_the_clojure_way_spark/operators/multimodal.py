@@ -268,32 +268,63 @@ def decode_assets(
     )
 
 
-def resize_assets(df: DataFrame, width: int, height: int, id_col: str = "doc_id") -> DataFrame:
-    """'Resize' every image asset to (width, height) — stub kernel:
-    payload truncated/zero-padded to exactly width*height bytes (a real
-    build swaps in Pillow; plan shape identical). Output keeps the asset
-    struct convention so resize chains with decode/featurize. Payload in,
-    payload out: this is the one multimodal op WITHOUT the funnel shape —
-    budget shuffle/IO for output ~= input."""
+def resize_assets(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    codec: str | None = None,
+) -> DataFrame:
+    """Resize every image asset to (width, height). Output keeps the
+    asset struct convention so resize chains with decode/featurize.
+    Payload in, payload out: this is the one multimodal op WITHOUT the
+    funnel shape — budget shuffle/IO for output ~= input.
+
+    ``codec=None`` (stub): payload truncated/zero-padded to exactly
+    width*height bytes — plumbing-shape only. ``codec="png"``: the REAL
+    transcode loop — decode the PNG through the stdlib parser,
+    nearest-neighbor resample the decoded pixel stream to the target
+    geometry (``out[k] = pix[(k * n) // target]``, the phash kernel's
+    sampling rule so the oracle can reproduce each output pixel with
+    substring arithmetic), and RE-ENCODE a valid PNG of the new
+    geometry. A real-codec build swaps in Pillow's resampler behind the
+    same seam; plan shape identical either way."""
     import pandas as pd
 
+    if codec not in (None, "png"):
+        raise ValueError(f"codec must be None or 'png', got {codec!r}")
     target = width * height
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        if codec == "png":
+            from kafka_streams_the_clojure_way_spark.functions.codecs import (
+                png_decode_gray,
+                png_encode_gray,
+            )
+
+            def kernel(raw: bytes) -> bytes:
+                pix = png_decode_gray(raw)
+                n = len(pix)
+                out = bytes(pix[(k * n) // target] for k in range(target))
+                return png_encode_gray(out, width=width)
+
+        else:
+
+            def kernel(raw: bytes) -> bytes:
+                return raw[:target] + b"\x00" * (target - len(raw[:target]))
+
         # zip over .values, not pandas row iteration (which materializes
         # a Series per row, ~5-10x slower per batch); the per-payload
-        # slice itself is the only genuinely per-row work here
+        # transcode itself is the only genuinely per-row work here
         # (variable-length binary has no columnar kernel)
         for pdf in batches:
             out = []
             for doc_id, asset in zip(pdf[id_col].values, pdf["asset"].values):
-                raw = bytes(asset["bytes"])[:target]
-                raw = raw + b"\x00" * (target - len(raw))
                 out.append(
                     {
                         id_col: doc_id,
                         "asset": {
-                            "bytes": raw,
+                            "bytes": kernel(bytes(asset["bytes"])),
                             "mime": asset["mime"],
                             "width": width,
                             "height": height,
@@ -306,6 +337,62 @@ def resize_assets(df: DataFrame, width: int, height: int, id_col: str = "doc_id"
 
     return df.select(id_col, "asset").mapInPandas(
         resize, schema=f"{id_col} long, asset struct<{ASSET_SCHEMA}>"
+    )
+
+
+def asset_pixel_checksum(
+    df: DataFrame, id_col: str = "doc_id", decode: str | None = None
+) -> DataFrame:
+    """(id, n_pix, pix_sum, pix_head, pix_tail) per asset — the decoded
+    pixel stream's length, byte sum, and first/last byte. The cheap
+    content pin an end-to-end transcode audit needs: any mis-decoded,
+    mis-sampled, or mis-ordered pixel moves the sum (and the endpoints
+    catch symmetric swaps the sum forgives). ``decode="png"`` runs the
+    real stdlib PNG decoder; ``decode=None`` checksums raw payload
+    bytes. Vectorized per Arrow batch: one concatenated uint8 buffer +
+    a segment-offset add-reduce, the extract_features discipline."""
+    import numpy as np
+    import pandas as pd
+
+    if decode not in (None, "png"):
+        raise ValueError(f"decode must be None or 'png', got {decode!r}")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        if decode == "png":
+            from kafka_streams_the_clojure_way_spark.functions.codecs import (
+                png_decode_gray,
+            )
+
+            unwrap = lambda raw: png_decode_gray(bytes(raw))  # noqa: E731
+        else:
+            unwrap = bytes
+        for pdf in batches:
+            pix = [unwrap(a["bytes"]) for a in pdf["asset"].values]
+            lens = np.fromiter((len(p) for p in pix), dtype=np.int64)
+            buf = np.frombuffer(b"".join(pix), dtype=np.uint8).astype(np.int64)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            csum = np.concatenate(([0], np.cumsum(buf)))
+            # np.where evaluates both branches: index a 1-elem dummy when
+            # the whole batch decoded to zero bytes (empty assets)
+            sbuf = buf if buf.size else np.zeros(1, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "n_pix": lens,
+                    "pix_sum": csum[ends] - csum[starts],
+                    "pix_head": np.where(
+                        lens > 0, sbuf[np.minimum(starts, sbuf.size - 1)], -1
+                    ),
+                    "pix_tail": np.where(
+                        lens > 0, sbuf[np.minimum(np.maximum(ends - 1, 0), sbuf.size - 1)], -1
+                    ),
+                }
+            )
+
+    return df.select(id_col, "asset").mapInPandas(
+        kernel,
+        schema=f"{id_col} long, n_pix long, pix_sum long, pix_head long, pix_tail long",
     )
 
 

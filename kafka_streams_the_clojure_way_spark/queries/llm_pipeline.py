@@ -23,6 +23,7 @@ from kafka_streams_the_clojure_way_spark.operators.multimodal import (
     decode_assets,
     encode_text_assets,
     extract_features,
+    resize_assets,
     sample_frames,
     wrap_binary_assets,
 )
@@ -1299,6 +1300,56 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IH.phash_assets(_image_assets(spark, sf_dir), decode="png").select(
         "doc_id", "phash"
     )
+
+
+#: resize target for the transcode audit query (16x16 = 256 pixels;
+#: 256 % PNG_WIDTH == 0, so the re-encoded 16-wide PNG needs no pad).
+_RESIZE_W = 16
+_RESIZE_H = 16
+
+
+@query(
+    "multimodal_image_resize",
+    oracle=f"""
+    WITH geo AS (
+        SELECT doc_id, {CC.png_pixels_sql('text')} AS padded,
+               {CC.png_padded_len_sql('text')} AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST({_RESIZE_W * _RESIZE_H} AS BIGINT) AS n_pix,
+           (SELECT CAST(SUM(unicode(substr(padded,
+                    CAST((k.g * n) // {_RESIZE_W * _RESIZE_H} AS INT) + 1, 1)))
+                   AS BIGINT)
+            FROM generate_series(0, {_RESIZE_W * _RESIZE_H - 1}) k(g)) AS pix_sum,
+           CAST(unicode(substr(padded, 1, 1)) AS BIGINT) AS pix_head,
+           CAST(unicode(substr(padded,
+                CAST(({_RESIZE_W * _RESIZE_H - 1} * n) // {_RESIZE_W * _RESIZE_H}
+                     AS INT) + 1, 1)) AS BIGINT) AS pix_tail
+    FROM geo
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image transcode through the real stdlib codec: every
+    doc's PNG is DECODED (inflate, CRC checks, defilter), nearest-
+    neighbor RESAMPLED to {_RESIZE_W}x{_RESIZE_H}, RE-ENCODED as a valid
+    PNG of the new geometry, then the resized container is decoded AGAIN
+    and checksummed (length, byte sum, endpoints) — two full decode
+    passes and one encode per asset, the transcode loop a thumbnail/
+    preprocessing stage runs at scale. The oracle reproduces every
+    output pixel with substring arithmetic (the resampler's sampling
+    rule is the phash kernel's ``out[k] = pix[(k*n)//target]``), so a
+    mis-decode, mis-sample, or re-encode corruption anywhere in the
+    loop surfaces as a value mismatch. Payload-in/payload-out (no
+    funnel) — the one multimodal op to budget shuffle/IO ~= input."""
+    resized = resize_assets(
+        _image_assets(spark, sf_dir), _RESIZE_W, _RESIZE_H, codec="png"
+    )
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        asset_pixel_checksum,
+    )
+
+    return asset_pixel_checksum(resized, decode="png")
 
 
 #: offset for synthetic "re-encoded copy" ids — keeps the twin id space
