@@ -183,6 +183,22 @@ HEADLINERS = [
         "pair join, so no boilerplate fingerprint can fan out "
         "quadratically; verify is a grouped count, never waveforms.",
     ),
+    (
+        "dedup_audio_fp_indexed",
+        "Audio fp-index probe: the batch fingerprints ONLY itself "
+        "through the real WAV parse, its <=128 distinct fps become a "
+        "literal fp PartitionFilter on the postings scan, the persisted "
+        "drop list anti-joins (cap semantics == fresh rebuild), and the "
+        "probe side broadcasts into the (frame_idx, fp) equi-join.",
+    ),
+    (
+        "dedup_video_phash_indexed",
+        "Video frame-index probe: the batch demuxes + hashes only "
+        "itself, distinct (band, bucket) keys become a literal "
+        "PartitionFilter (21-bit band keys hash into 64 buckets per "
+        "band), candidates must match (band, bkey, frame_idx) exactly, "
+        "and the per-pair close-frame count is a grouped aggregate.",
+    ),
 ]
 
 
