@@ -35,7 +35,12 @@ def test_every_oracle_names_only_registered_tables():
         unknown = refs - known - {c.lower() for c in ctes}
         # alias-only refs (single letters etc.) that are actually CTE/table
         # aliases appear after a real table name — filter to plausible tables
-        unknown = {u for u in unknown if "(" not in u and u not in {"unnest", "range"}}
+        # unnest/range/generate_series are DuckDB table FUNCTIONS, not tables
+        unknown = {
+            u
+            for u in unknown
+            if "(" not in u and u not in {"unnest", "range", "generate_series"}
+        }
         if unknown - _alias_whitelist(sql):
             bad[name] = sorted(unknown - _alias_whitelist(sql))
     assert not bad, bad
