@@ -986,3 +986,72 @@ def video_phash_pairs_between_sql(
     SELECT probe_id, corpus_id, CAST(COUNT(*) AS BIGINT) AS n_close_frames
     FROM close_frames GROUP BY 1, 2 HAVING COUNT(*) >= {min_frames}
     """
+
+
+def video_phash_index_probe_stream(
+    spark,
+    index_path: str,
+    stream: DataFrame,
+    sink,
+    *,
+    id_col: str = "doc_id",
+    max_dist: int | None = None,
+    min_frames: int | None = None,
+    checkpoint: str | None = None,
+    upsert: bool = False,
+    assume_new_ids: bool = False,
+    compact_every: int | None = None,
+    trigger: dict | None = None,
+):
+    """The streaming serve loop for the persisted video frame index —
+    every micro-batch of video assets runs through
+    :func:`video_phash_index_probe`'s BATCH path inside ``foreachBatch``
+    (the micro-batch is a plain batch frame, so the literal
+    (band, bucket) partition routing applies and per-trigger cost stays
+    O(batch + matching postings), independent of archive size). Same
+    sink/upsert/compact contracts as ``phash_index_probe_stream`` /
+    ``audiofp_index_probe_stream`` — with ``upsert=True`` later uploads
+    near-dup against every video already admitted, and replays stay
+    idempotent via the upsert's id anti-join."""
+    if isinstance(sink, str):
+        out_path = sink
+
+        def sink_fn(pairs: DataFrame, batch_id: int) -> None:
+            pairs.coalesce(1).write.mode("append").parquet(out_path)
+
+    else:
+        sink_fn = sink
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        caches: list[DataFrame] = []
+        pairs = video_phash_index_probe(
+            spark,
+            index_path,
+            batch_df,
+            id_col=id_col,
+            max_dist=max_dist,
+            min_frames=min_frames,
+            cache_registry=caches,
+        )
+        try:
+            sink_fn(pairs, batch_id)
+            if upsert:
+                video_phash_index_upsert(
+                    spark,
+                    index_path,
+                    batch_df,
+                    id_col=id_col,
+                    assume_new_ids=assume_new_ids,
+                )
+        finally:
+            for frame in caches:
+                frame.unpersist()
+        if upsert and compact_every and (batch_id + 1) % compact_every == 0:
+            compact_video_phash_index(spark, index_path)
+
+    writer = stream.writeStream.foreachBatch(serve)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(**(trigger or {"availableNow": True})).start()

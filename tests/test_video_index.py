@@ -124,3 +124,58 @@ def test_max_dist_validation(spark, tmp_path):
     build_video_phash_index(_assets(docs.limit(5)), path)
     with pytest.raises(ValueError, match="pigeonhole"):
         video_phash_index_probe(spark, path, _assets(twins), max_dist=3)
+
+
+def test_probe_stream_upsert_cycle(spark, tmp_path):
+    """The streaming probe-then-upsert loop: batch 1's video is admitted
+    and upserted; batch 2's re-encode of it (a perturbed twin) is caught
+    against the UPSERTED video, not just the build-time corpus."""
+    from kafka_streams_the_clojure_way_spark.operators.imagehash import (
+        video_phash_index_probe_stream,
+    )
+    from kafka_streams_the_clojure_way_spark.sources.memory import drain
+
+    docs, _ = _corpus_and_twins(spark)
+    corpus = docs.filter(F.col("doc_id") < 50)
+    # a video long enough that >= VIDEO_MIN_FRAMES sampled frames
+    # survive the one-byte twin perturbation: corpus docs max out at
+    # ~9 frames (2 sampled), so a synthetic ~2000-byte clip (32 frames,
+    # 7 sampled) stands in for the long-footage case
+    new_id = 99_000
+    newdoc = spark.createDataFrame(
+        [(new_id, "frame content %03d " % 7 * 105)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "vph")
+    build_video_phash_index(_assets(corpus), path)
+
+    twin = newdoc.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.expr(
+            "concat(substring(text, 1, CAST(doc_id % length(text) AS INT)), 'x', "
+            "substring(text, CAST(doc_id % length(text) AS INT) + 2))"
+        ).alias("text"),
+    )
+    in_dir = tmp_path / "in"
+    _assets(newdoc).select("doc_id", "asset").write.parquet(str(in_dir / "b0"))
+    _assets(twin).select("doc_id", "asset").write.parquet(str(in_dir / "b1"))
+    schema = _assets(newdoc).select("doc_id", "asset").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    got = []
+
+    def sink(pairs, batch_id):
+        got.extend((r.probe_id, r.corpus_id) for r in pairs.collect())
+
+    q = video_phash_index_probe_stream(
+        spark, path, stream, sink,
+        upsert=True, compact_every=1,
+        checkpoint=str(tmp_path / "ck"),
+    )
+    drain(q)
+    assert (new_id + 10_000_000, new_id) in got
+    assert all(c != p for p, c in got)  # no self-pairs
