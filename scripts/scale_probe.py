@@ -108,6 +108,9 @@ PROBE_QUERIES = [
     "dedup_video_phash_pairs",      # per-frame banded join over demuxed PGM frames
                                     # (copies pair all-with-all -> output ~factor^2)
                                     # [factor-capped, see PROBE_FACTOR_CAP]
+    "dedup_video_phash_indexed",    # persisted video frame-index probe (batch
+                                    # demuxes only itself; output ~factor^2 on
+                                    # copies) [factor-capped, see PROBE_FACTOR_CAP]
 ]
 
 
@@ -183,6 +186,7 @@ PROBE_FACTOR_CAP = {
     # exactly what the 30x row demonstrates.
     "dedup_audio_fp_indexed": 10,
     "dedup_video_phash_pairs": 10,
+    "dedup_video_phash_indexed": 10,
 }
 
 
