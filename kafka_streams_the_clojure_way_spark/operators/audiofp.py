@@ -587,3 +587,55 @@ def audiofp_index_probe_stream(
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.trigger(**(trigger or {"availableNow": True})).start()
+
+
+def resample_audio_assets(
+    df: DataFrame, factor: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Integer-factor decimation through the REAL codec loop: decode the
+    WAV via the std RIFF parser, keep every ``factor``-th sample
+    (``out[k] = samples[k * factor]`` — the nearest-neighbor rule, so an
+    oracle reproduces each output sample with substring arithmetic), and
+    RE-ENCODE a valid WAV at the reduced rate. The audio twin of
+    ``multimodal.resize_assets(codec="png")``; a real-codec build swaps
+    in a windowed-sinc resampler behind the same seam, plan unchanged.
+    Payload-in/payload-out — budget shuffle/IO ~= input/factor."""
+    import pandas as pd
+
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from kafka_streams_the_clojure_way_spark.functions.codecs import (
+            WAV_RATE,
+            wav_decode_pcm8,
+            wav_encode_pcm8,
+        )
+
+        rate = max(1, WAV_RATE // factor)
+        for pdf in batches:
+            out = []
+            for doc_id, asset in zip(pdf[id_col].values, pdf["asset"].values):
+                samples = wav_decode_pcm8(bytes(asset["bytes"]))
+                out.append(
+                    {
+                        id_col: doc_id,
+                        "asset": {
+                            "bytes": wav_encode_pcm8(samples[::factor], rate=rate),
+                            "mime": "audio/wav",
+                            "width": -1,
+                            "height": -1,
+                            "n_frames": -1,
+                            "sample_rate": rate,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+    )
+
+    return df.select(id_col, "asset").mapInPandas(
+        kernel, schema=f"{id_col} long, asset struct<{ASSET_SCHEMA}>"
+    )

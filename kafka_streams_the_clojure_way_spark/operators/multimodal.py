@@ -348,14 +348,15 @@ def asset_pixel_checksum(
     content pin an end-to-end transcode audit needs: any mis-decoded,
     mis-sampled, or mis-ordered pixel moves the sum (and the endpoints
     catch symmetric swaps the sum forgives). ``decode="png"`` runs the
-    real stdlib PNG decoder; ``decode=None`` checksums raw payload
-    bytes. Vectorized per Arrow batch: one concatenated uint8 buffer +
-    a segment-offset add-reduce, the extract_features discipline."""
+    real stdlib PNG decoder; ``decode="wav"`` the std RIFF parser;
+    ``decode=None`` checksums raw payload bytes. Vectorized per Arrow
+    batch: one concatenated uint8 buffer + a segment-offset add-reduce,
+    the extract_features discipline."""
     import numpy as np
     import pandas as pd
 
-    if decode not in (None, "png"):
-        raise ValueError(f"decode must be None or 'png', got {decode!r}")
+    if decode not in (None, "png", "wav"):
+        raise ValueError(f"decode must be None, 'png' or 'wav', got {decode!r}")
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         if decode == "png":
@@ -364,6 +365,12 @@ def asset_pixel_checksum(
             )
 
             unwrap = lambda raw: png_decode_gray(bytes(raw))  # noqa: E731
+        elif decode == "wav":
+            from kafka_streams_the_clojure_way_spark.functions.codecs import (
+                wav_decode_pcm8,
+            )
+
+            unwrap = lambda raw: wav_decode_pcm8(bytes(raw))  # noqa: E731
         else:
             unwrap = bytes
         for pdf in batches:

@@ -1738,6 +1738,64 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AFP.audio_fingerprints(_audio_assets_from(docs), decode="wav")
 
 
+#: decimation factor for the audio transcode audit (every 4th sample).
+_RESAMPLE_FACTOR = 4
+
+
+@query(
+    "multimodal_audio_resample",
+    oracle=f"""
+    WITH geo AS (
+        SELECT doc_id, text,
+               (octet_length(CAST(text AS BLOB)) + {_RESAMPLE_FACTOR - 1})
+                   // {_RESAMPLE_FACTOR} AS n_out
+        FROM documents
+    ),
+    sums AS (
+        SELECT doc_id,
+               CAST(SUM(unicode(substr(text,
+                    CAST(k.g * {_RESAMPLE_FACTOR} AS INT) + 1, 1))) AS BIGINT)
+                   AS s
+        FROM geo, unnest(range(0, n_out)) AS k(g)
+        GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(g.n_out AS BIGINT) AS n_pix,
+           COALESCE(s.s, 0) AS pix_sum,
+           CASE WHEN g.n_out > 0 THEN CAST(unicode(substr(g.text, 1, 1)) AS BIGINT)
+                ELSE -1 END AS pix_head,
+           CASE WHEN g.n_out > 0
+                THEN CAST(unicode(substr(g.text,
+                     CAST((g.n_out - 1) * {_RESAMPLE_FACTOR} AS INT) + 1, 1))
+                     AS BIGINT)
+                ELSE -1 END AS pix_tail
+    FROM geo g LEFT JOIN sums s USING (doc_id)
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio transcode through the real stdlib codec: every
+    doc's WAV is DECODED (RIFF parse), DECIMATED by {_RESAMPLE_FACTOR}
+    (``out[k] = samples[k * {_RESAMPLE_FACTOR}]`` — the nearest-neighbor
+    rule, so the oracle reproduces every output sample with substring
+    arithmetic), RE-ENCODED as a valid WAV at the reduced rate, then the
+    resampled container is decoded AGAIN and checksummed (length, sum,
+    endpoints) — the audio twin of multimodal_image_resize, covering the
+    rate-conversion preprocessing stage a speech pipeline runs at scale.
+    A real-codec build swaps in a windowed-sinc resampler behind the
+    same seam; the plan is two chained mapInPandas stages, no shuffle."""
+    resampled = AFP.resample_audio_assets(
+        _audio_assets_from(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ),
+        _RESAMPLE_FACTOR,
+    )
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        asset_pixel_checksum,
+    )
+
+    return asset_pixel_checksum(resampled, decode="wav")
+
+
 _AUDIO_PAIRS_ORACLE = AFP.audio_fp_pairs_sql(
     "all_docs",
     prelude_ctes=f"""all_docs AS (

@@ -135,3 +135,37 @@ def test_resize_png_real_transcode(spark):
         n = len(src)
         want = bytes(src[(k * n) // 256] for k in range(256))
         assert got == want
+
+
+def test_resample_wav_real_transcode(spark):
+    """resample_audio_assets must emit VALID WAVs at the reduced rate
+    whose decoded samples are exactly every factor-th input sample."""
+    from kafka_streams_the_clojure_way_spark.functions.codecs import (
+        WAV_RATE,
+        wav_decode_pcm8,
+        wav_encode_pcm8,
+        wav_parse_meta,
+    )
+    from kafka_streams_the_clojure_way_spark.operators.audiofp import (
+        resample_audio_assets,
+    )
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        wrap_binary_assets,
+    )
+
+    texts = ["short", "y" * 101, "pcm sample stream " * 37]
+    df = spark.createDataFrame(
+        [(i, wav_encode_pcm8(t.encode())) for i, t in enumerate(texts)],
+        "doc_id long, payload binary",
+    )
+    assets = wrap_binary_assets(df, "payload", "audio/wav")
+    out = {
+        r.doc_id: bytes(r.asset.bytes)
+        for r in resample_audio_assets(assets, 4).collect()
+    }
+    for i, t in enumerate(texts):
+        wav = out[i]
+        n_frames, rate = wav_parse_meta(wav)
+        want = t.encode()[::4]
+        assert rate == WAV_RATE // 4 and n_frames == len(want)
+        assert wav_decode_pcm8(wav) == want
