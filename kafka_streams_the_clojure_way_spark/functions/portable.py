@@ -52,6 +52,29 @@ def hash31_sql(expr: str, seed_a: int, seed_b: int) -> str:
     return f"(({seed_a} * {folded} + {seed_b}) % {MERSENNE_31})"
 
 
+# -- expression-level let binding -------------------------------------------
+
+def let_col(value: Column, body) -> Column:
+    """Bind ``value`` ONCE and build an expression over the binding:
+    ``let_col(v, lambda x: f(x))`` evaluates ``v`` a single time per row
+    even when ``f`` references ``x`` many times — including inside
+    higher-order-function lambdas.
+
+    Why this exists: Catalyst does not common-subexpression-eliminate
+    subtrees INSIDE HOF lambdas. A lambda that closes over an expression
+    re-evaluates that whole subtree PER ELEMENT — e.g. the inline 5-gram
+    shingle build ``transform(sequence(1, n-4), i -> slice(split(text),
+    i, 5))`` re-splits the document once per shingle: O(len^2) work per
+    row (measured 8x wall on the sf0.1 corpus explode, and it grows with
+    document length — a scale bug, not just a constant). A HOF's INPUT
+    collection, by contrast, is evaluated exactly once — so wrapping the
+    value in a 1-element array and transforming it gives the expression
+    language a let binding: ``body`` sees a bound lambda attribute,
+    never the original subtree. Result values are bit-identical (same
+    expression tree modulo binding), so SQL oracles need no change."""
+    return F.transform(F.array(value), body).getItem(0)
+
+
 # -- tokenization -----------------------------------------------------------
 
 def tokens(col: Column) -> Column:

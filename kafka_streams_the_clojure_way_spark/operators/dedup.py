@@ -151,23 +151,29 @@ SIMHASH_SEEDS: tuple[tuple[int, int], ...] = tuple(
 def shingle_hashes(text: Column) -> Column:
     """Distinct 60-bit hashes (folded to 31 bits) of the ``SHINGLE_K``-token
     shingles of ``text``. Documents shorter than K tokens hash their whole
-    token string as a single shingle."""
-    toks = tokens_col(text)
-    n = F.array_size(toks)
-    windows = F.transform(
-        F.sequence(F.lit(1), n - F.lit(SHINGLE_K - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_K)),
-    )
-    shingles = F.when(n >= SHINGLE_K, windows).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
-    return F.array_distinct(
-        F.transform(
-            shingles,
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-            % F.lit(MERSENNE_31),
+    token string as a single shingle. The token array is let-bound so the
+    per-window lambda slices a bound attribute instead of re-splitting the
+    text per element (portable.let_col — the inline form is O(len^2))."""
+    from kafka_streams_the_clojure_way_spark.functions.portable import let_col
+
+    def body(toks: Column) -> Column:
+        n = F.array_size(toks)
+        windows = F.transform(
+            F.sequence(F.lit(1), n - F.lit(SHINGLE_K - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_K)),
         )
-    )
+        shingles = F.when(n >= SHINGLE_K, windows).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
+        return F.array_distinct(
+            F.transform(
+                shingles,
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+                % F.lit(MERSENNE_31),
+            )
+        )
+
+    return let_col(tokens_col(text), body)
 
 
 def shingle_hashes_sql(text: str) -> str:
@@ -1564,25 +1570,33 @@ def _gram_postings(
     df: DataFrame, text: str, id_col: str, n: int
 ) -> DataFrame:
     """(id, start, gram_hash): one 60-bit-hashed word n-gram per sliding
-    position, built scan-side (narrow explode, no shuffle)."""
-    toks = tokens_col(F.col(text))
-    ntok = F.array_size(toks)
-    starts = F.when(ntok >= n, F.sequence(F.lit(0), ntok - n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(
-        starts,
-        lambda i: F.struct(
-            i.cast("long").alias("start"),
-            F.conv(
-                F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))), 1, 15),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("gram_hash"),
-        ),
-    )
+    position, built scan-side (narrow explode, no shuffle). Token array
+    let-bound — the per-position lambda slices a bound attribute, never
+    re-splitting the text per gram (portable.let_col)."""
+    from kafka_streams_the_clojure_way_spark.functions.portable import let_col
+
+    def body(toks: Column) -> Column:
+        ntok = F.array_size(toks)
+        starts = F.when(ntok >= n, F.sequence(F.lit(0), ntok - n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            starts,
+            lambda i: F.struct(
+                i.cast("long").alias("start"),
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))), 1, 15
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("gram_hash"),
+            ),
+        )
+
+    grams = let_col(tokens_col(F.col(text)), body)
     return df.select(F.col(id_col), F.explode(grams).alias("g")).select(
         id_col, "g.start", "g.gram_hash"
     )
@@ -2519,23 +2533,35 @@ def _bloom_bit_rows(
     non-negative BIGINT column expression (content hash for the doc
     filter, hash60 of the raw key for the keyset index); ``keep`` is a
     list of aliased Columns to carry through (probe shape)."""
+    from kafka_streams_the_clojure_way_spark.functions.portable import let_col
+
     if k > len(BLOOM_SEEDS):
         raise ValueError(f"k={k} exceeds the fixed seed family ({len(BLOOM_SEEDS)})")
     m_bits = words_per_segment * BLOOM_BITS_PER_WORD
-    folded = hash_expr % F.lit(MERSENNE_31)
-    positions = F.array(
-        *[
-            ((F.lit(a) * folded + F.lit(b)) % F.lit(MERSENNE_31)) % F.lit(m_bits)
-            for a, b in BLOOM_SEEDS[:k]
-        ]
-    )
+
+    # hash_expr (an md5-based conv for every caller) is let-bound so the
+    # k position expressions + the segment all derive from ONE evaluation
+    # per row — inline it would md5 each key k+1 times (portable.let_col).
+    def seg_pos(h: Column) -> Column:
+        folded = h % F.lit(MERSENNE_31)
+        return F.array(
+            *[
+                F.struct(
+                    F.pmod(h, F.lit(n_segments)).alias("segment"),
+                    (
+                        ((F.lit(a) * folded + F.lit(b)) % F.lit(MERSENNE_31))
+                        % F.lit(m_bits)
+                    ).alias("pos"),
+                )
+                for a, b in BLOOM_SEEDS[:k]
+            ]
+        )
+
     keep = list(keep or [])
     keep_names = [df.select(c).columns[0] for c in keep]
     rows = df.select(
-        *keep,
-        F.pmod(hash_expr, F.lit(n_segments)).alias("segment"),
-        F.explode(positions).alias("pos"),
-    )
+        *keep, F.explode(let_col(hash_expr, seg_pos)).alias("__sp")
+    ).select(*keep_names, F.col("__sp.segment").alias("segment"), F.col("__sp.pos").alias("pos"))
     return rows.select(
         *keep_names,
         "segment",
@@ -2959,22 +2985,32 @@ def line_occurrences(
 ) -> DataFrame:
     """(id, line_idx, line, nw, key): every doc's word stream split into
     consecutive ``width``-word lines (ragged tail kept — it is a line).
-    Pure per-row HOFs into one posexplode; no shuffle."""
-    words = tokens_col(F.col(text))
-    # greatest(n_lines, 1): sequence(0, -1) would DESCEND and fabricate
-    # two phantom lines for an empty token array — today unreachable
-    # only because split('') yields [''], an invariant correctness
-    # shouldn't hinge on (ADVICE r7).
-    n_lines = F.greatest(
-        F.ceil(F.size(words) / F.lit(width)).cast("int"), F.lit(1)
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.struct(
-            F.array_join(F.slice(words, i * width + 1, width), " ").alias("line"),
-            F.size(F.slice(words, i * width + 1, width)).cast("long").alias("nw"),
-        ),
-    )
+    Pure per-row HOFs into one posexplode; no shuffle. Word array
+    let-bound — the per-line lambda slices a bound attribute, never
+    re-splitting the text per line (portable.let_col)."""
+    from kafka_streams_the_clojure_way_spark.functions.portable import let_col
+
+    def body(words: Column) -> Column:
+        # greatest(n_lines, 1): sequence(0, -1) would DESCEND and
+        # fabricate two phantom lines for an empty token array — today
+        # unreachable only because split('') yields [''], an invariant
+        # correctness shouldn't hinge on (ADVICE r7).
+        n_lines = F.greatest(
+            F.ceil(F.size(words) / F.lit(width)).cast("int"), F.lit(1)
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.struct(
+                F.array_join(F.slice(words, i * width + 1, width), " ").alias(
+                    "line"
+                ),
+                F.size(F.slice(words, i * width + 1, width))
+                .cast("long")
+                .alias("nw"),
+            ),
+        )
+
+    chunks = let_col(tokens_col(F.col(text)), body)
     # the packed canonical key silently collides for >= LINE_KEY_BASE
     # lines (or ids near 2^63 / LINE_KEY_BASE) — fail LOUD instead of
     # mis-attributing canonical owners (ADVICE r7). assert_true returns

@@ -929,13 +929,27 @@ def quantize(vec: Column) -> Column:
     round — identical tie behavior in Spark and DuckDB). Codes are
     carried as LONG for exact integer dot products; the storage claim is
     int8 (1 byte/dim vs 4 for float32 — 4x less scan bandwidth and ANN
-    memory at 100 TB). An all-zero vector quantizes to all-zero codes."""
-    vd = vec.cast("array<double>")
-    amax = F.array_max(F.transform(vd, lambda x: F.abs(x)))
-    scale = amax / F.lit(float(QUANT_LEVELS))
-    zero = F.transform(vd, lambda x: F.lit(0).cast("long"))
-    codes = F.transform(vd, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long"))
-    return F.when(amax == 0, zero).otherwise(codes)
+    memory at 100 TB). An all-zero vector quantizes to all-zero codes.
+
+    ``scale`` (itself an O(d) array_max reduction) is let-bound before
+    the per-element code lambda — closed over inline it would re-reduce
+    the vector per element, O(d^2) per row (portable.let_col)."""
+    from kafka_streams_the_clojure_way_spark.functions.portable import let_col
+
+    def body(vd: Column) -> Column:
+        def with_amax(amax: Column) -> Column:
+            scale = amax / F.lit(float(QUANT_LEVELS))
+            zero = F.transform(vd, lambda x: F.lit(0).cast("long"))
+            codes = F.transform(
+                vd, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")
+            )
+            return F.when(amax == 0, zero).otherwise(codes)
+
+        return let_col(
+            F.array_max(F.transform(vd, lambda x: F.abs(x))), with_amax
+        )
+
+    return let_col(vec.cast("array<double>"), body)
 
 
 def quantize_sql(vec: str) -> str:

@@ -322,6 +322,29 @@ WINNOW_K = 5
 WINNOW_W = 4
 
 
+def _winnow_grams_col(text: Column) -> Column:
+    """hash60 of every WINNOW_K-token gram (array<bigint>; empty under K
+    tokens). Token array let-bound — the per-gram lambda must slice a
+    bound attribute, not re-split the text per element (portable.let_col)."""
+    from kafka_streams_the_clojure_way_spark.functions.portable import (
+        hash60,
+        let_col,
+    )
+
+    def body(toks: Column) -> Column:
+        n = F.array_size(toks)
+        return F.when(
+            n < WINNOW_K, F.array().cast("array<bigint>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - (WINNOW_K - 1)),
+                lambda i: hash60(F.array_join(F.slice(toks, i, WINNOW_K), " ")),
+            )
+        )
+
+    return let_col(tokens_col(text), body)
+
+
 def winnow_fingerprints(
     df: DataFrame, text: str = "text"
 ) -> DataFrame:
@@ -339,19 +362,7 @@ def winnow_fingerprints(
     functions — zero shuffle, zero Python; selection uses the hash
     VALUE only (not its position), so the result is deterministic and
     engine-portable without the rightmost-tie rule."""
-    from kafka_streams_the_clojure_way_spark.functions.portable import hash60
-
-    toks = tokens_col(F.col(text))
-    n = F.array_size(toks)
-    grams = F.when(
-        n < WINNOW_K, F.array().cast("array<bigint>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (WINNOW_K - 1)),
-            lambda i: hash60(F.array_join(F.slice(toks, i, WINNOW_K), " ")),
-        )
-    )
-    df = df.withColumn("_grams", grams)
+    df = df.withColumn("_grams", _winnow_grams_col(F.col(text)))
     ng = F.array_size(F.col("_grams"))
     sel = F.when(ng == 0, F.array().cast("array<bigint>")).otherwise(
         F.array_distinct(
@@ -405,19 +416,7 @@ def winnow_pairs(
     of any single fingerprint to df^2 <= {max_df}^2 pairs, so a
     boilerplate gram can never funnel O(corpus^2) rows through one key
     (drop it: it carries no copy signal)."""
-    from kafka_streams_the_clojure_way_spark.functions.portable import hash60
-
-    toks = tokens_col(F.col(text))
-    n = F.array_size(toks)
-    grams = F.when(
-        n < WINNOW_K, F.array().cast("array<bigint>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (WINNOW_K - 1)),
-            lambda i: hash60(F.array_join(F.slice(toks, i, WINNOW_K), " ")),
-        )
-    )
-    g = df.select(F.col(id_col), grams.alias("_grams"))
+    g = df.select(F.col(id_col), _winnow_grams_col(F.col(text)).alias("_grams"))
     ng = F.array_size(F.col("_grams"))
     sel = F.when(ng == 0, F.array().cast("array<bigint>")).otherwise(
         F.array_distinct(
@@ -562,17 +561,24 @@ CONTAM_NGRAM = 5
 
 def shingles_col(text: Column, k: int = CONTAM_NGRAM) -> Column:
     """Distinct k-token shingles of a document (empty array when the
-    document is shorter than k tokens)."""
-    toks = tokens_col(text)
-    n = F.array_size(toks)
-    return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: F.array_join(F.slice(toks, i, k), " "),
+    document is shorter than k tokens). The token array is let-bound so
+    the per-shingle lambda slices a bound attribute instead of
+    re-splitting the text per element (see portable.let_col — the inline
+    form is O(len^2) per doc and measured 8x slower at sf0.1)."""
+    from kafka_streams_the_clojure_way_spark.functions.portable import let_col
+
+    def body(toks: Column) -> Column:
+        n = F.array_size(toks)
+        return F.when(n < k, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, k), " "),
+                )
             )
         )
-    )
+
+    return let_col(tokens_col(text), body)
 
 
 def shingles_sql(expr: str, k: int = CONTAM_NGRAM) -> str:

@@ -2340,17 +2340,26 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow posexplode per doc — output rows ~ n_tokens/stride per doc,
     no shuffle at all; the chunker runs scan-side at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens_col(F.col("text"))
-    n = F.array_size(toks).cast("long")
-    n_chunks = F.when(n <= _CHUNK_TOKENS, F.lit(1).cast("long")).otherwise(
-        F.ceil((n - _CHUNK_TOKENS).cast("double") / _CHUNK_STRIDE).cast("long") + 1
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(toks, (i * _CHUNK_STRIDE + 1).cast("int"), _CHUNK_TOKENS), " "
-        ),
-    )
+
+    # token array let-bound: the per-chunk lambda slices a bound
+    # attribute, never re-splitting the text per chunk (portable.let_col).
+    def _chunks(toks: F.Column) -> F.Column:
+        n = F.array_size(toks).cast("long")
+        n_chunks = F.when(n <= _CHUNK_TOKENS, F.lit(1).cast("long")).otherwise(
+            F.ceil((n - _CHUNK_TOKENS).cast("double") / _CHUNK_STRIDE).cast("long")
+            + 1
+        )
+        return F.transform(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, (i * _CHUNK_STRIDE + 1).cast("int"), _CHUNK_TOKENS),
+                " ",
+            ),
+        )
+
+    toks_inline = T.tokens_col(F.col("text"))
+    n = F.array_size(toks_inline).cast("long")
+    chunks = P.let_col(toks_inline, _chunks)
     return (
         docs.select("doc_id", n.alias("n"), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
         .select(
@@ -3480,18 +3489,23 @@ _BIGRAM_SEP = "\x1f"
 
 def _bigrams_col(text: F.Column) -> F.Column:
     """array<string> of unit-separator-joined adjacent token pairs;
-    empty (not reversed-sequence garbage) for docs under 2 tokens."""
-    toks = T.tokens_col(text)
-    n = F.array_size(toks)
-    return F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                _BIGRAM_SEP, F.element_at(toks, i), F.element_at(toks, i + 1)
+    empty (not reversed-sequence garbage) for docs under 2 tokens.
+    Token array let-bound — the per-pair lambda indexes a bound
+    attribute, never re-splitting the text per bigram (portable.let_col)."""
+
+    def body(toks: F.Column) -> F.Column:
+        n = F.array_size(toks)
+        return F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    _BIGRAM_SEP, F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return P.let_col(T.tokens_col(text), body)
 
 
 def _bigrams_sql(text: str) -> str:
