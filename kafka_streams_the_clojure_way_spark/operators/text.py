@@ -116,36 +116,71 @@ def _bpe_match_len(word: Column, pos: Column) -> Column:
     )
 
 
+def _bpe_word_count(w: Column) -> Column:
+    """Greedy longest-match subword count of ONE word: an ``aggregate``
+    fold over its character positions advancing ``pos`` by the longest
+    vocab match (the fold body is a 40-branch ``greatest`` evaluated
+    JVM-side — no Python)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.length(w), F.lit(1))),
+        F.struct(
+            F.lit(1).cast("int").alias("pos"), F.lit(0).cast("int").alias("cnt")
+        ),
+        lambda acc, _: F.when(acc["pos"] > F.length(w), acc).otherwise(
+            F.struct(
+                (acc["pos"] + _bpe_match_len(w, acc["pos"])).alias("pos"),
+                (acc["cnt"] + 1).alias("cnt"),
+            )
+        ),
+        lambda acc: acc["cnt"],
+    )
+
+
 def bpe_token_count_col(text: Column) -> Column:
     """Tokenizer-faithful token count: greedy longest-match subword
     segmentation of every whitespace word against :data:`BPE_VOCAB` —
     the unit a training-data pipeline actually budgets in (whitespace
     counts misprice morphology-heavy text by 2-3x). Entirely row-local
-    HOFs: per word, one ``aggregate`` fold over its character positions
-    advancing ``pos`` by the longest match (the fold body is a 40-branch
-    ``greatest`` evaluated JVM-side — higher-order functions sit outside
-    whole-stage codegen but remain columnar-batched expression eval: no
-    Python, no shuffle — and a DuckDB recursive-CTE twin replays it
-    exactly)."""
-    words = tokens_col(text)
+    HOFs (no Python, no shuffle), and a DuckDB recursive-CTE twin
+    replays the greedy fold exactly.
 
-    def word_count(w: Column) -> Column:
-        return F.aggregate(
-            F.sequence(F.lit(1), F.greatest(F.length(w), F.lit(1))),
-            F.struct(
-                F.lit(1).cast("int").alias("pos"), F.lit(0).cast("int").alias("cnt")
-            ),
-            lambda acc, _: F.when(acc["pos"] > F.length(w), acc).otherwise(
-                F.struct(
-                    (acc["pos"] + _bpe_match_len(w, acc["pos"])).alias("pos"),
-                    (acc["cnt"] + 1).alias("cnt"),
-                )
-            ),
-            lambda acc: acc["cnt"],
-        )
-
+    This is the STREAMING-SAFE / single-projection form: it folds every
+    word OCCURRENCE. Batch corpus accounting should prefer
+    :func:`bpe_token_counts`, which folds each DISTINCT word once."""
     return F.aggregate(
-        F.transform(words, word_count), F.lit(0).cast("long"), lambda a, x: a + x
+        F.transform(tokens_col(text), _bpe_word_count),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame, *, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(id, n_tokens_bpe) per document — the batch form of
+    :func:`bpe_token_count_col`, restructured around Zipf: the greedy
+    per-character fold (the heaviest per-byte scan in the registry) runs
+    once per DISTINCT word, not once per occurrence. One explode ->
+    distinct-word fold (|vocab| rows; Heaps' law keeps vocabulary
+    sublinear in corpus size) -> re-join counts onto the occurrence
+    stream -> per-doc sum. The word join is left to Catalyst/AQE: at
+    bench scale the vocab side converts to a broadcast; at corpus scale
+    where a vocabulary outgrows broadcast it degrades to a hash join on
+    the word key — never a forced driver-side collect. Values are
+    bit-identical to the occurrence fold (integer sums of the same
+    per-word counts; same recursive-CTE oracle)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text))).alias("__w")
+    )
+    vocab = (
+        tok.select("__w")
+        .distinct()
+        .withColumn("__c", _bpe_word_count(F.col("__w")))
+    )
+    return (
+        tok.join(vocab, "__w")
+        .groupBy(id_col)
+        .agg(F.sum("__c").cast("long").alias("n_tokens_bpe"))
     )
 
 

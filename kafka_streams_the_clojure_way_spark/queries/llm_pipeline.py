@@ -65,17 +65,18 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     segmentation of every word against the frozen literal vocab
     (operators/text.BPE_VOCAB) — the unit real pipelines budget, shard,
     and mix in (whitespace counts misprice morphology-heavy text). The
-    whole tokenizer is row-local HOFs (a per-word aggregate fold whose
-    body is a 40-branch greatest) — whole-stage codegen, no UDF, no
-    shuffle — and the oracle replays the identical greedy fold as a
-    DuckDB recursive CTE, so the SEGMENTATION, not just the count
-    shape, is value-checked."""
+    tokenizer is JVM-side HOF folds, no UDF — and the oracle replays the
+    identical greedy fold as a DuckDB recursive CTE, so the
+    SEGMENTATION, not just the count shape, is value-checked. Batch
+    form: the fold runs once per DISTINCT word (operators/text.
+    bpe_token_counts — Zipf makes that ~10x fewer folds than the
+    per-occurrence form, which remains the streaming-safe variant)."""
     docs = load_table(spark, sf_dir, "documents")
+    counts = T.bpe_token_counts(docs)
     return docs.select(
         "doc_id",
         F.array_size(T.tokens_col(F.col("text"))).cast("long").alias("n_tokens_ws"),
-        T.bpe_token_count_col(F.col("text")).alias("n_tokens_bpe"),
-    )
+    ).join(counts, "doc_id")
 
 
 @query("text_quality_scores", oracle=_select_sql(T.quality_scores_sql(), "documents"))
@@ -3953,16 +3954,24 @@ def _token_budget_per_source(
 ) -> DataFrame:
     from pyspark.sql.window import Window
 
+    docs = load_table(spark, sf_dir, "documents")
     if tokenizer == "ws":
         n_tokens = F.array_size(T.tokens_col(F.col("text"))).cast("long")
         budget = _TOKEN_BUDGET_PER_SOURCE
+        sized = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
     elif tokenizer == "bpe":
-        n_tokens = T.bpe_token_count_col(F.col("text"))
+        # distinct-word fold (operators/text.bpe_token_counts) re-joined
+        # onto (doc, source) — same integer counts as the occurrence
+        # fold, ~10x fewer folds under Zipf.
         budget = _TOKEN_BUDGET_PER_SOURCE_BPE
+        sized = docs.select("doc_id", "source").join(
+            T.bpe_token_counts(docs).withColumnRenamed(
+                "n_tokens_bpe", "n_tokens"
+            ),
+            "doc_id",
+        )
     else:
         raise ValueError(f"tokenizer must be 'ws' or 'bpe', got {tokenizer!r}")
-    docs = load_table(spark, sf_dir, "documents")
-    sized = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
     w = (
         Window.partitionBy("source")
         .orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())

@@ -550,3 +550,33 @@ def test_semdedup_pair_join_is_cluster_keyed(spark):
     assert re.search(
         r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)[^\n]*\[cluster", p
     ), p[:3000]
+
+
+def test_hof_lambdas_bind_token_split_once(spark):
+    """The let_col discipline (functions/portable.py): per-element HOF
+    lambdas must slice a BOUND token array, never close over the split
+    expression — Catalyst re-evaluates closed-over subtrees per element,
+    turning shingling into O(len^2) per document (measured 8x wall at
+    sf0.1 before the fix). Mechanical pin: the tokenizing split must
+    appear exactly ONCE in each shingle/gram/chunk plan's Generate
+    stage-expression, not once per lambda reference."""
+    for q in [
+        "text_ngram_contamination",   # shingles_col
+        "dedup_ngram_span_documents", # _gram_postings
+        "text_chunk_windows",         # chunk windows
+        "dedup_line_level_stats",     # line_occurrences
+    ]:
+        p = _plan(spark, q)
+        for gen in re.findall(r"Generate explode[^\n]*", p):
+            n_splits = gen.count("split(lower(trim(")
+            assert n_splits <= 1, (q, n_splits, gen[:500])
+
+
+def test_bloom_positions_hash_once_per_key(spark):
+    """_bloom_bit_rows must evaluate its md5-based hash ONCE per key:
+    the k member positions + the segment all derive from one let-bound
+    hash. Inline, each of the k+1 expressions re-ran the md5 (k+1
+    md5s/key over every distinct probe gram)."""
+    p = _plan(spark, "meta_keyset_index_layout")
+    for gen in re.findall(r"Generate explode[^\n]*", p):
+        assert gen.count("md5(") <= 1, (gen.count("md5("), gen[:500])

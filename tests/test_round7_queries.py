@@ -158,3 +158,21 @@ def test_audio_fingerprints_match_python_reference(spark):
                     fp |= 1 << b
             want[(row.doc_id, f)] = fp
     assert got == want and got
+
+
+def test_bpe_distinct_word_form_matches_occurrence_fold(spark):
+    """bpe_token_counts (the batch distinct-word form: fold each DISTINCT
+    word once, re-join, per-doc sum) must equal the per-occurrence fold
+    bpe_token_count_col on every doc — the Zipf restructuring may change
+    the plan, never a count."""
+    from kafka_streams_the_clojure_way_spark.operators.text import bpe_token_counts
+
+    docs = load_table(spark, SF, "documents").limit(200)
+    occ = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", bpe_token_count_col(F.col("text")).alias("n")
+        ).collect()
+    }
+    dis = {r.doc_id: r.n_tokens_bpe for r in bpe_token_counts(docs).collect()}
+    assert occ == dis
