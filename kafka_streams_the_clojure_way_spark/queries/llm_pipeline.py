@@ -1487,7 +1487,9 @@ WITH sigs AS (
 )
 SELECT doc_id, phash, b.g AS band,
        (phash >> (b.g * {IH.PHASH_BAND_BITS})) & {(1 << IH.PHASH_BAND_BITS) - 1}
-           AS bkey
+           AS bkey,
+       ((phash >> (b.g * {IH.PHASH_BAND_BITS})) & {(1 << IH.PHASH_BAND_BITS) - 1})
+           % {IH.PHASH_INDEX_BUCKETS} AS bucket
 FROM sigs, generate_series(0, {IH.PHASH_BANDS - 1}) b(g)
 """
 
@@ -1495,13 +1497,13 @@ FROM sigs, generate_series(0, {IH.PHASH_BANDS - 1}) b(g)
 @query("meta_phash_index_layout", oracle=_PHASH_LAYOUT_ORACLE)
 def meta_phash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integrity audit of the persisted pHash band index: every
-    (doc_id, phash, band, bkey) posting read from the ON-DISK artifact,
-    oracle-checked against recomputing the full hash + band
-    decomposition in SQL — the index's exact bits and routing keys,
-    not just its counts, pinned engine-independently (a drifted DCT
-    table or band shift mis-routes probes into silent false negatives).
-    Scan cost: the bands table only (9 rows x ~20 bytes per image),
-    never the corpus payloads."""
+    (doc_id, phash, band, bkey, bucket) posting read from the ON-DISK
+    artifact, oracle-checked against recomputing the full hash + band
+    decomposition + bucket routing in SQL — the index's exact bits AND
+    routing keys, not just its counts, pinned engine-independently (a
+    drifted DCT table, band shift, or bucket modulus mis-routes probes
+    into silent false negatives). Scan cost: the bands table only
+    (9 rows x ~20 bytes per image), never the corpus payloads."""
     path = _phash_index_path(spark, sf_dir)
     return (
         spark.read.parquet(f"{path}/bands")
@@ -1510,6 +1512,7 @@ def meta_phash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "phash",
             F.col("band").cast("long").alias("band"),
             F.col("bkey").cast("long").alias("bkey"),
+            F.col("bucket").cast("long").alias("bucket"),
         )
     )
 
