@@ -2636,6 +2636,7 @@ def bloom_index_probe(
     *,
     text: str = "text",
     id_col: str = "doc_id",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Membership pre-test for an arriving batch: (probe_id,
     content_hash) for every batch doc the filter CANNOT rule out.
@@ -2668,6 +2669,14 @@ def bloom_index_probe(
         .groupBy("probe_id", "content_hash", "segment", "word_idx")
         .agg(F.bit_or("mask").alias("need"))
     )
+    # need feeds the segment-routing collect, the hits leg, and the
+    # totals leg — cache it on the batch path so its upstream (the
+    # batch scan + content hash + bit fold) runs once, not three times
+    # (the keyset_index_probe lifecycle).
+    if not batch.isStreaming:
+        need = need.cache()
+        if cache_registry is not None:
+            cache_registry.append(need)
     bits = spark.read.parquet(f"{index_path}/bits")
     if not batch.isStreaming:
         segs = [r["segment"] for r in need.select("segment").distinct().collect()]
@@ -2874,6 +2883,14 @@ def keyset_index_probe(
         .groupBy("key", "segment", "word_idx")
         .agg(F.bit_or("mask").alias("need"))
     )
+    # need (|distinct keys| x k rows behind a shuffle) feeds the segment-
+    # routing collect, the hits leg, AND the totals leg — cache it on the
+    # batch path so the fold shuffle runs once, not three times; same
+    # lifecycle as pkeys.
+    if not probe.isStreaming:
+        need = need.cache()
+        if cache_registry is not None:
+            cache_registry.append(need)
     bits = spark.read.parquet(f"{index_path}/bits")
     if not probe.isStreaming:
         segs = [r["segment"] for r in need.select("segment").distinct().collect()]
@@ -2895,6 +2912,12 @@ def keyset_index_probe(
     )
     keys_tbl = spark.read.parquet(f"{index_path}/keys")
     if not probe.isStreaming:
+        # maybe feeds the keys-segment routing collect and the final
+        # confirm semi-join — cache it so the Bloom-verify join runs
+        # once per batch.
+        maybe = maybe.cache()
+        if cache_registry is not None:
+            cache_registry.append(maybe)
         msegs = [r["segment"] for r in maybe.select("segment").distinct().collect()]
         if not msegs:
             return pkeys.limit(0)
