@@ -217,8 +217,12 @@ def bpe_token_counts_sql(pred: str = "TRUE", text: str = "text") -> str:
 
 def quality_scores(df: DataFrame, text: str = "text") -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio quality features and a
-    composite 0-100 score. Pure arithmetic — identical cross-engine."""
-    toks = tokens_col(F.col(text))
+    composite 0-100 score. Pure arithmetic — identical cross-engine.
+    Tokens are materialized through a projection boundary so the split
+    runs once per row (the feature columns reference it twice; Catalyst's
+    CollapseProject keeps a non-cheap multi-referenced producer)."""
+    df = df.withColumn("__toks_q", tokens_col(F.col(text)))
+    toks = F.col("__toks_q")
     n_tokens = F.greatest(F.array_size(toks), F.lit(1)).cast("double")
     n_chars = F.length(text).cast("long")
     n_punct = (
@@ -244,7 +248,7 @@ def quality_scores(df: DataFrame, text: str = "text") -> DataFrame:
             "stopword_ratio": stop_ratio,
             "quality_score": score,
         }
-    )
+    ).drop("__toks_q")
 
 
 def quality_scores_sql(text: str = "text") -> dict[str, str]:
@@ -280,8 +284,11 @@ def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
     token set; argmax with fixed priority (en,de,es,fr), 'und' (undetermined)
     when nothing matches. A real pipeline would use fastText/CLD3 — this is
     the deterministic, dependency-free heuristic variant; the *shape*
-    (per-row map, no shuffle) is what matters at scale."""
-    toks = tokens_col(F.col(text))
+    (per-row map, no shuffle) is what matters at scale. Tokens are
+    materialized through a projection boundary — the four per-language
+    filter counts would otherwise each re-split the text per row."""
+    df = df.withColumn("__toks_l", tokens_col(F.col(text)))
+    toks = F.col("__toks_l")
     counts = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
@@ -292,7 +299,7 @@ def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
         pred = pred.when(counts[lang] == best, F.lit(lang))
     cols = {f"n_{lang}": c.cast("long") for lang, c in counts.items()}
     cols["lang_pred"] = pred
-    return df.withColumns(cols)
+    return df.withColumns(cols).drop("__toks_l")
 
 
 def lang_id_sql(text: str = "text") -> dict[str, str]:
@@ -527,8 +534,11 @@ def gopher_quality(df: DataFrame, text: str = "text") -> DataFrame:
     """Per-document quality-rule flags: word-count bounds, mean word
     length, symbol-to-word ratio, distinct-token ratio, and the composite
     keep/drop decision. Row-local Catalyst expressions only — pipelined
-    into the scan, no shuffle, no Python."""
-    toks = tokens_col(F.col(text))
+    into the scan, no shuffle, no Python. Tokens are materialized
+    through a projection boundary so the split runs once per row (the
+    rule columns reference it 3x)."""
+    df = df.withColumn("__toks_g", tokens_col(F.col(text)))
+    toks = F.col("__toks_g")
     n_words = F.array_size(toks).cast("long")
     n_words_d = F.greatest(n_words, F.lit(1)).cast("double")
     sum_len = F.aggregate(
@@ -557,7 +567,7 @@ def gopher_quality(df: DataFrame, text: str = "text") -> DataFrame:
             "distinct_token_ratio": distinct_ratio,
             "quality_keep": keep,
         }
-    )
+    ).drop("__toks_g")
 
 
 def gopher_quality_sql(text: str = "text") -> dict[str, str]:
@@ -861,7 +871,11 @@ def dsir_score_stateless(
 
     if len(ratios) != n_buckets:
         raise ValueError(f"ratio table must have {n_buckets} entries, got {len(ratios)}")
-    toks = tokens_col(F.col(text))
+    # projection boundary: the fold input and the n_tokens output both
+    # reference the token array — split once per row (streaming-safe:
+    # withColumn is a stateless projection).
+    docs = docs.withColumn("__toks_d", tokens_col(F.col(text)))
+    toks = F.col("__toks_d")
     bucket_ix = lambda t: (P.hash60(t) % n_buckets + 1).cast("int")  # noqa: E731
     if quantize:
         import math

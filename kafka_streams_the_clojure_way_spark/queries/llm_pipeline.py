@@ -4771,7 +4771,10 @@ def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     size. Swapping in real trained weights changes the literals, not
     the plan."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = P.tokens(F.col("text"))
+    # projection boundary: the three feature columns reference the token
+    # array 4x — split once per row.
+    docs = docs.withColumn("__toks", P.tokens(F.col("text")))
+    toks = F.col("__toks")
     n_tokens = F.size(toks).cast("long")
     n_repeats = (F.size(toks) - F.size(F.array_distinct(toks))).cast("long")
     stop_arr = F.array(*[F.lit(w) for w in _QL_STOPWORDS])
@@ -5139,7 +5142,10 @@ def meta_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     Writing the corpus range-sorted on train_pos (write_range_sorted)
     then gives the loader sequential reads in training order."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = P.tokens(F.col("text"))
+    # projection boundary: the logit references the token array 4x —
+    # split once per row.
+    docs = docs.withColumn("__toks", P.tokens(F.col("text")))
+    toks = F.col("__toks")
     logit = (
         F.lit(_QL_BIAS)
         + F.lit(_QL_W_TOKENS) * F.size(toks).cast("long")
