@@ -84,6 +84,79 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _filter_scanlines(
+    pixels: bytes, width_bytes: int, bpp: int, filter_cycle: tuple[int, ...]
+) -> bytes:
+    """Apply PNG scanline filtering (encode side) to a padded pixel
+    stream: one filter byte per row, ``a`` = the byte ``bpp`` positions
+    left (the spec's per-channel predictor — bpp=1 grayscale, bpp=3
+    truecolor)."""
+    height = len(pixels) // width_bytes
+    raw = bytearray()
+    prev = bytes(width_bytes)
+    for r in range(height):
+        row = pixels[r * width_bytes : (r + 1) * width_bytes]
+        ftype = filter_cycle[r % len(filter_cycle)]
+        raw.append(ftype)
+        if ftype == 0:  # None
+            raw += row
+        elif ftype == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(width_bytes)
+            )
+        elif ftype == 2:  # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(width_bytes))
+        elif ftype == 3:  # Average
+            raw += bytes(
+                (row[i] - (((row[i - bpp] if i >= bpp else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(width_bytes)
+            )
+        elif ftype == 4:  # Paeth
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(width_bytes)
+            )
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        prev = row
+    return bytes(raw)
+
+
+def _png_encode(
+    data: bytes,
+    width: int,
+    bpp: int,
+    ctype: int,
+    filter_cycle: tuple[int, ...],
+) -> bytes:
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    width_bytes = width * bpp
+    pad = -len(data) % width_bytes
+    pixels = data + PNG_PAD * pad
+    if not data:
+        pixels = PNG_PAD * width_bytes  # zero-byte payload -> one blank row
+    height = max(1, len(pixels) // width_bytes)
+    raw = _filter_scanlines(pixels, width_bytes, bpp, filter_cycle)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
 def png_encode_gray(
     data: bytes,
     width: int = PNG_WIDTH,
@@ -94,55 +167,34 @@ def png_encode_gray(
     round-robin from ``filter_cycle`` (so multi-row images exercise
     real prior-row filter context). Exact inverse:
     ``png_decode_gray(png) == data + b' ' * (-len(data) % width)``."""
-    if width < 1:
-        raise ValueError(f"width must be >= 1, got {width}")
-    pad = -len(data) % width
-    pixels = data + PNG_PAD * pad
-    height = max(1, len(pixels) // width)
-    if not data:
-        pixels = PNG_PAD * width  # zero-byte payload -> one blank row
-    raw = bytearray()
-    prev = bytes(width)
-    for r in range(height):
-        row = pixels[r * width : (r + 1) * width]
-        ftype = filter_cycle[r % len(filter_cycle)]
-        raw.append(ftype)
-        if ftype == 0:  # None
-            raw += row
-        elif ftype == 1:  # Sub
-            raw += bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(width))
-        elif ftype == 2:  # Up
-            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(width))
-        elif ftype == 3:  # Average
-            raw += bytes(
-                (row[i] - (((row[i - 1] if i else 0) + prev[i]) >> 1)) & 0xFF
-                for i in range(width)
-            )
-        elif ftype == 4:  # Paeth
-            raw += bytes(
-                (row[i] - _paeth(row[i - 1] if i else 0, prev[i], prev[i - 1] if i else 0))
-                & 0xFF
-                for i in range(width)
-            )
-        else:
-            raise ValueError(f"invalid PNG filter type {ftype}")
-        prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
-    return (
-        _PNG_MAGIC
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + _chunk(b"IEND", b"")
-    )
+    return _png_encode(data, width, 1, 0, filter_cycle)
 
 
-def png_decode_gray(png: bytes) -> bytes:
-    """Decode an 8-bit grayscale PNG to its raw pixel stream (row-major
-    bytes). A REAL decoder, not a fixture-shaped one: validates the
-    magic, every chunk's CRC-32, the IHDR geometry (8-bit, color type
-    0), concatenates multi-IDAT streams, inflates, and inverts all five
-    scanline filters. Raises ``ValueError`` on any corruption — the
-    behavior a corrupt-object quarantine path needs."""
+#: bytes per pixel of the truecolor variant (color type 2: R, G, B).
+PNG_RGB_BPP = 3
+
+
+def png_encode_rgb(
+    data: bytes,
+    width: int = PNG_WIDTH,
+    filter_cycle: tuple[int, ...] = DEFAULT_FILTER_CYCLE,
+) -> bytes:
+    """Encode ``data`` as a spec-conformant 8-bit TRUECOLOR PNG (color
+    type 2): consecutive byte triples become (R, G, B) pixels, rows of
+    ``width`` pixels (3*width bytes), last row space-padded. The filter
+    predictors step by bpp=3 per the spec (channel-wise prediction).
+    Exact inverse: ``png_decode_rgb(png) == data + b' ' * (-len(data) %
+    (3 * width))``."""
+    return _png_encode(data, width, PNG_RGB_BPP, 2, filter_cycle)
+
+
+def _png_decode(png: bytes, expect_ctype: int, bpp: int) -> bytes:
+    """Shared PNG decode engine: validates the magic, every chunk's
+    CRC-32, the IHDR geometry (8-bit, the expected color type),
+    concatenates multi-IDAT streams, inflates, and inverts all five
+    scanline filters with the spec's bpp-step predictors. Raises
+    ``ValueError`` on any corruption — the behavior a corrupt-object
+    quarantine path needs."""
     import numpy as np
 
     if png[: len(_PNG_MAGIC)] != _PNG_MAGIC:
@@ -167,10 +219,11 @@ def png_decode_gray(png: bytes) -> bytes:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if (depth, ctype, comp, filt, interlace) != (8, 0, 0, 0, 0):
+            if (depth, ctype, comp, filt, interlace) != (8, expect_ctype, 0, 0, 0):
                 raise ValueError(
-                    "unsupported PNG variant (need 8-bit grayscale, "
-                    f"got depth={depth} color={ctype} interlace={interlace})"
+                    f"unsupported PNG variant (need 8-bit color type "
+                    f"{expect_ctype}, got depth={depth} color={ctype} "
+                    f"interlace={interlace})"
                 )
         elif tag == b"IDAT":
             idat += body
@@ -181,42 +234,76 @@ def png_decode_gray(png: bytes) -> bytes:
         raise ValueError("PNG missing IHDR")
     if not seen_end:
         raise ValueError("PNG missing IEND")
+    wb = width * bpp
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != height * (width + 1):
+    if raw.size != height * (wb + 1):
         raise ValueError(
-            f"PNG pixel payload {raw.size} != {height}x({width}+1)"
+            f"PNG pixel payload {raw.size} != {height}x({wb}+1)"
         )
-    rows = raw.reshape(height, width + 1)
+    rows = raw.reshape(height, wb + 1)
     ftypes = rows[:, 0]
     data = rows[:, 1:].astype(np.int64)
-    out = np.empty((height, width), dtype=np.int64)
-    prev = np.zeros(width, dtype=np.int64)
+    out = np.empty((height, wb), dtype=np.int64)
+    prev = np.zeros(wb, dtype=np.int64)
     for r in range(height):
         f, row = int(ftypes[r]), data[r]
         if f == 0:
             cur = row
-        elif f == 1:  # Sub: x[i] = f[i] + x[i-1] -> cumsum mod 256
-            cur = np.cumsum(row) & 0xFF
+        elif f == 1:  # Sub: x[i] = f[i] + x[i-bpp] -> per-channel cumsum
+            cur = (np.cumsum(row.reshape(-1, bpp), axis=0) & 0xFF).reshape(-1)
         elif f == 2:  # Up
             cur = (row + prev) & 0xFF
-        elif f == 3:  # Average: per-pixel recurrence (floor-div is nonlinear)
-            cur = np.empty(width, dtype=np.int64)
-            left = 0
-            for i in range(width):
-                left = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
-                cur[i] = left
-        elif f == 4:  # Paeth: per-pixel recurrence (predictor choice)
-            cur = np.empty(width, dtype=np.int64)
-            left = upleft = 0
-            for i in range(width):
-                left = (row[i] + _paeth(left, int(prev[i]), upleft)) & 0xFF
-                cur[i] = left
-                upleft = int(prev[i])
+        elif f == 3:  # Average: per-byte recurrence (floor-div is nonlinear)
+            cur = np.empty(wb, dtype=np.int64)
+            for i in range(wb):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (row[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth: per-byte recurrence (predictor choice)
+            cur = np.empty(wb, dtype=np.int64)
+            for i in range(wb):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                upleft = int(prev[i - bpp]) if i >= bpp else 0
+                cur[i] = (row[i] + _paeth(left, int(prev[i]), upleft)) & 0xFF
         else:
             raise ValueError(f"invalid PNG filter type {f}")
         out[r] = cur
         prev = cur
     return out.astype(np.uint8).tobytes()
+
+
+def png_decode_gray(png: bytes) -> bytes:
+    """Decode an 8-bit grayscale PNG to its raw pixel stream (row-major
+    bytes). A REAL decoder, not a fixture-shaped one — see
+    :func:`_png_decode` for the validation contract."""
+    return _png_decode(png, 0, 1)
+
+
+def png_decode_rgb(png: bytes) -> bytes:
+    """Decode an 8-bit truecolor PNG (color type 2) to its interleaved
+    RGB byte stream (row-major, 3 bytes per pixel), through the same
+    validation + all-five-filters engine as the grayscale path (the
+    filter predictors step by bpp=3 per the spec)."""
+    return _png_decode(png, 2, PNG_RGB_BPP)
+
+
+#: BT.601-ish integer luma weights, fixed-point /256: 77 + 150 + 29 =
+#: 256 exactly, so luma of a constant-gray pixel is the gray value and
+#: the conversion is exact integer arithmetic both engines reproduce.
+LUMA_R, LUMA_G, LUMA_B = 77, 150, 29
+
+
+def rgb_to_luma(rgb: bytes) -> bytes:
+    """Integer luma plane of an interleaved RGB byte stream:
+    ``y = (77*r + 150*g + 29*b) >> 8`` per pixel — the grayscale plane a
+    perceptual hash consumes for color input. Exact integer arithmetic
+    (weights sum to 256), reproduced bit-for-bit by the SQL twin."""
+    import numpy as np
+
+    if len(rgb) % PNG_RGB_BPP:
+        raise ValueError(f"RGB stream length {len(rgb)} not a multiple of 3")
+    a = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64).reshape(-1, 3)
+    y = (LUMA_R * a[:, 0] + LUMA_G * a[:, 1] + LUMA_B * a[:, 2]) >> 8
+    return y.astype(np.uint8).tobytes()
 
 
 def png_padded_len_sql(text: str) -> str:

@@ -104,17 +104,23 @@ def encode_text_assets(
     kernel is Arrow-batched and the output stays one asset row per doc."""
     import pandas as pd
 
-    if codec not in ("png", "wav", "pgm"):
-        raise ValueError(f"codec must be 'png', 'wav' or 'pgm', got {codec!r}")
-    mime = {"png": "image/png", "wav": "audio/wav", "pgm": "video/x-pgm-frames"}[
-        codec
-    ]
+    if codec not in ("png", "png_rgb", "wav", "pgm"):
+        raise ValueError(
+            f"codec must be 'png', 'png_rgb', 'wav' or 'pgm', got {codec!r}"
+        )
+    mime = {
+        "png": "image/png",
+        "png_rgb": "image/png",
+        "wav": "audio/wav",
+        "pgm": "video/x-pgm-frames",
+    }[codec]
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from kafka_streams_the_clojure_way_spark.functions import codecs as CC
 
         enc = {
             "png": CC.png_encode_gray,
+            "png_rgb": CC.png_encode_rgb,
             "wav": CC.wav_encode_pcm8,
             "pgm": CC.pgm_encode_video,
         }[codec]
@@ -498,4 +504,47 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return df.select(id_col, "asset").mapInPandas(
         featurize, schema=f"{id_col} long, features array<double>"
+    )
+
+
+def rgb_luma_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode TRUECOLOR PNG assets and reduce each to luma-plane stats:
+    (id, n_luma, luma_sum, luma_poly) where luma_poly is the
+    position-weighted sum sum(y_j * (j+1)) — an order-sensitive checksum
+    that pins every decoded byte's VALUE AND POSITION, so a wrong filter
+    inverse, a channel swap, or a shifted scanline flips the oracle.
+
+    This is the color leg of the real-decode seam: payloads run through
+    functions/codecs.png_decode_rgb (chunk CRCs, inflate, all five
+    filters at bpp=3) then rgb_to_luma (integer BT.601 weights). One
+    Arrow-batched mapInPandas; output is the standard funnel shape (big
+    bytes in, 4 small columns out)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from kafka_streams_the_clojure_way_spark.functions import codecs as CC
+
+        for pdf in batches:
+            ids, npx, lsum, lpoly = [], [], [], []
+            for i, a in zip(pdf[id_col].values, pdf["asset"].values):
+                y = np.frombuffer(
+                    CC.rgb_to_luma(CC.png_decode_rgb(bytes(a["bytes"]))),
+                    dtype=np.uint8,
+                ).astype(np.int64)
+                ids.append(i)
+                npx.append(y.size)
+                lsum.append(int(y.sum()))
+                lpoly.append(int((y * np.arange(1, y.size + 1)).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_luma": npx,
+                    "luma_sum": lsum,
+                    "luma_poly": lpoly,
+                }
+            )
+
+    return df.select(id_col, "asset").mapInPandas(
+        kernel, schema=f"{id_col} long, n_luma long, luma_sum long, luma_poly long"
     )

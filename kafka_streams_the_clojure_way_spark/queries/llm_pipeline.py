@@ -1353,6 +1353,63 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asset_pixel_checksum(resized, decode="png")
 
 
+#: truecolor row stride in bytes (3 channels x PNG_WIDTH pixels).
+_RGB_ROW_BYTES = CC.PNG_RGB_BPP * CC.PNG_WIDTH
+
+_RGB_LUMA_EXPR = (
+    f"({CC.LUMA_R} * unicode(substr(p, CAST(3*j+1 AS INT), 1))"
+    f" + {CC.LUMA_G} * unicode(substr(p, CAST(3*j+2 AS INT), 1))"
+    f" + {CC.LUMA_B} * unicode(substr(p, CAST(3*j+3 AS INT), 1))) // 256"
+)
+
+
+@query(
+    "multimodal_image_rgb_luma",
+    oracle=f"""
+    WITH geo AS (
+        SELECT doc_id,
+               rpad(text, CAST(pl AS INT), ' ') AS p,
+               pl // 3 AS nl
+        FROM (
+            SELECT doc_id, text,
+                   greatest((octet_length(CAST(text AS BLOB))
+                             + {_RGB_ROW_BYTES - 1}) // {_RGB_ROW_BYTES}, 1)
+                       * {_RGB_ROW_BYTES} AS pl
+            FROM documents
+        )
+    )
+    SELECT doc_id,
+           CAST(nl AS BIGINT) AS n_luma,
+           CAST(coalesce(list_sum(list_transform(
+                range(0, CAST(nl AS INT)),
+                j -> {_RGB_LUMA_EXPR})), 0) AS BIGINT) AS luma_sum,
+           CAST(coalesce(list_sum(list_transform(
+                range(0, CAST(nl AS INT)),
+                j -> ({_RGB_LUMA_EXPR}) * (j + 1))), 0) AS BIGINT) AS luma_poly
+    FROM geo
+    """,
+)
+def multimodal_image_rgb_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUECOLOR leg of the real-decode seam: every doc's bytes encode
+    as a genuine color-type-2 PNG (interleaved RGB triples, filter
+    predictors stepping by bpp=3 per the spec), decode back through the
+    shared chunk-CRC/inflate/all-five-filters engine, convert to the
+    integer-luma plane (77R+150G+29B >> 8 — weights sum to 256, exact
+    arithmetic), and reduce to an order-sensitive checksum
+    (position-weighted luma sum). The oracle reproduces every luma
+    value from the text with substring arithmetic, so a wrong bpp step
+    in Sub/Average/Paeth, a channel swap, or a scanline shift flips the
+    value hash — the color decode path is pinned end to end, not just
+    its row count. Funnel shape: payload bytes in, 4 columns out."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assets = encode_text_assets(docs, "png_rgb")
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        rgb_luma_stats,
+    )
+
+    return rgb_luma_stats(assets)
+
+
 #: offset for synthetic "re-encoded copy" ids — keeps the twin id space
 #: disjoint from real doc ids at every SF.
 _TWIN_OFFSET = 10_000_000

@@ -169,3 +169,64 @@ def test_resample_wav_real_transcode(spark):
         want = t.encode()[::4]
         assert rate == WAV_RATE // 4 and n_frames == len(want)
         assert wav_decode_pcm8(wav) == want
+
+
+# --------------------------------------------------------------------------
+# Truecolor (color type 2) PNG + luma
+# --------------------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(payloads, st.sampled_from([(0,), (1,), (2,), (3,), (4,), (0, 1, 2), (0, 1, 2, 3, 4), (4, 3, 2, 1, 0)]))
+def test_png_rgb_roundtrip_all_filters(data, cycle):
+    """RGB decode inverts all five filters at bpp=3: the Sub/Average/
+    Paeth predictors must step by 3 bytes (channel-wise), which a bpp=1
+    implementation would corrupt for any payload with cross-channel
+    structure."""
+    from kafka_streams_the_clojure_way_spark.functions.codecs import (
+        png_decode_rgb,
+        png_encode_rgb,
+    )
+
+    row = 3 * PNG_WIDTH
+    dec = png_decode_rgb(png_encode_rgb(data, filter_cycle=cycle))
+    pad = (-len(data)) % row
+    want = data + b" " * pad if data else b" " * row
+    assert dec == want
+
+
+def test_png_rgb_rejects_gray_and_vice_versa():
+    """Color type is validated: a truecolor decoder must not silently
+    consume a grayscale container (wrong bpp would mis-defilter), and
+    vice versa."""
+    from kafka_streams_the_clojure_way_spark.functions.codecs import (
+        png_decode_rgb,
+        png_encode_rgb,
+    )
+
+    gray = png_encode_gray(b"some gray pixels here")
+    rgb = png_encode_rgb(b"some rgb pixel triples")
+    with pytest.raises(ValueError, match="color type"):
+        png_decode_rgb(gray)
+    with pytest.raises(ValueError, match="color type"):
+        png_decode_gray(rgb)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_rgb_luma_matches_python_reference(data):
+    from kafka_streams_the_clojure_way_spark.functions.codecs import (
+        LUMA_B,
+        LUMA_G,
+        LUMA_R,
+        rgb_to_luma,
+    )
+
+    rgb = data + b" " * ((-len(data)) % 3)
+    got = rgb_to_luma(rgb)
+    want = bytes(
+        (LUMA_R * rgb[3 * j] + LUMA_G * rgb[3 * j + 1] + LUMA_B * rgb[3 * j + 2])
+        >> 8
+        for j in range(len(rgb) // 3)
+    )
+    assert got == want
+    assert rgb_to_luma(bytes([200, 200, 200]) ) == bytes([200])  # weights sum to 256
