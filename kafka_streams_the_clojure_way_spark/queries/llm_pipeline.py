@@ -5247,3 +5247,94 @@ def meta_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rank_in_source") - 1) * F.col("n_sources") + F.col("src_ix")
         ).alias("train_pos"),
     )
+
+
+# --------------------------------------------------------------------------
+# WARC record demux (the web-crawl ingestion container)
+# --------------------------------------------------------------------------
+
+#: record-group shards per source: bounds each assembled WARC blob by
+#: the (source, shard) slice, never the corpus — the splittability unit.
+_WARC_SHARDS = 4
+
+_WARC_ORACLE = f"""
+SELECT doc_id, source,
+       CAST(doc_id % {_WARC_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+            PARTITION BY source, doc_id % {_WARC_SHARDS} ORDER BY doc_id
+        ) - 1 AS BIGINT) AS rec_idx,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS content_length,
+       CAST(coalesce(list_sum(list_transform(
+            range(1, CAST(octet_length(CAST(text AS BLOB)) AS INT) + 1),
+            i -> unicode(substr(text, i, 1)))), 0) AS BIGINT) AS payload_sum
+FROM documents
+"""
+
+
+@query("source_warc_records", oracle=_WARC_ORACLE)
+def source_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC demux — the container web-crawl corpora actually arrive in
+    (Common Crawl's WARC/WET files; demuxing them is step one of every
+    crawl-scale text pipeline). Each (source, shard) slice's documents
+    assemble into ONE genuine multi-record WARC/1.0 blob (version line,
+    headers, Content-Length framing, record separators — the fixture
+    side), then the REAL parser (sources/warc.warc_parse: header
+    walking, length-framed payload slicing, mandatory separators) demuxes
+    it back and every emitted column comes from the PARSED record — the
+    doc id from the WARC-Target-URI header, the length from
+    Content-Length, the payload byte-sum from the sliced payload bytes.
+    A one-byte framing error shifts every subsequent record and flips
+    the value hash, so the parse is pinned end to end.
+
+    Scale shape: record-group size is bounded by the (source, shard)
+    key — production WARCs arrive as files and each parses inside one
+    task (mapInPandas), emitting small typed rows (the funnel)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    grouped = (
+        docs.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(_WARC_SHARDS)))
+        .groupBy("source", "shard")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "text"))).alias("recs"))
+    )
+
+    def kernel(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        from kafka_streams_the_clojure_way_spark.sources.warc import (
+            warc_encode,
+            warc_parse,
+        )
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "source": [], "shard": [],
+                "rec_idx": [], "content_length": [], "payload_sum": [],
+            }
+            for src, shard, recs in zip(
+                pdf["source"].values, pdf["shard"].values, pdf["recs"].values
+            ):
+                blob = warc_encode(
+                    [
+                        (f"urn:doc:{r['doc_id']}", r["text"].encode("utf-8"))
+                        for r in recs
+                    ]
+                )
+                for idx, rec in enumerate(warc_parse(blob)):
+                    out["doc_id"].append(int(rec["uri"].rsplit(":", 1)[1]))
+                    out["source"].append(src)
+                    out["shard"].append(int(shard))
+                    out["rec_idx"].append(idx)
+                    out["content_length"].append(rec["content_length"])
+                    out["payload_sum"].append(int(sum(rec["payload"])))
+            yield pd.DataFrame(out)
+
+    return grouped.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, source string, shard long, rec_idx long, "
+            "content_length long, payload_sum long"
+        ),
+    )
