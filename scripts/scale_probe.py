@@ -111,6 +111,11 @@ PROBE_QUERIES = [
     "dedup_video_phash_indexed",    # persisted video frame-index probe (batch
                                     # demuxes only itself; output ~factor^2 on
                                     # copies) [factor-capped, see PROBE_FACTOR_CAP]
+    "multimodal_image_rgb_luma",    # truecolor encode -> decode -> luma checksum:
+                                    # per-doc codec work, embarrassingly parallel
+    "source_warc_records",          # WARC assemble+demux per (source, shard)
+                                    # group: blob size ~factor within fixed group
+                                    # count — the splittability-unit slope
 ]
 
 
