@@ -5338,3 +5338,69 @@ def source_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content_length long, payload_sum long"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Compressed JSON-lines ingestion (the other arrival container)
+# --------------------------------------------------------------------------
+
+#: per-process materialized jsonl.gz copy of each sf_dir's documents —
+#: the fixture side of the ingestion seam, written once per (process,
+#: sf), exactly like the persisted index builds.
+_JSONL_CACHE: dict[str, str] = {}
+
+
+def _jsonl_gz_path(spark: SparkSession, sf_dir: str) -> str:
+    path = _JSONL_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="docs_jsonl_")
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "lang", "text")
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .json(path)
+        )
+        _JSONL_CACHE[sf_dir] = path
+    return path
+
+
+@query(
+    "source_jsonl_gz_roundtrip",
+    oracle=f"""
+    SELECT doc_id, source, lang,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           {P.hash60_sql('text')} AS text_h60
+    FROM documents
+    """,
+)
+def source_jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed JSON-lines ingestion — the OTHER container text
+    corpora arrive in (alongside WARC): the documents table writes once
+    per process as gzip JSONL (the fixture side), then the query reads
+    it back through Spark's real JSON reader with an EXPLICIT schema (no
+    inference scan — at corpus scale schema inference is a second full
+    pass) and emits per-doc length + the portable 60-bit content hash of
+    the round-tripped text. The oracle computes the same from the
+    parquet documents, so a quote/backslash escaping bug, a charset
+    mangle, or a dropped row in the JSON path flips the value hash —
+    serde fidelity is pinned, not just row counts.
+
+    Scale shape: .gz is NOT splittable — one stripe per file is the
+    parallelism unit, which is why the fixture writes Spark's
+    one-file-per-partition layout (a production pipeline sizes files to
+    the task budget; .zst/.bz2 or uncompressed JSONL restore in-file
+    splits). The read is a narrow scan -> projection, no shuffle."""
+    path = _jsonl_gz_path(spark, sf_dir)
+    docs = spark.read.schema(
+        "doc_id long, source string, lang string, text string"
+    ).json(path)
+    return docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        P.hash60(F.col("text")).alias("text_h60"),
+    )

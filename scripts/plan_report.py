@@ -158,9 +158,11 @@ HEADLINERS = [
     ),
     (
         "text_bpe_token_stats",
-        "Greedy-subword token accounting: the entire tokenizer is "
-        "row-local HOF expression eval on the scan — zero exchanges, "
-        "no Python, output one row per doc.",
+        "Greedy-subword token accounting, distinct-word form: the fold "
+        "runs once per DISTINCT word (Zipf), counts re-join the "
+        "occurrence stream (AQE broadcasts the vocab side at this "
+        "scale; degrades to a key-hash join when a vocabulary outgrows "
+        "broadcast), one per-doc sum — no Python anywhere.",
     ),
     (
         "dedup_line_level_stats",
@@ -171,10 +173,10 @@ HEADLINERS = [
     (
         "dedup_image_phash_indexed",
         "pHash band-index probe: the batch signs ONLY itself "
-        "(mapInPandas), its distinct keys become literal band/bkey "
-        "partition filters on the postings scan, and the probe side "
-        "broadcasts into the candidate equi-join — per-batch cost "
-        "independent of corpus size.",
+        "(mapInPandas), its distinct routing keys become literal "
+        "band/bucket partition filters on the postings scan (bkey "
+        "resolves exactly in the candidate equi-join), and the probe "
+        "side broadcasts — per-batch cost independent of corpus size.",
     ),
     (
         "dedup_audio_fp_pairs",
