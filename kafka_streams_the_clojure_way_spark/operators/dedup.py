@@ -323,6 +323,7 @@ def minhash_lsh_pairs(
     *,
     n_hashes: int = N_MINHASH,
     bands: int = LSH_BANDS,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH banding + exact-Jaccard verify.
 
@@ -347,6 +348,10 @@ def minhash_lsh_pairs(
     The signature frame is cached: at scale you materialize the signature
     table once (it is ~1% of corpus size) and reuse it for banding and
     verification instead of recomputing md5s per consumer.
+    ``cache_registry``: receives that cached frame so long-lived callers
+    can unpersist it per batch — the same lifecycle contract as
+    :func:`minhash_index_probe` (the one previously-unregistered
+    process-wide cache in a registered query path; VERDICT r8 item 8).
     """
     if n_hashes % bands:
         raise ValueError(f"n_hashes={n_hashes} must divide evenly into bands={bands}")
@@ -357,6 +362,8 @@ def minhash_lsh_pairs(
         .withColumn("sig", minhash_from_hashes(F.col("sh"), minhash_seeds(n_hashes)))
         .cache()
     )
+    if cache_registry is not None:
+        cache_registry.append(sigs)
     banded = sigs.select(
         id_col,
         F.explode(
@@ -2754,6 +2761,7 @@ def bloom_gated_exact_probe(
     *,
     text: str = "text",
     id_col: str = "doc_id",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """The composed exact gate a production ingestion loop runs: Bloom
     pre-test first (ZERO false negatives, so nothing true is lost),
@@ -2762,9 +2770,16 @@ def bloom_gated_exact_probe(
     — (probe_id, corpus_id, content_hash) — because the confirm step
     eliminates every Bloom false positive; at steady state (mostly-new
     batches) the hash index sees a small fraction of the batch and
-    pure-new batches skip it entirely."""
+    pure-new batches skip it entirely.
+
+    ``cache_registry``: forwarded to :func:`bloom_index_probe`, whose
+    batch path caches its probe-need frame — a per-micro-batch loop
+    (the documented foreachBatch pattern) must pass a registry and
+    unpersist after each batch, or cached frames accrete for the life
+    of the process (the keyset_index_probe lifecycle contract)."""
     maybe = bloom_index_probe(
-        spark, bloom_path, batch, text=text, id_col=id_col
+        spark, bloom_path, batch, text=text, id_col=id_col,
+        cache_registry=cache_registry,
     ).select(F.col("probe_id").alias(id_col))
     gated = batch.join(F.broadcast(maybe), id_col, "left_semi")
     return hash_index_probe(spark, hash_index_path, gated, text=text, id_col=id_col)

@@ -168,19 +168,31 @@ def bpe_token_counts(
     where a vocabulary outgrows broadcast it degrades to a hash join on
     the word key — never a forced driver-side collect. Values are
     bit-identical to the occurrence fold (integer sums of the same
-    per-word counts; same recursive-CTE oracle)."""
+    per-word counts; same recursive-CTE oracle).
+
+    Row preservation: the token stream uses ``explode_outer`` and the
+    count join is a LEFT join folded with ``coalesce(sum, 0)``, so a doc
+    whose token array is NULL or empty still yields a count row (0) —
+    exactly like :func:`bpe_token_count_col` keeps the row. The batch
+    form must not re-introduce dependence on the tokenizer's
+    split('')->[''] invariant to keep rows (ADVICE r8)."""
     tok = df.select(
-        F.col(id_col), F.explode(tokens_col(F.col(text))).alias("__w")
+        F.col(id_col), F.explode_outer(tokens_col(F.col(text))).alias("__w")
     )
     vocab = (
         tok.select("__w")
+        .where(F.col("__w").isNotNull())
         .distinct()
         .withColumn("__c", _bpe_word_count(F.col("__w")))
     )
     return (
-        tok.join(vocab, "__w")
+        tok.join(vocab, "__w", "left")
         .groupBy(id_col)
-        .agg(F.sum("__c").cast("long").alias("n_tokens_bpe"))
+        .agg(
+            F.coalesce(F.sum("__c"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens_bpe")
+        )
     )
 
 

@@ -177,7 +177,7 @@ def ingestion_topology(
         if bloom_index_path is not None:
             pairs = D.bloom_gated_exact_probe(
                 spark, bloom_index_path, hash_index_path, batch,
-                text=text, id_col=id_col,
+                text=text, id_col=id_col, cache_registry=cache_registry,
             )
         else:
             pairs = D.hash_index_probe(

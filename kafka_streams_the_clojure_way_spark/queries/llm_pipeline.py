@@ -5346,24 +5346,59 @@ def source_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: per-process materialized jsonl.gz copy of each sf_dir's documents —
 #: the fixture side of the ingestion seam, written once per (process,
-#: sf), exactly like the persisted index builds.
-_JSONL_CACHE: dict[str, str] = {}
+#: sf), exactly like the persisted index builds. Values are
+#: (path, source_token): the cache revalidates a content token of the
+#: SOURCE documents table (the _index_meta convention) so an in-process
+#: rewrite of the table can never serve a stale fixture; the temp dirs
+#: register for atexit removal so a long-lived process doesn't leak one
+#: gzip corpus copy per sf_dir (ADVICE r8).
+_JSONL_CACHE: dict[str, tuple[str, object]] = {}
+
+
+def _source_table_token(sf_dir: str, table: str = "documents"):
+    """Best-effort change token for a source parquet table: sorted
+    (name, size, mtime_ns) of its data files (file or directory layout).
+    None when unreadable — validation degrades to cache-by-path."""
+    import os
+
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(root):
+            names = sorted(
+                n for n in os.listdir(root) if not n.startswith(("_", "."))
+            )
+            return tuple(
+                (n, os.path.getsize(os.path.join(root, n)),
+                 os.stat(os.path.join(root, n)).st_mtime_ns)
+                for n in names
+            )
+        st = os.stat(root)
+        return ((os.path.basename(root), st.st_size, st.st_mtime_ns),)
+    except OSError:
+        return None
 
 
 def _jsonl_gz_path(spark: SparkSession, sf_dir: str) -> str:
-    path = _JSONL_CACHE.get(sf_dir)
-    if path is None:
-        import tempfile
+    token = _source_table_token(sf_dir)
+    hit = _JSONL_CACHE.get(sf_dir)
+    if hit is not None:
+        path, cached_token = hit
+        if token is None or cached_token == token:
+            return path
+    import atexit
+    import shutil
+    import tempfile
 
-        path = tempfile.mkdtemp(prefix="docs_jsonl_")
-        (
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id", "source", "lang", "text")
-            .write.mode("overwrite")
-            .option("compression", "gzip")
-            .json(path)
-        )
-        _JSONL_CACHE[sf_dir] = path
+    path = tempfile.mkdtemp(prefix="docs_jsonl_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang", "text")
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(path)
+    )
+    _JSONL_CACHE[sf_dir] = (path, token)
     return path
 
 
