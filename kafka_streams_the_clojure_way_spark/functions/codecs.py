@@ -44,6 +44,48 @@ import struct
 import zlib
 
 # --------------------------------------------------------------------------
+# Error classification (the quarantine contract)
+# --------------------------------------------------------------------------
+
+#: closed vocabulary of quarantine kinds, coarse enough that every
+#: decoder in this module maps each failure deterministically — the
+#: permissive decode paths (operators/multimodal, operators/imagehash)
+#: emit these as the ``error_kind`` column, and seeded-corruption
+#: fixtures can predict them per asset (bad magic / CRC flip / chunk
+#: truncation each land on exactly one kind).
+CODEC_ERROR_KINDS = (
+    "bad_magic",
+    "crc_mismatch",
+    "truncated",
+    "unsupported",
+    "decode_error",
+)
+
+
+def classify_codec_error(msg: str) -> str:
+    """Map a codec ``ValueError`` message from this module onto the
+    closed :data:`CODEC_ERROR_KINDS` vocabulary. Deterministic by
+    construction: every raise site in this module uses one of the
+    matched phrasings, so a given corruption always classifies the same
+    way (the property the quarantine oracle depends on)."""
+    m = msg.lower()
+    if "magic" in m or "not a decodable wav" in m or "not a parseable wav" in m:
+        return "bad_magic"
+    if "crc mismatch" in m:
+        return "crc_mismatch"
+    if (
+        "truncated" in m
+        or "missing iend" in m
+        or "missing ihdr" in m
+        or "unterminated" in m
+    ):
+        return "truncated"
+    if "unsupported" in m or "no decoder" in m or "no stdlib header parser" in m:
+        return "unsupported"
+    return "decode_error"
+
+
+# --------------------------------------------------------------------------
 # PNG: grayscale 8-bit, all five filters
 # --------------------------------------------------------------------------
 
@@ -235,7 +277,11 @@ def _png_decode(png: bytes, expect_ctype: int, bpp: int) -> bytes:
     if not seen_end:
         raise ValueError("PNG missing IEND")
     wb = width * bpp
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # normalize to the module's ValueError contract
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     if raw.size != height * (wb + 1):
         raise ValueError(
             f"PNG pixel payload {raw.size} != {height}x({wb}+1)"

@@ -77,7 +77,11 @@ _MEDIAN_RANK = (PHASH_BITS + 1) // 2  # 32: lower median of 63 AC coeffs
 
 
 def phash_assets(
-    df: DataFrame, id_col: str = "doc_id", decode: str | None = None
+    df: DataFrame,
+    id_col: str = "doc_id",
+    decode: str | None = None,
+    *,
+    mode: str = "strict",
 ) -> DataFrame:
     """(id, phash) per asset via one Arrow-batched mapInPandas kernel —
     vectorized across the batch: all payloads concatenate into ONE uint8
@@ -92,16 +96,30 @@ def phash_assets(
     chunk CRCs, inflate, all five scanline filters) and hashes the
     DECODED pixels — same plan, same downstream banding, and still
     bit-exact against the DuckDB oracle because 8-bit grayscale decode
-    round-trips the payload (plus the documented space-pad)."""
+    round-trips the payload (plus the documented space-pad).
+
+    ``mode="permissive"``: per-asset decode ``ValueError``s quarantine
+    the row (phash=-1, ``status``/``error_kind`` columns — the
+    ``multimodal.asset_pixel_checksum`` contract) instead of failing
+    the stage; clean assets hash bit-identically in both modes. The
+    -1 sentinel can never collide with a real signature (bit 63 is
+    never set, so real hashes are in [0, 2^63))."""
     import numpy as np
     import pandas as pd
 
     if decode not in (None, "png"):
         raise ValueError(f"decode must be None or 'png', got {decode!r}")
+    if mode not in ("strict", "permissive"):
+        raise ValueError(f"mode must be 'strict' or 'permissive', got {mode!r}")
+    permissive = mode == "permissive"
     C = np.asarray(DCT_COEF, dtype=np.int64)
     grid2 = PHASH_GRID * PHASH_GRID
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from kafka_streams_the_clojure_way_spark.functions.codecs import (
+            classify_codec_error,
+        )
+
         if decode == "png":
             from kafka_streams_the_clojure_way_spark.functions.codecs import (
                 png_decode_gray,
@@ -111,16 +129,33 @@ def phash_assets(
         else:
             unwrap = bytes
         for pdf in batches:
-            payloads = [unwrap(a["bytes"]) for a in pdf["asset"].values]
+            kinds: list[str | None] = []
+            if permissive:
+                payloads = []
+                for a in pdf["asset"].values:
+                    try:
+                        payloads.append(unwrap(a["bytes"]))
+                        kinds.append(None)
+                    except (ValueError, NotImplementedError) as exc:
+                        payloads.append(b"")
+                        kinds.append(classify_codec_error(str(exc)))
+            else:
+                payloads = [unwrap(a["bytes"]) for a in pdf["asset"].values]
             lens = np.fromiter((len(p) for p in payloads), dtype=np.int64)
             buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
             offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
             k = np.arange(grid2, dtype=np.int64)
             # nearest-neighbor downsample; empty payloads read as zeros
             idx = offs[:, None] + (k[None, :] * lens[:, None]) // grid2
-            pix = np.where(
-                lens[:, None] > 0, buf[np.minimum(idx, buf.size - 1)] if buf.size else 0, 0
-            ).astype(np.int64)
+            # keep the (batch, 64) grid shape even when EVERY payload in
+            # the batch is empty (buf.size == 0): a scalar 0 branch would
+            # collapse np.where's broadcast to the condition's shape
+            gathered = (
+                buf[np.minimum(idx, buf.size - 1)]
+                if buf.size
+                else np.zeros_like(idx)
+            )
+            pix = np.where(lens[:, None] > 0, gathered, 0).astype(np.int64)
             P = pix.reshape(-1, PHASH_GRID, PHASH_GRID)
             D = np.einsum("ui,bij,vj->buv", C, P, C, dtype=np.int64)
             flat = D.reshape(-1, grid2)[:, 1:]  # drop DC; flat[j] = coef k=j+1
@@ -128,11 +163,18 @@ def phash_assets(
             bits = (flat > med[:, None]).astype(np.int64)
             powers = np.left_shift(np.int64(1), np.arange(PHASH_BITS, dtype=np.int64))
             ph = (bits * powers[None, :]).sum(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col].values, "phash": ph})
+            cols = {id_col: pdf[id_col].values, "phash": ph}
+            if permissive:
+                bad = np.array([k is not None for k in kinds], dtype=bool)
+                cols["phash"] = np.where(bad, -1, ph)
+                cols["status"] = np.where(bad, "quarantined", "ok")
+                cols["error_kind"] = [k if k is not None else "ok" for k in kinds]
+            yield pd.DataFrame(cols)
 
-    return df.select(id_col, "asset").mapInPandas(
-        kernel, schema=f"{id_col} long, phash long"
-    )
+    schema = f"{id_col} long, phash long"
+    if permissive:
+        schema += ", status string, error_kind string"
+    return df.select(id_col, "asset").mapInPandas(kernel, schema=schema)
 
 
 def phash_sql(table: str = "documents", id_col: str = "doc_id", text: str = "text") -> str:

@@ -148,12 +148,91 @@ def encode_text_assets(
     )
 
 
+#: first IDAT body byte of a PNG from functions/codecs.png_encode_gray:
+#: magic (8) + IHDR chunk (4 len + 4 tag + 13 body + 4 crc) + IDAT
+#: header (4 len + 4 tag). Flipping THIS byte leaves chunk framing
+#: intact and guarantees an IDAT CRC mismatch (a single-byte XOR can
+#: never be a CRC-32 codeword).
+PNG_IDAT_BODY_OFFSET = 8 + 25 + 8
+
+#: byte length of a zero-payload chunk (PNG IEND): 4 len + 4 tag + 4
+#: crc. Dropping this many trailing bytes removes IEND exactly.
+PNG_IEND_LEN = 12
+
+
+def corrupt_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    flip_offset: int = PNG_IDAT_BODY_OFFSET,
+    trunc_tail: int = PNG_IEND_LEN,
+) -> DataFrame:
+    """FIXTURE-side seeded corruption for the quarantine path: apply a
+    deterministic, id-keyed corruption to each asset payload so a
+    permissive decode's per-row verdict is predictable in SQL.
+
+    By ``id % 4``: 0 = clean; 1 = XOR 0xFF one byte at ``flip_offset``
+    (inside a PNG's first IDAT body -> chunk CRC mismatch, always —
+    CRC-32 is linear, so a single-byte flip cannot be a codeword);
+    2 = drop the trailing ``trunc_tail`` bytes (a PNG's IEND chunk
+    exactly -> "missing IEND", the truncation class); 3 = zero the
+    first 4 bytes (bad magic, always). The corruption classes are the
+    tests' corruptor set (tests/test_codecs.py) applied as a corpus
+    fixture. Payload-local, Arrow-batched; schema unchanged."""
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for doc_id, asset in zip(pdf[id_col].values, pdf["asset"].values):
+                raw = bytes(asset["bytes"])
+                kind = int(doc_id) % 4
+                if kind == 1 and len(raw) > flip_offset:
+                    raw = (
+                        raw[:flip_offset]
+                        + bytes([raw[flip_offset] ^ 0xFF])
+                        + raw[flip_offset + 1 :]
+                    )
+                elif kind == 2:
+                    raw = raw[: max(0, len(raw) - trunc_tail)]
+                elif kind == 3:
+                    raw = b"\x00\x00\x00\x00" + raw[4:]
+                out.append(
+                    {
+                        id_col: doc_id,
+                        "asset": {
+                            "bytes": raw,
+                            "mime": asset["mime"],
+                            "width": asset["width"],
+                            "height": asset["height"],
+                            "n_frames": asset["n_frames"],
+                            "sample_rate": asset["sample_rate"],
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "asset").mapInPandas(
+        kernel, schema=f"{id_col} long, asset struct<{ASSET_SCHEMA}>"
+    )
+
+
 def decode_assets(
-    df: DataFrame, id_col: str = "doc_id", decoder: str = "stub"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    decoder: str = "stub",
+    *,
+    mode: str = "strict",
 ) -> DataFrame:
     """Decode metadata for every asset via Arrow-batched mapInPandas.
     Output: id + decoded metadata + payload size (payload itself dropped —
     the funnel: big bytes in, small typed rows out).
+
+    ``mode="permissive"`` adds ``status``/``error_kind`` columns and
+    quarantines per-asset parse failures (-1 metadata sentinels) instead
+    of failing the stage — the contract a 100 TB ingest needs (one
+    corrupt container must cost one row, not the job). Strict stays the
+    default; clean-asset values are identical in both modes.
 
     ``decoder="stub"`` (default): NO per-row Python — mime/size come from
     the struct fields and byte lengths, and the stub geometry is a pure
@@ -183,6 +262,8 @@ def decode_assets(
         raise ValueError(
             f"decoder must be 'stub', 'pillow' or 'stdlib', got {decoder!r}"
         )
+    if mode not in ("strict", "permissive"):
+        raise ValueError(f"mode must be 'strict' or 'permissive', got {mode!r}")
     if decoder == "pillow" and not HAS_PIL:
         raise ImportError(
             "decode_assets(decoder='pillow') requires Pillow; install it or "
@@ -190,19 +271,24 @@ def decode_assets(
         )
     use_pil = decoder == "pillow"
     use_stdlib = decoder == "stdlib"
+    permissive = mode == "permissive"
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import io
 
-        if use_stdlib:
-            from kafka_streams_the_clojure_way_spark.functions import codecs as CC
+        from kafka_streams_the_clojure_way_spark.functions import codecs as CC
 
         for pdf in batches:
             mimes = pdf["asset"].str.get("mime")
             known = mimes.str.startswith(("image/", "audio/", "video/"))
+            kinds: list[str | None] = [None] * len(pdf)
             if not known.all():
-                bad = mimes[~known].iloc[0]
-                raise NotImplementedError(f"no decoder for mime {bad!r}")
+                if not permissive:
+                    bad = mimes[~known].iloc[0]
+                    raise NotImplementedError(f"no decoder for mime {bad!r}")
+                for i, ok in enumerate(known.values):
+                    if not ok:
+                        kinds[i] = "unsupported"
             payloads = pdf["asset"].str.get("bytes")
             n = payloads.str.len().to_numpy(dtype="int64")
             # stub geometry: a pure function of byte length, whole-column
@@ -214,7 +300,7 @@ def decode_assets(
             if use_pil:
                 # real decode: per-payload by necessity (codec work)
                 for i, (img, payload) in enumerate(zip(is_image, payloads.values)):
-                    if not img:
+                    if not img or kinds[i] is not None:
                         continue
                     with _PILImage.open(io.BytesIO(bytes(payload))) as im:
                         width[i], height[i] = im.width, im.height
@@ -229,34 +315,38 @@ def decode_assets(
                 for i, (mime, payload) in enumerate(
                     zip(mimes.values, payloads.values)
                 ):
+                    if kinds[i] is not None:
+                        continue
                     raw = bytes(payload)
-                    if mime == "image/png":
-                        width[i], height[i] = CC.png_parse_ihdr(raw)
-                        n_frames[i] = 1
-                    elif mime == "audio/wav":
-                        n_frames[i], rates[i] = CC.wav_parse_meta(raw)
-                        width[i] = height[i] = -1
-                    elif mime == "video/x-pgm-frames":
-                        n_frames[i] = CC.pgm_parse_n_frames(raw)
-                        width[i], height[i] = CC.PGM_FRAME_LEN, 1
-                    else:
-                        raise NotImplementedError(
-                            f"no stdlib header parser for mime {mime!r}"
-                        )
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col],
-                        "mime": mimes,
-                        "n_bytes": n,
-                        "width": width,
-                        "height": height,
-                        "n_frames": n_frames,
-                        "sample_rate": rates,
-                    }
-                )
-                continue
-            yield pd.DataFrame(
-                {
+                    try:
+                        if mime == "image/png":
+                            width[i], height[i] = CC.png_parse_ihdr(raw)
+                            n_frames[i] = 1
+                        elif mime == "audio/wav":
+                            n_frames[i], rates[i] = CC.wav_parse_meta(raw)
+                            width[i] = height[i] = -1
+                        elif mime == "video/x-pgm-frames":
+                            n_frames[i] = CC.pgm_parse_n_frames(raw)
+                            width[i], height[i] = CC.PGM_FRAME_LEN, 1
+                        else:
+                            raise NotImplementedError(
+                                f"no stdlib header parser for mime {mime!r}"
+                            )
+                    except (ValueError, NotImplementedError) as exc:
+                        if not permissive:
+                            raise
+                        kinds[i] = CC.classify_codec_error(str(exc))
+                cols = {
+                    id_col: pdf[id_col],
+                    "mime": mimes,
+                    "n_bytes": n,
+                    "width": width,
+                    "height": height,
+                    "n_frames": n_frames,
+                    "sample_rate": rates,
+                }
+            else:
+                cols = {
                     id_col: pdf[id_col],
                     "mime": mimes,
                     "n_bytes": n,
@@ -265,13 +355,21 @@ def decode_assets(
                     "n_frames": n_frames,
                     "sample_rate": np.where(is_audio, 16_000, -1).astype("int32"),
                 }
-            )
+            if permissive:
+                bad = np.array([k is not None for k in kinds], dtype=bool)
+                for c in ("width", "height", "n_frames", "sample_rate"):
+                    cols[c] = np.where(bad, -1, cols[c]).astype("int32")
+                cols["status"] = np.where(bad, "quarantined", "ok")
+                cols["error_kind"] = [k if k is not None else "ok" for k in kinds]
+            yield pd.DataFrame(cols)
 
-    return df.select(id_col, "asset").mapInPandas(
-        decode,
-        schema=f"{id_col} long, mime string, n_bytes long, width int, height int, "
-        "n_frames int, sample_rate int",
+    schema = (
+        f"{id_col} long, mime string, n_bytes long, width int, height int, "
+        "n_frames int, sample_rate int"
     )
+    if permissive:
+        schema += ", status string, error_kind string"
+    return df.select(id_col, "asset").mapInPandas(decode, schema=schema)
 
 
 def resize_assets(
@@ -347,7 +445,11 @@ def resize_assets(
 
 
 def asset_pixel_checksum(
-    df: DataFrame, id_col: str = "doc_id", decode: str | None = None
+    df: DataFrame,
+    id_col: str = "doc_id",
+    decode: str | None = None,
+    *,
+    mode: str = "strict",
 ) -> DataFrame:
     """(id, n_pix, pix_sum, pix_head, pix_tail) per asset — the decoded
     pixel stream's length, byte sum, and first/last byte. The cheap
@@ -357,14 +459,33 @@ def asset_pixel_checksum(
     real stdlib PNG decoder; ``decode="wav"`` the std RIFF parser;
     ``decode=None`` checksums raw payload bytes. Vectorized per Arrow
     batch: one concatenated uint8 buffer + a segment-offset add-reduce,
-    the extract_features discipline."""
+    the extract_features discipline.
+
+    ``mode="strict"`` (default): the first corrupt asset raises and —
+    in Spark — fails the stage, the right PER-ASSET contract but the
+    wrong JOB contract at corpus scale (one flipped byte in 100 TB kills
+    the ingest). ``mode="permissive"``: per-asset codec ``ValueError``s
+    are caught INSIDE the kernel and the row is QUARANTINED — two extra
+    columns (``status`` 'ok'|'quarantined', ``error_kind`` from the
+    closed ``functions/codecs.CODEC_ERROR_KINDS`` vocabulary) and -1
+    sentinels for the checksum columns. Clean assets produce
+    bit-identical values in both modes (pytest-pinned); the decode work
+    stays in the same vectorized batch path — only failed payloads take
+    the exception branch."""
     import numpy as np
     import pandas as pd
 
     if decode not in (None, "png", "wav"):
         raise ValueError(f"decode must be None, 'png' or 'wav', got {decode!r}")
+    if mode not in ("strict", "permissive"):
+        raise ValueError(f"mode must be 'strict' or 'permissive', got {mode!r}")
+    permissive = mode == "permissive"
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from kafka_streams_the_clojure_way_spark.functions.codecs import (
+            classify_codec_error,
+        )
+
         if decode == "png":
             from kafka_streams_the_clojure_way_spark.functions.codecs import (
                 png_decode_gray,
@@ -380,7 +501,18 @@ def asset_pixel_checksum(
         else:
             unwrap = bytes
         for pdf in batches:
-            pix = [unwrap(a["bytes"]) for a in pdf["asset"].values]
+            kinds: list[str | None] = []
+            if permissive:
+                pix = []
+                for a in pdf["asset"].values:
+                    try:
+                        pix.append(unwrap(a["bytes"]))
+                        kinds.append(None)
+                    except (ValueError, NotImplementedError) as exc:
+                        pix.append(b"")
+                        kinds.append(classify_codec_error(str(exc)))
+            else:
+                pix = [unwrap(a["bytes"]) for a in pdf["asset"].values]
             lens = np.fromiter((len(p) for p in pix), dtype=np.int64)
             buf = np.frombuffer(b"".join(pix), dtype=np.uint8).astype(np.int64)
             ends = np.cumsum(lens)
@@ -389,24 +521,29 @@ def asset_pixel_checksum(
             # np.where evaluates both branches: index a 1-elem dummy when
             # the whole batch decoded to zero bytes (empty assets)
             sbuf = buf if buf.size else np.zeros(1, dtype=np.int64)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].values,
-                    "n_pix": lens,
-                    "pix_sum": csum[ends] - csum[starts],
-                    "pix_head": np.where(
-                        lens > 0, sbuf[np.minimum(starts, sbuf.size - 1)], -1
-                    ),
-                    "pix_tail": np.where(
-                        lens > 0, sbuf[np.minimum(np.maximum(ends - 1, 0), sbuf.size - 1)], -1
-                    ),
-                }
-            )
+            cols = {
+                id_col: pdf[id_col].values,
+                "n_pix": lens,
+                "pix_sum": csum[ends] - csum[starts],
+                "pix_head": np.where(
+                    lens > 0, sbuf[np.minimum(starts, sbuf.size - 1)], -1
+                ),
+                "pix_tail": np.where(
+                    lens > 0, sbuf[np.minimum(np.maximum(ends - 1, 0), sbuf.size - 1)], -1
+                ),
+            }
+            if permissive:
+                bad = np.array([k is not None for k in kinds], dtype=bool)
+                for c in ("n_pix", "pix_sum", "pix_head", "pix_tail"):
+                    cols[c] = np.where(bad, -1, cols[c])
+                cols["status"] = np.where(bad, "quarantined", "ok")
+                cols["error_kind"] = [k if k is not None else "ok" for k in kinds]
+            yield pd.DataFrame(cols)
 
-    return df.select(id_col, "asset").mapInPandas(
-        kernel,
-        schema=f"{id_col} long, n_pix long, pix_sum long, pix_head long, pix_tail long",
-    )
+    schema = f"{id_col} long, n_pix long, pix_sum long, pix_head long, pix_tail long"
+    if permissive:
+        schema += ", status string, error_kind string"
+    return df.select(id_col, "asset").mapInPandas(kernel, schema=schema)
 
 
 FRAME_STRIDE = 5
@@ -417,6 +554,8 @@ def sample_frames(
     id_col: str = "doc_id",
     stride: int = FRAME_STRIDE,
     container: str | None = None,
+    *,
+    mode: str = "strict",
 ) -> DataFrame:
     """Frame sampling for video assets — the 1->N row expansion shape
     (mapInPandas yielding MORE rows than it reads).
@@ -428,13 +567,27 @@ def sample_frames(
     frame's ASCII header is parsed and validated, and the emitted
     ``frame_bytes`` are the frame's decoded pixels (which round-trip
     the encoder's input chunks exactly, keeping the oracle a
-    ``substring``)."""
+    ``substring``).
+
+    ``mode="permissive"``: a container that fails to demux emits ONE
+    quarantine row (frame_idx=-1, frame_bytes NULL, frame_len=-1) with
+    ``status``/``error_kind`` columns instead of failing the stage —
+    demux is all-or-nothing per container (a bad header poisons every
+    subsequent frame offset), so the quarantine unit is the asset, not
+    the frame. Clean containers sample identically in both modes."""
     import pandas as pd
 
     if container not in (None, "pgm"):
         raise ValueError(f"container must be None or 'pgm', got {container!r}")
+    if mode not in ("strict", "permissive"):
+        raise ValueError(f"mode must be 'strict' or 'permissive', got {mode!r}")
+    permissive = mode == "permissive"
 
     def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from kafka_streams_the_clojure_way_spark.functions.codecs import (
+            classify_codec_error,
+        )
+
         if container == "pgm":
             from kafka_streams_the_clojure_way_spark.functions.codecs import (
                 pgm_decode_frames,
@@ -458,22 +611,38 @@ def sample_frames(
         for pdf in batches:
             out = []
             for doc_id, asset in zip(pdf[id_col].values, pdf["asset"].values):
-                frames = frames_of(bytes(asset["bytes"]))
+                try:
+                    frames = frames_of(bytes(asset["bytes"]))
+                except (ValueError, NotImplementedError) as exc:
+                    if not permissive:
+                        raise
+                    row = {
+                        id_col: doc_id,
+                        "frame_idx": -1,
+                        "frame_bytes": None,
+                        "frame_len": -1,
+                        "status": "quarantined",
+                        "error_kind": classify_codec_error(str(exc)),
+                    }
+                    out.append(row)
+                    continue
                 for idx in range(0, len(frames), stride):
-                    out.append(
-                        {
-                            id_col: doc_id,
-                            "frame_idx": idx,
-                            "frame_bytes": frames[idx],
-                            "frame_len": len(frames[idx]),
-                        }
-                    )
+                    row = {
+                        id_col: doc_id,
+                        "frame_idx": idx,
+                        "frame_bytes": frames[idx],
+                        "frame_len": len(frames[idx]),
+                    }
+                    if permissive:
+                        row["status"] = "ok"
+                        row["error_kind"] = "ok"
+                    out.append(row)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, "asset").mapInPandas(
-        sample,
-        schema=f"{id_col} long, frame_idx int, frame_bytes binary, frame_len long",
-    )
+    schema = f"{id_col} long, frame_idx int, frame_bytes binary, frame_len long"
+    if permissive:
+        schema += ", status string, error_kind string"
+    return df.select(id_col, "asset").mapInPandas(sample, schema=schema)
 
 
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -179,3 +179,209 @@ def test_extract_features_batch_vectorization_matches_per_row(spark):
         hist = np.bincount(buf % FEATURE_DIM, minlength=FEATURE_DIM).astype("float64")
         want = (hist / (hist.sum() or 1.0)).tolist()
         assert got[i] == pytest.approx(want), i
+
+
+# --------------------------------------------------------------------------
+# Permissive / quarantine decode mode (VERDICT r8 #1)
+# --------------------------------------------------------------------------
+
+def _png_assets(spark, texts):
+    """Real PNG assets from text payloads, doc_id = index."""
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        encode_text_assets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return encode_text_assets(df, "png")
+
+
+def test_permissive_checksum_clean_assets_bit_identical(spark):
+    """Clean assets must produce bit-identical checksum values in strict
+    and permissive mode — permissive only ADDS the verdict columns."""
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        asset_pixel_checksum,
+    )
+
+    assets = _png_assets(spark, ["hello world", "", "abc" * 50])
+    strict = {
+        r.doc_id: (r.n_pix, r.pix_sum, r.pix_head, r.pix_tail)
+        for r in asset_pixel_checksum(assets, decode="png").collect()
+    }
+    perm = {
+        r.doc_id: (r.n_pix, r.pix_sum, r.pix_head, r.pix_tail, r.status, r.error_kind)
+        for r in asset_pixel_checksum(
+            assets, decode="png", mode="permissive"
+        ).collect()
+    }
+    assert set(strict) == set(perm)
+    for k, (n, s, h, t) in strict.items():
+        assert perm[k] == (n, s, h, t, "ok", "ok")
+
+
+def test_permissive_checksum_quarantines_seeded_corruptions(spark):
+    """corrupt_assets' three corruption classes land on their predicted
+    error kinds; clean rows survive with real values; strict mode dies
+    on the same frame."""
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        asset_pixel_checksum,
+        corrupt_assets,
+    )
+
+    texts = [f"document number {i} " + "x" * i for i in range(8)]
+    assets = corrupt_assets(_png_assets(spark, texts))
+    rows = {
+        r.doc_id: r
+        for r in asset_pixel_checksum(
+            assets, decode="png", mode="permissive"
+        ).collect()
+    }
+    want_kind = {0: "ok", 1: "crc_mismatch", 2: "truncated", 3: "bad_magic"}
+    for i in range(8):
+        r = rows[i]
+        assert r.error_kind == want_kind[i % 4], i
+        if i % 4 == 0:
+            assert r.status == "ok" and r.n_pix > 0 and r.pix_sum > 0
+        else:
+            assert r.status == "quarantined"
+            assert (r.n_pix, r.pix_sum, r.pix_head, r.pix_tail) == (-1, -1, -1, -1)
+
+    # strict mode on the same corrupted frame fails the job (the r8
+    # contract this mode exists to fix)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="CRC mismatch|PNG"):
+        asset_pixel_checksum(assets, decode="png").collect()
+
+
+def test_permissive_phash_parity_and_quarantine(spark):
+    """phash_assets: clean hashes bit-identical across modes; corrupt
+    assets get phash=-1 (unreachable for real 63-bit signatures)."""
+    from kafka_streams_the_clojure_way_spark.operators.imagehash import phash_assets
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        corrupt_assets,
+    )
+
+    texts = [f"img {i} " + "qwerty" * (i + 1) for i in range(8)]
+    clean = _png_assets(spark, texts)
+    strict = {r.doc_id: r.phash for r in phash_assets(clean, decode="png").collect()}
+    perm = {
+        r.doc_id: (r.phash, r.status)
+        for r in phash_assets(clean, decode="png", mode="permissive").collect()
+    }
+    for k, ph in strict.items():
+        assert perm[k] == (ph, "ok")
+        assert 0 <= ph < (1 << 63)
+
+    corrupted = {
+        r.doc_id: r
+        for r in phash_assets(
+            corrupt_assets(clean), decode="png", mode="permissive"
+        ).collect()
+    }
+    for i in range(8):
+        if i % 4 == 0:
+            assert corrupted[i].phash == strict[i]
+        else:
+            assert corrupted[i].phash == -1
+            assert corrupted[i].status == "quarantined"
+
+
+def test_permissive_sample_frames_quarantines_bad_container(spark):
+    """A container that fails demux yields ONE quarantine row; clean
+    containers sample identically in both modes."""
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        encode_text_assets,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a" * 200), (1, "b" * 130)], "doc_id long, text string"
+    )
+    assets = encode_text_assets(df, "pgm")
+
+    strict = sorted(
+        (r.doc_id, r.frame_idx, r.frame_len)
+        for r in sample_frames(assets, container="pgm").collect()
+    )
+    perm_rows = sample_frames(assets, container="pgm", mode="permissive").collect()
+    assert sorted((r.doc_id, r.frame_idx, r.frame_len) for r in perm_rows) == strict
+    assert all(r.status == "ok" and r.error_kind == "ok" for r in perm_rows)
+
+    # corrupt doc 1's container magic -> one quarantine row for doc 1
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as FF
+
+    bad = assets.withColumn(
+        "asset",
+        FF.when(
+            FF.col("doc_id") == 1,
+            FF.struct(
+                FF.concat(
+                    FF.lit(b"XX"), FF.expr("substring(asset.bytes, 3)")
+                ).alias("bytes"),
+                FF.col("asset.mime").alias("mime"),
+                FF.col("asset.width").alias("width"),
+                FF.col("asset.height").alias("height"),
+                FF.col("asset.n_frames").alias("n_frames"),
+                FF.col("asset.sample_rate").alias("sample_rate"),
+            ),
+        ).otherwise(FF.col("asset")),
+    )
+    got = sample_frames(bad, container="pgm", mode="permissive").collect()
+    doc1 = [r for r in got if r.doc_id == 1]
+    assert len(doc1) == 1
+    assert doc1[0].status == "quarantined"
+    assert doc1[0].error_kind == "bad_magic"
+    assert (doc1[0].frame_idx, doc1[0].frame_len) == (-1, -1)
+    doc0 = sorted((r.frame_idx, r.frame_len) for r in got if r.doc_id == 0)
+    assert doc0 == sorted(
+        (fi, fl) for d, fi, fl in strict if d == 0
+    )
+
+
+def test_permissive_decode_assets_header_parse(spark):
+    """decode_assets(decoder='stdlib', mode='permissive'): bad magic is
+    caught at the header parse; clean geometry matches strict mode.
+    (Header-only parsing cannot see IDAT CRC flips or a missing IEND —
+    that's the full-decode path's job; kinds here are what headers can
+    prove.)"""
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        corrupt_assets,
+        decode_assets,
+    )
+
+    texts = [f"t{i} " + "z" * (10 * i) for i in range(8)]
+    clean = _png_assets(spark, texts)
+    strict = {
+        r.doc_id: (r.width, r.height, r.n_frames)
+        for r in decode_assets(clean, decoder="stdlib").collect()
+    }
+    got = {
+        r.doc_id: r
+        for r in decode_assets(
+            corrupt_assets(clean), decoder="stdlib", mode="permissive"
+        ).collect()
+    }
+    for i in range(8):
+        r = got[i]
+        if i % 4 == 3:  # magic zeroed: header parse catches it
+            assert r.status == "quarantined" and r.error_kind == "bad_magic"
+            assert (r.width, r.height, r.n_frames) == (-1, -1, -1)
+        elif i % 4 == 0:  # clean: geometry identical to strict
+            assert r.status == "ok" and r.error_kind == "ok"
+            assert (r.width, r.height, r.n_frames) == strict[i]
+
+
+def test_permissive_decode_assets_unknown_mime(spark):
+    """Unknown mime quarantines as 'unsupported' instead of raising."""
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        decode_assets,
+    )
+
+    df = _assets(spark, [b"abc"], mime="application/pdf")
+    rows = decode_assets(df, mode="permissive").collect()
+    assert len(rows) == 1
+    assert rows[0].status == "quarantined"
+    assert rows[0].error_kind == "unsupported"
