@@ -414,6 +414,86 @@ def wav_decode_pcm8(payload: bytes) -> bytes:
         raise ValueError(f"not a decodable WAV: {exc}") from exc
 
 
+def wav_encode_pcm16(
+    data: bytes, rate: int = WAV_RATE, channels: int = 2
+) -> bytes:
+    """Encode ``data`` as a real RIFF/WAVE file with 16-bit signed
+    little-endian PCM samples and 1 or 2 channels — the profile real
+    speech/music corpora actually ship (VERDICT r8 #2; 8-bit mono is a
+    fixture convenience, not a wire format). Each input byte ``b``
+    becomes one 16-bit sample ``(b << 8) - 32768`` (full-scale signed);
+    bytes alternate channels in order, and the payload is space-padded
+    to a multiple of ``channels`` so every frame is complete.
+
+    Exact inverse through :func:`wav_decode_pcm`'s documented
+    downmix + requantization: mono round-trips the bytes exactly;
+    stereo decodes to the PAIRWISE BYTE AVERAGE
+    ``(b[2j] + b[2j+1]) >> 1`` of the padded payload — integer
+    arithmetic end to end, reproduced by the DuckDB oracle with
+    substring arithmetic."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if channels not in (1, 2):
+        raise ValueError(f"channels must be 1 or 2, got {channels}")
+    padded = data + PNG_PAD * (-len(data) % channels)
+    a = np.frombuffer(padded, dtype=np.uint8).astype(np.int64)
+    samples = ((a << 8) - 32768).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def wav_decode_pcm(payload: bytes) -> bytes:
+    """General WAV decode to an 8-bit unsigned sample stream through
+    the std ``wave`` RIFF parser — accepts 8-bit mono (samples ARE the
+    bytes, byte-identical to :func:`wav_decode_pcm8`) plus 16-bit
+    mono/stereo with the DOCUMENTED integer reduction every downstream
+    fingerprint consumes:
+
+    1. **downmix** stereo to mono FIRST, in 16-bit space:
+       ``m = (L + R) >> 1`` (arithmetic shift — exact integer mean,
+       floor);
+    2. **requantize** 16-bit to 8-bit: ``q = (m + 32768) >> 8``
+       (offset to unsigned, keep the high byte).
+
+    Both steps are exact int64 arithmetic, so fingerprints over the
+    decoded stream stay integer-exact and cross-engine reproducible
+    (for :func:`wav_encode_pcm16` fixtures the result is the pairwise
+    byte average of the padded input). Raises ``ValueError`` on
+    non-WAV bytes or any other geometry (24-bit, >2 channels) — the
+    quarantine contract."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            ch, sw = w.getnchannels(), w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except wave.Error as exc:
+        raise ValueError(f"not a decodable WAV: {exc}") from exc
+    if sw == 1 and ch == 1:
+        return raw
+    if sw == 2 and ch in (1, 2):
+        a = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        if ch == 2:
+            a = a.reshape(-1, 2)
+            a = (a[:, 0] + a[:, 1]) >> 1
+        return (((a + 32768) >> 8).astype(np.uint8)).tobytes()
+    raise ValueError(
+        f"unsupported WAV geometry: channels={ch} sampwidth={sw} "
+        "(need 8-bit mono or 16-bit mono/stereo PCM)"
+    )
+
+
 # --------------------------------------------------------------------------
 # PGM (P5) frame container for the video modality
 # --------------------------------------------------------------------------

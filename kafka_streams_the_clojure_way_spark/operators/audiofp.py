@@ -71,12 +71,17 @@ def audio_fingerprints(
     through the REAL stdlib RIFF/WAVE parser
     (``functions/codecs.wav_decode_pcm8``) and fingerprints the DECODED
     8-bit PCM samples — same plan, and still oracle-bit-exact because
-    mono 8-bit PCM decode round-trips the sample bytes exactly."""
+    mono 8-bit PCM decode round-trips the sample bytes exactly.
+    ``decode="pcm"`` uses the GENERAL profile
+    (``functions/codecs.wav_decode_pcm``): 8-bit mono plus 16-bit
+    mono/stereo, reduced to one 8-bit stream by the documented integer
+    downmix + requantization — fingerprints stay integer-exact over
+    the wire formats real corpora ship."""
     import numpy as np
     import pandas as pd
 
-    if decode not in (None, "wav"):
-        raise ValueError(f"decode must be None or 'wav', got {decode!r}")
+    if decode not in (None, "wav", "pcm"):
+        raise ValueError(f"decode must be None, 'wav' or 'pcm', got {decode!r}")
     bitpow = None
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -89,6 +94,12 @@ def audio_fingerprints(
             )
 
             unwrap = lambda raw: wav_decode_pcm8(bytes(raw))  # noqa: E731
+        elif decode == "pcm":
+            from kafka_streams_the_clojure_way_spark.functions.codecs import (
+                wav_decode_pcm,
+            )
+
+            unwrap = lambda raw: wav_decode_pcm(bytes(raw))  # noqa: E731
         else:
             unwrap = bytes
         for pdf in batches:
@@ -120,15 +131,40 @@ def audio_fingerprints(
 
 
 def audio_fingerprints_sql(
-    table: str = "documents", id_col: str = "doc_id", text: str = "text"
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    *,
+    stream: str = "bytes",
 ) -> str:
-    """DuckDB twin of :func:`audio_fingerprints` for the stub decode
-    path (payload = UTF-8 bytes of ``text``; ASCII corpus => code points
-    are bytes). Returns a sub-SELECT of (id_col, frame_idx, fp)."""
+    """DuckDB twin of :func:`audio_fingerprints`. ``stream="bytes"``:
+    the stub/8-bit-mono path (payload = UTF-8 bytes of ``text``; ASCII
+    corpus => code points are bytes). ``stream="pcm16_stereo"``: the
+    16-bit STEREO fixture profile — the decoded 8-bit stream is the
+    pairwise byte average ``(b[2g] + b[2g+1]) >> 1`` of the text
+    space-padded to even length (``functions/codecs.wav_decode_pcm``'s
+    documented downmix + requantization of ``wav_encode_pcm16``
+    output). Returns a sub-SELECT of (id_col, frame_idx, fp)."""
+    if stream not in ("bytes", "pcm16_stereo"):
+        raise ValueError(
+            f"stream must be 'bytes' or 'pcm16_stereo', got {stream!r}"
+        )
+    raw_n = f"octet_length(CAST({text} AS BLOB))"
+    if stream == "bytes":
+        t_expr = text
+        n_expr = raw_n
+        byte_expr = "unicode(substr(t, CAST(g AS INT) + 1, 1))"
+    else:
+        t_expr = f"rpad({text}, CAST({raw_n} + ({raw_n} % 2) AS INT), ' ')"
+        n_expr = f"({raw_n} + 1) // 2"
+        byte_expr = (
+            "(unicode(substr(t, CAST(2 * g AS INT) + 1, 1))"
+            " + unicode(substr(t, CAST(2 * g AS INT) + 2, 1))) // 2"
+        )
     return f"""(
     WITH geo AS (
-        SELECT {id_col} AS aid, {text} AS t,
-               octet_length(CAST({text} AS BLOB)) AS n
+        SELECT {id_col} AS aid, {t_expr} AS t,
+               {n_expr} AS n
         FROM {table}
     ),
     pos AS (
@@ -137,7 +173,7 @@ def audio_fingerprints_sql(
     ),
     en AS (
         SELECT aid, (g // {FRAME_W}) AS f, ((g % {FRAME_W}) // {BAND_W}) AS b,
-               SUM(unicode(substr(t, CAST(g AS INT) + 1, 1))) AS e
+               SUM({byte_expr}) AS e
         FROM pos GROUP BY 1, 2, 3
     )
     SELECT a.aid AS {id_col}, CAST(a.f AS BIGINT) AS frame_idx,

@@ -104,14 +104,16 @@ def encode_text_assets(
     kernel is Arrow-batched and the output stays one asset row per doc."""
     import pandas as pd
 
-    if codec not in ("png", "png_rgb", "wav", "pgm"):
+    if codec not in ("png", "png_rgb", "wav", "wav16", "pgm"):
         raise ValueError(
-            f"codec must be 'png', 'png_rgb', 'wav' or 'pgm', got {codec!r}"
+            f"codec must be 'png', 'png_rgb', 'wav', 'wav16' or 'pgm', "
+            f"got {codec!r}"
         )
     mime = {
         "png": "image/png",
         "png_rgb": "image/png",
         "wav": "audio/wav",
+        "wav16": "audio/wav",
         "pgm": "video/x-pgm-frames",
     }[codec]
 
@@ -122,6 +124,7 @@ def encode_text_assets(
             "png": CC.png_encode_gray,
             "png_rgb": CC.png_encode_rgb,
             "wav": CC.wav_encode_pcm8,
+            "wav16": CC.wav_encode_pcm16,  # 16-bit stereo (channels=2)
             "pgm": CC.pgm_encode_video,
         }[codec]
         for pdf in batches:
@@ -456,7 +459,9 @@ def asset_pixel_checksum(
     content pin an end-to-end transcode audit needs: any mis-decoded,
     mis-sampled, or mis-ordered pixel moves the sum (and the endpoints
     catch symmetric swaps the sum forgives). ``decode="png"`` runs the
-    real stdlib PNG decoder; ``decode="wav"`` the std RIFF parser;
+    real stdlib PNG decoder; ``decode="wav"`` the std RIFF parser
+    (8-bit mono); ``decode="pcm"`` the general WAV profile (8-bit mono
+    + 16-bit mono/stereo with documented downmix/requantization);
     ``decode=None`` checksums raw payload bytes. Vectorized per Arrow
     batch: one concatenated uint8 buffer + a segment-offset add-reduce,
     the extract_features discipline.
@@ -475,8 +480,10 @@ def asset_pixel_checksum(
     import numpy as np
     import pandas as pd
 
-    if decode not in (None, "png", "wav"):
-        raise ValueError(f"decode must be None, 'png' or 'wav', got {decode!r}")
+    if decode not in (None, "png", "wav", "pcm"):
+        raise ValueError(
+            f"decode must be None, 'png', 'wav' or 'pcm', got {decode!r}"
+        )
     if mode not in ("strict", "permissive"):
         raise ValueError(f"mode must be 'strict' or 'permissive', got {mode!r}")
     permissive = mode == "permissive"
@@ -498,6 +505,14 @@ def asset_pixel_checksum(
             )
 
             unwrap = lambda raw: wav_decode_pcm8(bytes(raw))  # noqa: E731
+        elif decode == "pcm":
+            # general profile: 8-bit mono OR 16-bit mono/stereo, reduced
+            # to one 8-bit stream (documented downmix + requantization)
+            from kafka_streams_the_clojure_way_spark.functions.codecs import (
+                wav_decode_pcm,
+            )
+
+            unwrap = lambda raw: wav_decode_pcm(bytes(raw))  # noqa: E731
         else:
             unwrap = bytes
         for pdf in batches:

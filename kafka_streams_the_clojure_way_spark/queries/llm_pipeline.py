@@ -1893,6 +1893,80 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AFP.audio_fingerprints(_audio_assets_from(docs), decode="wav")
 
 
+@query(
+    "multimodal_audio_fingerprint_pcm16",
+    oracle=(
+        "SELECT doc_id, frame_idx, fp FROM "
+        f"{AFP.audio_fingerprints_sql(stream='pcm16_stereo')} s"
+    ),
+)
+def multimodal_audio_fingerprint_pcm16(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio fingerprints over 16-BIT STEREO WAV — the wire profile
+    real speech/music corpora ship (VERDICT r8 #2; 8-bit mono is a
+    fixture convenience). Each doc's bytes encode as a genuine RIFF
+    file with 16-bit signed LE samples alternating two channels
+    (functions/codecs.wav_encode_pcm16); decode="pcm" parses it back
+    through the std ``wave`` reader and reduces to one 8-bit stream by
+    the DOCUMENTED integer pipeline — downmix ``(L+R)>>1`` in 16-bit
+    space first, then requantize ``(m+32768)>>8`` — so the fingerprint
+    input is the pairwise byte average of the (space-padded) text and
+    the oracle recomputes every fingerprint bit-for-bit with substring
+    arithmetic. Same kernel, same plan shape as the mono path; only
+    the decoder profile widens."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return AFP.audio_fingerprints(
+        encode_text_assets(docs, "wav16"), decode="pcm"
+    )
+
+
+@query(
+    "multimodal_audio_pcm16_checksum",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id,
+               rpad(text, CAST(octet_length(CAST(text AS BLOB))
+                    + (octet_length(CAST(text AS BLOB)) % 2) AS INT), ' ') AS p,
+               (octet_length(CAST(text AS BLOB)) + 1) // 2 AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_pix,
+           CAST(coalesce(list_sum(list_transform(
+                range(0, CAST(n AS INT)),
+                g -> (unicode(substr(p, CAST(2*g AS INT) + 1, 1))
+                      + unicode(substr(p, CAST(2*g AS INT) + 2, 1))) // 2)), 0)
+                AS BIGINT) AS pix_sum,
+           CASE WHEN n > 0
+                THEN CAST((unicode(substr(p, 1, 1))
+                           + unicode(substr(p, 2, 1))) // 2 AS BIGINT)
+                ELSE -1 END AS pix_head,
+           CASE WHEN n > 0
+                THEN CAST((unicode(substr(p, CAST(2*n AS INT) - 1, 1))
+                           + unicode(substr(p, CAST(2*n AS INT), 1))) // 2
+                     AS BIGINT)
+                ELSE -1 END AS pix_tail
+    FROM geo
+    """,
+)
+def multimodal_audio_pcm16_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end content pin for the 16-bit stereo decode path: every
+    decoded-downmixed-requantized sample stream's length, sum, and
+    endpoints, reproduced by the oracle as pairwise byte averages of
+    the padded text — a wrong channel interleave, a sign/offset slip in
+    requantization, or an off-by-one in the downmix flips the value
+    hash. One mapInPandas funnel."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        asset_pixel_checksum,
+    )
+
+    return asset_pixel_checksum(
+        encode_text_assets(docs, "wav16"), decode="pcm"
+    )
+
+
 #: decimation factor for the audio transcode audit (every 4th sample).
 _RESAMPLE_FACTOR = 4
 

@@ -230,3 +230,102 @@ def test_rgb_luma_matches_python_reference(data):
     )
     assert got == want
     assert rgb_to_luma(bytes([200, 200, 200]) ) == bytes([200])  # weights sum to 256
+
+
+# --------------------------------------------------------------------------
+# 16-bit / stereo WAV profile (VERDICT r8 #2)
+# --------------------------------------------------------------------------
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+from kafka_streams_the_clojure_way_spark.functions.codecs import (
+    wav_decode_pcm,
+    wav_encode_pcm16,
+)
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(_st.binary(max_size=300))
+def test_wav_pcm16_mono_roundtrip_exact(data):
+    """16-bit mono: each byte b -> sample (b<<8)-32768 -> requantize
+    recovers b exactly — decode(encode(data)) == data."""
+    assert wav_decode_pcm(wav_encode_pcm16(data, channels=1)) == data
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(_st.binary(max_size=300))
+def test_wav_pcm16_stereo_decodes_to_pairwise_average(data):
+    """16-bit stereo: downmix-then-requantize yields the pairwise byte
+    average of the space-padded payload — the documented reduction the
+    oracle reproduces with substring arithmetic."""
+    padded = data + b" " * (len(data) % 2)
+    want = bytes(
+        (padded[2 * j] + padded[2 * j + 1]) >> 1 for j in range(len(padded) // 2)
+    )
+    assert wav_decode_pcm(wav_encode_pcm16(data, channels=2)) == want
+
+
+def test_wav_pcm_accepts_8bit_mono():
+    """The general decoder is byte-identical to wav_decode_pcm8 on the
+    legacy 8-bit mono profile."""
+    data = b"compat profile check \x00\xff\x80"
+    assert wav_decode_pcm(wav_encode_pcm8(data)) == data
+
+
+def test_wav_pcm_corruption_and_unsupported_loud():
+    """Garbage bytes and unsupported geometry raise ValueError with the
+    classified phrasings (the quarantine contract)."""
+    import io
+    import wave
+
+    import pytest as _pytest
+
+    from kafka_streams_the_clojure_way_spark.functions.codecs import (
+        classify_codec_error,
+    )
+
+    with _pytest.raises(ValueError, match="not a decodable WAV"):
+        wav_decode_pcm(b"not RIFF data at all")
+    try:
+        wav_decode_pcm(b"RIFFxxxx")
+    except ValueError as exc:
+        assert classify_codec_error(str(exc)) == "bad_magic"
+
+    # 16-bit THREE-channel: parseable container, rejected geometry
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(3)
+        w.setsampwidth(2)
+        w.setframerate(16_000)
+        w.writeframes(b"\x00\x01" * 9)
+    with _pytest.raises(ValueError, match="unsupported WAV geometry"):
+        wav_decode_pcm(buf.getvalue())
+    try:
+        wav_decode_pcm(buf.getvalue())
+    except ValueError as exc:
+        assert classify_codec_error(str(exc)) == "unsupported"
+
+    # 24-bit mono: also rejected loudly
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(16_000)
+        w.writeframes(b"\x00\x01\x02" * 4)
+    with _pytest.raises(ValueError, match="unsupported WAV geometry"):
+        wav_decode_pcm(buf.getvalue())
+
+
+def test_wav_pcm16_truncated_frames():
+    """A 16-bit stereo file with its payload cut mid-frame: the std
+    wave reader surfaces what it can; our decoder must either raise
+    ValueError or return only COMPLETE frames (never a torn sample)."""
+    wav = wav_encode_pcm16(b"0123456789", channels=2)
+    cut = wav[:-3]  # slice mid-sample
+    try:
+        out = wav_decode_pcm(cut)
+    except ValueError:
+        return
+    # if the parser tolerates it, output length must be whole frames
+    assert len(out) <= 5
