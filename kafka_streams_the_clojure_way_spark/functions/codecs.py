@@ -546,6 +546,118 @@ def pgm_decode_frames(payload: bytes) -> list[bytes]:
 
 
 # --------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) video container — a REAL public format (mjpegtools),
+# plain ASCII stream/frame headers + raw planes, stdlib-parseable.
+# Replaces the bespoke concatenated-PGM container as the video fixture
+# (VERDICT r8 #3); the PGM demuxer stays for mixed-container corpora.
+# --------------------------------------------------------------------------
+
+Y4M_MAGIC = b"YUV4MPEG2"
+
+#: frame geometry of the fixture container: W=64, H=1, Cmono (one Y
+#: plane, so frame payload = W*H bytes). Unlike PGM, Y4M fixes the
+#: geometry in the STREAM header — every frame is the same size, so the
+#: encoder space-pads the last chunk (the PNG convention; the oracle
+#: reproduces it with rpad).
+Y4M_FRAME_LEN = 64
+
+
+def y4m_encode_video(data: bytes, frame_len: int = Y4M_FRAME_LEN) -> bytes:
+    """Mux ``data`` into a YUV4MPEG2 stream: one ASCII stream header
+    (``YUV4MPEG2 W<frame_len> H1 F25:1 Ip A1:1 Cmono``), then a
+    ``FRAME`` header + ``frame_len`` raw luma bytes per chunk. Y4M
+    frames are fixed-size, so the payload is space-padded to a
+    ``frame_len`` multiple (``decode(encode(data))`` concatenates to
+    ``data + b' ' * pad``); zero-byte payloads encode to a header-only
+    stream with zero frames."""
+    padded = data + PNG_PAD * (-len(data) % frame_len)
+    out = bytearray(
+        b"YUV4MPEG2 W%d H1 F25:1 Ip A1:1 Cmono\n" % frame_len
+    )
+    for off in range(0, len(padded), frame_len):
+        out += b"FRAME\n" + padded[off : off + frame_len]
+    return bytes(out)
+
+
+def _y4m_parse_stream_header(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, data_start) from a Y4M stream header — magic,
+    tagged W/H parameters, and the Cmono colorspace validated (C420
+    and friends are chroma-subsampled multi-plane layouts this decoder
+    does not implement; loud rejection, the quarantine contract)."""
+    if not payload.startswith(Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream: bad magic")
+    hdr_end = payload.find(b"\n")
+    if hdr_end < 0:
+        raise ValueError("unterminated Y4M stream header")
+    width = height = -1
+    cspace = None
+    for tok in payload[len(Y4M_MAGIC) : hdr_end].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"C":
+            cspace = val
+        # F (rate), I (interlace), A (aspect), X (extension) tolerated
+    if width < 1 or height < 1:
+        raise ValueError("Y4M stream header missing/invalid W or H")
+    if cspace != b"mono":
+        raise ValueError(
+            f"unsupported Y4M colorspace {cspace!r} (need Cmono)"
+        )
+    return width, height, hdr_end + 1
+
+
+def y4m_decode_frames(payload: bytes) -> list[bytes]:
+    """Demux a YUV4MPEG2 stream: parse + validate the stream header,
+    then per frame parse the ``FRAME`` marker line (parameters
+    tolerated) and slice exactly width*height luma bytes. Raises
+    ``ValueError`` on bad magic / unsupported colorspace / truncated
+    frames."""
+    width, height, pos = _y4m_parse_stream_header(payload)
+    fsize = width * height
+    frames: list[bytes] = []
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad Y4M FRAME marker at offset {pos}")
+        fh_end = payload.find(b"\n", pos)
+        if fh_end < 0:
+            raise ValueError(f"unterminated Y4M frame header at offset {pos}")
+        start = fh_end + 1
+        end = start + fsize
+        if end > n:
+            raise ValueError(f"truncated Y4M frame at offset {pos}")
+        frames.append(payload[start:end])
+        pos = end
+    return frames
+
+
+def y4m_parse_meta(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) of a Y4M stream — header walking only
+    (the stream header fixes the frame size, so counting skips pixel
+    bytes exactly like :func:`pgm_parse_n_frames`)."""
+    width, height, pos = _y4m_parse_stream_header(payload)
+    fsize = width * height
+    n_frames = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad Y4M FRAME marker at offset {pos}")
+        fh_end = payload.find(b"\n", pos)
+        if fh_end < 0:
+            raise ValueError(f"unterminated Y4M frame header at offset {pos}")
+        pos = fh_end + 1 + fsize
+        if pos > n:
+            raise ValueError("truncated Y4M frame")
+        n_frames += 1
+    return width, height, n_frames
+
+
+# --------------------------------------------------------------------------
 # Header-only metadata parsers (the decode_assets "stdlib" decoder)
 # --------------------------------------------------------------------------
 

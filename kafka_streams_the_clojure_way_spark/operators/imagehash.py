@@ -384,8 +384,10 @@ def video_frame_phashes(
     stride: int = 5,
 ) -> DataFrame:
     """(id, frame_idx, phash) for every ``stride``-th frame of each
-    video asset: demux the concatenated-P5 container through the REAL
-    parser (``multimodal.sample_frames(container="pgm")``), then run
+    video asset: demux the container through the REAL parser —
+    ``multimodal.sample_frames(container="auto")`` dispatches on each
+    asset's mime (YUV4MPEG2 or concatenated-P5), the production shape
+    for mixed-container corpora — then run
     the standard pHash kernel over the frame pixels. The two
     mapInPandas stages compose without a shuffle (both are per-row);
     the frame id is packed as video_id * VIDEO_FID_BASE + frame_idx
@@ -397,7 +399,7 @@ def video_frame_phashes(
         wrap_binary_assets,
     )
 
-    frames = sample_frames(assets, id_col=id_col, stride=stride, container="pgm")
+    frames = sample_frames(assets, id_col=id_col, stride=stride, container="auto")
     in_range = (F.col("frame_idx") < VIDEO_FID_BASE) & (
         F.abs(F.col(id_col)) < (1 << 62) // VIDEO_FID_BASE
     )
@@ -495,16 +497,22 @@ def video_phash_pairs_sql(
     max_dist: int = VIDEO_MAX_DIST,
     min_frames: int = VIDEO_MIN_FRAMES,
     prelude_ctes: str = "",
+    pad_frames: bool = False,
 ) -> str:
     """DuckDB twin of :func:`video_phash_pairs` — the ALL-PAIRS
     per-aligned-frame definition (banding is lossless per frame at this
     distance). Frames are reproduced with substring arithmetic because
-    P5 frame pixels round-trip the encoder's input chunks exactly."""
+    frame pixels round-trip the encoder's input chunks exactly;
+    ``pad_frames=True`` adds the Y4M container's space-pad on the final
+    partial frame (fixed-size frames per the stream header)."""
     n = f"octet_length(CAST({text} AS BLOB))"
+    fexpr = f"substring({text}, CAST(t.idx * {frame_len} + 1 AS INT), {frame_len})"
+    if pad_frames:
+        fexpr = f"rpad({fexpr}, {frame_len}, ' ')"
     return f"""
     WITH {prelude_ctes} vframes AS (
         SELECT {id_col} * {VIDEO_FID_BASE} + t.idx AS fid,
-               substring({text}, CAST(t.idx * {frame_len} + 1 AS INT), {frame_len})
+               {fexpr}
                    AS ftext
         FROM {table},
              unnest(range(0, ({n} + {frame_len} - 1) // {frame_len}, {stride}))
@@ -1022,16 +1030,21 @@ def video_phash_pairs_between_sql(
     max_dist: int = VIDEO_MAX_DIST,
     min_frames: int = VIDEO_MIN_FRAMES,
     prelude_ctes: str = "",
+    pad_frames: bool = False,
 ) -> str:
     """Oracle for the incremental (probe x corpus) form: (probe_id,
     corpus_id, n_close_frames) for every probe video with enough
     aligned close frames against a corpus one — the all-pairs per-frame
-    definition the banded index plan must match exactly."""
+    definition the banded index plan must match exactly.
+    ``pad_frames``: see :func:`video_phash_pairs_sql`."""
     n = f"octet_length(CAST({text} AS BLOB))"
+    fexpr = f"substring({text}, CAST(t.idx * {frame_len} + 1 AS INT), {frame_len})"
+    if pad_frames:
+        fexpr = f"rpad({fexpr}, {frame_len}, ' ')"
     return f"""
     WITH {prelude_ctes} vframes AS (
         SELECT {id_col} AS vid, t.idx AS frame_idx,
-               substring({text}, CAST(t.idx * {frame_len} + 1 AS INT), {frame_len})
+               {fexpr}
                    AS ftext,
                {id_col} * {VIDEO_FID_BASE} + t.idx AS fid
         FROM {table},

@@ -104,10 +104,10 @@ def encode_text_assets(
     kernel is Arrow-batched and the output stays one asset row per doc."""
     import pandas as pd
 
-    if codec not in ("png", "png_rgb", "wav", "wav16", "pgm"):
+    if codec not in ("png", "png_rgb", "wav", "wav16", "pgm", "y4m"):
         raise ValueError(
-            f"codec must be 'png', 'png_rgb', 'wav', 'wav16' or 'pgm', "
-            f"got {codec!r}"
+            f"codec must be 'png', 'png_rgb', 'wav', 'wav16', 'pgm' or "
+            f"'y4m', got {codec!r}"
         )
     mime = {
         "png": "image/png",
@@ -115,6 +115,7 @@ def encode_text_assets(
         "wav": "audio/wav",
         "wav16": "audio/wav",
         "pgm": "video/x-pgm-frames",
+        "y4m": "video/x-yuv4mpeg",
     }[codec]
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -126,6 +127,7 @@ def encode_text_assets(
             "wav": CC.wav_encode_pcm8,
             "wav16": CC.wav_encode_pcm16,  # 16-bit stereo (channels=2)
             "pgm": CC.pgm_encode_video,
+            "y4m": CC.y4m_encode_video,
         }[codec]
         for pdf in batches:
             payloads = [enc(t.encode("utf-8")) for t in pdf[text_col].values]
@@ -331,6 +333,10 @@ def decode_assets(
                         elif mime == "video/x-pgm-frames":
                             n_frames[i] = CC.pgm_parse_n_frames(raw)
                             width[i], height[i] = CC.PGM_FRAME_LEN, 1
+                        elif mime == "video/x-yuv4mpeg":
+                            width[i], height[i], n_frames[i] = CC.y4m_parse_meta(
+                                raw
+                            )
                         else:
                             raise NotImplementedError(
                                 f"no stdlib header parser for mime {mime!r}"
@@ -582,7 +588,13 @@ def sample_frames(
     frame's ASCII header is parsed and validated, and the emitted
     ``frame_bytes`` are the frame's decoded pixels (which round-trip
     the encoder's input chunks exactly, keeping the oracle a
-    ``substring``).
+    ``substring``). ``container="y4m"``: demux a real YUV4MPEG2 stream
+    (``functions/codecs.y4m_decode_frames`` — stream header fixes the
+    geometry, so the last frame arrives space-padded and the oracle
+    adds one ``rpad``). ``container="auto"``: dispatch per asset by its
+    ``mime`` field — the production shape for mixed-container corpora
+    (a demuxer routes on the container type the catalog recorded);
+    unknown video mimes raise loud (or quarantine in permissive mode).
 
     ``mode="permissive"``: a container that fails to demux emits ONE
     quarantine row (frame_idx=-1, frame_bytes NULL, frame_len=-1) with
@@ -592,8 +604,10 @@ def sample_frames(
     the frame. Clean containers sample identically in both modes."""
     import pandas as pd
 
-    if container not in (None, "pgm"):
-        raise ValueError(f"container must be None or 'pgm', got {container!r}")
+    if container not in (None, "pgm", "y4m", "auto"):
+        raise ValueError(
+            f"container must be None, 'pgm', 'y4m' or 'auto', got {container!r}"
+        )
     if mode not in ("strict", "permissive"):
         raise ValueError(f"mode must be 'strict' or 'permissive', got {mode!r}")
     permissive = mode == "permissive"
@@ -601,19 +615,38 @@ def sample_frames(
     def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from kafka_streams_the_clojure_way_spark.functions.codecs import (
             classify_codec_error,
+            pgm_decode_frames,
+            y4m_decode_frames,
         )
 
-        if container == "pgm":
-            from kafka_streams_the_clojure_way_spark.functions.codecs import (
-                pgm_decode_frames,
-            )
+        _by_mime = {
+            "video/x-pgm-frames": pgm_decode_frames,
+            "video/x-yuv4mpeg": y4m_decode_frames,
+        }
 
-            def frames_of(payload: bytes) -> list[bytes]:
+        if container == "pgm":
+
+            def frames_of(payload: bytes, mime: str) -> list[bytes]:
                 return pgm_decode_frames(payload)
+
+        elif container == "y4m":
+
+            def frames_of(payload: bytes, mime: str) -> list[bytes]:
+                return y4m_decode_frames(payload)
+
+        elif container == "auto":
+
+            def frames_of(payload: bytes, mime: str) -> list[bytes]:
+                demux = _by_mime.get(mime)
+                if demux is None:
+                    raise ValueError(
+                        f"unsupported video container mime {mime!r}"
+                    )
+                return demux(payload)
 
         else:
 
-            def frames_of(payload: bytes) -> list[bytes]:
+            def frames_of(payload: bytes, mime: str) -> list[bytes]:
                 n = len(payload)
                 n_frames = (n % 30) + 1  # = _decode_stub n_frames for video
                 chunk = (n + n_frames - 1) // n_frames if n_frames else 0
@@ -627,7 +660,7 @@ def sample_frames(
             out = []
             for doc_id, asset in zip(pdf[id_col].values, pdf["asset"].values):
                 try:
-                    frames = frames_of(bytes(asset["bytes"]))
+                    frames = frames_of(bytes(asset["bytes"]), asset["mime"])
                 except (ValueError, NotImplementedError) as exc:
                     if not permissive:
                         raise

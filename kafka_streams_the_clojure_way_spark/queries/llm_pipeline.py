@@ -1210,33 +1210,34 @@ def multimodal_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH geo AS (
         SELECT doc_id,
-               octet_length(CAST(text AS BLOB)) AS n,
-               (octet_length(CAST(text AS BLOB)) + {CC.PGM_FRAME_LEN - 1})
-                   // {CC.PGM_FRAME_LEN} AS nf
+               (octet_length(CAST(text AS BLOB)) + {CC.Y4M_FRAME_LEN - 1})
+                   // {CC.Y4M_FRAME_LEN} AS nf
         FROM documents
     )
     SELECT doc_id,
            CAST(t.idx AS INTEGER) AS frame_idx,
-           CAST(least({CC.PGM_FRAME_LEN}, n - t.idx * {CC.PGM_FRAME_LEN})
-                AS BIGINT) AS frame_len
+           CAST({CC.Y4M_FRAME_LEN} AS BIGINT) AS frame_len
     FROM geo, unnest(range(0, nf, 5)) AS t(idx)
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling (1->N mapInPandas expansion) over a REAL
-    container: each doc's bytes are muxed into a concatenated binary-P5
-    netpbm stream (functions/codecs.pgm_encode_video — genuine ASCII
-    headers per frame), and sample_frames DEMUXES it with the real
-    parser (header validation, per-frame pixel slicing), emitting every
-    5th frame. Frame pixels round-trip the encoder's 64-byte chunks, so
-    the oracle reproduces the sampled geometry with substring
-    arithmetic — the decode path is real, the correctness gate stays
-    exact. dedup_video_phash_pairs composes this demux with the pHash
-    kernel for content-level near-dup."""
+    PUBLIC container: each doc's bytes are muxed into a YUV4MPEG2
+    stream (functions/codecs.y4m_encode_video — genuine ASCII stream +
+    FRAME headers, Cmono luma planes), and sample_frames DEMUXES it
+    with the real parser (header + colorspace validation, fixed-size
+    frame slicing), emitting every 5th frame. Y4M fixes frame geometry
+    in the stream header, so every frame is exactly {CC.Y4M_FRAME_LEN}
+    bytes (the final chunk space-padded — the PNG convention) and the
+    oracle reproduces the sampled geometry with range arithmetic — the
+    decode path is real, the correctness gate stays exact.
+    dedup_video_phash_pairs composes this demux with the pHash kernel
+    for content-level near-dup; the bespoke-PGM demuxer remains for
+    mixed-container corpora (container="auto" dispatches by mime)."""
     assets = encode_text_assets(
-        load_table(spark, sf_dir, "documents"), "pgm"
+        load_table(spark, sf_dir, "documents"), "y4m"
     )
-    return sample_frames(assets, container="pgm").select(
+    return sample_frames(assets, container="y4m").select(
         "doc_id", "frame_idx", "frame_len"
     )
 
@@ -1678,13 +1679,13 @@ def meta_phash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
-                  ELSE 'video/x-pgm-frames' END AS mime,
+                  ELSE 'video/x-yuv4mpeg' END AS mime,
            CAST(CASE m WHEN 0 THEN {CC.PNG_WIDTH} WHEN 1 THEN -1
-                       ELSE {CC.PGM_FRAME_LEN} END AS INT) AS width,
+                       ELSE {CC.Y4M_FRAME_LEN} END AS INT) AS width,
            CAST(CASE m WHEN 0 THEN greatest((n + {CC.PNG_WIDTH - 1}) // {CC.PNG_WIDTH}, 1)
                        WHEN 1 THEN -1 ELSE 1 END AS INT) AS height,
            CAST(CASE m WHEN 0 THEN 1 WHEN 1 THEN n
-                       ELSE (n + {CC.PGM_FRAME_LEN - 1}) // {CC.PGM_FRAME_LEN}
+                       ELSE (n + {CC.Y4M_FRAME_LEN - 1}) // {CC.Y4M_FRAME_LEN}
                 END AS INT) AS n_frames,
            CAST(CASE m WHEN 1 THEN {CC.WAV_RATE} ELSE -1 END AS INT)
                AS sample_rate
@@ -1693,11 +1694,11 @@ def meta_phash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata extraction over a MIXED-MODALITY corpus with REAL
-    container parsing: each doc becomes a PNG, WAV, or concatenated-PGM
+    container parsing: each doc becomes a PNG, WAV, or YUV4MPEG2
     asset by doc_id % 3, and decode_assets(decoder="stdlib") reads the
     geometry from the actual container headers — PNG IHDR (CRC
-    validated, no inflate), WAV via the std RIFF parser, P5 header
-    walking — never from the stub arithmetic. The catalog-building scan
+    validated, no inflate), WAV via the std RIFF parser, Y4M stream +
+    FRAME header walking — never from the stub arithmetic. The catalog-building scan
     shape: header-only parses, payload bytes never decompressed, output
     rows orders of magnitude smaller than input (the funnel). The
     oracle recomputes the expected geometry from the encoders'
@@ -1706,7 +1707,7 @@ def multimodal_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     parts = [
         encode_text_assets(docs.filter(F.col("doc_id") % 3 == m), codec)
-        for m, codec in enumerate(["png", "wav", "pgm"])
+        for m, codec in enumerate(["png", "wav", "y4m"])
     ]
     assets = parts[0].unionByName(parts[1]).unionByName(parts[2])
     return decode_assets(assets, decoder="stdlib").select(
@@ -1716,7 +1717,8 @@ def multimodal_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _VIDEO_PAIRS_ORACLE = IH.video_phash_pairs_sql(
     "all_docs",
-    frame_len=CC.PGM_FRAME_LEN,
+    frame_len=CC.Y4M_FRAME_LEN,
+    pad_frames=True,
     prelude_ctes=f"""all_docs AS (
         SELECT doc_id, text FROM documents
         UNION ALL
@@ -1729,8 +1731,8 @@ _VIDEO_PAIRS_ORACLE = IH.video_phash_pairs_sql(
 @query("dedup_video_phash_pairs", oracle=_VIDEO_PAIRS_ORACLE)
 def dedup_video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VIDEO near-dup pairs over originals + re-encoded copies (the
-    perturbed-twin convention): each video is a real concatenated-P5
-    container DEMUXED by the actual parser, every 5th frame is pHashed,
+    perturbed-twin convention): each video is a real YUV4MPEG2 stream
+    DEMUXED by the actual parser, every 5th frame is pHashed,
     and two videos pair when >= {IH.VIDEO_MIN_FRAMES} aligned sampled
     frames sit within Hamming {IH.VIDEO_MAX_DIST} — frame-position
     alignment (the audio_fp_pairs discipline) composed with pHash
@@ -1742,11 +1744,12 @@ def dedup_video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame, so twins pair via their untouched frames; unrelated videos
     essentially never align a 21-bit band at the same position. The
     oracle computes the all-pairs per-aligned-frame definition from
-    substring-reproduced frames — exact, because P5 pixels round-trip
-    the chunk bytes."""
+    substring-reproduced frames — exact, because Y4M luma planes
+    round-trip the chunk bytes (final frame space-padded per the
+    fixed-geometry stream header; the oracle adds one rpad)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     both = docs.unionByName(_perturbed_twins(docs))
-    return IH.video_phash_pairs(encode_text_assets(both, "pgm"))
+    return IH.video_phash_pairs(encode_text_assets(both, "y4m"))
 
 
 #: per-process persisted video frame index over the corpus slice.
@@ -1754,7 +1757,7 @@ _VIDEO_INDEX_CACHE: dict[tuple, str] = {}
 
 
 def _video_index_path(spark: SparkSession, sf_dir: str) -> str:
-    key = (sf_dir, _INCR_NEW_MOD, IH.VIDEO_BANDS, IH.VIDEO_INDEX_BUCKETS, "pgm")
+    key = (sf_dir, _INCR_NEW_MOD, IH.VIDEO_BANDS, IH.VIDEO_INDEX_BUCKETS, "y4m")
     path = _VIDEO_INDEX_CACHE.get(key)
     if path is None:
         import tempfile
@@ -1765,7 +1768,7 @@ def _video_index_path(spark: SparkSession, sf_dir: str) -> str:
             .select("doc_id", "text")
             .filter(F.col("doc_id") % _INCR_NEW_MOD != 0)
         )
-        IH.build_video_phash_index(encode_text_assets(corpus, "pgm"), path)
+        IH.build_video_phash_index(encode_text_assets(corpus, "y4m"), path)
         _VIDEO_INDEX_CACHE[key] = path
     return path
 
@@ -1774,7 +1777,8 @@ _VIDEO_INDEXED_ORACLE = IH.video_phash_pairs_between_sql(
     probe_pred=f"doc_id >= {_TWIN_OFFSET}",
     corpus_pred=f"doc_id < {_TWIN_OFFSET}",
     table="combined",
-    frame_len=CC.PGM_FRAME_LEN,
+    frame_len=CC.Y4M_FRAME_LEN,
+    pad_frames=True,
     prelude_ctes=f"""combined AS (
         SELECT doc_id + {_TWIN_OFFSET} AS doc_id, {_TWIN_TEXT_SQL} AS text
         FROM documents
@@ -1807,7 +1811,7 @@ def dedup_video_phash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % _INCR_NEW_MOD == _PHASH_PROBE_MOD_VAL)
     )
     return IH.video_phash_index_probe(
-        spark, _video_index_path(spark, sf_dir), encode_text_assets(probe_docs, "pgm")
+        spark, _video_index_path(spark, sf_dir), encode_text_assets(probe_docs, "y4m")
     )
 
 
@@ -1817,11 +1821,11 @@ WITH corpus_docs AS (
 ),
 vframes AS (
     SELECT doc_id * {IH.VIDEO_FID_BASE} + t.idx AS fid,
-           substring(text, CAST(t.idx * {CC.PGM_FRAME_LEN} + 1 AS INT),
-                     {CC.PGM_FRAME_LEN}) AS ftext
+           rpad(substring(text, CAST(t.idx * {CC.Y4M_FRAME_LEN} + 1 AS INT),
+                          {CC.Y4M_FRAME_LEN}), {CC.Y4M_FRAME_LEN}, ' ') AS ftext
     FROM corpus_docs,
-         unnest(range(0, (octet_length(CAST(text AS BLOB)) + {CC.PGM_FRAME_LEN - 1})
-                         // {CC.PGM_FRAME_LEN}, 5)) AS t(idx)
+         unnest(range(0, (octet_length(CAST(text AS BLOB)) + {CC.Y4M_FRAME_LEN - 1})
+                         // {CC.Y4M_FRAME_LEN}, 5)) AS t(idx)
 ),
 fsigs AS (
     SELECT fid // {IH.VIDEO_FID_BASE} AS doc_id,

@@ -385,3 +385,46 @@ def test_permissive_decode_assets_unknown_mime(spark):
     assert len(rows) == 1
     assert rows[0].status == "quarantined"
     assert rows[0].error_kind == "unsupported"
+
+
+def test_sample_frames_auto_dispatches_by_mime(spark):
+    """container='auto' routes each asset to its mime's demuxer — a
+    mixed PGM + Y4M frame must demux both correctly in one pass."""
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        encode_text_assets,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "p" * 130), (1, "y" * 130)], "doc_id long, text string"
+    )
+    mixed = encode_text_assets(df.filter("doc_id = 0"), "pgm").unionByName(
+        encode_text_assets(df.filter("doc_id = 1"), "y4m")
+    )
+    rows = sorted(
+        (r.doc_id, r.frame_idx, r.frame_len)
+        for r in sample_frames(mixed, container="auto", stride=1).collect()
+    )
+    # PGM: final frame narrower (130 = 64+64+2); Y4M: fixed 64 (padded)
+    assert rows == [
+        (0, 0, 64), (0, 1, 64), (0, 2, 2),
+        (1, 0, 64), (1, 1, 64), (1, 2, 64),
+    ]
+
+    # unknown video mime raises loud in strict, quarantines in permissive
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        wrap_binary_assets,
+    )
+    import pytest as _pytest
+    from pyspark.sql import functions as FF
+
+    odd = wrap_binary_assets(
+        spark.createDataFrame([(9, b"zz")], "doc_id long, payload binary"),
+        "payload",
+        "video/x-matroska",
+    )
+    with _pytest.raises(Exception, match="unsupported video container mime"):
+        sample_frames(odd, container="auto").collect()
+    q = sample_frames(odd, container="auto", mode="permissive").collect()
+    assert len(q) == 1 and q[0].status == "quarantined"
+    assert q[0].error_kind == "unsupported"
