@@ -481,7 +481,11 @@ def compact_audiofp_index(spark, index_path: str) -> None:
     the upsert path accrues). Answers unchanged — probes already
     anti-join the drop list; this restores scan-planning cost and
     reclaims the hidden rows' bytes. Same crash-safe rename-aside swap
-    as the other families."""
+    as the other families (complete old or new dataset, never torn —
+    tests/test_compaction_contract.py); NOT concurrent-probe safe —
+    single-writer maintenance window: run between probe batches
+    (``audiofp_index_probe_stream`` can do it on a cadence, serial
+    with the loop)."""
     import os
 
     from kafka_streams_the_clojure_way_spark.sources.files import (

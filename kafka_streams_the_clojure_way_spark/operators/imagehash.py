@@ -709,7 +709,11 @@ def phash_index_upsert(
 def compact_phash_index(spark, index_path: str) -> None:
     """Fold upsert-appended slivers back to one file per (band, bucket)
     directory — answers unchanged, file-listing cost restored. Same
-    crash-safe rename-aside swap as ``compact_minhash_index``."""
+    crash-safe rename-aside swap as ``compact_minhash_index`` (complete
+    old or new dataset, never torn — tests/test_compaction_contract.py);
+    NOT concurrent-probe safe — single-writer maintenance window: run
+    between probe batches (``phash_index_probe_stream`` can compact on
+    a cadence, serial with the loop)."""
     from kafka_streams_the_clojure_way_spark.sources.files import (
         compact_partitioned,
     )
@@ -1011,7 +1015,12 @@ def video_phash_index_upsert(
 
 def compact_video_phash_index(spark, index_path: str) -> None:
     """Fold upsert-appended slivers back to one file per (band, bucket)
-    directory — answers unchanged, scan-planning cost restored."""
+    directory — answers unchanged, scan-planning cost restored.
+    Crash-safe rename-aside swap (complete old or new dataset, never
+    torn — tests/test_compaction_contract.py); NOT concurrent-probe
+    safe — single-writer maintenance window: run between probe batches
+    (``video_phash_index_probe_stream`` can compact on a cadence,
+    serial with the loop)."""
     from kafka_streams_the_clojure_way_spark.sources.files import (
         compact_partitioned,
     )

@@ -203,6 +203,36 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_THRESHOLD = 0.8
 
+#: per-process materialized MinHash signature table (doc_id, sh, sig)
+#: per sf_dir — the shared upstream of the minhash dedup family
+#: (pairs, between, clustering, keep-best all consume it instead of
+#: re-shingling the corpus per query; VERDICT r8 #4). Values are
+#: (path, source_token): revalidated against the source documents
+#: table like the jsonl fixture cache; tempdirs register for atexit
+#: cleanup. At 100 TB this is the production shape — the signature
+#: table is ~1% of corpus bytes, written once, fed to every consumer.
+_MINHASH_SIGS_CACHE: dict[str, tuple[str, object]] = {}
+
+
+def _shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    token = _source_table_token(sf_dir)
+    hit = _MINHASH_SIGS_CACHE.get(sf_dir)
+    if hit is not None:
+        path, cached_token = hit
+        if token is None or cached_token == token:
+            return spark.read.parquet(path)
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="minhash_sigs_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    D.minhash_signatures(
+        load_table(spark, sf_dir, "documents")
+    ).write.mode("overwrite").parquet(path)
+    _MINHASH_SIGS_CACHE[sf_dir] = (path, token)
+    return spark.read.parquet(path)
+
 
 @query(
     "dedup_jaccard_pairs",
@@ -230,12 +260,13 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifier; at 100 TB the candidate generation must come from LSH
     (next query) — an unblocked shingle join on a boilerplate-heavy crawl
     is the classic quadratic blowup."""
-    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
-    # cached: the posting list feeds both join sides AND the size table —
-    # without it the shingle md5s are computed 3x (materialize at scale).
-    sh = docs.select(
-        "doc_id", F.explode(D.shingle_hashes(F.col("text"))).alias("s")
-    ).cache()
+    # posting list from the SHARED materialized signature table (the
+    # shingle arrays are already on disk — exploding a parquet column
+    # beats recomputing per-trigram md5s, and the three consumers below
+    # are cheap column-pruned re-scans, no cache needed)
+    sh = _shared_minhash_sigs(spark, sf_dir).select(
+        "doc_id", F.explode(F.col("sh")).alias("s")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -263,9 +294,13 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands x 4 rows) candidates, exact-Jaccard
     verified at 0.8 — the scale path for near-dedup (SURVEY §7 M5).
     Everything is equi-joins on band keys; cost tracks candidates, not
-    n^2. Seeds are fixed constants => reproducible + oracle-checkable."""
-    return D.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=_JACCARD_THRESHOLD
+    n^2. Seeds are fixed constants => reproducible + oracle-checkable.
+    Consumes the SHARED materialized signature table (signed once per
+    process+sf, like the index builds) — the whole minhash family
+    (pairs / between / clustering / keep-best) reads it instead of
+    re-shingling the corpus per query."""
+    return D.minhash_lsh_pairs_from_sigs(
+        _shared_minhash_sigs(spark, sf_dir), threshold=_JACCARD_THRESHOLD
     )
 
 
@@ -288,12 +323,20 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in production the corpus side of operators/dedup.py's
     minhash_lsh_pairs_between is a persisted signature table, so only
     the batch is ever re-hashed. This is what turns the one-shot dedup
-    sweep into a pipeline a 100 TB corpus can actually keep running."""
+    sweep into a pipeline a 100 TB corpus can actually keep running.
+    Both sides come from the shared materialized signature table (one
+    filter each) — in production the corpus side IS that persisted
+    table and only the batch is freshly signed."""
     docs = load_table(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % _INCR_NEW_MOD != 0)
+    sigs = _shared_minhash_sigs(spark, sf_dir)
     return D.minhash_lsh_pairs_between(
-        new, corpus, threshold=_JACCARD_THRESHOLD
+        new,
+        corpus,
+        threshold=_JACCARD_THRESHOLD,
+        probe_sigs=sigs.filter(F.col("doc_id") % _INCR_NEW_MOD == 0),
+        build_sigs=sigs.filter(F.col("doc_id") % _INCR_NEW_MOD != 0),
     )
 
 
@@ -2201,7 +2244,9 @@ def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_the_clojure_way_spark.operators import graph as G
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, threshold=_JACCARD_THRESHOLD)
+    pairs = D.minhash_lsh_pairs_from_sigs(
+        _shared_minhash_sigs(spark, sf_dir), threshold=_JACCARD_THRESHOLD
+    )
     return G.cluster_assignments(docs.select("doc_id"), pairs)
 
 
@@ -2852,7 +2897,9 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_the_clojure_way_spark.operators import graph as G
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, threshold=_JACCARD_THRESHOLD)
+    pairs = D.minhash_lsh_pairs_from_sigs(
+        _shared_minhash_sigs(spark, sf_dir), threshold=_JACCARD_THRESHOLD
+    )
     clusters = G.cluster_assignments(docs.select("doc_id"), pairs)
     scored = (
         T.quality_scores(docs)

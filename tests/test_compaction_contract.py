@@ -1,0 +1,145 @@
+"""Probe-during-compaction contract (VERDICT r8 #6): every persisted
+index family's compact uses the shared rename-aside swap. The contract
+pinned here:
+
+- a probe sees a COMPLETE old-or-new dataset, never a torn one — the
+  swap is (rename old aside, rename new in, delete old last), and a
+  crash at any step rolls back or completes;
+- CONCURRENT probes are excluded by design (single-writer maintenance
+  window, run between probe batches) — every compact_* docstring must
+  say so, mechanically enforced below.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_the_clojure_way_spark.operators import dedup as D
+from kafka_streams_the_clojure_way_spark.sources import files as FS
+from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+
+def _all_compact_fns():
+    import inspect
+
+    from kafka_streams_the_clojure_way_spark.operators import (
+        audiofp,
+        dedup,
+        imagehash,
+        similarity,
+    )
+
+    out = []
+    for mod in (audiofp, dedup, imagehash, similarity):
+        for name, fn in inspect.getmembers(mod, inspect.isfunction):
+            if name.startswith("compact_") and fn.__module__ == mod.__name__:
+                out.append((f"{mod.__name__}.{name}", fn))
+    return out
+
+
+def test_every_compact_documents_the_maintenance_window():
+    """All nine families' compact docstrings must state the
+    single-writer / not-concurrent-probe-safe contract — a new family
+    that forgets fails here, not in production."""
+    fns = _all_compact_fns()
+    assert len(fns) >= 9, [n for n, _ in fns]
+    for name, fn in fns:
+        doc = (fn.__doc__ or "").lower()
+        assert "concurrent" in doc, f"{name} missing the concurrency contract"
+        assert "crash" in doc or "rename-aside" in doc, (
+            f"{name} missing the crash-safety contract"
+        )
+
+
+def test_swap_crash_midway_rolls_back_to_complete_old(tmp_path, monkeypatch):
+    """Inject a failure between the two renames of _swap_dataset: the
+    old dataset must return to its path COMPLETE — a probe running in
+    the next batch window sees exactly the pre-compact answers."""
+    import shutil
+
+    src = tmp_path / "data"
+    src.mkdir()
+    (src / "part-0").write_text("old")
+    tmp = tmp_path / "data.__compact_tmp__"
+    tmp.mkdir()
+    (tmp / "part-0").write_text("new")
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def failing_rename(a, b):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the rename-new-in step
+            raise OSError("injected crash mid-swap")
+        real_rename(a, b)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(OSError, match="injected crash"):
+        FS._swap_dataset(str(src), str(tmp))
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # rollback: old dataset back in place, complete
+    assert (src / "part-0").read_text() == "old"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    # leftover .__swap_old__ from a crash AFTER the swap is healed on
+    # the next compact attempt
+    old_leftover = tmp_path / "data.__swap_old__"
+    old_leftover.mkdir()
+    (old_leftover / "junk").write_text("stale")
+    tmp2 = tmp_path / "data.__compact_tmp__"
+    tmp2.mkdir()
+    (tmp2 / "part-0").write_text("new2")
+    FS._swap_dataset(str(src), str(tmp2))
+    assert (src / "part-0").read_text() == "new2"
+    assert not old_leftover.exists()
+
+
+def test_minhash_compact_probe_parity_across_crash_and_success(
+    spark, tmp_path, monkeypatch
+):
+    """The template family end to end: build + upsert (slivered
+    layout), then (a) a compact whose swap crashes mid-way leaves the
+    index probing EXACTLY as before, and (b) the retried compact
+    succeeds and still probes identically — old-or-new, never torn."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    corpus_a = docs.filter(F.col("doc_id") % 3 == 1)
+    corpus_b = docs.filter(F.col("doc_id") % 3 == 2)
+    probe = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    path = str(tmp_path / "mh_idx")
+    D.build_minhash_index(corpus_a, path)
+    D.minhash_index_upsert(spark, path, corpus_b)
+
+    def answers():
+        return sorted(
+            (r.probe_id, r.corpus_id, r.jaccard)
+            for r in D.minhash_index_probe(spark, path, probe).collect()
+        )
+
+    before = answers()
+    assert before, "fixture must produce at least one near-dup pair"
+
+    real_rename = os.rename
+    state = {"n": 0}
+
+    def failing_rename(a, b):
+        state["n"] += 1
+        if state["n"] == 2:
+            raise OSError("injected crash mid-swap")
+        real_rename(a, b)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(OSError, match="injected crash"):
+        D.compact_minhash_index(spark, path)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert answers() == before, "crashed compact must leave old answers intact"
+
+    D.compact_minhash_index(spark, path)
+    assert answers() == before, "compacted index must answer identically"
