@@ -195,6 +195,7 @@ def audio_fp_pairs(
     df_cap: int = AUDIO_DF_CAP,
     decode: str | None = None,
     cache_registry: list | None = None,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Audio near-dup pairs (id_a < id_b, n_shared): equi-join the
     (frame_idx, fp) posting lists — frame-aligned, so a match means the
@@ -204,11 +205,17 @@ def audio_fp_pairs(
     than ``df_cap`` docs are dropped BEFORE the join (the winnowing
     discipline): no key can fan out past cap^2/2 candidate rows. The
     fingerprint frame is cached (it feeds the df-cap pass and both join
-    sides); pass ``cache_registry`` to own its unpersist (the
+    sides; a precomputed ``fps`` frame — the shared materialized
+    signature-table pattern — skips the decode+fingerprint stage
+    entirely, and a parquet-backed one needs no cache); pass
+    ``cache_registry`` to own the computed frame's unpersist (the
     ``minhash_index_probe`` lifecycle contract)."""
-    fps = audio_fingerprints(with_min_parallelism(assets), id_col, decode).cache()
-    if cache_registry is not None:
-        cache_registry.append(fps)
+    if fps is None:
+        fps = audio_fingerprints(
+            with_min_parallelism(assets), id_col, decode
+        ).cache()
+        if cache_registry is not None:
+            cache_registry.append(fps)
     keys = (
         fps.groupBy("frame_idx", "fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -341,6 +348,7 @@ def audiofp_index_probe(
     id_col: str = "doc_id",
     min_shared: int | None = None,
     cache_registry: list | None = None,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Probe the persisted audio index with an arriving clip batch:
     (probe_id, corpus_id, n_shared) for every batch clip sharing >=
@@ -356,13 +364,16 @@ def audiofp_index_probe(
 
     meta = _index_meta(spark, index_path)
     bar = meta["min_shared"] if min_shared is None else min_shared
-    fps = audio_fingerprints(
-        with_min_parallelism(batch_assets), id_col, meta["decode"] or None
-    )
-    if not batch_assets.isStreaming:
-        fps = fps.cache()
-        if cache_registry is not None:
-            cache_registry.append(fps)
+    # precomputed probe fingerprints (shared signature table): the
+    # caller asserts they came from the index's meta'd decode codec
+    if fps is None:
+        fps = audio_fingerprints(
+            with_min_parallelism(batch_assets), id_col, meta["decode"] or None
+        )
+        if not batch_assets.isStreaming:
+            fps = fps.cache()
+            if cache_registry is not None:
+                cache_registry.append(fps)
     probe = (
         fps.withColumnRenamed(id_col, "probe_id")
         .withColumnRenamed("frame_idx", "p_frame_idx")

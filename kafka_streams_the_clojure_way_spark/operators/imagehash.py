@@ -272,6 +272,7 @@ def phash_pairs(
     n_bands: int = PHASH_BANDS,
     decode: str | None = None,
     cache_registry: list | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Image near-dup pairs (id_a < id_b, hamming): banded candidate
     join over the 63-bit pHash, popcount-on-xor verify — lossless for
@@ -282,15 +283,21 @@ def phash_pairs(
     the scale dial — see :func:`_band_bits`. The signature frame is
     cached (it feeds both join sides); pass ``cache_registry`` to own
     its unpersist (the ``minhash_index_probe`` lifecycle contract) so
-    long-lived sessions don't accumulate executor cache blocks."""
+    long-lived sessions don't accumulate executor cache blocks.
+    ``sigs``: a precomputed (id, phash) frame — the shared materialized
+    signature-table pattern (compute/decode once per corpus, band per
+    consumer); when given, ``assets``/``decode`` are ignored and the
+    caller owns the frame's lifecycle (a parquet-backed table re-scans
+    cheaply, no cache needed)."""
     if max_dist > n_bands - 1:
         raise ValueError(
             f"max_dist={max_dist} breaks the {n_bands}-band pigeonhole "
             f"guarantee (lossless only up to {n_bands - 1})"
         )
-    sigs = phash_assets(with_min_parallelism(assets), id_col, decode).cache()
-    if cache_registry is not None:
-        cache_registry.append(sigs)
+    if sigs is None:
+        sigs = phash_assets(with_min_parallelism(assets), id_col, decode).cache()
+        if cache_registry is not None:
+            cache_registry.append(sigs)
     banded = _banded(sigs, id_col, n_bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = a.join(
@@ -430,6 +437,7 @@ def video_phash_pairs(
     n_bands: int = VIDEO_BANDS,
     min_frames: int = VIDEO_MIN_FRAMES,
     cache_registry: list | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Video near-dup pairs (id_a < id_b, n_close_frames): per-frame
     pHash signatures band-join on (frame_idx, band, bkey) — candidates
@@ -446,11 +454,15 @@ def video_phash_pairs(
             f"max_dist={max_dist} breaks the {n_bands}-band pigeonhole "
             f"guarantee (lossless only up to {n_bands - 1})"
         )
-    sigs = video_frame_phashes(
-        with_min_parallelism(assets), id_col, stride=stride
-    ).cache()
-    if cache_registry is not None:
-        cache_registry.append(sigs)
+    # a precomputed (id, frame_idx, phash) frame (the shared
+    # materialized signature-table pattern) skips demux+hash entirely;
+    # parquet-backed inputs re-scan cheaply, no cache needed
+    if sigs is None:
+        sigs = video_frame_phashes(
+            with_min_parallelism(assets), id_col, stride=stride
+        ).cache()
+        if cache_registry is not None:
+            cache_registry.append(sigs)
     banded = sigs.select(
         id_col,
         "frame_idx",
@@ -606,6 +618,7 @@ def phash_index_probe(
     id_col: str = "doc_id",
     max_dist: int | None = None,
     cache_registry: list | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Probe the persisted band index with an arriving image batch:
     (probe_id, corpus_id, hamming) for every batch image within
@@ -624,13 +637,17 @@ def phash_index_probe(
         raise ValueError(
             f"max_dist={dist} breaks the {meta['n_bands']}-band pigeonhole"
         )
-    sigs = phash_assets(
-        with_min_parallelism(batch_assets), id_col, meta["decode"] or None
-    )
-    if not batch_assets.isStreaming:
-        sigs = sigs.cache()
-        if cache_registry is not None:
-            cache_registry.append(sigs)
+    # precomputed (id, phash) probe sigs (shared signature table): the
+    # CALLER asserts they were hashed under the index's meta'd decode
+    # codec — the table convention keys its cache on the same corpus.
+    if sigs is None:
+        sigs = phash_assets(
+            with_min_parallelism(batch_assets), id_col, meta["decode"] or None
+        )
+        if not batch_assets.isStreaming:
+            sigs = sigs.cache()
+            if cache_registry is not None:
+                cache_registry.append(sigs)
     probe = _banded(sigs, id_col, meta["n_bands"]).withColumnRenamed(
         id_col, "probe_id"
     )
@@ -887,6 +904,7 @@ def video_phash_index_probe(
     max_dist: int | None = None,
     min_frames: int | None = None,
     cache_registry: list | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Probe the persisted video frame index with an arriving batch:
     (probe_id, corpus_id, n_close_frames) for every batch video with >=
@@ -906,13 +924,14 @@ def video_phash_index_probe(
         raise ValueError(
             f"max_dist={dist} breaks the {meta['n_bands']}-band pigeonhole"
         )
-    sigs = video_frame_phashes(
-        with_min_parallelism(batch_assets), id_col, stride=meta["stride"]
-    )
-    if not batch_assets.isStreaming:
-        sigs = sigs.cache()
-        if cache_registry is not None:
-            cache_registry.append(sigs)
+    if sigs is None:
+        sigs = video_frame_phashes(
+            with_min_parallelism(batch_assets), id_col, stride=meta["stride"]
+        )
+        if not batch_assets.isStreaming:
+            sigs = sigs.cache()
+            if cache_registry is not None:
+                cache_registry.append(sigs)
     probe = (
         sigs.select(
             F.col(id_col).alias("probe_id"),

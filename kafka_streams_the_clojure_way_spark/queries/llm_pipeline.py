@@ -211,12 +211,20 @@ _JACCARD_THRESHOLD = 0.8
 #: table like the jsonl fixture cache; tempdirs register for atexit
 #: cleanup. At 100 TB this is the production shape — the signature
 #: table is ~1% of corpus bytes, written once, fed to every consumer.
-_MINHASH_SIGS_CACHE: dict[str, tuple[str, object]] = {}
+_SHARED_SIGS_CACHE: dict[tuple, tuple[str, object]] = {}
 
 
-def _shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _materialized_sigs(spark: SparkSession, sf_dir: str, kind: str, builder):
+    """Per-(process, sf) materialized signature table with source-token
+    validation and atexit cleanup — the shared-signature convention:
+    ``builder()`` returns the DataFrame to persist; later calls read
+    the parquet back (cheap column-pruned scans, survives clearCache).
+    At corpus scale these ARE the production artifacts — signature
+    tables a few % of corpus bytes, written once, fed to every
+    consumer."""
     token = _source_table_token(sf_dir)
-    hit = _MINHASH_SIGS_CACHE.get(sf_dir)
+    key = (sf_dir, kind)
+    hit = _SHARED_SIGS_CACHE.get(key)
     if hit is not None:
         path, cached_token = hit
         if token is None or cached_token == token:
@@ -225,13 +233,20 @@ def _shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    path = tempfile.mkdtemp(prefix="minhash_sigs_")
+    path = tempfile.mkdtemp(prefix=f"{kind}_sigs_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
-    D.minhash_signatures(
-        load_table(spark, sf_dir, "documents")
-    ).write.mode("overwrite").parquet(path)
-    _MINHASH_SIGS_CACHE[sf_dir] = (path, token)
+    builder().write.mode("overwrite").parquet(path)
+    _SHARED_SIGS_CACHE[key] = (path, token)
     return spark.read.parquet(path)
+
+
+def _shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _materialized_sigs(
+        spark,
+        sf_dir,
+        "minhash",
+        lambda: D.minhash_signatures(load_table(spark, sf_dir, "documents")),
+    )
 
 
 @query(
@@ -1343,8 +1358,10 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle recomputes the hash BIT-FOR-BIT from the text plus
     the documented space-pad — the per-doc value pin under the
     pair/index queries below."""
-    return IH.phash_assets(_image_assets(spark, sf_dir), decode="png").select(
-        "doc_id", "phash"
+    return (
+        _shared_image_phashes(spark, sf_dir)
+        .filter(F.col("doc_id") < _TWIN_OFFSET)
+        .select("doc_id", "phash")
     )
 
 
@@ -1575,6 +1592,57 @@ def _perturbed_twins(docs: DataFrame) -> DataFrame:
     )
 
 
+def _docs_and_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(_perturbed_twins(docs))
+
+
+def _shared_image_phashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_id, phash) over originals + perturbed twins —
+    encode + REAL PNG decode + DCT hash run once per (process, sf);
+    every image consumer (per-doc hash query, banded pairs) reads the
+    table instead of re-decoding the corpus (the minhash shared-table
+    pattern applied to the image tier)."""
+    return _materialized_sigs(
+        spark,
+        sf_dir,
+        "imagephash",
+        lambda: IH.phash_assets(
+            encode_text_assets(_docs_and_twins(spark, sf_dir), "png"),
+            decode="png",
+        ),
+    )
+
+
+def _shared_audio_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_id, frame_idx, fp) over originals + twins —
+    the audio tier's shared signature table (encode + RIFF decode +
+    fingerprint once per process)."""
+    return _materialized_sigs(
+        spark,
+        sf_dir,
+        "audiofp",
+        lambda: AFP.audio_fingerprints(
+            encode_text_assets(_docs_and_twins(spark, sf_dir), "wav"),
+            decode="wav",
+        ),
+    )
+
+
+def _shared_video_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_id, frame_idx, phash) over originals + twins —
+    the video tier's shared signature table (Y4M demux + per-frame
+    pHash once per process)."""
+    return _materialized_sigs(
+        spark,
+        sf_dir,
+        "videophash",
+        lambda: IH.video_frame_phashes(
+            encode_text_assets(_docs_and_twins(spark, sf_dir), "y4m")
+        ),
+    )
+
+
 _PHASH_PAIRS_ORACLE = f"""
 WITH all_docs AS (
     SELECT doc_id, text FROM documents
@@ -1604,9 +1672,7 @@ def dedup_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract is value-checked, not idealized). The image twin of
     dedup_simhash_pairs; n_bands is the scale dial (3 bands x 21 bits
     for tight-distance web-scale corpora)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    both = docs.unionByName(_perturbed_twins(docs))
-    return IH.phash_pairs(encode_text_assets(both, "png"), decode="png")
+    return IH.phash_pairs(None, sigs=_shared_image_phashes(spark, sf_dir))
 
 
 #: per-process persisted pHash band index over the corpus slice — same
@@ -1671,7 +1737,15 @@ def dedup_image_phash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % _INCR_NEW_MOD == _PHASH_PROBE_MOD_VAL)
     )
     probe = encode_text_assets(probe_docs, "png")
-    return IH.phash_index_probe(spark, _phash_index_path(spark, sf_dir), probe)
+    # probe signatures from the shared materialized table (same decode
+    # codec the index meta pins; the batch is a filter of the twins)
+    psigs = _shared_image_phashes(spark, sf_dir).filter(
+        (F.col("doc_id") >= _TWIN_OFFSET)
+        & ((F.col("doc_id") - _TWIN_OFFSET) % _INCR_NEW_MOD == _PHASH_PROBE_MOD_VAL)
+    )
+    return IH.phash_index_probe(
+        spark, _phash_index_path(spark, sf_dir), probe, sigs=psigs
+    )
 
 
 _PHASH_LAYOUT_ORACLE = f"""
@@ -1790,9 +1864,7 @@ def dedup_video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring-reproduced frames — exact, because Y4M luma planes
     round-trip the chunk bytes (final frame space-padded per the
     fixed-geometry stream header; the oracle adds one rpad)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    both = docs.unionByName(_perturbed_twins(docs))
-    return IH.video_phash_pairs(encode_text_assets(both, "y4m"))
+    return IH.video_phash_pairs(None, sigs=_shared_video_sigs(spark, sf_dir))
 
 
 #: per-process persisted video frame index over the corpus slice.
@@ -1853,8 +1925,15 @@ def dedup_video_phash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_docs = _perturbed_twins(
         docs.filter(F.col("doc_id") % _INCR_NEW_MOD == _PHASH_PROBE_MOD_VAL)
     )
+    psigs = _shared_video_sigs(spark, sf_dir).filter(
+        (F.col("doc_id") >= _TWIN_OFFSET)
+        & ((F.col("doc_id") - _TWIN_OFFSET) % _INCR_NEW_MOD == _PHASH_PROBE_MOD_VAL)
+    )
     return IH.video_phash_index_probe(
-        spark, _video_index_path(spark, sf_dir), encode_text_assets(probe_docs, "y4m")
+        spark,
+        _video_index_path(spark, sf_dir),
+        encode_text_assets(probe_docs, "y4m"),
+        sigs=psigs,
     )
 
 
@@ -1936,8 +2015,11 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction. Vectorized mapInPandas kernel; exact integer
     arithmetic and 8-bit PCM decode round-trips the byte stream, so the
     oracle recomputes every fingerprint bit-for-bit from the text."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return AFP.audio_fingerprints(_audio_assets_from(docs), decode="wav")
+    return (
+        _shared_audio_fps(spark, sf_dir)
+        .filter(F.col("doc_id") < _TWIN_OFFSET)
+        .select("doc_id", "frame_idx", "fp")
+    )
 
 
 @query(
@@ -2096,9 +2178,7 @@ def dedup_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     {AFP.AUDIO_DF_CAP} docs are dropped BEFORE the join (df-cap, the
     winnowing discipline — the oracle applies the same cap), so no
     boilerplate fingerprint can fan out quadratically."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    both = docs.unionByName(_perturbed_twins(docs))
-    return AFP.audio_fp_pairs(_audio_assets_from(both), decode="wav")
+    return AFP.audio_fp_pairs(None, fps=_shared_audio_fps(spark, sf_dir))
 
 
 #: per-process persisted audio fingerprint index over the corpus slice —
@@ -2160,8 +2240,15 @@ def dedup_audio_fp_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_docs = _perturbed_twins(
         docs.filter(F.col("doc_id") % _INCR_NEW_MOD == _PHASH_PROBE_MOD_VAL)
     )
+    pfps = _shared_audio_fps(spark, sf_dir).filter(
+        (F.col("doc_id") >= _TWIN_OFFSET)
+        & ((F.col("doc_id") - _TWIN_OFFSET) % _INCR_NEW_MOD == _PHASH_PROBE_MOD_VAL)
+    )
     return AFP.audiofp_index_probe(
-        spark, _audiofp_index_path(spark, sf_dir), _audio_assets_from(probe_docs)
+        spark,
+        _audiofp_index_path(spark, sf_dir),
+        _audio_assets_from(probe_docs),
+        fps=pfps,
     )
 
 

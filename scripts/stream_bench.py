@@ -1,13 +1,25 @@
-"""Streaming throughput of the reference pipeline (SURVEY.md §6):
-runs the merged large-transactions topology (filter -> project -> union,
+"""Streaming throughput benchmarks.
+
+Default mode — the reference pipeline (SURVEY.md §6): runs the merged
+large-transactions topology (filter -> project -> union,
 core.clj:129-134 semantics) over a replicated events input through
 Structured Streaming (availableNow) AND plain batch, printing rows/sec.
-
 Context (BASELINE.md): Kafka Streams 2.2 stateless pipelines run at
-~10^5-10^6 records/s/core. This script produces the comparable number
-for this engine on the same logical pipeline.
+~10^5-10^6 records/s/core.
 
-Usage: python scripts/stream_bench.py [replication=20]
+``ingestion`` mode (VERDICT r8 #5): drives the SIX-GATE curation
+topology (plans/ingestion.run_ingestion_stream) over replayed document
+micro-batches — the sf0.1 arriving slice replicated with re-keyed ids,
+one parquet file per micro-batch, maxFilesPerTrigger=1 — and reports
+rows/s, per-trigger latency (from the StreamingQuery progress feed),
+and a per-gate batch-mode cost split (marginal force time of each gate
+output in topology order; the compiler's per-gate caches make each
+marginal time that gate's own cost). Numbers land in BASELINE.md next
+to the 6.3M rows/s reference-pipeline row.
+
+Usage:
+  python scripts/stream_bench.py [replication=20]
+  python scripts/stream_bench.py ingestion [n_batches=8] [replication=4] [out_json]
 """
 
 from __future__ import annotations
@@ -48,7 +60,175 @@ def pipeline(df):
     return purchases.unionByName(donations)
 
 
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+#: topology order of the six gate outputs (compile entity names).
+GATE_ORDER = [
+    ("exact", "stream/exact-gate"),
+    ("neardup", "stream/neardup-gate"),
+    ("dsir", "stream/dsir-gate"),
+    ("containment", "stream/containment-gate"),
+    ("contamination", "stream/contamination-gate"),
+    ("semantic", "stream/semantic-gate"),
+]
+
+
+def ingestion_main() -> None:
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    replication = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    out_json = sys.argv[4] if len(sys.argv) > 4 else None
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark import get_spark
+    from kafka_streams_the_clojure_way_spark.plans.compiler import compile_topology
+    from kafka_streams_the_clojure_way_spark.plans.ingestion import (
+        ingestion_topology,
+        run_ingestion_stream,
+    )
+    from kafka_streams_the_clojure_way_spark.queries.ingestion import (
+        _containment_index_path,
+        _ingest_bloom_index_path,
+        _ingest_hash_index_path,
+        _ingest_ivf_index_path,
+        _ingest_keyset_path,
+        _ingest_ratios,
+    )
+    from kafka_streams_the_clojure_way_spark.queries.llm_pipeline import (
+        _INCR_NEW_MOD,
+        _minhash_index_path,
+    )
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    spark = get_spark("kstcw-ingest-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, SF_DIR, "documents")
+    embeddings = load_table(spark, SF_DIR, "embeddings")
+    arriving = docs.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _INCR_NEW_MOD != 0)
+
+    # build the same persisted indexes the registry queries use (first
+    # touch builds, later runs reuse the per-process cache)
+    topo_kw = dict(
+        index_path=_minhash_index_path(spark, SF_DIR),
+        corpus=corpus,
+        ratios=_ingest_ratios(spark, SF_DIR),
+        containment_index_path=_containment_index_path(spark, SF_DIR),
+        hash_index_path=_ingest_hash_index_path(spark, SF_DIR),
+        bloom_index_path=_ingest_bloom_index_path(spark, SF_DIR),
+        keyset_index_path=_ingest_keyset_path(spark, SF_DIR),
+        ivf_index_path=_ingest_ivf_index_path(spark, SF_DIR),
+        embeddings=embeddings,
+    )
+    caches: list = []
+    topo = ingestion_topology(spark, cache_registry=caches, **topo_kw)
+
+    # replayed arriving stream: replication copies with re-keyed ids
+    # (kept off the corpus id space AND off each other), one parquet
+    # file per micro-batch
+    shutil.rmtree(TMP, ignore_errors=True)
+    base_max = docs.agg(F.max("doc_id")).collect()[0][0]
+    shift = int(base_max) + 1
+    parts = [
+        arriving.select(
+            (F.col("doc_id") + shift * (r + 1)).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for r in range(replication)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(n_batches).write.parquet(f"{TMP}/docs_in")
+    n_rows = spark.read.parquet(f"{TMP}/docs_in").count()
+
+    # warm the compile path once (codegen + index meta reads) so the
+    # measured triggers price the steady-state loop, not first-touch
+    t0 = time.time()
+    compiled = compile_topology(
+        spark, topo, {"topic/raw-docs": spark.read.parquet(f"{TMP}/docs_in").limit(50)}
+    )
+    compiled["topic/curated-docs"].write.format("noop").mode("overwrite").save()
+    warm_s = time.time() - t0
+    for fr in caches:
+        fr.unpersist()
+    caches.clear()
+
+    # per-gate batch-mode cost split: force each gate output in
+    # topology order over ONE full replica batch; with the compiler's
+    # per-gate caches each marginal time is that gate's own cost
+    one_batch = spark.read.parquet(f"{TMP}/docs_in")
+    gate_split = {}
+    compiled = compile_topology(spark, topo, {"topic/raw-docs": one_batch})
+    for gname, entity in GATE_ORDER:
+        if entity not in compiled:
+            continue
+        t0 = time.time()
+        compiled[entity].write.format("noop").mode("overwrite").save()
+        gate_split[gname] = round(time.time() - t0, 2)
+    for fr in caches:
+        fr.unpersist()
+    caches.clear()
+
+    # the streaming loop: one trigger per file
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{TMP}/docs_in")
+    )
+    t0 = time.time()
+    q = run_ingestion_stream(
+        spark,
+        topo,
+        stream,
+        f"{TMP}/curated_out",
+        cache_registry=caches,
+        checkpoint=f"{TMP}/ckpt_ingest",
+        trigger={"availableNow": True},
+    )
+    while q.isActive:
+        q.awaitTermination(5)
+    wall_s = time.time() - t0
+    survivors = spark.read.parquet(f"{TMP}/curated_out").count()
+
+    trig = [
+        p["batchDuration"] / 1000.0
+        for p in (q.recentProgress or [])
+        if p.get("numInputRows", 0) > 0
+    ]
+    trig.sort()
+    out = {
+        "metric": "ingestion_stream_throughput",
+        "sf": SF_DIR,
+        "gates": [g for g, _ in GATE_ORDER],
+        "rows_in": n_rows,
+        "n_triggers": len(trig),
+        "wall_s": round(wall_s, 2),
+        "rows_per_sec": round(n_rows / wall_s),
+        "per_trigger_s": {
+            "p50": round(trig[len(trig) // 2], 2) if trig else None,
+            "max": round(trig[-1], 2) if trig else None,
+        },
+        "survivors": survivors,
+        "first_compile_warm_s": round(warm_s, 2),
+        "gate_split_batch_s": gate_split,
+        "unit": "rows/sec",
+    }
+    print(json.dumps(out))
+    if out_json:
+        with open(out_json, "w") as fh:
+            json.dump(out, fh, indent=1)
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "ingestion":
+        ingestion_main()
+        return
     replication = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     from kafka_streams_the_clojure_way_spark import get_spark
 
