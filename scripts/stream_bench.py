@@ -158,12 +158,19 @@ def ingestion_main() -> None:
         fr.unpersist()
     caches.clear()
 
-    # per-gate batch-mode cost split: force each gate output in
-    # topology order over ONE full replica batch; with the compiler's
-    # per-gate caches each marginal time is that gate's own cost
+    # per-trigger cost decomposition over ONE full replica batch:
+    # COMPILE = plan construction including every index probe's
+    # partition-routing collect (these run eagerly at compile time —
+    # one driver job per probe, the dominant fixed cost of a small
+    # trigger); EXECUTE split = marginal force time per gate output
+    # over the compiled (cached-gate) plan. At corpus scale the
+    # compile cost is per-TRIGGER and amortizes with batch size — the
+    # two batch-size configs below make that visible.
     one_batch = spark.read.parquet(f"{TMP}/docs_in")
-    gate_split = {}
+    t0 = time.time()
     compiled = compile_topology(spark, topo, {"topic/raw-docs": one_batch})
+    compile_s = round(time.time() - t0, 2)
+    gate_split = {}
     for gname, entity in GATE_ORDER:
         if entity not in compiled:
             continue
@@ -174,48 +181,70 @@ def ingestion_main() -> None:
         fr.unpersist()
     caches.clear()
 
-    # the streaming loop: one trigger per file
-    stream = (
-        spark.readStream.schema(DOC_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{TMP}/docs_in")
-    )
-    t0 = time.time()
-    q = run_ingestion_stream(
-        spark,
-        topo,
-        stream,
-        f"{TMP}/curated_out",
-        cache_registry=caches,
-        checkpoint=f"{TMP}/ckpt_ingest",
-        trigger={"availableNow": True},
-    )
-    while q.isActive:
-        q.awaitTermination(5)
-    wall_s = time.time() - t0
-    survivors = spark.read.parquet(f"{TMP}/curated_out").count()
+    # the streaming loop at TWO trigger sizes: all files per trigger
+    # amortizes the per-trigger compile cost; one file per trigger
+    # prices the low-latency end. Same topology, same total rows.
+    runs = []
+    for label, files_per_trigger in (
+        ("all_files_per_trigger", n_batches),
+        ("one_file_per_trigger", 1),
+    ):
+        shutil.rmtree(f"{TMP}/curated_out", ignore_errors=True)
+        shutil.rmtree(f"{TMP}/ckpt_ingest", ignore_errors=True)
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(f"{TMP}/docs_in")
+        )
+        t0 = time.time()
+        q = run_ingestion_stream(
+            spark,
+            topo,
+            stream,
+            f"{TMP}/curated_out",
+            cache_registry=caches,
+            checkpoint=f"{TMP}/ckpt_ingest",
+            trigger={"availableNow": True},
+        )
+        while q.isActive:
+            q.awaitTermination(5)
+        wall_s = time.time() - t0
+        survivors = spark.read.parquet(f"{TMP}/curated_out").count()
+        trig = sorted(
+            p["batchDuration"] / 1000.0
+            for p in (q.recentProgress or [])
+            if p.get("numInputRows", 0) > 0
+        )
+        runs.append(
+            {
+                "config": label,
+                "n_triggers": len(trig),
+                "rows_per_trigger": round(n_rows / max(len(trig), 1)),
+                "wall_s": round(wall_s, 2),
+                "rows_per_sec": round(n_rows / wall_s),
+                "per_trigger_s": {
+                    "p50": round(trig[len(trig) // 2], 2) if trig else None,
+                    "max": round(trig[-1], 2) if trig else None,
+                },
+                "survivors": survivors,
+            }
+        )
 
-    trig = [
-        p["batchDuration"] / 1000.0
-        for p in (q.recentProgress or [])
-        if p.get("numInputRows", 0) > 0
-    ]
-    trig.sort()
     out = {
         "metric": "ingestion_stream_throughput",
         "sf": SF_DIR,
         "gates": [g for g, _ in GATE_ORDER],
         "rows_in": n_rows,
-        "n_triggers": len(trig),
-        "wall_s": round(wall_s, 2),
-        "rows_per_sec": round(n_rows / wall_s),
-        "per_trigger_s": {
-            "p50": round(trig[len(trig) // 2], 2) if trig else None,
-            "max": round(trig[-1], 2) if trig else None,
-        },
-        "survivors": survivors,
+        "runs": runs,
         "first_compile_warm_s": round(warm_s, 2),
-        "gate_split_batch_s": gate_split,
+        "per_trigger_compile_s": compile_s,
+        "gate_execute_split_s": gate_split,
+        "reading": (
+            "per-trigger cost = compile (index-probe routing collects, "
+            "fixed per trigger) + execute (scales with batch rows); "
+            "throughput amortizes the fixed part with trigger size — "
+            "size triggers to the latency budget, not the minimum"
+        ),
         "unit": "rows/sec",
     }
     print(json.dumps(out))
