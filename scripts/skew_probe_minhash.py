@@ -140,11 +140,16 @@ def main() -> None:
         shutil.rmtree(path, ignore_errors=True)
 
     reading = (
-        "probe wall grows with the hot bucket because the hot probe doc "
-        "GENUINELY near-dups every replica (output is O(n_hot)); ordinary "
+        "measured r9: probe wall is FLAT through n_hot=40k (3.1 -> 2.3 s "
+        "while output grows 53 -> 34k pairs) — the hot bucket's candidate "
+        "fan-out lands inside one 32-task shuffle stage and the per-pair "
+        "exact-Jaccard verify is the only O(n_hot) work, cheap at this "
+        "width; the hot probe doc GENUINELY near-dups every replica, so "
+        "output itself is O(n_hot) and eventually bounds cost. Ordinary "
         "probe docs route past the hot directories unaffected. Mitigation "
-        "for count-only consumers: df-cap the bucket (audiofp discipline) "
-        "— not default, it drops true pairs."
+        "for count-only consumers at extreme widths: df-cap the bucket "
+        "(audiofp discipline) — deliberately not default, it drops true "
+        "pairs the verify would confirm."
     )
     out = {"sf_dir": SF_DIR, "results": results, "reading": reading}
     if out_json:
