@@ -44,8 +44,10 @@ HEADLINERS = [
     ),
     (
         "dedup_minhash_lsh_pairs",
-        "MinHash-LSH: signatures computed once (cached), candidates generated "
-        "by band equi-join — no all-pairs comparison anywhere.",
+        "MinHash-LSH: banding + exact-Jaccard verify over the SHARED "
+        "materialized signature table (parquet scans, signed once per "
+        "process — r9); candidates from a band equi-join — no all-pairs "
+        "comparison anywhere.",
     ),
     (
         "text_ngram_contamination",
@@ -180,26 +182,34 @@ HEADLINERS = [
     ),
     (
         "dedup_audio_fp_pairs",
-        "Frame-fingerprint audio pairs: df-capped (frame_idx, fp) "
+        "Frame-fingerprint audio pairs over the shared materialized "
+        "fingerprint table (r9): df-capped (frame_idx, fp) "
         "posting equi-join — the left-semi cap filter runs BEFORE the "
         "pair join, so no boilerplate fingerprint can fan out "
         "quadratically; verify is a grouped count, never waveforms.",
     ),
     (
         "dedup_audio_fp_indexed",
-        "Audio fp-index probe: the batch fingerprints ONLY itself "
-        "through the real WAV parse, its <=128 distinct fps become a "
+        "Audio fp-index probe: probe fingerprints come from the shared "
+        "signature table (one filter — r9); <=128 distinct fps become a "
         "literal fp PartitionFilter on the postings scan, the persisted "
         "drop list anti-joins (cap semantics == fresh rebuild), and the "
         "probe side broadcasts into the (frame_idx, fp) equi-join.",
     ),
     (
         "dedup_video_phash_indexed",
-        "Video frame-index probe: the batch demuxes + hashes only "
-        "itself, distinct (band, bucket) keys become a literal "
+        "Video frame-index probe: probe frame hashes come from the "
+        "shared signature table (r9); distinct (band, bucket) keys become a literal "
         "PartitionFilter (21-bit band keys hash into 64 buckets per "
         "band), candidates must match (band, bkey, frame_idx) exactly, "
         "and the per-pair close-frame count is a grouped aggregate.",
+    ),
+    (
+        "multimodal_decode_quarantine",
+        "Permissive decode over seeded corruptions (r9): ONE mapInPandas "
+        "funnel — per-asset errors become quarantine rows inside the "
+        "kernel, no shuffle, no driver round-trip; plan identical to the "
+        "strict decode it replaces.",
     ),
 ]
 
