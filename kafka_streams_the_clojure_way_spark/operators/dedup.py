@@ -969,12 +969,20 @@ def minhash_index_probe(
         # unlike the DPP cost heuristic. The tiny eager job reuses the
         # cached batch signatures.
         pairs = pband.select("band", "bucket").distinct().collect()
-        pred = None
-        for r in pairs:
-            term = (F.col("band") == r["band"]) & (F.col("bucket") == r["bucket"])
-            pred = term if pred is None else (pred | term)
-        if pred is not None:
-            postings = postings.filter(pred)
+        # ONE flat packed-key IN-list instead of an OR-chain of
+        # (band = b AND bucket = k) terms: the chain costs a py4j round
+        # trip per operator plus Catalyst analysis of a tree hundreds of
+        # nodes deep — measured ~2.6 s of the probe's 3.45 s plan time
+        # at 256 keys (r9). band * n_buckets + bucket is injective, the
+        # expression references only partition columns, and Spark prunes
+        # it identically (PartitionFilters: ((band * N) + bucket) IN ...).
+        packed = sorted(
+            {int(r["band"]) * n_buckets + int(r["bucket"]) for r in pairs}
+        )
+        if packed:
+            postings = postings.filter(
+                (F.col("band") * n_buckets + F.col("bucket")).isin(packed)
+            )
         probe_side = F.broadcast(pband)
     cand = (
         postings.join(probe_side, ["band", "bucket", "bkey"])
