@@ -2842,6 +2842,15 @@ def bloom_gated_exact_probe(
         cache_registry=cache_registry,
     ).select(F.col("probe_id").alias(id_col))
     gated = batch.join(F.broadcast(maybe), id_col, "left_semi")
+    if not batch.isStreaming:
+        # pin the gated slice: the hash probe consumes it TWICE (its
+        # bucket-routing collect + the confirm join) and its lineage
+        # includes the whole bloom hits/totals join — without the cache
+        # the bloom legs re-execute per consumer (measured ~1.5 s of the
+        # composed gate's plan time at sf0.1). Registered like the rest.
+        gated = gated.cache()
+        if cache_registry is not None:
+            cache_registry.append(gated)
     return hash_index_probe(spark, hash_index_path, gated, text=text, id_col=id_col)
 
 
