@@ -195,7 +195,11 @@ def test_topology_probe_stays_partition_routed(spark, tmp_path):
         compiled["stream/neardup-gate"]._jdf.queryExecution().executedPlan().toString()
     )
     pfs = re.findall(r"PartitionFilters: \[([^\]]*)", plan)
-    assert any(re.search(r"band#\d+ = ", p) for p in pfs), plan[:3000]
+    # r9: the routing predicate is the flat packed-key IN-list
+    # ((band * n_buckets) + bucket) IN (...) — see test_minhash_index
+    assert any(
+        re.search(r"band#\d+ \* ", p) and " IN (" in p for p in pfs
+    ), plan[:3000]
 
 
 def test_to_dot_renders_ingestion_dataflow(spark, tmp_path):
