@@ -562,28 +562,62 @@ Y4M_MAGIC = b"YUV4MPEG2"
 Y4M_FRAME_LEN = 64
 
 
-def y4m_encode_video(data: bytes, frame_len: int = Y4M_FRAME_LEN) -> bytes:
-    """Mux ``data`` into a YUV4MPEG2 stream: one ASCII stream header
+#: C420-family colorspace tags (4:2:0 chroma subsampling; the suffixes
+#: encode chroma SITING — jpeg/mpeg2/paldv place the subsampled chroma
+#: samples differently — which is irrelevant to a luma-only consumer,
+#: so all four share one frame layout: Y plane W*H, then Cb and Cr
+#: planes of (W/2)*(H/2) each => frame size W*H*3/2).
+_Y4M_C420_TAGS = (b"420", b"420jpeg", b"420mpeg2", b"420paldv")
+
+#: neutral chroma byte (Cb=Cr=128 = no color) — what the C420 fixture
+#: encoder writes, and what a grayscale source legitimately carries.
+Y4M_NEUTRAL_CHROMA = b"\x80"
+
+
+def y4m_encode_video(
+    data: bytes, frame_len: int = Y4M_FRAME_LEN, cspace: str = "mono"
+) -> bytes:
+    """Mux ``data`` into a YUV4MPEG2 stream. ``cspace="mono"`` (default,
+    byte-identical to the r9 encoder): one ASCII stream header
     (``YUV4MPEG2 W<frame_len> H1 F25:1 Ip A1:1 Cmono``), then a
-    ``FRAME`` header + ``frame_len`` raw luma bytes per chunk. Y4M
-    frames are fixed-size, so the payload is space-padded to a
-    ``frame_len`` multiple (``decode(encode(data))`` concatenates to
-    ``data + b' ' * pad``); zero-byte payloads encode to a header-only
-    stream with zero frames."""
+    ``FRAME`` header + ``frame_len`` raw luma bytes per chunk.
+    ``cspace="420"``: a REAL 4:2:0 stream — geometry W=frame_len/2,
+    H=2 (so the LUMA plane still carries exactly ``frame_len`` payload
+    bytes per frame, keeping every luma-level oracle identical across
+    colorspaces), followed by neutral Cb/Cr planes
+    (:data:`Y4M_NEUTRAL_CHROMA`, (W/2)*(H/2) bytes each — the honest
+    encoding of a grayscale source). ``frame_len`` must be a multiple
+    of 4 for 420 (even W and H after the split). In both modes frames
+    are fixed-size, so the payload is space-padded to a ``frame_len``
+    multiple (``decode(encode(data))`` concatenates to ``data + b' ' *
+    pad``); zero-byte payloads encode to a header-only stream with
+    zero frames."""
     padded = data + PNG_PAD * (-len(data) % frame_len)
-    out = bytearray(
-        b"YUV4MPEG2 W%d H1 F25:1 Ip A1:1 Cmono\n" % frame_len
-    )
+    if cspace == "mono":
+        out = bytearray(b"YUV4MPEG2 W%d H1 F25:1 Ip A1:1 Cmono\n" % frame_len)
+        chroma = b""
+    elif cspace == "420":
+        if frame_len % 4:
+            raise ValueError("420 fixture needs frame_len % 4 == 0")
+        w, h = frame_len // 2, 2
+        out = bytearray(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h))
+        chroma = Y4M_NEUTRAL_CHROMA * ((w // 2) * (h // 2) * 2)
+    else:
+        raise ValueError(f"unsupported fixture colorspace {cspace!r}")
     for off in range(0, len(padded), frame_len):
-        out += b"FRAME\n" + padded[off : off + frame_len]
+        out += b"FRAME\n" + padded[off : off + frame_len] + chroma
     return bytes(out)
 
 
-def _y4m_parse_stream_header(payload: bytes) -> tuple[int, int, int]:
-    """(width, height, data_start) from a Y4M stream header — magic,
-    tagged W/H parameters, and the Cmono colorspace validated (C420
-    and friends are chroma-subsampled multi-plane layouts this decoder
-    does not implement; loud rejection, the quarantine contract)."""
+def _y4m_parse_stream_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, data_start, frame_size) from a Y4M stream header
+    — magic, tagged W/H parameters, and the colorspace validated.
+    Supported: ``Cmono`` (frame = one W*H luma plane) and the
+    C420 family (``C420``/``C420jpeg``/``C420mpeg2``/``C420paldv`` —
+    frame = W*H luma + two (W/2)*(H/2) chroma planes = W*H*3/2; the
+    siting suffixes differ only in chroma sample placement, which a
+    luma-only consumer never reads). C422/C444 and other layouts stay
+    loud rejections (the quarantine contract)."""
     if not payload.startswith(Y4M_MAGIC):
         raise ValueError("not a YUV4MPEG2 stream: bad magic")
     hdr_end = payload.find(b"\n")
@@ -604,21 +638,36 @@ def _y4m_parse_stream_header(payload: bytes) -> tuple[int, int, int]:
         # F (rate), I (interlace), A (aspect), X (extension) tolerated
     if width < 1 or height < 1:
         raise ValueError("Y4M stream header missing/invalid W or H")
-    if cspace != b"mono":
+    if cspace == b"mono":
+        fsize = width * height
+    elif cspace in _Y4M_C420_TAGS:
+        if width % 2 or height % 2:
+            raise ValueError(
+                "unsupported Y4M C420 geometry (even W and H required), "
+                f"got {width}x{height}"
+            )
+        fsize = width * height * 3 // 2
+    else:
         raise ValueError(
-            f"unsupported Y4M colorspace {cspace!r} (need Cmono)"
+            f"unsupported Y4M colorspace {cspace!r} (need Cmono or C420*)"
         )
-    return width, height, hdr_end + 1
+    return width, height, hdr_end + 1, fsize
 
 
 def y4m_decode_frames(payload: bytes) -> list[bytes]:
     """Demux a YUV4MPEG2 stream: parse + validate the stream header,
     then per frame parse the ``FRAME`` marker line (parameters
-    tolerated) and slice exactly width*height luma bytes. Raises
+    tolerated), slice exactly the header-fixed frame size, and return
+    the LUMA PLANE (first width*height bytes). For Cmono that is the
+    whole frame (r9-identical); for the C420 family the two chroma
+    planes are skipped — the documented chroma-ignore: luma is what
+    pHash and every downstream signature consume, so mixed
+    Cmono/C420 corpora produce one comparable signature space. Raises
     ``ValueError`` on bad magic / unsupported colorspace / truncated
-    frames."""
-    width, height, pos = _y4m_parse_stream_header(payload)
-    fsize = width * height
+    frames (a frame missing its chroma tail IS truncated — the slice
+    is validated against the full frame size)."""
+    width, height, pos, fsize = _y4m_parse_stream_header(payload)
+    luma = width * height
     frames: list[bytes] = []
     n = len(payload)
     while pos < n:
@@ -631,7 +680,7 @@ def y4m_decode_frames(payload: bytes) -> list[bytes]:
         end = start + fsize
         if end > n:
             raise ValueError(f"truncated Y4M frame at offset {pos}")
-        frames.append(payload[start:end])
+        frames.append(payload[start : start + luma])
         pos = end
     return frames
 
@@ -639,9 +688,9 @@ def y4m_decode_frames(payload: bytes) -> list[bytes]:
 def y4m_parse_meta(payload: bytes) -> tuple[int, int, int]:
     """(width, height, n_frames) of a Y4M stream — header walking only
     (the stream header fixes the frame size, so counting skips pixel
-    bytes exactly like :func:`pgm_parse_n_frames`)."""
-    width, height, pos = _y4m_parse_stream_header(payload)
-    fsize = width * height
+    bytes exactly like :func:`pgm_parse_n_frames`); C420-family frames
+    skip their chroma planes too."""
+    width, height, pos, fsize = _y4m_parse_stream_header(payload)
     n_frames = 0
     n = len(payload)
     while pos < n:

@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 
 from kafka_streams_the_clojure_way_spark.functions.portable import MERSENNE_31
 from kafka_streams_the_clojure_way_spark.operators.text import tokens_col, tokens_sql
-from kafka_streams_the_clojure_way_spark.sources.files import with_min_parallelism
+from kafka_streams_the_clojure_way_spark.sources.files import (
+    invalidate_static_schema,
+    read_static_schema,
+    with_min_parallelism,
+)
 
 SHINGLE_K = 3
 
@@ -95,6 +99,9 @@ def _index_meta(spark, index_path: str):
 
 def _invalidate_index_meta(path: str) -> None:
     _INDEX_META_CACHE.pop(os.path.normpath(path), None)
+    # a rebuild may change dataset schemas too (e.g. a different id
+    # column) — drop the per-dataset schema cache under the same root.
+    invalidate_static_schema(path)
 
 
 def invalidate_index_meta(path: str) -> None:
@@ -824,7 +831,7 @@ def minhash_index_upsert(
     n_hashes, bands, n_buckets = meta["n_hashes"], meta["bands"], meta["n_buckets"]
     rows = n_hashes // bands
     if not assume_new_ids:
-        existing = spark.read.parquet(f"{index_path}/shingles").select(
+        existing = read_static_schema(spark, f"{index_path}/shingles").select(
             F.col(meta["id_col"]).alias(id_col)
         )
         batch = batch.join(existing, id_col, "left_anti")
@@ -880,6 +887,8 @@ def minhash_index_probe(
     threshold: float = 0.8,
     watermark: tuple[str, str] | None = None,
     cache_registry: list | None = None,
+    routing: list[int] | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a persisted MinHash band index with an arriving batch: sign
     the BATCH ONLY, route its distinct (band, bucket) keys into a static
@@ -887,6 +896,20 @@ def minhash_index_probe(
     are read), equi-join on (band, bucket, bkey), then exact-Jaccard
     verify candidates against ``path/shingles``. Banding parameters come
     from ``path/meta``, so probe signatures always match the index.
+
+    ``routing`` (batch-only): precomputed packed partition keys
+    (``band * n_buckets + bucket``) to use INSTEAD of this probe's own
+    eager routing collect. MUST cover every (band, bucket) the batch's
+    signatures can land in — a SUPERSET is safe (extra directories are
+    read and filtered by the equi-join; nothing new can match), a
+    missing key silently loses pairs. The fused ingestion router
+    (``plans.ingestion.compute_batch_routing``) derives supersets from
+    the raw trigger batch so the whole topology pays ONE routing job
+    instead of one per gate. ``sigs`` (batch-only): a precomputed
+    ``(id_col, sh, sig)`` frame — signed with THIS index's meta
+    parameters — covering at least the batch's ids; the probe
+    semi-joins it down to the batch and skips re-signing (sign the
+    batch once per trigger, not once per consumer).
 
     Output contract is identical to :func:`minhash_lsh_pairs_between`:
     (probe_id, corpus_id, jaccard) with jaccard >= threshold, self-pairs
@@ -924,15 +947,26 @@ def minhash_index_probe(
         ts_col, delay = watermark
         batch = batch.withWatermark(ts_col, delay)
     carry = ([ts_col, "sh"] if wm_streaming else [])
-    base = batch if batch.isStreaming else with_min_parallelism(batch)
-    psigs = base.select(
-        F.col(id_col), *([ts_col] if wm_streaming else []),
-        shingle_hashes(F.col(text)).alias("sh"),
-    ).withColumn("sig", minhash_from_hashes(F.col("sh"), minhash_seeds(n_hashes)))
-    if not batch.isStreaming:
-        psigs = psigs.cache()
-        if cache_registry is not None:
-            cache_registry.append(psigs)
+    if sigs is not None or routing is not None:
+        if batch.isStreaming:
+            raise ValueError("precomputed sigs/routing are batch-only")
+    if sigs is not None:
+        # caller-signed frame (superset of the batch's ids, same meta
+        # parameters): narrow to this batch, skip the per-probe signing
+        # and its cache — the caller owns the shared frame's lifecycle.
+        psigs = sigs.select(F.col(id_col), "sh", "sig").join(
+            batch.select(F.col(id_col)), id_col, "left_semi"
+        )
+    else:
+        base = batch if batch.isStreaming else with_min_parallelism(batch)
+        psigs = base.select(
+            F.col(id_col), *([ts_col] if wm_streaming else []),
+            shingle_hashes(F.col(text)).alias("sh"),
+        ).withColumn("sig", minhash_from_hashes(F.col("sh"), minhash_seeds(n_hashes)))
+        if not batch.isStreaming:
+            psigs = psigs.cache()
+            if cache_registry is not None:
+                cache_registry.append(psigs)
     pband = psigs.select(
         F.col(id_col).alias("probe_id"),
         *carry,
@@ -954,7 +988,7 @@ def minhash_index_probe(
         F.col("bk.bkey").alias("bkey"),
         F.pmod(F.col("bk.bkey"), F.lit(n_buckets)).alias("bucket"),
     )
-    postings = spark.read.parquet(f"{index_path}/bands")
+    postings = read_static_schema(spark, f"{index_path}/bands")
     if batch.isStreaming:
         # stream-static equi-join per micro-batch; the static side cannot
         # take a batch-derived literal filter, and the stream side cannot
@@ -967,18 +1001,22 @@ def minhash_index_probe(
         # literal static PartitionFilter on the postings scan, so only the
         # probed directories are ever read. Deterministic at any scale,
         # unlike the DPP cost heuristic. The tiny eager job reuses the
-        # cached batch signatures.
-        pairs = pband.select("band", "bucket").distinct().collect()
-        # ONE flat packed-key IN-list instead of an OR-chain of
-        # (band = b AND bucket = k) terms: the chain costs a py4j round
-        # trip per operator plus Catalyst analysis of a tree hundreds of
-        # nodes deep — measured ~2.6 s of the probe's 3.45 s plan time
-        # at 256 keys (r9). band * n_buckets + bucket is injective, the
-        # expression references only partition columns, and Spark prunes
-        # it identically (PartitionFilters: ((band * N) + bucket) IN ...).
-        packed = sorted(
-            {int(r["band"]) * n_buckets + int(r["bucket"]) for r in pairs}
-        )
+        # cached batch signatures; a caller-supplied ``routing`` superset
+        # (the fused ingestion router) skips the job entirely.
+        if routing is None:
+            pairs = pband.select("band", "bucket").distinct().collect()
+            # ONE flat packed-key IN-list instead of an OR-chain of
+            # (band = b AND bucket = k) terms: the chain costs a py4j round
+            # trip per operator plus Catalyst analysis of a tree hundreds of
+            # nodes deep — measured ~2.6 s of the probe's 3.45 s plan time
+            # at 256 keys (r9). band * n_buckets + bucket is injective, the
+            # expression references only partition columns, and Spark prunes
+            # it identically (PartitionFilters: ((band * N) + bucket) IN ...).
+            packed = sorted(
+                {int(r["band"]) * n_buckets + int(r["bucket"]) for r in pairs}
+            )
+        else:
+            packed = sorted({int(p) for p in routing})
         if packed:
             postings = postings.filter(
                 (F.col("band") * n_buckets + F.col("bucket")).isin(packed)
@@ -1011,7 +1049,7 @@ def minhash_index_probe(
         cand = cand.dropDuplicates(["probe_id", "corpus_id"])
         sh_p = psigs.select(F.col(id_col).alias("probe_id"), F.col("sh").alias("sh_a"))
         cand = cand.join(sh_p, "probe_id")
-    sh_c = spark.read.parquet(f"{index_path}/shingles").select(
+    sh_c = read_static_schema(spark, f"{index_path}/shingles").select(
         F.col(meta["id_col"]).alias("corpus_id"), F.col("sh").alias("sh_b")
     )
     cand = cand.join(sh_c, "corpus_id")
@@ -1030,9 +1068,11 @@ def minhash_index_probe(
 
 def _read_optional(spark, path: str):
     """Read a parquet dataset that may not exist (e.g. an index's
-    tombstone set before any delete); returns None when absent."""
+    tombstone set before any delete); returns None when absent. Uses
+    the static-schema cache once the dataset exists (a tombstone set's
+    schema never changes after its first append)."""
     try:
-        return spark.read.parquet(path)
+        return read_static_schema(spark, path)
     except Exception:
         return None
 
@@ -1271,7 +1311,7 @@ def hash_index_upsert(
     meta = _index_meta(spark, index_path)
     n_buckets = meta["n_buckets"]
     if not assume_new_ids:
-        existing = spark.read.parquet(f"{index_path}/hashes").select(
+        existing = read_static_schema(spark, f"{index_path}/hashes").select(
             F.col(meta["id_col"]).alias(id_col)
         )
         batch = batch.join(existing, id_col, "left_anti")
@@ -1299,6 +1339,7 @@ def hash_index_probe(
     *,
     text: str = "text",
     id_col: str = "doc_id",
+    buckets: list[int] | None = None,
 ) -> DataFrame:
     """Probe a persisted hash index with an arriving batch: hash the
     BATCH ONLY, route its distinct buckets — bounded by the index's
@@ -1307,6 +1348,13 @@ def hash_index_probe(
     (bucket, content_hash) with the batch side broadcast. Output
     contract identical to :func:`exact_pairs_between`:
     (probe_id, corpus_id, content_hash), self-pairs dropped.
+
+    ``buckets`` (batch-only): precomputed routing — a SUPERSET of the
+    batch's ``pmod(content_hash, n_buckets)`` values — used instead of
+    this probe's own eager routing collect (superset-safe: the
+    equi-join filters the extra directories; a missing bucket loses
+    matches). The fused ingestion router derives it from the raw
+    trigger batch, which strictly covers any gated slice of it.
 
     STREAMING: ``batch`` may be a streaming frame — every probe
     transform is stateless, so the gate degrades to a stream-static
@@ -1322,7 +1370,7 @@ def hash_index_probe(
         F.col(id_col).alias("probe_id"),
         content_hash(F.col(text)).alias("content_hash"),
     ).withColumn("bucket", F.pmod(F.col("content_hash"), F.lit(n_buckets)))
-    hashes = spark.read.parquet(f"{index_path}/hashes")
+    hashes = read_static_schema(spark, f"{index_path}/hashes")
     if batch.isStreaming:
         probe_side = probe
     else:
@@ -1330,8 +1378,11 @@ def hash_index_probe(
         # the distinct probed buckets become a literal IN-filter on the
         # partition column — deterministic pruning at any scale, no DPP
         # cost-heuristic dependence. The routing collect is bounded by
-        # n_buckets values.
-        buckets = [r["bucket"] for r in probe.select("bucket").distinct().collect()]
+        # n_buckets values; a caller-supplied superset skips it.
+        if buckets is None:
+            buckets = [
+                r["bucket"] for r in probe.select("bucket").distinct().collect()
+            ]
         if buckets:
             hashes = hashes.filter(F.col("bucket").isin(buckets))
         probe_side = F.broadcast(probe)
@@ -2410,10 +2461,10 @@ def containment_index_probe(
         F.col(id_col).alias("probe_id"), F.explode("sh").alias("h")
     )
     cid = meta["id_col"]
-    c_full = spark.read.parquet(f"{index_path}/full").select(
+    c_full = read_static_schema(spark, f"{index_path}/full").select(
         F.col(cid).alias("corpus_id"), "h"
     )
-    c_prefix = spark.read.parquet(f"{index_path}/prefix").select(
+    c_prefix = read_static_schema(spark, f"{index_path}/prefix").select(
         F.col(cid).alias("corpus_id"), "h"
     )
     leg1 = F.broadcast(p_prefix).join(c_full, "h")
@@ -2429,7 +2480,7 @@ def containment_index_probe(
         F.col("sh").alias("sh_p"),
         F.col("size").alias("sz_p"),
     )
-    ca = spark.read.parquet(f"{index_path}/sets").select(
+    ca = read_static_schema(spark, f"{index_path}/sets").select(
         F.col(cid).alias("corpus_id"),
         F.col("sh").alias("sh_c"),
         F.col("size").alias("sz_c"),
@@ -2493,7 +2544,7 @@ def containment_index_upsert(
     meta = _index_meta(spark, index_path)
     t_num, t_den, cid = meta["t_num"], meta["t_den"], meta["id_col"]
     if not assume_new_ids:
-        existing = spark.read.parquet(f"{index_path}/sets").select(
+        existing = read_static_schema(spark, f"{index_path}/sets").select(
             F.col(cid).alias(id_col)
         )
         batch = batch.join(existing, id_col, "left_anti")
@@ -2704,9 +2755,18 @@ def bloom_index_probe(
     text: str = "text",
     id_col: str = "doc_id",
     cache_registry: list | None = None,
+    segments: list[int] | None = None,
 ) -> DataFrame:
     """Membership pre-test for an arriving batch: (probe_id,
     content_hash) for every batch doc the filter CANNOT rule out.
+
+    ``segments`` (batch-only): precomputed routing — a SUPERSET of the
+    batch's ``pmod(content_hash, n_segments)`` values — used instead of
+    the probe's own eager segment collect (superset-safe: the bits join
+    is on (segment, word_idx); extra segments add scan bytes, never
+    rows). An EMPTY list asserts the batch provably produces no keys
+    and short-circuits to an empty result, exactly like the collected
+    path.
     Guarantees: no false negatives (every true exact-dup survives);
     false positives bounded by the build-time bits/key. The batch
     hashes ONLY itself; its distinct segments — bounded by the index's
@@ -2744,9 +2804,14 @@ def bloom_index_probe(
         need = need.cache()
         if cache_registry is not None:
             cache_registry.append(need)
-    bits = spark.read.parquet(f"{index_path}/bits")
+    bits = read_static_schema(spark, f"{index_path}/bits")
     if not batch.isStreaming:
-        segs = [r["segment"] for r in need.select("segment").distinct().collect()]
+        if segments is None:
+            segs = [
+                r["segment"] for r in need.select("segment").distinct().collect()
+            ]
+        else:
+            segs = sorted({int(s) for s in segments})
         if not segs:
             return need.select("probe_id", "content_hash").limit(0)
         bits = bits.filter(F.col("segment").isin(segs))
@@ -2822,6 +2887,8 @@ def bloom_gated_exact_probe(
     text: str = "text",
     id_col: str = "doc_id",
     cache_registry: list | None = None,
+    segments: list[int] | None = None,
+    buckets: list[int] | None = None,
 ) -> DataFrame:
     """The composed exact gate a production ingestion loop runs: Bloom
     pre-test first (ZERO false negatives, so nothing true is lost),
@@ -2836,10 +2903,17 @@ def bloom_gated_exact_probe(
     batch path caches its probe-need frame — a per-micro-batch loop
     (the documented foreachBatch pattern) must pass a registry and
     unpersist after each batch, or cached frames accrete for the life
-    of the process (the keyset_index_probe lifecycle contract)."""
+    of the process (the keyset_index_probe lifecycle contract).
+
+    ``segments`` / ``buckets``: precomputed routing supersets forwarded
+    to the Bloom pre-test and the hash confirm respectively (see those
+    probes' contracts). With both supplied the composed gate runs ZERO
+    eager routing jobs — the fused ingestion router computes them from
+    the raw trigger batch in one job, and raw-batch buckets strictly
+    cover the gated slice's."""
     maybe = bloom_index_probe(
         spark, bloom_path, batch, text=text, id_col=id_col,
-        cache_registry=cache_registry,
+        cache_registry=cache_registry, segments=segments,
     ).select(F.col("probe_id").alias(id_col))
     gated = batch.join(F.broadcast(maybe), id_col, "left_semi")
     if not batch.isStreaming:
@@ -2851,7 +2925,9 @@ def bloom_gated_exact_probe(
         gated = gated.cache()
         if cache_registry is not None:
             cache_registry.append(gated)
-    return hash_index_probe(spark, hash_index_path, gated, text=text, id_col=id_col)
+    return hash_index_probe(
+        spark, hash_index_path, gated, text=text, id_col=id_col, buckets=buckets
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2924,6 +3000,8 @@ def keyset_index_probe(
     *,
     key_col: str = "key",
     cache_registry: list | None = None,
+    segments: list[int] | None = None,
+    confirm_segments: list[int] | None = None,
 ) -> DataFrame:
     """Exact membership test for a batch of keys: returns the DISTINCT
     probe keys that ARE in the set (one ``key`` column). Two stages,
@@ -2941,7 +3019,18 @@ def keyset_index_probe(
     corpus-wide decontamination sweep that is the shingle explode three
     times. ``cache_registry``: same lifecycle contract as
     :func:`minhash_index_probe` — by default the frame stays cached for
-    the process; pass a list to drain/unpersist per batch."""
+    the process; pass a list to drain/unpersist per batch.
+
+    ``segments`` / ``confirm_segments`` (batch-only): precomputed
+    routing SUPERSETS of the probe keys' ``pmod(hash60(key),
+    n_segments)`` values for the bits scan and the keys-table confirm
+    scan respectively. A key lives in exactly ONE segment, so the
+    Bloom-positive keys' confirm segments are always a subset of the
+    probe keys' — the fused ingestion router passes the SAME superset
+    for both, trading a few extra keys-table directories for the
+    adaptive maybe-collect (the confirm join is still exact on
+    (key, segment)). An EMPTY list asserts the probe provably has no
+    keys and short-circuits to an empty result."""
     from kafka_streams_the_clojure_way_spark.functions.portable import hash60
 
     meta = _index_meta(spark, index_path)
@@ -2975,9 +3064,14 @@ def keyset_index_probe(
         need = need.cache()
         if cache_registry is not None:
             cache_registry.append(need)
-    bits = spark.read.parquet(f"{index_path}/bits")
+    bits = read_static_schema(spark, f"{index_path}/bits")
     if not probe.isStreaming:
-        segs = [r["segment"] for r in need.select("segment").distinct().collect()]
+        if segments is None:
+            segs = [
+                r["segment"] for r in need.select("segment").distinct().collect()
+            ]
+        else:
+            segs = sorted({int(s) for s in segments})
         if not segs:
             return pkeys.limit(0)
         bits = bits.filter(F.col("segment").isin(segs))
@@ -2994,15 +3088,23 @@ def keyset_index_probe(
         .filter(F.col("n_hit") == F.col("n_need"))
         .select("key", "segment")
     )
-    keys_tbl = spark.read.parquet(f"{index_path}/keys")
+    keys_tbl = read_static_schema(spark, f"{index_path}/keys")
     if not probe.isStreaming:
-        # maybe feeds the keys-segment routing collect and the final
-        # confirm semi-join — cache it so the Bloom-verify join runs
-        # once per batch.
-        maybe = maybe.cache()
-        if cache_registry is not None:
-            cache_registry.append(maybe)
-        msegs = [r["segment"] for r in maybe.select("segment").distinct().collect()]
+        if confirm_segments is None:
+            # maybe feeds the keys-segment routing collect and the final
+            # confirm semi-join — cache it so the Bloom-verify join runs
+            # once per batch.
+            maybe = maybe.cache()
+            if cache_registry is not None:
+                cache_registry.append(maybe)
+            msegs = [
+                r["segment"] for r in maybe.select("segment").distinct().collect()
+            ]
+        else:
+            # caller-supplied superset (one segment per key, so probe-key
+            # segments always cover the Bloom-positives'): no adaptive
+            # collect, no cache — maybe is consumed exactly once below.
+            msegs = sorted({int(s) for s in confirm_segments})
         if not msegs:
             return pkeys.limit(0)
         keys_tbl = keys_tbl.filter(F.col("segment").isin(msegs))

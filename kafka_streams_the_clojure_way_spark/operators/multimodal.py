@@ -104,10 +104,10 @@ def encode_text_assets(
     kernel is Arrow-batched and the output stays one asset row per doc."""
     import pandas as pd
 
-    if codec not in ("png", "png_rgb", "wav", "wav16", "pgm", "y4m"):
+    if codec not in ("png", "png_rgb", "wav", "wav16", "pgm", "y4m", "y4m420"):
         raise ValueError(
-            f"codec must be 'png', 'png_rgb', 'wav', 'wav16', 'pgm' or "
-            f"'y4m', got {codec!r}"
+            f"codec must be 'png', 'png_rgb', 'wav', 'wav16', 'pgm', "
+            f"'y4m' or 'y4m420', got {codec!r}"
         )
     mime = {
         "png": "image/png",
@@ -116,6 +116,7 @@ def encode_text_assets(
         "wav16": "audio/wav",
         "pgm": "video/x-pgm-frames",
         "y4m": "video/x-yuv4mpeg",
+        "y4m420": "video/x-yuv4mpeg",
     }[codec]
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -128,6 +129,11 @@ def encode_text_assets(
             "wav16": CC.wav_encode_pcm16,  # 16-bit stereo (channels=2)
             "pgm": CC.pgm_encode_video,
             "y4m": CC.y4m_encode_video,
+            # real 4:2:0 stream whose LUMA carries the same payload
+            # bytes per frame as the Cmono fixture (W halves, H
+            # doubles, neutral chroma planes appended) — so mixed
+            # Cmono/C420 corpora share one luma-level oracle.
+            "y4m420": lambda b: CC.y4m_encode_video(b, cspace="420"),
         }[codec]
         for pdf in batches:
             payloads = [enc(t.encode("utf-8")) for t in pdf[text_col].values]

@@ -26,7 +26,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kafka_streams_the_clojure_way_spark.sources.files import with_min_parallelism
+from kafka_streams_the_clojure_way_spark.sources.files import (
+    read_static_schema,
+    with_min_parallelism,
+)
 
 #: Hard cap on the driver-collected query side of cosine_topk_pandas.
 #: 1e5 rows x (say) 768 float64 dims ≈ 600 MB broadcast per task — already
@@ -523,6 +526,11 @@ def build_ivf_index(
     ).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
     )
+    from kafka_streams_the_clojure_way_spark.sources.files import (
+        invalidate_static_schema,
+    )
+
+    invalidate_static_schema(path)
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
     scored = with_min_parallelism(corpus).join(F.broadcast(cents)).select(
@@ -566,10 +574,10 @@ def ivf_index_upsert(
     from kafka_streams_the_clojure_way_spark.sources.files import with_min_parallelism
 
     cents = F.broadcast(
-        spark.read.parquet(f"{index_path}/centroids").select("cent_id", "cent_vec")
+        read_static_schema(spark, f"{index_path}/centroids").select("cent_id", "cent_vec")
     )
     if not assume_new_ids:
-        existing = spark.read.parquet(f"{index_path}/postings").select(
+        existing = read_static_schema(spark, f"{index_path}/postings").select(
             F.col("neighbor_id").alias(id_col)
         )
         batch = batch.join(existing, id_col, "left_anti")
@@ -614,7 +622,7 @@ def ivf_index_delete(spark, index_path: str, ids, *, id_col: str = "vec_id") -> 
 
 def _ivf_tombstones(spark, index_path: str):
     try:
-        return spark.read.parquet(f"{index_path}/tombstones")
+        return read_static_schema(spark, f"{index_path}/tombstones")
     except Exception:
         return None
 
@@ -665,7 +673,7 @@ def ivf_index_topk(
     from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
 
     cents = F.broadcast(
-        spark.read.parquet(f"{index_path}/centroids").select(
+        read_static_schema(spark, f"{index_path}/centroids").select(
             F.col("cent_id"), F.col("cent_vec")
         )
     )
@@ -683,7 +691,7 @@ def ivf_index_topk(
         rank_col="__cr",
     ).select(query_id, "__qvec", F.col("cent_id").alias("cell"))
 
-    postings = spark.read.parquet(f"{index_path}/postings")
+    postings = read_static_schema(spark, f"{index_path}/postings")
     scored = (
         postings.join(F.broadcast(probe), "cell")
         .filter(F.col("neighbor_id") != F.col(query_id))
@@ -829,7 +837,7 @@ def ivf_index_neardup_pairs(
     from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
 
     cents = F.broadcast(
-        spark.read.parquet(f"{index_path}/centroids").select(
+        read_static_schema(spark, f"{index_path}/centroids").select(
             F.col("cent_id"), F.col("cent_vec")
         )
     )
@@ -847,7 +855,7 @@ def ivf_index_neardup_pairs(
         rank_col="__cr",
     ).select("probe_id", "__qvec", F.col("cent_id").alias("cell"))
 
-    postings = spark.read.parquet(f"{index_path}/postings")
+    postings = read_static_schema(spark, f"{index_path}/postings")
     scored = (
         postings.join(F.broadcast(probe), "cell")
         .filter(F.col("neighbor_id") != F.col("probe_id"))

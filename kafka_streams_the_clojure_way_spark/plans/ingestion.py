@@ -165,6 +165,12 @@ def ingestion_topology(
     the containment gate. With it, each gate runs exactly once.
     """
 
+    #: per-batch precomputed routing (filled by compile_ingestion /
+    #: compute_batch_routing, read by the gate closures at compile time,
+    #: cleared after compile — the literals are baked into the plan).
+    #: Empty box => every probe falls back to its own routing collect.
+    routing_box: dict = {}
+
     def _pin(df: DataFrame) -> DataFrame:
         if df.isStreaming:  # streaming frames can't cache; foreachBatch
             return df       # hands the gates batch frames anyway
@@ -178,10 +184,13 @@ def ingestion_topology(
             pairs = D.bloom_gated_exact_probe(
                 spark, bloom_index_path, hash_index_path, batch,
                 text=text, id_col=id_col, cache_registry=cache_registry,
+                segments=routing_box.get("bloom_segments"),
+                buckets=routing_box.get("hash_buckets"),
             )
         else:
             pairs = D.hash_index_probe(
-                spark, hash_index_path, batch, text=text, id_col=id_col
+                spark, hash_index_path, batch, text=text, id_col=id_col,
+                buckets=routing_box.get("hash_buckets"),
             )
         flagged = pairs.select(F.col("probe_id").alias(id_col)).distinct()
         return _pin(batch.join(flagged, id_col, "left_anti"))
@@ -195,6 +204,8 @@ def ingestion_topology(
             id_col=id_col,
             threshold=jaccard_threshold,
             cache_registry=cache_registry,
+            routing=routing_box.get("minhash_routing"),
+            sigs=routing_box.get("minhash_sigs"),
         )
         flagged = pairs.select(F.col("probe_id").alias(id_col)).distinct()
         # anti-join on a probe-sized key set: AQE broadcasts it.
@@ -246,7 +257,12 @@ def ingestion_topology(
             F.explode_outer(TX.shingles_col(F.col(text))).alias("key"),
         ).filter(F.col("key").isNotNull())
         members = D.keyset_index_probe(
-            spark, keyset_index_path, grams, cache_registry=cache_registry
+            spark, keyset_index_path, grams, cache_registry=cache_registry,
+            segments=routing_box.get("keyset_segments"),
+            # one segment per key, so the raw batch's gram segments cover
+            # the Bloom-positives' — the same superset routes the confirm
+            # scan and kills the probe's second adaptive collect.
+            confirm_segments=routing_box.get("keyset_segments"),
         )
         flagged = (
             grams.join(members, "key", "left_semi").select(id_col).distinct()
@@ -323,19 +339,204 @@ def ingestion_topology(
         "contamination": keyset_index_path is not None,
         "semantic": ivf_index_path is not None,
     }
-    return {"entities": entities, "workflow": workflow, "gates": gates}
+    # routing spec + box: lets compile_ingestion/compute_batch_routing
+    # derive EVERY gate's partition-routing keys from the raw batch in
+    # ONE driver job and hand them to the probes (extra keys are
+    # ignored by validate_topology/compile, like "gates").
+    routing = {
+        "id_col": id_col,
+        "text": text,
+        "index_path": index_path,
+        "hash_index_path": hash_index_path,
+        "bloom_index_path": bloom_index_path,
+        "keyset_index_path": keyset_index_path,
+    }
+    return {
+        "entities": entities,
+        "workflow": workflow,
+        "gates": gates,
+        "routing": routing,
+        "routing_box": routing_box,
+        "cache_registry": cache_registry,
+    }
+
+
+def compute_batch_routing(
+    spark: SparkSession,
+    topology: Topology,
+    batch: DataFrame,
+    *,
+    cache_registry: list | None = None,
+) -> dict:
+    """ONE driver job for EVERY gate's partition-routing keys — the
+    per-trigger compile floor killer (r9's one measured latency floor:
+    ~10.8 s/trigger of serial eager routing collects, one per probe,
+    `ingest_bench_r9.json`).
+
+    Derives, from the RAW batch, supersets of each probe's routing keys
+    (superset pruning is output-identical — every probe's join is exact
+    on its full key; see the probes' routing contracts):
+
+    - ``hash_buckets``: pmod(content_hash, n_buckets) per doc;
+    - ``bloom_segments``: pmod(content_hash, n_segments) per doc;
+    - ``minhash_routing``: packed band*n_buckets+bucket per (doc, band),
+      from signatures computed ONCE here and shared with the probe via
+      ``minhash_sigs`` (sign the batch once per trigger);
+    - ``keyset_segments``: pmod(hash60(gram), n_segments) per 5-gram —
+      one segment per key, so it also routes the confirm scan.
+
+    All four legs are row-local projections unioned into one tiny
+    distinct (tag, key) frame and collected in a single job. Returns
+    the dict `compile_ingestion` feeds the topology's routing box;
+    empty when the batch is streaming (foreachBatch hands gates batch
+    frames — the streaming serve loop routes per micro-batch)."""
+    spec = topology.get("routing")
+    if spec is None or batch.isStreaming:
+        return {}
+    from kafka_streams_the_clojure_way_spark.functions.portable import hash60
+    from kafka_streams_the_clojure_way_spark.operators import text as TX
+    from kafka_streams_the_clojure_way_spark.sources.files import (
+        with_min_parallelism,
+    )
+
+    id_col, text = spec["id_col"], spec["text"]
+    base = with_min_parallelism(batch)
+    h = D.content_hash(F.col(text))
+    legs: list[DataFrame] = []
+    expected: list[str] = []
+    out: dict = {}
+
+    def leg(df: DataFrame, tag: str) -> None:
+        legs.append(
+            df.select(F.col("key").cast("long").alias("key")).withColumn(
+                "tag", F.lit(tag)
+            )
+        )
+        expected.append(tag)
+
+    if spec.get("hash_index_path"):
+        meta = D._index_meta(spark, spec["hash_index_path"])
+        leg(
+            base.select(F.pmod(h, F.lit(meta["n_buckets"])).alias("key")),
+            "hash_buckets",
+        )
+    if spec.get("bloom_index_path"):
+        meta = D._index_meta(spark, spec["bloom_index_path"])
+        leg(
+            base.select(F.pmod(h, F.lit(meta["n_segments"])).alias("key")),
+            "bloom_segments",
+        )
+    if spec.get("index_path"):
+        meta = D._index_meta(spark, spec["index_path"])
+        n_hashes, bands = meta["n_hashes"], meta["bands"]
+        n_buckets, rows = meta["n_buckets"], meta["n_hashes"] // meta["bands"]
+        sigs = base.select(
+            F.col(id_col), D.shingle_hashes(F.col(text)).alias("sh")
+        ).withColumn(
+            "sig", D.minhash_from_hashes(F.col("sh"), D.minhash_seeds(n_hashes))
+        ).cache()
+        if cache_registry is not None:
+            cache_registry.append(sigs)
+        out["minhash_sigs"] = sigs
+        leg(
+            sigs.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.lit(b) * n_buckets
+                            + F.pmod(
+                                D._band_key(F.col("sig"), b, rows),
+                                F.lit(n_buckets),
+                            )
+                            for b in range(bands)
+                        ]
+                    )
+                ).alias("key")
+            ),
+            "minhash_routing",
+        )
+    if spec.get("keyset_index_path"):
+        meta = D._index_meta(spark, spec["keyset_index_path"])
+        grams = base.select(
+            F.explode_outer(TX.shingles_col(F.col(text))).alias("g")
+        ).filter(F.col("g").isNotNull())
+        leg(
+            grams.select(
+                F.pmod(hash60(F.col("g")), F.lit(meta["n_segments"])).alias("key")
+            ),
+            "keyset_segments",
+        )
+    if not legs:
+        return out
+    union = legs[0]
+    for frame in legs[1:]:
+        union = union.unionByName(frame)
+    keys: dict[str, list[int]] = {tag: [] for tag in expected}
+    for r in union.distinct().collect():  # the ONE routing job
+        keys[r["tag"]].append(int(r["key"]))
+    out.update({tag: sorted(vals) for tag, vals in keys.items()})
+    return out
+
+
+def compile_ingestion(
+    spark: SparkSession,
+    topology: Topology,
+    batch: DataFrame,
+    *,
+    fuse_routing: bool = True,
+    cache_registry: list | None = None,
+) -> dict:
+    """Compile the curation topology against one batch frame and return
+    the full compiled entity dict. With ``fuse_routing`` (default) every
+    probe's partition-routing keys come from ONE
+    :func:`compute_batch_routing` job instead of one eager collect per
+    gate — same curated set by the superset-routing contract, compile
+    cost independent of gate count. The box is cleared after compile:
+    the literals are already baked into the returned plans.
+    ``cache_registry`` owns the router's shared signature cache;
+    defaults to the registry the topology was built with."""
+    from kafka_streams_the_clojure_way_spark.plans.compiler import compile_topology
+
+    box = topology.get("routing_box")
+    if box is not None:
+        box.clear()
+    try:
+        if fuse_routing and box is not None:
+            box.update(
+                compute_batch_routing(
+                    spark,
+                    topology,
+                    batch,
+                    cache_registry=(
+                        cache_registry
+                        if cache_registry is not None
+                        else topology.get("cache_registry")
+                    ),
+                )
+            )
+        return compile_topology(spark, topology, {"topic/raw-docs": batch})
+    finally:
+        if box is not None:
+            box.clear()
 
 
 def run_ingestion_batch(
-    spark: SparkSession, topology: Topology, batch: DataFrame
+    spark: SparkSession,
+    topology: Topology,
+    batch: DataFrame,
+    *,
+    fuse_routing: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Compile the topology against one batch frame and return the
     curated sink — the offline-simulation shape (≙ run-experiment,
     core.clj:224-234) and what the registered oracle-checked query
-    runs."""
-    from kafka_streams_the_clojure_way_spark.plans.compiler import compile_topology
-
-    compiled = compile_topology(spark, topology, {"topic/raw-docs": batch})
+    runs. ``fuse_routing=False`` restores the per-probe routing
+    collects (the A/B lever the parity tests pin)."""
+    compiled = compile_ingestion(
+        spark, topology, batch,
+        fuse_routing=fuse_routing, cache_registry=cache_registry,
+    )
     return compiled["topic/curated-docs"]
 
 
@@ -361,6 +562,7 @@ def run_ingestion_stream(
     assume_new_ids: bool = False,
     checkpoint: str | None = None,
     trigger: dict | None = None,
+    fuse_routing: bool = True,
 ):
     """Run the curation topology CONTINUOUSLY: each micro-batch of
     ``stream`` is bound as ``topic/raw-docs``, the topology compiles
@@ -468,7 +670,10 @@ def run_ingestion_stream(
                 source_col=psi_source_col,
             ).withColumn("batch_id", F.lit(batch_id))
             psi_sink_fn(report, batch_id)
-        curated = run_ingestion_batch(spark, topology, batch_df)
+        curated = run_ingestion_batch(
+            spark, topology, batch_df,
+            fuse_routing=fuse_routing, cache_registry=cache_registry,
+        )
         try:
             sink_fn(curated, batch_id)
             if upsert_index_path is not None:

@@ -263,7 +263,7 @@ def _shared_ingestion(spark: SparkSession, sf_dir: str) -> dict:
     shared = _SHARED_INGEST_CACHE.get(key)
     if shared is not None:
         return shared
-    from kafka_streams_the_clojure_way_spark.plans.compiler import compile_topology
+    from kafka_streams_the_clojure_way_spark.plans.ingestion import compile_ingestion
 
     docs = load_table(spark, sf_dir, "documents")
     probe = docs.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
@@ -282,7 +282,7 @@ def _shared_ingestion(spark: SparkSession, sf_dir: str) -> dict:
         ivf_index_path=ivf_path,
         embeddings=embeddings,
     )
-    compiled = compile_topology(spark, topo, {"topic/raw-docs": probe})
+    compiled = compile_ingestion(spark, topo, probe)
     surv3 = compiled["stream/containment-gate"]
     surv4 = compiled["stream/contamination-gate"]
     surv5 = compiled["stream/semantic-gate"]

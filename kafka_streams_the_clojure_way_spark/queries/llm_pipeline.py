@@ -1292,9 +1292,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_video_phash_pairs composes this demux with the pHash kernel
     for content-level near-dup; the bespoke-PGM demuxer remains for
     mixed-container corpora (container="auto" dispatches by mime)."""
-    assets = encode_text_assets(
-        load_table(spark, sf_dir, "documents"), "y4m"
-    )
+    assets = _encode_video_mixed(load_table(spark, sf_dir, "documents"))
     return sample_frames(assets, container="y4m").select(
         "doc_id", "frame_idx", "frame_len"
     )
@@ -1629,6 +1627,20 @@ def _shared_audio_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _encode_video_mixed(df) -> "DataFrame":
+    """MIXED-CONTAINER video fixture (VERDICT r9 #2): even doc_ids mux
+    as Cmono Y4M, odd as REAL C420 (4:2:0 neutral-chroma planes, the
+    colorspace real crawls ship). Both encoders carry exactly
+    {CC.Y4M_FRAME_LEN} luma payload bytes per frame (the C420 geometry
+    halves W and doubles H), and the decoder returns the luma plane
+    only — so every luma-level oracle (frame sample, pHash pairs,
+    index probe, layout) is container-invariant and stays bit-exact
+    over the mix."""
+    even = encode_text_assets(df.filter(F.col("doc_id") % 2 == 0), "y4m")
+    odd = encode_text_assets(df.filter(F.col("doc_id") % 2 == 1), "y4m420")
+    return even.unionByName(odd)
+
+
 def _shared_video_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized (doc_id, frame_idx, phash) over originals + twins —
     the video tier's shared signature table (Y4M demux + per-frame
@@ -1638,7 +1650,7 @@ def _shared_video_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "videophash",
         lambda: IH.video_frame_phashes(
-            encode_text_assets(_docs_and_twins(spark, sf_dir), "y4m")
+            _encode_video_mixed(_docs_and_twins(spark, sf_dir))
         ),
     )
 
@@ -1798,9 +1810,13 @@ def meta_phash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
                   ELSE 'video/x-yuv4mpeg' END AS mime,
            CAST(CASE m WHEN 0 THEN {CC.PNG_WIDTH} WHEN 1 THEN -1
-                       ELSE {CC.Y4M_FRAME_LEN} END AS INT) AS width,
+                       ELSE CASE WHEN doc_id % 2 = 0 THEN {CC.Y4M_FRAME_LEN}
+                                 ELSE {CC.Y4M_FRAME_LEN // 2} END
+                END AS INT) AS width,
            CAST(CASE m WHEN 0 THEN greatest((n + {CC.PNG_WIDTH - 1}) // {CC.PNG_WIDTH}, 1)
-                       WHEN 1 THEN -1 ELSE 1 END AS INT) AS height,
+                       WHEN 1 THEN -1
+                       ELSE CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END
+                END AS INT) AS height,
            CAST(CASE m WHEN 0 THEN 1 WHEN 1 THEN n
                        ELSE (n + {CC.Y4M_FRAME_LEN - 1}) // {CC.Y4M_FRAME_LEN}
                 END AS INT) AS n_frames,
@@ -1824,8 +1840,11 @@ def multimodal_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     parts = [
         encode_text_assets(docs.filter(F.col("doc_id") % 3 == m), codec)
-        for m, codec in enumerate(["png", "wav", "y4m"])
+        for m, codec in enumerate(["png", "wav"])
     ]
+    # video slice is itself MIXED Cmono/C420 — the header walk must
+    # report each container's true geometry (64x1 vs 32x2)
+    parts.append(_encode_video_mixed(docs.filter(F.col("doc_id") % 3 == 2)))
     assets = parts[0].unionByName(parts[1]).unionByName(parts[2])
     return decode_assets(assets, decoder="stdlib").select(
         "doc_id", "mime", "width", "height", "n_frames", "sample_rate"
@@ -1872,7 +1891,7 @@ _VIDEO_INDEX_CACHE: dict[tuple, str] = {}
 
 
 def _video_index_path(spark: SparkSession, sf_dir: str) -> str:
-    key = (sf_dir, _INCR_NEW_MOD, IH.VIDEO_BANDS, IH.VIDEO_INDEX_BUCKETS, "y4m")
+    key = (sf_dir, _INCR_NEW_MOD, IH.VIDEO_BANDS, IH.VIDEO_INDEX_BUCKETS, "y4m_mixed")
     path = _VIDEO_INDEX_CACHE.get(key)
     if path is None:
         import tempfile
@@ -1883,7 +1902,7 @@ def _video_index_path(spark: SparkSession, sf_dir: str) -> str:
             .select("doc_id", "text")
             .filter(F.col("doc_id") % _INCR_NEW_MOD != 0)
         )
-        IH.build_video_phash_index(encode_text_assets(corpus, "y4m"), path)
+        IH.build_video_phash_index(_encode_video_mixed(corpus), path)
         _VIDEO_INDEX_CACHE[key] = path
     return path
 
@@ -1932,7 +1951,7 @@ def dedup_video_phash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IH.video_phash_index_probe(
         spark,
         _video_index_path(spark, sf_dir),
-        encode_text_assets(probe_docs, "y4m"),
+        _encode_video_mixed(probe_docs),
         sigs=psigs,
     )
 

@@ -152,6 +152,45 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+#: per-process parquet schema cache for STATIC-SCHEMA datasets (the
+#: persisted indexes' tables): `spark.read.parquet` runs a footer
+#: schema-inference JOB per call, and the composed ingestion compile
+#: reads ~8 index datasets per trigger — 8 scheduler round-trips for
+#: bytes whose schema cannot have changed (upsert/compact append or
+#: rewrite the SAME columns; only a rebuild changes schema, and builds
+#: invalidate below).
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def read_static_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet dataset whose SCHEMA is stable across appends —
+    the persisted-index dataset contract (bands/hashes/bits/keys/
+    postings/...). First read per (process, path) pays the normal
+    inference job and caches the schema; later reads pass it explicitly,
+    so re-probing an index costs file listing only, no footer job.
+    File LISTING is never cached — appended files are always seen.
+    Rebuilds that might change schema must call
+    :func:`invalidate_static_schema` on the dataset's root (the index
+    build_* functions do, via their meta invalidation hook)."""
+    key = os.path.normpath(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[key] = df.schema
+    return df
+
+
+def invalidate_static_schema(prefix: str) -> None:
+    """Drop cached schemas for every dataset under ``prefix`` (an index
+    root or a single dataset dir). Called by the index build functions;
+    needed manually only for out-of-process REBUILDS of a reused path —
+    the same contract as ``dedup.invalidate_index_meta``."""
+    norm = os.path.normpath(prefix)
+    for key in [k for k in _SCHEMA_CACHE if k == norm or k.startswith(norm + os.sep)]:
+        _SCHEMA_CACHE.pop(key, None)
+
+
 def write_partitioned(
     df: DataFrame, path: str, *partition_cols: str, fmt: str = "parquet", **options
 ) -> None:

@@ -357,6 +357,30 @@ def test_y4m_roundtrip_concatenates_to_padded_payload(data):
     assert nf == len(frames) == (len(data) + Y4M_FRAME_LEN - 1) // Y4M_FRAME_LEN
 
 
+@_settings(max_examples=40, deadline=None)
+@_given(_st.binary(max_size=400))
+def test_y4m_c420_luma_matches_mono(data):
+    """The C420 fixture encoder (r10) carries the same luma payload per
+    frame as Cmono — decode returns the luma plane only, so frames are
+    IDENTICAL across colorspaces; geometry halves W, doubles H; the
+    siting variants (jpeg/mpeg2/paldv) share the layout; a frame
+    missing its chroma tail is truncated."""
+    mono = y4m_encode_video(data)
+    c420 = y4m_encode_video(data, cspace="420")
+    assert y4m_decode_frames(c420) == y4m_decode_frames(mono)
+    w, h, nf = y4m_parse_meta(c420)
+    assert (w, h) == (Y4M_FRAME_LEN // 2, 2)
+    assert nf == (len(data) + Y4M_FRAME_LEN - 1) // Y4M_FRAME_LEN
+    for tag in (b"C420jpeg", b"C420mpeg2", b"C420paldv"):
+        variant = c420.replace(b"C420", tag, 1)
+        assert y4m_decode_frames(variant) == y4m_decode_frames(c420)
+    if nf:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="truncated Y4M frame"):
+            y4m_decode_frames(c420[:-1])
+
+
 def test_y4m_corruption_detected():
     """Bad magic, non-mono colorspace, bad FRAME marker, truncation —
     each raises ValueError with a classified kind."""
@@ -370,12 +394,21 @@ def test_y4m_corruption_detected():
 
     with _pytest.raises(ValueError, match="bad magic"):
         y4m_decode_frames(b"NOT4MPEG2" + good[9:])
-    # chroma-subsampled colorspace: real format, unsupported layout
-    c420 = good.replace(b"Cmono", b"C420 ", 1)
+    # chroma-subsampled colorspaces: the C420 family DECODES since r10
+    # (luma plane only); C422/C444 stay unsupported layouts, and a
+    # C420 tag with odd geometry is rejected (both classified).
+    c422 = good.replace(b"Cmono", b"C422 ", 1)
     with _pytest.raises(ValueError, match="unsupported Y4M colorspace"):
-        y4m_decode_frames(c420)
+        y4m_decode_frames(c422)
     try:
-        y4m_decode_frames(c420)
+        y4m_decode_frames(c422)
+    except ValueError as exc:
+        assert classify_codec_error(str(exc)) == "unsupported"
+    odd420 = good.replace(b"Cmono", b"C420 ", 1)  # keeps W64 H1: odd H
+    with _pytest.raises(ValueError, match="unsupported Y4M C420 geometry"):
+        y4m_decode_frames(odd420)
+    try:
+        y4m_decode_frames(odd420)
     except ValueError as exc:
         assert classify_codec_error(str(exc)) == "unsupported"
     # corrupt a FRAME marker
