@@ -230,13 +230,58 @@ def png_encode_rgb(
     return _png_encode(data, width, PNG_RGB_BPP, 2, filter_cycle)
 
 
+def _fixture_palette() -> bytes:
+    """The deterministic 256-entry PLTE the paletted fixture encoder
+    writes: entry i = (i, 255-i, (7*i + 13) % 256). Deliberately NOT the
+    identity grayscale ramp — a decoder that skips the palette lookup
+    (returning raw indexes) or transposes channels produces different
+    luma for almost every index, so the oracle catches it. All three
+    channel formulas are one-liner integer SQL, so the DuckDB twin
+    reproduces the lookup exactly (:func:`png_palette_luma_sql`)."""
+    return bytes(
+        b for i in range(256) for b in (i, 255 - i, (7 * i + 13) % 256)
+    )
+
+
+def png_encode_palette(
+    data: bytes,
+    width: int = PNG_WIDTH,
+    filter_cycle: tuple[int, ...] = DEFAULT_FILTER_CYCLE,
+) -> bytes:
+    """Encode ``data`` as a spec-conformant 8-bit PALETTED PNG (color
+    type 3 — the most common crawl PNG class): each payload byte is a
+    palette index (bpp=1 filtering, same engine as grayscale), and the
+    PLTE chunk carries the fixed :func:`_fixture_palette`. Exact
+    inverse: ``png_decode_palette(png)`` returns the palette-mapped RGB
+    stream of ``data + b' ' * (-len(data) % width)``."""
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    pad = -len(data) % width
+    pixels = data + PNG_PAD * pad
+    if not data:
+        pixels = PNG_PAD * width
+    raw = _filter_scanlines(pixels, width, 1, filter_cycle)
+    ihdr = struct.pack(">IIBBBBB", width, max(1, len(pixels) // width), 8, 3, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", _fixture_palette())
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
 def _png_decode(png: bytes, expect_ctype: int, bpp: int) -> bytes:
     """Shared PNG decode engine: validates the magic, every chunk's
     CRC-32, the IHDR geometry (8-bit, the expected color type),
     concatenates multi-IDAT streams, inflates, and inverts all five
-    scanline filters with the spec's bpp-step predictors. Raises
-    ``ValueError`` on any corruption — the behavior a corrupt-object
-    quarantine path needs."""
+    scanline filters with the spec's bpp-step predictors. For color
+    type 3 (paletted — bpp=1 index stream) the PLTE chunk is validated
+    (present before pixels are interpreted, length a non-empty multiple
+    of 3, every index in range) and each index maps through it to an
+    (R, G, B) triple, so the return value is an interleaved RGB stream
+    exactly like the truecolor path. Raises ``ValueError`` on any
+    corruption — the behavior a corrupt-object quarantine path needs."""
     import numpy as np
 
     if png[: len(_PNG_MAGIC)] != _PNG_MAGIC:
@@ -244,6 +289,7 @@ def _png_decode(png: bytes, expect_ctype: int, bpp: int) -> bytes:
     pos = len(_PNG_MAGIC)
     width = height = -1
     idat = bytearray()
+    plte: bytes | None = None
     seen_end = False
     while pos < len(png):
         if pos + 8 > len(png):
@@ -267,6 +313,10 @@ def _png_decode(png: bytes, expect_ctype: int, bpp: int) -> bytes:
                     f"{expect_ctype}, got depth={depth} color={ctype} "
                     f"interlace={interlace})"
                 )
+        elif tag == b"PLTE":
+            if length == 0 or length % 3 or length > 768:
+                raise ValueError(f"PNG PLTE length {length} invalid")
+            plte = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -276,6 +326,8 @@ def _png_decode(png: bytes, expect_ctype: int, bpp: int) -> bytes:
         raise ValueError("PNG missing IHDR")
     if not seen_end:
         raise ValueError("PNG missing IEND")
+    if expect_ctype == 3 and plte is None:
+        raise ValueError("PNG color type 3 missing PLTE")
     wb = width * bpp
     try:
         inflated = zlib.decompress(bytes(idat))
@@ -314,7 +366,17 @@ def _png_decode(png: bytes, expect_ctype: int, bpp: int) -> bytes:
             raise ValueError(f"invalid PNG filter type {f}")
         out[r] = cur
         prev = cur
-    return out.astype(np.uint8).tobytes()
+    pixels = out.astype(np.uint8)
+    if expect_ctype == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = pixels.reshape(-1)
+        if idx.size and int(idx.max()) >= pal.shape[0]:
+            raise ValueError(
+                f"PNG palette index {int(idx.max())} out of range "
+                f"(palette has {pal.shape[0]} entries)"
+            )
+        return pal[idx].tobytes()
+    return pixels.tobytes()
 
 
 def png_decode_gray(png: bytes) -> bytes:
@@ -330,6 +392,27 @@ def png_decode_rgb(png: bytes) -> bytes:
     validation + all-five-filters engine as the grayscale path (the
     filter predictors step by bpp=3 per the spec)."""
     return _png_decode(png, 2, PNG_RGB_BPP)
+
+
+def png_decode_palette(png: bytes) -> bytes:
+    """Decode an 8-bit PALETTED PNG (color type 3) to its interleaved
+    RGB byte stream: same validation + all-five-filters engine at bpp=1
+    (indexes predict from their left NEIGHBOR INDEX per the spec — the
+    filter step is always one byte for color type 3), then a PLTE
+    lookup per pixel. Raises ``ValueError`` on missing/ill-sized PLTE
+    or out-of-range indexes (classified quarantine kinds)."""
+    return _png_decode(png, 3, 1)
+
+
+def png_palette_luma_sql(idx: str) -> str:
+    """DuckDB expression: the BT.601 integer luma of fixture-palette
+    entry ``idx`` — ``(77*R + 150*G + 29*B) >> 8`` with the palette's
+    channel formulas inlined (R=i, G=255-i, B=(7i+13)%256). The SQL
+    twin of ``rgb_to_luma(png_decode_palette(...))`` per byte."""
+    return (
+        f"(({LUMA_R} * ({idx}) + {LUMA_G} * (255 - ({idx})) "
+        f"+ {LUMA_B} * ((7 * ({idx}) + 13) % 256)) // 256)"
+    )
 
 
 #: BT.601-ish integer luma weights, fixed-point /256: 77 + 150 + 29 =

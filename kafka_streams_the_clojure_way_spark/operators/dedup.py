@@ -111,6 +111,91 @@ def invalidate_index_meta(path: str) -> None:
     touch meta, so they need no invalidation."""
     _invalidate_index_meta(path)
 
+
+# --------------------------------------------------------------------------
+# Versioned dataset roots: probe-during-compact without a maintenance
+# window (VERDICT r9 #7, minhash as the template family)
+# --------------------------------------------------------------------------
+
+#: pointer file naming the index's ACTIVE dataset-root (a relative
+#: subdirectory). Absent => the legacy in-place layout (datasets live
+#: directly under the index root) — every build_* writes that, so old
+#: indexes keep working untouched.
+INDEX_CURRENT_POINTER = "CURRENT"
+
+
+def index_dataset_root(index_path: str) -> str:
+    """Resolve the ACTIVE dataset root of a persisted index: the
+    directory its data tables (bands/shingles/tombstones/...) live in.
+    ``{index_path}/CURRENT``, when present, names a versioned
+    subdirectory; otherwise the root IS the index path (the build-time
+    layout). Readers resolve ONCE per probe and read every dataset from
+    the same root — a consistent snapshot even while a versioned
+    compaction repoints the index under them (their version's files are
+    never deleted by the swap, only by an explicit later GC)."""
+    try:
+        with open(os.path.join(index_path, INDEX_CURRENT_POINTER)) as fh:
+            rel = fh.read().strip()
+    except OSError:
+        return index_path
+    if not rel or rel == ".":
+        return index_path
+    return os.path.join(index_path, rel)
+
+
+def _repoint_index_version(index_path: str, rel: str) -> None:
+    """Atomically repoint the index's CURRENT pointer (write-temp +
+    rename — POSIX-atomic, so a reader sees the old or the new version
+    name, never a torn pointer)."""
+    tmp = os.path.join(index_path, f".{INDEX_CURRENT_POINTER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(rel)
+    os.replace(tmp, os.path.join(index_path, INDEX_CURRENT_POINTER))
+
+
+def _next_index_version(index_path: str) -> str:
+    """Next unused ``v_NNNNNN`` subdirectory name (monotonic by scan —
+    single-writer maintenance makes the scan race-free)."""
+    n = 0
+    for name in os.listdir(index_path):
+        if name.startswith("v_") and name[2:].isdigit():
+            n = max(n, int(name[2:]) + 1)
+    return f"v_{n:06d}"
+
+
+def gc_index_versions(index_path: str, *, datasets: tuple[str, ...]) -> list[str]:
+    """Delete every NON-CURRENT version of a versioned index: stale
+    ``v_*`` directories, and — once CURRENT points at a version dir —
+    the legacy in-place copies of ``datasets`` directly under the index
+    root. Run this only after in-flight readers of older versions have
+    finished (the reader contract is resolve-once-per-probe, so any
+    probe CONSTRUCTED after the repoint no longer touches them; a
+    production loop GCs one compaction cycle behind). Returns the
+    deleted paths."""
+    import shutil
+
+    root = index_dataset_root(index_path)
+    deleted = []
+    for name in sorted(os.listdir(index_path)):
+        full = os.path.join(index_path, name)
+        if name.startswith("v_") and name[2:].isdigit() and full != root:
+            shutil.rmtree(full, ignore_errors=True)
+            deleted.append(full)
+    if root != index_path:
+        for ds in datasets:
+            legacy = os.path.join(index_path, ds)
+            if os.path.isdir(legacy):
+                shutil.rmtree(legacy, ignore_errors=True)
+                deleted.append(legacy)
+    return deleted
+
+
+def gc_minhash_index_versions(index_path: str) -> list[str]:
+    """:func:`gc_index_versions` for the minhash family's datasets."""
+    return gc_index_versions(
+        index_path, datasets=("bands", "shingles", "tombstones")
+    )
+
 #: (a, b) seeds for the portable universal-hash family h_i(x) = (a*x+b) % M31.
 #: Fixed constants — NOT runtime-random — so signatures are reproducible
 #: across engines, runs, and the DuckDB oracle.
@@ -828,10 +913,14 @@ def minhash_index_upsert(
     After many batches, run :func:`compact_minhash_index` to restore
     the one-file-per-directory build layout."""
     meta = _index_meta(spark, index_path)
+    # writers resolve the root too: upserts land in the ACTIVE version
+    # (single-writer contract — upsert and compact never run
+    # concurrently, so the root cannot move mid-upsert).
+    root = index_dataset_root(index_path)
     n_hashes, bands, n_buckets = meta["n_hashes"], meta["bands"], meta["n_buckets"]
     rows = n_hashes // bands
     if not assume_new_ids:
-        existing = read_static_schema(spark, f"{index_path}/shingles").select(
+        existing = read_static_schema(spark, f"{root}/shingles").select(
             F.col(meta["id_col"]).alias(id_col)
         )
         batch = batch.join(existing, id_col, "left_anti")
@@ -869,12 +958,12 @@ def minhash_index_upsert(
     # shingles FIRST (see crash-retry contract above), one file per batch
     sigs.select(F.col(id_col).alias(meta["id_col"]), "sh").coalesce(1).write.mode(
         "append"
-    ).parquet(f"{index_path}/shingles")
+    ).parquet(f"{root}/shingles")
     # one shuffle onto the partition layout = at most one file per touched
     # (band, bucket) directory per batch (same layout rule as the build)
     banded.repartition("band", "bucket").write.mode("append").partitionBy(
         "band", "bucket"
-    ).parquet(f"{index_path}/bands")
+    ).parquet(f"{root}/bands")
 
 
 def minhash_index_probe(
@@ -940,6 +1029,10 @@ def minhash_index_probe(
     long-running probe loops). Pass a list and the cached frame is
     appended to it instead — unpersist after materializing results."""
     meta = _index_meta(spark, index_path)
+    # snapshot the dataset root ONCE: every dataset this probe reads
+    # comes from the same index version even if a versioned compaction
+    # repoints CURRENT while the probe's plan is still executing.
+    root = index_dataset_root(index_path)
     n_hashes, bands, n_buckets = meta["n_hashes"], meta["bands"], meta["n_buckets"]
     rows = n_hashes // bands
     wm_streaming = watermark is not None and batch.isStreaming
@@ -988,7 +1081,7 @@ def minhash_index_probe(
         F.col("bk.bkey").alias("bkey"),
         F.pmod(F.col("bk.bkey"), F.lit(n_buckets)).alias("bucket"),
     )
-    postings = read_static_schema(spark, f"{index_path}/bands")
+    postings = read_static_schema(spark, f"{root}/bands")
     if batch.isStreaming:
         # stream-static equi-join per micro-batch; the static side cannot
         # take a batch-derived literal filter, and the stream side cannot
@@ -1031,7 +1124,7 @@ def minhash_index_probe(
             *([F.col(ts_col), F.col("sh").alias("sh_a")] if wm_streaming else []),
         )
     )
-    tomb = _read_optional(spark, f"{index_path}/tombstones")
+    tomb = _read_optional(spark, f"{root}/tombstones")
     if tomb is not None:
         # logical deletes: candidates against tombstoned corpus docs are
         # dropped here (broadcast anti-join, bounded by the live tombstone
@@ -1049,7 +1142,7 @@ def minhash_index_probe(
         cand = cand.dropDuplicates(["probe_id", "corpus_id"])
         sh_p = psigs.select(F.col(id_col).alias("probe_id"), F.col("sh").alias("sh_a"))
         cand = cand.join(sh_p, "probe_id")
-    sh_c = read_static_schema(spark, f"{index_path}/shingles").select(
+    sh_c = read_static_schema(spark, f"{root}/shingles").select(
         F.col(meta["id_col"]).alias("corpus_id"), F.col("sh").alias("sh_b")
     )
     cand = cand.join(sh_c, "corpus_id")
@@ -1103,10 +1196,12 @@ def minhash_index_delete(spark, index_path: str, ids, *, id_col: str = "doc_id")
         frame = spark.createDataFrame(
             [(int(i),) for i in ids], f"{meta['id_col']} long"
         )
-    frame.coalesce(1).write.mode("append").parquet(f"{index_path}/tombstones")
+    frame.coalesce(1).write.mode("append").parquet(
+        f"{index_dataset_root(index_path)}/tombstones"
+    )
 
 
-def compact_minhash_index(spark, index_path: str) -> None:
+def compact_minhash_index(spark, index_path: str, *, versioned: bool = False) -> None:
     """Index maintenance for long-running ingestion: restore the
     build-time file layout — ONE file per (band, bucket) directory in
     ``bands``, size-targeted files in ``shingles`` — after many
@@ -1117,19 +1212,34 @@ def compact_minhash_index(spark, index_path: str) -> None:
     before/after (tombstoned docs were already anti-joined away).
     Crash-safe via the rename-aside swap — a crash after the rewrites
     but before the tombstone clear just means probes keep paying the
-    (now-redundant) anti-join until the next compact. NOT
-    concurrent-probe safe — run it between probes
+    (now-redundant) anti-join until the next compact. The default
+    in-place mode is NOT concurrent-probe safe — run it between probes
     (``minhash_index_probe_stream`` can do this on a cadence, where it
-    is trivially serial with the probe loop)."""
+    is trivially serial with the probe loop).
+
+    ``versioned=True`` (r10 — VERDICT r9 #7) lifts the maintenance
+    window for READERS: the compacted layout is written to a fresh
+    ``v_NNNNNN`` directory and the index's ``CURRENT`` pointer is
+    atomically repointed, so probes that resolved their dataset root
+    before the repoint finish on their complete snapshot (nothing they
+    read is deleted) and later probes read the new version — crash-safe
+    too (a crash before the repoint leaves an orphan version dir that
+    GC removes; the pointer write itself is an atomic rename). The
+    single-writer contract still covers WRITERS: never run an upsert or
+    another compact concurrently. Reclaim stale versions afterwards
+    with :func:`gc_minhash_index_versions`, one compaction cycle behind
+    the probes."""
     import shutil
 
     from kafka_streams_the_clojure_way_spark.sources.files import (
         compact_files,
         compact_partitioned,
+        write_partitioned,
     )
 
     meta = _index_meta(spark, index_path)
-    tomb = _read_optional(spark, f"{index_path}/tombstones")
+    root = index_dataset_root(index_path)
+    tomb = _read_optional(spark, f"{root}/tombstones")
     drop = None
     if tomb is not None:
         dead = F.broadcast(tomb.select(meta["id_col"]).distinct())
@@ -1137,10 +1247,28 @@ def compact_minhash_index(spark, index_path: str) -> None:
         def drop(df):  # noqa: F811
             return df.join(dead, meta["id_col"], "left_anti")
 
-    compact_partitioned(spark, f"{index_path}/bands", "band", "bucket", transform=drop)
-    compact_files(spark, f"{index_path}/shingles", transform=drop)
+    if versioned:
+        rel = _next_index_version(index_path)
+        newroot = os.path.join(index_path, rel)
+        bands = spark.read.parquet(f"{root}/bands")
+        shingles = spark.read.parquet(f"{root}/shingles")
+        if drop is not None:
+            bands, shingles = drop(bands), drop(shingles)
+        write_partitioned(
+            bands.repartition("band", "bucket"),
+            f"{newroot}/bands",
+            "band",
+            "bucket",
+        )
+        shingles.coalesce(1).write.mode("overwrite").parquet(f"{newroot}/shingles")
+        # no tombstones dir in the new version — they were folded in
+        _repoint_index_version(index_path, rel)
+        return
+
+    compact_partitioned(spark, f"{root}/bands", "band", "bucket", transform=drop)
+    compact_files(spark, f"{root}/shingles", transform=drop)
     if tomb is not None:
-        shutil.rmtree(f"{index_path}/tombstones")
+        shutil.rmtree(f"{root}/tombstones")
 
 
 def minhash_index_probe_stream(
@@ -1365,7 +1493,14 @@ def hash_index_probe(
     through THIS batch routing inside ``foreachBatch``."""
     meta = _index_meta(spark, index_path)
     n_buckets = meta["n_buckets"]
-    base = batch if batch.isStreaming else with_min_parallelism(batch)
+    # precomputed routing implies a fused caller that already
+    # parallelism-guarded the raw batch — skip the .rdd probe here (it
+    # costs a full analysis of the batch's lineage per call).
+    base = (
+        batch
+        if (batch.isStreaming or buckets is not None)
+        else with_min_parallelism(batch)
+    )
     probe = base.select(
         F.col(id_col).alias("probe_id"),
         content_hash(F.col(text)).alias("content_hash"),
@@ -1720,6 +1855,20 @@ def _gram_postings(
     )
 
 
+def gram_postings(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = NGRAM_SPAN_N,
+) -> DataFrame:
+    """Public entry to the n-gram posting table — the shared upstream of
+    the substring-dedup family (:func:`duplicate_ngram_spans`,
+    :func:`clip_duplicate_spans` both take it via ``postings=``).
+    Materialize once per corpus (~one row per token position) and feed
+    every consumer instead of re-hashing the corpus per query."""
+    return _gram_postings(df, text, id_col, n)
+
+
 def _gram_postings_sql(table: str, text: str, id_col: str, n: int) -> str:
     """DuckDB twin of :func:`_gram_postings` as a CTE body."""
     toks = tokens_sql(text)
@@ -1739,6 +1888,7 @@ def duplicate_ngram_spans(
     id_col: str = "doc_id",
     n: int = NGRAM_SPAN_N,
     skew_safe: bool = False,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal duplicated token spans per document: every position whose
     ``n``-gram occurs more than once in the corpus (any doc, any offset —
@@ -1776,8 +1926,15 @@ def duplicate_ngram_spans(
 
     No all-pairs join anywhere, so the 100 TB cost is O(corpus tokens),
     not O(docs^2).
+
+    ``postings``: a precomputed ``(id_col, start, gram_hash)`` frame
+    for the SAME corpus, n, and tokenizer (the shared-upstream
+    convention — :func:`gram_postings` materialized once per process,
+    consumed by span detection, per-doc stats, and clipping instead of
+    re-hashing the corpus per query). When given, ``df``/``text`` are
+    not scanned here at all.
     """
-    pos = _gram_postings(df, text, id_col, n)
+    pos = postings if postings is not None else _gram_postings(df, text, id_col, n)
     from pyspark.sql.window import Window
 
     if skew_safe:
@@ -1867,6 +2024,7 @@ def clip_duplicate_spans(
     n: int = NGRAM_SPAN_N,
     *,
     cache_registry: list | None = None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """The TRANSFORMATION half of substring dedup (Lee et al. ACL'22
     remove duplicated substrings from the training corpus, keeping one
@@ -1902,10 +2060,15 @@ def clip_duplicate_spans(
     leak for long-running callers). Pass a list and the cached frame is
     appended to it instead — unpersist after materializing results
     (same lifecycle contract as ``minhash_index_probe``).
+
+    ``postings``: precomputed gram postings, same contract as
+    :func:`duplicate_ngram_spans` (``df`` is still scanned here — token
+    re-assembly needs the raw token positions, which the posting table
+    deliberately does not carry).
     """
     from pyspark.sql.window import Window
 
-    pos = _gram_postings(df, text, id_col, n)
+    pos = postings if postings is not None else _gram_postings(df, text, id_col, n)
     gw = Window.partitionBy("gram_hash")
     # assert_true rides inside the key expression (a standalone column
     # would be pruned away unevaluated): NULL (+0) when in range, loud
@@ -2059,6 +2222,7 @@ def containment_pairs(
     *,
     t_num: int = CONTAINMENT_THRESHOLD_NUM,
     t_den: int = CONTAINMENT_THRESHOLD_DEN,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup: pairs where the smaller document's shingle
     set is >= t contained in the other's — |S(A) ∩ S(B)| / min(|S(A)|,
@@ -2088,13 +2252,25 @@ def containment_pairs(
     DuckDB oracle computes. Threshold is a RATIONAL (t_num/t_den):
     ceil(t*|A|) runs in integer arithmetic, so prefix lengths cannot
     drift across engines' float ceils. Output: (id_a, id_b, n_shared,
-    containment_r) with id_a < id_b."""
-    sh_sets = (
-        with_min_parallelism(df)
-        .select(F.col(id_col), shingle_hashes(F.col(text)).alias("sh"))
-        .withColumn("size", F.array_size("sh"))
-        .cache()
-    )
+    containment_r) with id_a < id_b.
+
+    ``sets``: a precomputed ``(id_col, sh)`` shingle-set frame for the
+    same corpus and tokenizer — the minhash family's shared signature
+    table carries exactly this column, so containment consumes it
+    instead of re-shingling (the shared-upstream convention). A
+    parquet-backed shared frame re-scans cheaply, so only the computed
+    form is cached here."""
+    if sets is not None:
+        sh_sets = sets.select(F.col(id_col), "sh").withColumn(
+            "size", F.array_size("sh")
+        )
+    else:
+        sh_sets = (
+            with_min_parallelism(df)
+            .select(F.col(id_col), shingle_hashes(F.col(text)).alias("sh"))
+            .withColumn("size", F.array_size("sh"))
+            .cache()
+        )
     posts = sh_sets.select(id_col, "size", F.explode("sh").alias("h"))
     df_tab = posts.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     ranked = posts.join(df_tab, "h")
@@ -2425,6 +2601,7 @@ def containment_index_probe(
     text: str = "text",
     id_col: str = "doc_id",
     cache_registry: list | None = None,
+    ensured_parallelism: bool = False,
 ) -> DataFrame:
     """Probe a persisted containment index with an arriving batch —
     output contract identical to :func:`containment_pairs_between`
@@ -2439,8 +2616,13 @@ def containment_index_probe(
     cached; pass a list to own the unpersist."""
     meta = _index_meta(spark, index_path)
     t_num, t_den = meta["t_num"], meta["t_den"]
+    base = (
+        batch
+        if (batch.isStreaming or ensured_parallelism)
+        else with_min_parallelism(batch)
+    )
     psets = (
-        (batch if batch.isStreaming else with_min_parallelism(batch))
+        base
         .select(F.col(id_col), shingle_hashes(F.col(text)).alias("sh"))
         .withColumn("size", F.array_size("sh"))
     )
@@ -2777,7 +2959,11 @@ def bloom_index_probe(
     broadcast into one map-side inner join. A doc passes iff every one
     of its needed words has all needed bits set."""
     meta = _index_meta(spark, index_path)
-    base = batch if batch.isStreaming else with_min_parallelism(batch)
+    base = (
+        batch
+        if (batch.isStreaming or segments is not None)
+        else with_min_parallelism(batch)
+    )
     # hash the CALLER's text column, exactly like hash_index_probe: the
     # composed bloom->hash exact gate must hash the same column in both
     # stages, or the pre-test can rule out docs the confirm join would
@@ -3034,11 +3220,8 @@ def keyset_index_probe(
     from kafka_streams_the_clojure_way_spark.functions.portable import hash60
 
     meta = _index_meta(spark, index_path)
-    pkeys = (
-        with_min_parallelism(probe)
-        .select(F.col(key_col).alias("key"))
-        .distinct()
-    )
+    base = probe if segments is not None else with_min_parallelism(probe)
+    pkeys = base.select(F.col(key_col).alias("key")).distinct()
     if not probe.isStreaming:
         pkeys = pkeys.cache()
         if cache_registry is not None:

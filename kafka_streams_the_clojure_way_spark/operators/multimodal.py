@@ -104,14 +104,17 @@ def encode_text_assets(
     kernel is Arrow-batched and the output stays one asset row per doc."""
     import pandas as pd
 
-    if codec not in ("png", "png_rgb", "wav", "wav16", "pgm", "y4m", "y4m420"):
+    if codec not in (
+        "png", "png_rgb", "png_palette", "wav", "wav16", "pgm", "y4m", "y4m420"
+    ):
         raise ValueError(
-            f"codec must be 'png', 'png_rgb', 'wav', 'wav16', 'pgm', "
-            f"'y4m' or 'y4m420', got {codec!r}"
+            f"codec must be 'png', 'png_rgb', 'png_palette', 'wav', 'wav16', "
+            f"'pgm', 'y4m' or 'y4m420', got {codec!r}"
         )
     mime = {
         "png": "image/png",
         "png_rgb": "image/png",
+        "png_palette": "image/png",
         "wav": "audio/wav",
         "wav16": "audio/wav",
         "pgm": "video/x-pgm-frames",
@@ -125,6 +128,7 @@ def encode_text_assets(
         enc = {
             "png": CC.png_encode_gray,
             "png_rgb": CC.png_encode_rgb,
+            "png_palette": CC.png_encode_palette,
             "wav": CC.wav_encode_pcm8,
             "wav16": CC.wav_encode_pcm16,  # 16-bit stereo (channels=2)
             "pgm": CC.pgm_encode_video,
@@ -474,6 +478,8 @@ def asset_pixel_checksum(
     real stdlib PNG decoder; ``decode="wav"`` the std RIFF parser
     (8-bit mono); ``decode="pcm"`` the general WAV profile (8-bit mono
     + 16-bit mono/stereo with documented downmix/requantization);
+    ``decode="y4m"`` the YUV4MPEG2 demuxer (concatenated luma planes —
+    Cmono and the C420 family, chroma skipped);
     ``decode=None`` checksums raw payload bytes. Vectorized per Arrow
     batch: one concatenated uint8 buffer + a segment-offset add-reduce,
     the extract_features discipline.
@@ -492,9 +498,9 @@ def asset_pixel_checksum(
     import numpy as np
     import pandas as pd
 
-    if decode not in (None, "png", "wav", "pcm"):
+    if decode not in (None, "png", "wav", "pcm", "y4m"):
         raise ValueError(
-            f"decode must be None, 'png', 'wav' or 'pcm', got {decode!r}"
+            f"decode must be None, 'png', 'wav', 'pcm' or 'y4m', got {decode!r}"
         )
     if mode not in ("strict", "permissive"):
         raise ValueError(f"mode must be 'strict' or 'permissive', got {mode!r}")
@@ -525,6 +531,16 @@ def asset_pixel_checksum(
             )
 
             unwrap = lambda raw: wav_decode_pcm(bytes(raw))  # noqa: E731
+        elif decode == "y4m":
+            # full demux, concatenated luma planes (Cmono and the C420
+            # family — chroma skipped) — the video leg of the checksum
+            from kafka_streams_the_clojure_way_spark.functions.codecs import (
+                y4m_decode_frames,
+            )
+
+            unwrap = lambda raw: b"".join(  # noqa: E731
+                y4m_decode_frames(bytes(raw))
+            )
         else:
             unwrap = bytes
         for pdf in batches:
@@ -730,7 +746,9 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def rgb_luma_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def rgb_luma_stats(
+    df: DataFrame, id_col: str = "doc_id", decode: str = "png_rgb"
+) -> DataFrame:
     """Decode TRUECOLOR PNG assets and reduce each to luma-plane stats:
     (id, n_luma, luma_sum, luma_poly) where luma_poly is the
     position-weighted sum sum(y_j * (j+1)) — an order-sensitive checksum
@@ -741,18 +759,29 @@ def rgb_luma_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     functions/codecs.png_decode_rgb (chunk CRCs, inflate, all five
     filters at bpp=3) then rgb_to_luma (integer BT.601 weights). One
     Arrow-batched mapInPandas; output is the standard funnel shape (big
-    bytes in, 4 small columns out)."""
+    bytes in, 4 small columns out). ``decode="png_palette"`` runs the
+    PALETTED decoder instead (color type 3: bpp=1 filters + PLTE
+    lookup, the most common crawl PNG class) — the RGB stream then
+    takes the identical luma path, so both legs share one checksum
+    contract."""
     import numpy as np
     import pandas as pd
+
+    if decode not in ("png_rgb", "png_palette"):
+        raise ValueError(f"decode must be 'png_rgb' or 'png_palette', got {decode!r}")
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from kafka_streams_the_clojure_way_spark.functions import codecs as CC
 
+        dec = {
+            "png_rgb": CC.png_decode_rgb,
+            "png_palette": CC.png_decode_palette,
+        }[decode]
         for pdf in batches:
             ids, npx, lsum, lpoly = [], [], [], []
             for i, a in zip(pdf[id_col].values, pdf["asset"].values):
                 y = np.frombuffer(
-                    CC.rgb_to_luma(CC.png_decode_rgb(bytes(a["bytes"]))),
+                    CC.rgb_to_luma(dec(bytes(a["bytes"]))),
                     dtype=np.uint8,
                 ).astype(np.int64)
                 ids.append(i)

@@ -450,26 +450,15 @@ def winnow_fingerprints(
 WINNOW_MAX_DF = 10
 
 
-def winnow_pairs(
-    df: DataFrame,
-    *,
-    min_shared: int = 3,
-    max_df: int = WINNOW_MAX_DF,
-    id_col: str = "doc_id",
-    text: str = "text",
+def winnow_posts(
+    df: DataFrame, *, id_col: str = "doc_id", text: str = "text"
 ) -> DataFrame:
-    """Partial-copy candidate pairs via shared winnowing fingerprints
-    (the corpus-level MOSS join): documents sharing >= ``min_shared``
-    selected fingerprints. Because selection keeps ~1/w of the grams,
-    the posting table is a fraction of a full shingle-posting join's,
-    and the local guarantee still holds — any shared run of
-    >= k + w - 1 tokens contributes a shared fingerprint.
-
-    Scale shape: one explode -> df-capped postings -> equi-join on the
-    fingerprint hash -> pair count. The ``max_df`` cap bounds the fanout
-    of any single fingerprint to df^2 <= {max_df}^2 pairs, so a
-    boilerplate gram can never funnel O(corpus^2) rows through one key
-    (drop it: it carries no copy signal)."""
+    """(id, h) posting of every SELECTED winnowing fingerprint — the
+    shared upstream of the corpus-level MOSS join (:func:`winnow_pairs`)
+    and anything else that matches on selected fingerprints. Row-local
+    (gram hashing + window-min selection are higher-order functions over
+    the token array), so the posting table is the one artifact worth
+    materializing per corpus: ~1/w of the gram stream, written once."""
     g = df.select(F.col(id_col), _winnow_grams_col(F.col(text)).alias("_grams"))
     ng = F.array_size(F.col("_grams"))
     sel = F.when(ng == 0, F.array().cast("array<bigint>")).otherwise(
@@ -482,7 +471,36 @@ def winnow_pairs(
             )
         )
     )
-    posts = g.select(F.col(id_col), F.explode(sel).alias("h"))
+    return g.select(F.col(id_col), F.explode(sel).alias("h"))
+
+
+def winnow_pairs(
+    df: DataFrame,
+    *,
+    min_shared: int = 3,
+    max_df: int = WINNOW_MAX_DF,
+    id_col: str = "doc_id",
+    text: str = "text",
+    posts: DataFrame | None = None,
+) -> DataFrame:
+    """Partial-copy candidate pairs via shared winnowing fingerprints
+    (the corpus-level MOSS join): documents sharing >= ``min_shared``
+    selected fingerprints. Because selection keeps ~1/w of the grams,
+    the posting table is a fraction of a full shingle-posting join's,
+    and the local guarantee still holds — any shared run of
+    >= k + w - 1 tokens contributes a shared fingerprint.
+
+    Scale shape: one explode -> df-capped postings -> equi-join on the
+    fingerprint hash -> pair count. The ``max_df`` cap bounds the fanout
+    of any single fingerprint to df^2 <= {max_df}^2 pairs, so a
+    boilerplate gram can never funnel O(corpus^2) rows through one key
+    (drop it: it carries no copy signal).
+
+    ``posts``: a precomputed :func:`winnow_posts` frame (same corpus,
+    same K/W) — the shared-upstream convention; the df cap and join
+    still run here, so thresholds stay per-call dials."""
+    if posts is None:
+        posts = winnow_posts(df, id_col=id_col, text=text)
     live = (
         posts.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -72,6 +72,22 @@ from kafka_streams_the_clojure_way_spark.operators import similarity as S
 from kafka_streams_the_clojure_way_spark.operators import text as T
 from kafka_streams_the_clojure_way_spark.plans.spec import Topology
 
+class _SpoolDir:
+    """Registry shim for a per-trigger spool directory: quacks like a
+    cached DataFrame for the drain loop (``unpersist()`` deletes the
+    dir), so gate spools share the cache registry's per-batch
+    lifecycle."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def unpersist(self, *_a, **_k):
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+        return self
+
+
 #: default gate thresholds — module constants so the registered query
 #: and its oracle agree by construction.
 INGEST_JACCARD_THRESHOLD = 0.8
@@ -227,6 +243,10 @@ def ingestion_topology(
                 text=text,
                 id_col=id_col,
                 cache_registry=cache_registry,
+                # fused compile pre-guards the raw batch's parallelism
+                # once; skip the probe's own .rdd analysis of the
+                # gate-deep lineage.
+                ensured_parallelism=bool(routing_box),
             )
         else:
             pairs = D.containment_pairs_between(
@@ -249,9 +269,37 @@ def ingestion_topology(
             # times (need/totals/hits + the confirm and flag joins) — on
             # the RAW lineage that duplication makes the ANALYZED plan
             # tree exponentially large (observed: plan stringification
-            # alone OOMs the driver). Truncate to a batch-sized RDD scan;
-            # lazy, so nothing materializes before the sink runs.
-            batch = batch.localCheckpoint(eager=False)
+            # alone OOMs the driver). Truncate it.
+            if routing_box:
+                # fused path: SPOOL the survivors to a tiny parquet and
+                # read back — the same truncation, but the Catalyst
+                # planning of the deep chain happens once inside the
+                # write job instead of at plan CONSTRUCTION
+                # (localCheckpoint builds the RDD eagerly even with
+                # eager=False — measured 3.7 s of the per-trigger
+                # compile). The spool is batch-survivor-sized; its dir
+                # rides the cache registry so the streaming loop deletes
+                # it per trigger (atexit backstops registry-less
+                # callers).
+                import atexit
+                import shutil
+                import tempfile
+
+                spool = tempfile.mkdtemp(prefix="ingest_spool_")
+                atexit.register(shutil.rmtree, spool, ignore_errors=True)
+                # natural partitioning — no coalesce(1): collapsing the
+                # whole gate chain's final stage to one task serializes
+                # the upstream probes (measured 14s -> 34s on a
+                # 2000-row trigger); the spool dir dies with the
+                # trigger, so its file count is irrelevant.
+                batch.write.parquet(f"{spool}/survivors")
+                batch = spark.read.parquet(f"{spool}/survivors")
+                if cache_registry is not None:
+                    cache_registry.append(_SpoolDir(spool))
+            else:
+                # unfused (per-probe collect) path: lazy RDD truncation,
+                # nothing materializes before the sink runs.
+                batch = batch.localCheckpoint(eager=False)
         grams = batch.select(
             F.col(id_col),
             F.explode_outer(TX.shingles_col(F.col(text))).alias("key"),
@@ -357,6 +405,119 @@ def ingestion_topology(
         "gates": gates,
         "routing": routing,
         "routing_box": routing_box,
+        "cache_registry": cache_registry,
+    }
+
+
+def multimodal_ingestion_topology(
+    spark: SparkSession,
+    *,
+    image_index_path: str,
+    audio_index_path: str,
+    video_index_path: str,
+    id_col: str = "doc_id",
+    cache_registry: list | None = None,
+) -> Topology:
+    """The MULTIMODAL curation loop as a declarative topology (VERDICT
+    r9 #8 — §2.1 row 13 applied to assets): raw (id, asset) rows flow
+
+        topic/raw-assets
+            │
+        stream/decode-gate    permissive FULL decode per modality
+            │                 (PNG pixels / WAV samples / Y4M luma —
+            │                 asset_pixel_checksum, mode="permissive"):
+            │                 a corrupt container costs ONE quarantined
+            │                 row, never the job; survivors carry their
+            │                 decoded-content checksum columns
+        stream/neardup-gate   per-modality PERSISTED index probe
+            │                 (image pHash bands / audio fingerprint
+            │                 postings / video per-frame pHash bands,
+            │                 partition-routed) — drop assets whose
+            │                 content near-duplicates the corpus
+        topic/curated-assets
+
+    Mirrors :func:`ingestion_topology`'s contract: every gate is a
+    ``DataFrame -> DataFrame`` xform, so the SAME dict compiles in
+    batch mode (the registered oracle-checked query) and serves
+    streaming micro-batches through :func:`run_ingestion_stream` with
+    identical output (foreachBatch hands the gates batch frames, so the
+    probes keep their literal partition routing). Per-batch cost is
+    O(batch + probed partitions), independent of corpus size; the
+    curated sink carries (id, asset, n_pix, pix_sum) — content-pinned
+    survivors."""
+    from kafka_streams_the_clojure_way_spark.operators import audiofp as AFP
+    from kafka_streams_the_clojure_way_spark.operators import imagehash as IH
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        asset_pixel_checksum,
+    )
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            return df
+        df = df.cache()
+        if cache_registry is not None:
+            cache_registry.append(df)
+        return df
+
+    mime = F.col("asset").getField("mime")
+
+    def decode_gate(batch: DataFrame) -> DataFrame:
+        parts = [
+            asset_pixel_checksum(
+                batch.filter(mime == m), decode=dec, mode="permissive"
+            )
+            for m, dec in (
+                ("image/png", "png"),
+                ("audio/wav", "wav"),
+                ("video/x-yuv4mpeg", "y4m"),
+            )
+        ]
+        checks = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        ok = checks.filter(F.col("status") == "ok").select(
+            id_col, "n_pix", "pix_sum"
+        )
+        # inner join: quarantined rows drop out; survivors keep their
+        # decoded-content checksums for the sink
+        return _pin(batch.join(ok, id_col))
+
+    def neardup_gate(batch: DataFrame) -> DataFrame:
+        flags = (
+            IH.phash_index_probe(
+                spark, image_index_path, batch.filter(mime == "image/png"),
+                cache_registry=cache_registry,
+            )
+            .select("probe_id")
+            .unionByName(
+                AFP.audiofp_index_probe(
+                    spark, audio_index_path, batch.filter(mime == "audio/wav"),
+                ).select("probe_id")
+            )
+            .unionByName(
+                IH.video_phash_index_probe(
+                    spark,
+                    video_index_path,
+                    batch.filter(mime == "video/x-yuv4mpeg"),
+                ).select("probe_id")
+            )
+            .select(F.col("probe_id").alias(id_col))
+            .distinct()
+        )
+        return _pin(batch.join(flags, id_col, "left_anti"))
+
+    entities = {
+        "topic/raw-assets": {"type": "topic", "name": "raw-assets"},
+        "stream/decode-gate": {"type": "stream", "xform": decode_gate},
+        "stream/neardup-gate": {"type": "stream", "xform": neardup_gate},
+        "topic/curated-assets": {"type": "topic", "name": "curated-assets"},
+    }
+    workflow = [
+        ["topic/raw-assets", "stream/decode-gate"],
+        ["stream/decode-gate", "stream/neardup-gate"],
+        ["stream/neardup-gate", "topic/curated-assets"],
+    ]
+    return {
+        "entities": entities,
+        "workflow": workflow,
         "cache_registry": cache_registry,
     }
 
@@ -501,7 +662,17 @@ def compile_ingestion(
     if box is not None:
         box.clear()
     try:
-        if fuse_routing and box is not None:
+        if fuse_routing and box is not None and not batch.isStreaming:
+            # parallelism-guard the RAW batch exactly once (shallow
+            # lineage, cheap .rdd probe); the probes skip their own
+            # guards when handed precomputed routing, so the fused
+            # compile never re-analyzes gate-deep lineage for a
+            # partition count.
+            from kafka_streams_the_clojure_way_spark.sources.files import (
+                with_min_parallelism,
+            )
+
+            batch = with_min_parallelism(batch)
             box.update(
                 compute_batch_routing(
                     spark,
@@ -514,10 +685,32 @@ def compile_ingestion(
                     ),
                 )
             )
-        return compile_topology(spark, topology, {"topic/raw-docs": batch})
+        return compile_topology(
+            spark, topology, {source_topic(topology): batch}
+        )
     finally:
         if box is not None:
             box.clear()
+
+
+def source_topic(topology: Topology) -> str:
+    """The topology's input topic: the topic entity with no incoming
+    edge (both curation topologies are single-source pipelines)."""
+    targets = {dst for _, dst in topology["workflow"]}
+    for name, ent in topology["entities"].items():
+        if ent.get("type") == "topic" and name not in targets:
+            return name
+    raise ValueError("topology has no source topic")
+
+
+def sink_topic(topology: Topology) -> str:
+    """The topology's output topic: the topic entity with no outgoing
+    edge."""
+    sources = {src for src, _ in topology["workflow"]}
+    for name, ent in topology["entities"].items():
+        if ent.get("type") == "topic" and name not in sources:
+            return name
+    raise ValueError("topology has no sink topic")
 
 
 def run_ingestion_batch(
@@ -537,7 +730,7 @@ def run_ingestion_batch(
         spark, topology, batch,
         fuse_routing=fuse_routing, cache_registry=cache_registry,
     )
-    return compiled["topic/curated-docs"]
+    return compiled[sink_topic(topology)]
 
 
 def run_ingestion_stream(

@@ -177,7 +177,9 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, bounding any single key's pair fanout — the hot-shingle
     pathology structurally can't occur."""
     return T.winnow_pairs(
-        load_table(spark, sf_dir, "documents"), min_shared=_WINNOW_MIN_SHARED
+        None,
+        min_shared=_WINNOW_MIN_SHARED,
+        posts=_shared_winnow_posts(spark, sf_dir),
     )
 
 
@@ -247,6 +249,52 @@ def _shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "minhash",
         lambda: D.minhash_signatures(load_table(spark, sf_dir, "documents")),
     )
+
+
+def _shared_gram_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_id, start, gram_hash) 8-gram posting table —
+    the shared upstream of the substring-dedup family (span detection,
+    per-doc stats, clipping), which each re-hashed the corpus per query
+    until r10 (VERDICT r9 #3). One row per token position: at corpus
+    scale this is the suffix-array stand-in you write once."""
+    return _materialized_sigs(
+        spark,
+        sf_dir,
+        "grampos",
+        lambda: D.gram_postings(
+            with_min_parallelism(load_table(spark, sf_dir, "documents"))
+        ),
+    )
+
+
+def _shared_winnow_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_id, h) selected winnowing-fingerprint postings
+    (~1/w of the gram stream) — the MOSS join's shared upstream."""
+    return _materialized_sigs(
+        spark,
+        sf_dir,
+        "winnowposts",
+        lambda: T.winnow_posts(
+            with_min_parallelism(load_table(spark, sf_dir, "documents"))
+        ),
+    )
+
+
+def _shared_doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_id, source, s) 5-gram STRING shingles — the
+    contamination family's shared upstream (benchmark slice and corpus
+    slice are both filters over it; ``source`` is a parquet pushdown
+    column, so each consumer reads only its slice's row groups)."""
+
+    def build() -> DataFrame:
+        docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
+        return docs.select(
+            "doc_id",
+            "source",
+            F.explode_outer(T.shingles_col(F.col("text"))).alias("s"),
+        ).filter(F.col("s").isNotNull())
+
+    return _materialized_sigs(spark, sf_dir, "docgrams", build)
 
 
 @query(
@@ -542,7 +590,9 @@ def dedup_ngram_span_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     group map-side, candidates come from an AQE-splittable equi-join, and
     span merging is one gaps-and-islands window per doc — O(tokens), no
     all-pairs stage."""
-    return D.duplicate_ngram_spans(load_table(spark, sf_dir, "documents"))
+    return D.duplicate_ngram_spans(
+        None, postings=_shared_gram_postings(spark, sf_dir)
+    )
 
 
 @query(
@@ -569,7 +619,9 @@ def dedup_ngram_span_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the corpus so clean docs report 0 — span extraction shuffles only
     the covered positions, the join is keyed on doc_id."""
     docs = load_table(spark, sf_dir, "documents")
-    spans = D.duplicate_ngram_spans(docs)
+    spans = D.duplicate_ngram_spans(
+        docs, postings=_shared_gram_postings(spark, sf_dir)
+    )
     per_doc = spans.groupBy("doc_id").agg(F.sum("span_tokens").alias("dup_tokens"))
     n_tokens = F.array_size(T.tokens_col(F.col("text"))).cast("long")
     return (
@@ -597,7 +649,10 @@ def text_clip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin on the same gram_hash shuffle that counts duplicates; token
     re-assembly is one sort_array(collect_list) per doc. O(corpus
     tokens) end to end."""
-    return D.clip_duplicate_spans(load_table(spark, sf_dir, "documents"))
+    return D.clip_duplicate_spans(
+        load_table(spark, sf_dir, "documents"),
+        postings=_shared_gram_postings(spark, sf_dir),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1561,6 +1616,53 @@ def multimodal_image_rgb_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return rgb_luma_stats(assets)
+
+
+_PAL_LUMA_EXPR = CC.png_palette_luma_sql("unicode(substr(p, CAST(j+1 AS INT), 1))")
+
+
+@query(
+    "multimodal_image_palette_luma",
+    oracle=f"""
+    WITH geo AS (
+        SELECT doc_id,
+               rpad(text, CAST({CC.png_padded_len_sql('text')} AS INT), ' ') AS p,
+               {CC.png_padded_len_sql('text')} AS nl
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(nl AS BIGINT) AS n_luma,
+           CAST(coalesce(list_sum(list_transform(
+                range(0, CAST(nl AS INT)),
+                j -> {_PAL_LUMA_EXPR})), 0) AS BIGINT) AS luma_sum,
+           CAST(coalesce(list_sum(list_transform(
+                range(0, CAST(nl AS INT)),
+                j -> ({_PAL_LUMA_EXPR}) * (j + 1))), 0) AS BIGINT) AS luma_poly
+    FROM geo
+    """,
+)
+def multimodal_image_palette_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PALETTED leg of the real-decode seam (VERDICT r9 #4 — color
+    type 3 is the most common crawl PNG class): every doc's bytes
+    encode as a genuine paletted PNG (payload bytes are palette
+    indexes, bpp=1 filters, a fixed non-identity 256-entry PLTE), the
+    decoder validates + inflates + unfilters through the shared engine
+    and maps each index through the PLTE to RGB, then the integer-luma
+    plane reduces to the same position-weighted checksum as the
+    truecolor leg. The palette is deliberately NOT a grayscale ramp
+    (entry i = (i, 255-i, (7i+13) mod 256)), so a decoder that skips
+    the lookup, transposes channels, or misreads PLTE produces a
+    different luma for almost every index — the oracle inlines the
+    palette formulas per byte and catches it. Paletted PNGs that fail
+    structurally (bad PLTE length, out-of-range index) raise classified
+    kinds for the quarantine path (pinned in tests/test_codecs.py)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assets = encode_text_assets(docs, "png_palette")
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        rgb_luma_stats,
+    )
+
+    return rgb_luma_stats(assets, decode="png_palette")
 
 
 #: offset for synthetic "re-encoded copy" ids — keeps the twin id space
@@ -2653,26 +2755,14 @@ def text_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shingle construction is CPU-bound per row, so the input is
     parallelism-guarded (single-row-group test files would otherwise run
     it in one task; a no-op on well-split corpora)."""
-    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
-    sh = docs.select("doc_id", "source", T.shingles_col(F.col("text")).alias("shingles"))
-    # explode_outer, NOT explode: plain explode makes the optimizer infer
-    # a size(shingles)>0 filter and push it below the parallelism-guard
-    # exchange — re-evaluating the whole shingle transform in the (narrow)
-    # scan stage. outer + isNotNull keeps the heavy expression strictly
-    # post-exchange. (Same result: empty-shingle docs yield a null row,
-    # dropped here.)
+    grams = _shared_doc_grams(spark, sf_dir)
     bench = (
-        sh.filter(F.col("source") == _BENCH_SOURCE)
-        .select(F.explode_outer("shingles").alias("s"))
-        .filter(F.col("s").isNotNull())
+        grams.filter(F.col("source") == _BENCH_SOURCE)
+        .select("s")
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    corpus = (
-        sh.filter(F.col("source") != _BENCH_SOURCE)
-        .select("doc_id", F.explode_outer("shingles").alias("s"))
-        .filter(F.col("s").isNotNull())
-    )
+    corpus = grams.filter(F.col("source") != _BENCH_SOURCE).select("doc_id", "s")
     hit = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
     return (
         corpus.join(F.broadcast(bench), "s", "left")
@@ -4525,7 +4615,9 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees no qualifying pair is lost), so the oracle is the exact
     brute-force all-pairs answer. Prefix lengths use integer-rational
     ceil, immune to cross-engine float drift."""
-    return D.containment_pairs(load_table(spark, sf_dir, "documents"))
+    return D.containment_pairs(
+        None, sets=_shared_minhash_sigs(spark, sf_dir).select("doc_id", "sh")
+    )
 
 
 #: fixed-point DCG position gains: round(1e9 / log2(r+1)) for ranks
@@ -4970,7 +5062,7 @@ def meta_minhash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banding table (~1% of corpus bytes), never the corpus text."""
     path = _minhash_index_path(spark, sf_dir)
     return (
-        spark.read.parquet(f"{path}/bands")
+        spark.read.parquet(f"{D.index_dataset_root(path)}/bands")
         .groupBy("band", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_postings"),
@@ -5270,14 +5362,13 @@ def text_contamination_bloom_gated(spark: SparkSession, sf_dir: str) -> DataFram
     Bloom-positives confirm against the exact keys table (RAW-STRING
     join, so a hash collision can never flag a clean doc). Same per-doc
     contamination counts, same oracle, as the broadcast form."""
-    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
     path = _bench_keyset_path(spark, sf_dir)
+    # corpus grams come from the shared materialized 5-gram table
+    # (source is a pushdown filter — only the non-bench row groups read)
     corpus = (
-        docs.filter(F.col("source") != _BENCH_SOURCE)
-        .select(
-            "doc_id", F.explode_outer(T.shingles_col(F.col("text"))).alias("s")
-        )
-        .filter(F.col("s").isNotNull())
+        _shared_doc_grams(spark, sf_dir)
+        .filter(F.col("source") != _BENCH_SOURCE)
+        .select("doc_id", "s")
     )
     members = (
         D.keyset_index_probe(spark, path, corpus.select(F.col("s").alias("key")))

@@ -211,6 +211,84 @@ def test_png_rgb_rejects_gray_and_vice_versa():
         png_decode_gray(rgb)
 
 
+# --------------------------------------------------------------------------
+# Paletted (color type 3) PNG — r10
+# --------------------------------------------------------------------------
+
+def _palette_rgb(idx: bytes) -> bytes:
+    return bytes(b for i in idx for b in (i, 255 - i, (7 * i + 13) % 256))
+
+
+@settings(max_examples=60, deadline=None)
+@given(payloads, st.sampled_from([(0,), (1,), (2,), (3,), (4,), (0, 1, 2), (0, 1, 2, 3, 4)]))
+def test_png_palette_roundtrip_all_filters(data, cycle):
+    """Paletted decode = bpp=1 unfiltering of the INDEX stream (indexes
+    predict from their left neighbor index per the spec) followed by a
+    PLTE lookup — the output is the palette-mapped RGB of the padded
+    payload, across all five filters."""
+    from kafka_streams_the_clojure_way_spark.functions.codecs import (
+        png_decode_palette,
+        png_encode_palette,
+    )
+
+    dec = png_decode_palette(png_encode_palette(data, filter_cycle=cycle))
+    pad = (-len(data)) % PNG_WIDTH
+    idx = data + b" " * pad if data else b" " * PNG_WIDTH
+    assert dec == _palette_rgb(idx)
+
+
+def test_png_palette_corruptions_classified():
+    """PLTE structural corruption has deterministic quarantine kinds:
+    bad PLTE length, missing PLTE, and out-of-range indexes all raise
+    classified ValueErrors; gray/rgb decoders reject color type 3."""
+    import struct
+    import zlib as _zlib
+
+    from kafka_streams_the_clojure_way_spark.functions.codecs import (
+        _fixture_palette,
+        classify_codec_error,
+        png_decode_gray,
+        png_decode_palette,
+        png_encode_palette,
+    )
+
+    png = png_encode_palette(bytes(range(256)))
+
+    def rewrite_plte(newbody):
+        pos, out = 8, bytearray(png[:8])
+        while pos < len(png):
+            (length,) = struct.unpack(">I", png[pos : pos + 4])
+            tag = png[pos + 4 : pos + 8]
+            body = png[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+            if tag == b"PLTE":
+                if newbody is None:
+                    continue  # drop the chunk entirely
+                body = newbody
+            out += (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+        return bytes(out)
+
+    with pytest.raises(ValueError, match="PLTE length"):
+        png_decode_palette(rewrite_plte(b"\x01\x02"))
+    with pytest.raises(ValueError, match="missing PLTE"):
+        png_decode_palette(rewrite_plte(None))
+    with pytest.raises(ValueError, match="palette index"):
+        png_decode_palette(rewrite_plte(_fixture_palette()[:48]))
+    for broken in (rewrite_plte(b"\x01\x02"), rewrite_plte(None),
+                   rewrite_plte(_fixture_palette()[:48])):
+        try:
+            png_decode_palette(broken)
+        except ValueError as exc:
+            assert classify_codec_error(str(exc)) == "decode_error"
+    with pytest.raises(ValueError, match="color type"):
+        png_decode_gray(png)
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.binary(min_size=0, max_size=300))
 def test_rgb_luma_matches_python_reference(data):

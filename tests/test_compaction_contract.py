@@ -143,3 +143,84 @@ def test_minhash_compact_probe_parity_across_crash_and_success(
 
     D.compact_minhash_index(spark, path)
     assert answers() == before, "compacted index must answer identically"
+
+
+def test_minhash_versioned_compact_serves_probes_during_compact(
+    spark, tmp_path, monkeypatch
+):
+    """r10 snapshot reads (minhash as the template family): a versioned
+    compact writes a NEW version dir and atomically repoints CURRENT —
+    so a probe whose plan was built BEFORE the repoint still collects
+    its exact pre-compact answers afterwards (its snapshot's files are
+    never touched), a probe built AFTER reads the new version, a crash
+    before the repoint changes nothing for readers, and GC reclaims
+    stale versions without disturbing the current one. No maintenance
+    window for readers; writers stay single-writer."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    corpus_a = docs.filter(F.col("doc_id") % 3 == 1)
+    corpus_b = docs.filter(F.col("doc_id") % 3 == 2)
+    probe = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    path = str(tmp_path / "mh_idx")
+    D.build_minhash_index(corpus_a, path)
+    D.minhash_index_upsert(spark, path, corpus_b)
+    # tombstone one corpus doc so the compact folds real deletes
+    victim = corpus_b.select("doc_id").limit(1).collect()[0][0]
+    D.minhash_index_delete(spark, path, [victim])
+
+    def answers(frame=None):
+        frame = (
+            D.minhash_index_probe(spark, path, probe) if frame is None else frame
+        )
+        return sorted(
+            (r.probe_id, r.corpus_id, r.jaccard) for r in frame.collect()
+        )
+
+    before = answers()
+    assert before, "fixture must produce at least one near-dup pair"
+    assert all(c != victim for _, c, _ in before)
+
+    # (a) crash BEFORE the repoint: readers never see the half-built
+    # version (CURRENT unchanged), and the retry is clean
+    def boom(_path, _rel):
+        raise OSError("injected crash before repoint")
+
+    monkeypatch.setattr(D, "_repoint_index_version", boom)
+    with pytest.raises(OSError, match="injected crash"):
+        D.compact_minhash_index(spark, path, versioned=True)
+    monkeypatch.undo()
+    assert D.index_dataset_root(path) == path  # pointer untouched
+    assert answers() == before
+
+    # (b) in-flight probe across a successful repoint: plan built on the
+    # OLD version, collected AFTER the swap — identical answers, because
+    # the old version's files are left in place for it
+    inflight = D.minhash_index_probe(spark, path, probe)
+    D.compact_minhash_index(spark, path, versioned=True)
+    root = D.index_dataset_root(path)
+    assert root != path and os.path.basename(root).startswith("v_")
+    assert answers(inflight) == before
+
+    # (c) post-repoint probe reads the new version (tombstones folded
+    # physically — the dir is gone from the new root), same answers
+    assert not os.path.isdir(os.path.join(root, "tombstones"))
+    assert answers() == before
+
+    # (d) a second versioned compact + GC: stale version dirs AND the
+    # legacy in-place datasets are reclaimed; the current version serves
+    D.compact_minhash_index(spark, path, versioned=True)
+    deleted = D.gc_minhash_index_versions(path)
+    assert deleted, "GC must reclaim the stale version and legacy dirs"
+    assert not os.path.isdir(os.path.join(path, "bands"))
+    assert os.path.isdir(os.path.join(D.index_dataset_root(path), "bands"))
+    assert answers() == before
+
+    # (e) upserts land in the CURRENT version: a new batch probed after
+    # an upsert matches against it
+    extra = probe.select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+    D.minhash_index_upsert(spark, path, extra)
+    after_upsert = answers()
+    assert any(c >= 5_000_000 for _, c, _ in after_upsert)

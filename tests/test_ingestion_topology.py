@@ -910,3 +910,69 @@ def test_six_gate_analyzed_plan_stays_bounded(spark, tmp_path):
     ]
     plan = sink._jdf.queryExecution().analyzed().treeString()
     assert len(plan) < 5_000_000, f"analyzed plan ballooned to {len(plan)} chars"
+
+
+def test_multimodal_stream_matches_batch(spark, tmp_path):
+    """The multimodal curation topology (decode-quarantine gate ->
+    per-modality persisted index probes -> curated assets) must serve
+    streaming micro-batches with output identical to the one-shot batch
+    compile, drop at least one asset at each gate on the standard
+    fixture, and leave no per-trigger cache residue."""
+    from kafka_streams_the_clojure_way_spark.plans.ingestion import (
+        run_ingestion_batch as _rib,
+    )
+    from kafka_streams_the_clojure_way_spark.plans.compiler import compile_topology
+    from kafka_streams_the_clojure_way_spark.queries.ingestion import (
+        _multimodal_arriving,
+        _multimodal_topology,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    caches: list = []
+    topo = _multimodal_topology(spark, sf, cache_registry=caches)
+    assets = _multimodal_arriving(spark, sf)
+    n_arriving = assets.count()
+
+    compiled = compile_topology(spark, topo, {"topic/raw-assets": assets})
+    after_decode = compiled["stream/decode-gate"].select("doc_id").count()
+    curated = compiled["topic/curated-assets"]
+    expected = sorted(
+        (r.doc_id, r.mime, r.n_pix, r.pix_sum)
+        for r in curated.select(
+            "doc_id", F.col("asset").getField("mime").alias("mime"),
+            "n_pix", "pix_sum",
+        ).collect()
+    )
+    assert expected, "fixture must curate at least one asset"
+    assert after_decode < n_arriving, "decode gate must quarantine something"
+    assert len(expected) < after_decode, "neardup gate must drop something"
+    for fr in caches:
+        fr.unpersist()
+    caches.clear()
+
+    in_dir = tmp_path / "assets_in"
+    assets.repartition(4).write.parquet(str(in_dir))
+    stream = (
+        spark.readStream.schema(assets.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    got = []
+
+    def sink(cur, batch_id):
+        got.extend(
+            (r.doc_id, r.mime, r.n_pix, r.pix_sum)
+            for r in cur.select(
+                "doc_id", F.col("asset").getField("mime").alias("mime"),
+                "n_pix", "pix_sum",
+            ).collect()
+        )
+
+    q = run_ingestion_stream(
+        spark, topo, stream, sink,
+        cache_registry=caches,
+        checkpoint=str(tmp_path / "ckpt_mm"),
+    )
+    drain(q)
+    assert sorted(got) == expected
+    assert caches == []

@@ -171,31 +171,61 @@ def test_fused_routing_matches_per_probe_collects(spark, tmp_path):
     assert fused_sets["topic/curated-docs"] == {102}
 
 
-def test_fused_compile_runs_one_eager_job(spark, tmp_path):
-    """The per-trigger compile floor: a fused six-gate compile submits
-    at most TWO eager jobs (the one routing union — AQE may split its
-    final stage), where the unfused path submits one per routing
-    collect (>=5). Nothing else in a warm compile may go eager — gates
-    stay lazy until the sink action, and index dataset reads hit the
-    static-schema cache instead of re-running footer-inference jobs."""
+def test_fused_routing_is_one_job_and_probes_stay_routed(spark, tmp_path):
+    """The routing fusion contract: compute_batch_routing derives EVERY
+    gate's partition-routing keys in at most two eager jobs (one
+    union-distinct collect — AQE may split its final stage), replacing
+    the one-collect-per-probe pattern; and the fused compile still
+    bakes literal PartitionFilters into the probes' scans (the packed
+    IN-list — pruning is not lost by precomputing)."""
+    import re
+
     topo = _six_gate_topology(spark, tmp_path)
     batch = _six_gate_batch(spark)
     # warm index meta + schema caches + optional-dataset existence
-    # checks so both measured compiles price the steady-state loop
+    # checks so the measured routing job prices the steady-state loop
     run_ingestion_batch(spark, topo, batch).count()
 
-    _, fused_jobs = _jobs_in_group(
-        spark, "r10-fused", lambda: compile_ingestion(spark, topo, batch)
+    routing, n_jobs = _jobs_in_group(
+        spark, "r10-routing", lambda: compute_batch_routing(spark, topo, batch)
     )
-    _, plain_jobs = _jobs_in_group(
-        spark,
-        "r10-plain",
-        lambda: compile_ingestion(spark, topo, batch, fuse_routing=False),
+    assert 1 <= n_jobs <= 2, f"fused routing ran {n_jobs} eager jobs"
+    assert set(routing) >= {
+        "hash_buckets",
+        "bloom_segments",
+        "minhash_routing",
+        "keyset_segments",
+        "minhash_sigs",
+    }
+
+    compiled = compile_ingestion(spark, topo, batch)
+    plan = compiled["stream/neardup-gate"]._jdf.queryExecution().executedPlan().toString()
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)", plan)
+    assert any("IN (" in p or "isin" in p.lower() for p in pfs if p.strip()), (
+        "fused neardup probe lost its literal partition routing:\n"
+        + "\n".join(pfs)
     )
-    assert fused_jobs <= 2, f"fused compile ran {fused_jobs} eager jobs"
-    assert plain_jobs >= fused_jobs + 3, (
-        f"unfused compile ran {plain_jobs} vs fused {fused_jobs}"
-    )
+
+
+def test_fused_spool_dirs_drain_with_registry(spark, tmp_path):
+    """The contamination gate's per-trigger spool rides the cache
+    registry: draining the registry deletes the spool directory."""
+    import os
+
+    caches: list = []
+    topo = _six_gate_topology(spark, tmp_path, cache_registry=caches)
+    batch = _six_gate_batch(spark)
+    curated = run_ingestion_batch(spark, topo, batch)
+    assert {r.doc_id for r in curated.collect()} == {102}
+    from kafka_streams_the_clojure_way_spark.plans.ingestion import _SpoolDir
+
+    spools = [c for c in caches if isinstance(c, _SpoolDir)]
+    assert spools, "fused six-gate run must register its spool dir"
+    assert all(os.path.isdir(sp.path) for sp in spools)
+    for fr in caches:
+        fr.unpersist()
+    caches.clear()
+    assert not any(os.path.isdir(sp.path) for sp in spools)
 
 
 def test_compute_batch_routing_keys_are_supersets(spark, tmp_path):
