@@ -417,6 +417,7 @@ def multimodal_ingestion_topology(
     video_index_path: str,
     id_col: str = "doc_id",
     cache_registry: list | None = None,
+    probe_sigs: dict | None = None,
 ) -> Topology:
     """The MULTIMODAL curation loop as a declarative topology (VERDICT
     r9 #8 — §2.1 row 13 applied to assets): raw (id, asset) rows flow
@@ -444,7 +445,15 @@ def multimodal_ingestion_topology(
     probes keep their literal partition routing). Per-batch cost is
     O(batch + probed partitions), independent of corpus size; the
     curated sink carries (id, asset, n_pix, pix_sum) — content-pinned
-    survivors."""
+    survivors.
+
+    ``probe_sigs``: optional precomputed probe signatures per modality
+    — ``{"image": (id, phash), "audio": (id, frame_idx, fp), "video":
+    (id, frame_idx, phash)}`` frames covering AT LEAST the batch's ids
+    (the shared materialized signature tables are exactly this shape)
+    — forwarded to the index probes so the near-dup gate never
+    re-decodes what was already signed. Superset frames are safe:
+    flags for non-batch ids are no-ops in the anti-join."""
     from kafka_streams_the_clojure_way_spark.operators import audiofp as AFP
     from kafka_streams_the_clojure_way_spark.operators import imagehash as IH
     from kafka_streams_the_clojure_way_spark.operators.multimodal import (
@@ -481,15 +490,19 @@ def multimodal_ingestion_topology(
         return _pin(batch.join(ok, id_col))
 
     def neardup_gate(batch: DataFrame) -> DataFrame:
+        sigs = probe_sigs or {}
         flags = (
             IH.phash_index_probe(
                 spark, image_index_path, batch.filter(mime == "image/png"),
                 cache_registry=cache_registry,
+                sigs=sigs.get("image"),
             )
             .select("probe_id")
             .unionByName(
                 AFP.audiofp_index_probe(
                     spark, audio_index_path, batch.filter(mime == "audio/wav"),
+                    cache_registry=cache_registry,
+                    fps=sigs.get("audio"),
                 ).select("probe_id")
             )
             .unionByName(
@@ -497,6 +510,8 @@ def multimodal_ingestion_topology(
                     spark,
                     video_index_path,
                     batch.filter(mime == "video/x-yuv4mpeg"),
+                    cache_registry=cache_registry,
+                    sigs=sigs.get("video"),
                 ).select("probe_id")
             )
             .select(F.col("probe_id").alias(id_col))

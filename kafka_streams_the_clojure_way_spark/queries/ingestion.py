@@ -711,17 +711,48 @@ def _multimodal_topology(spark: SparkSession, sf_dir: str, cache_registry=None):
         multimodal_ingestion_topology,
     )
     from kafka_streams_the_clojure_way_spark.queries.llm_pipeline import (
+        _PHASH_PROBE_MOD_VAL,
+        _TWIN_OFFSET,
         _audiofp_index_path,
         _phash_index_path,
+        _shared_audio_fps,
+        _shared_image_phashes,
+        _shared_video_sigs,
         _video_index_path,
     )
 
+    # the shared materialized signature tables cover originals + twins
+    # in every modality (same encoders the arriving fixture uses) —
+    # narrow them to the arriving id set per modality so the near-dup
+    # gate probes from signatures instead of re-decoding payloads
+    arriving = (
+        (
+            (F.col("doc_id") >= _TWIN_OFFSET)
+            & ((F.col("doc_id") - _TWIN_OFFSET) % _INCR_NEW_MOD == _PHASH_PROBE_MOD_VAL)
+        )
+        | (
+            (F.col("doc_id") < _TWIN_OFFSET)
+            & (F.col("doc_id") % _INCR_NEW_MOD == 0)
+        )
+    )
+    probe_sigs = {
+        "image": _shared_image_phashes(spark, sf_dir).filter(
+            arriving & (F.col("doc_id") % 3 == 0)
+        ),
+        "audio": _shared_audio_fps(spark, sf_dir).filter(
+            arriving & (F.col("doc_id") % 3 == 1)
+        ),
+        "video": _shared_video_sigs(spark, sf_dir).filter(
+            arriving & (F.col("doc_id") % 3 == 2)
+        ),
+    }
     return multimodal_ingestion_topology(
         spark,
         image_index_path=_phash_index_path(spark, sf_dir),
         audio_index_path=_audiofp_index_path(spark, sf_dir),
         video_index_path=_video_index_path(spark, sf_dir),
         cache_registry=cache_registry,
+        probe_sigs=probe_sigs,
     )
 
 

@@ -81,8 +81,8 @@ def ingestion_main() -> None:
     from pyspark.sql import functions as F
 
     from kafka_streams_the_clojure_way_spark import get_spark
-    from kafka_streams_the_clojure_way_spark.plans.compiler import compile_topology
     from kafka_streams_the_clojure_way_spark.plans.ingestion import (
+        compile_ingestion,
         ingestion_topology,
         run_ingestion_stream,
     )
@@ -146,11 +146,11 @@ def ingestion_main() -> None:
     big.repartition(n_batches).write.parquet(f"{TMP}/docs_in")
     n_rows = spark.read.parquet(f"{TMP}/docs_in").count()
 
-    # warm the compile path once (codegen + index meta reads) so the
-    # measured triggers price the steady-state loop, not first-touch
+    # warm the compile path once (codegen + index meta + parquet schema
+    # caches) so the measured triggers price the steady-state loop
     t0 = time.time()
-    compiled = compile_topology(
-        spark, topo, {"topic/raw-docs": spark.read.parquet(f"{TMP}/docs_in").limit(50)}
+    compiled = compile_ingestion(
+        spark, topo, spark.read.parquet(f"{TMP}/docs_in").limit(50)
     )
     compiled["topic/curated-docs"].write.format("noop").mode("overwrite").save()
     warm_s = time.time() - t0
@@ -158,17 +158,17 @@ def ingestion_main() -> None:
         fr.unpersist()
     caches.clear()
 
-    # per-trigger cost decomposition over ONE full replica batch:
-    # COMPILE = plan construction including every index probe's
-    # partition-routing collect (these run eagerly at compile time —
-    # one driver job per probe, the dominant fixed cost of a small
-    # trigger); EXECUTE split = marginal force time per gate output
-    # over the compiled (cached-gate) plan. At corpus scale the
-    # compile cost is per-TRIGGER and amortizes with batch size — the
-    # two batch-size configs below make that visible.
+    # per-trigger cost decomposition over ONE full replica batch, on the
+    # FUSED serve path (r10): COMPILE = one fused routing job + plan
+    # construction + the contamination spool (which executes the first
+    # four gates — so part of the work the r9 split billed to EXECUTE
+    # now lands here); EXECUTE split = marginal force time per gate
+    # output over the compiled plan. At corpus scale the
+    # construction/routing part is per-TRIGGER and amortizes with batch
+    # size — the two batch-size configs below make that visible.
     one_batch = spark.read.parquet(f"{TMP}/docs_in")
     t0 = time.time()
-    compiled = compile_topology(spark, topo, {"topic/raw-docs": one_batch})
+    compiled = compile_ingestion(spark, topo, one_batch)
     compile_s = round(time.time() - t0, 2)
     gate_split = {}
     for gname, entity in GATE_ORDER:
@@ -181,13 +181,28 @@ def ingestion_main() -> None:
         fr.unpersist()
     caches.clear()
 
-    # the streaming loop at TWO trigger sizes: all files per trigger
-    # amortizes the per-trigger compile cost; one file per trigger
-    # prices the low-latency end. Same topology, same total rows.
+    # canary: the same normalization bench.py applies — host drift is
+    # large (BASELINE.md), so the artifact carries its own ruler
+    from kafka_streams_the_clojure_way_spark.queries import QUERIES
+
+    canary = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        QUERIES["agg_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        canary = min(canary, time.time() - t0)
+
+    # the streaming loop at TWO trigger sizes plus an UNFUSED A/B leg:
+    # all files per trigger amortizes the per-trigger compile cost; one
+    # file per trigger prices the low-latency end; the unfused leg runs
+    # the same small triggers with per-probe routing collects in the
+    # SAME process, so the fused/unfused ratio cancels host drift.
     runs = []
-    for label, files_per_trigger in (
-        ("all_files_per_trigger", n_batches),
-        ("one_file_per_trigger", 1),
+    for label, files_per_trigger, fuse in (
+        ("all_files_per_trigger", n_batches, True),
+        ("one_file_per_trigger", 1, True),
+        ("one_file_per_trigger_unfused", 1, False),
     ):
         shutil.rmtree(f"{TMP}/curated_out", ignore_errors=True)
         shutil.rmtree(f"{TMP}/ckpt_ingest", ignore_errors=True)
@@ -205,6 +220,7 @@ def ingestion_main() -> None:
             cache_registry=caches,
             checkpoint=f"{TMP}/ckpt_ingest",
             trigger={"availableNow": True},
+            fuse_routing=fuse,
         )
         while q.isActive:
             q.awaitTermination(5)
@@ -235,6 +251,7 @@ def ingestion_main() -> None:
         "sf": SF_DIR,
         "gates": [g for g, _ in GATE_ORDER],
         "rows_in": n_rows,
+        "canary_sec": round(canary, 3),
         "runs": runs,
         "first_compile_warm_s": round(warm_s, 2),
         "per_trigger_compile_s": compile_s,

@@ -462,14 +462,17 @@ def test_triangle_joins_are_equi(spark):
 
 
 def test_ngram_span_plan_shape(spark):
-    """Span dedup: ONE posting explode feeding one gram_hash shuffle
-    (the count rides a window over that partitioning — a groupBy +
-    join-back would recompute the expensive gram-hashing scan twice),
+    """Span dedup over the SHARED materialized posting table (r10):
+    ZERO explodes in the query plan — gram hashing ran once at table
+    build, so the plan is a 3-column parquet scan of the postings
+    feeding one gram_hash window shuffle (the count rides a window
+    over that partitioning — a groupBy + join-back would scan twice),
     no join at all, and the lag + running-sum island merge sharing one
     sort + one shuffle by doc."""
     p = _plan(spark, "dedup_ngram_span_documents")
     assert "CartesianProduct" not in p and "Join" not in p
-    assert p.count("Generate explode") == 1, p[:3000]
+    assert "Generate explode" not in p, p[:3000]  # shared-table upstream
+    assert re.search(r"FileScan parquet \[doc_id[^\]]*gram_hash", p), p[:3000]
     assert p.count("Window") == 3, p[:3000]  # gram count + lag + running sum
     assert len(re.findall(r"Sort \[doc_id", p)) == 1, p[:3000]
 
