@@ -1437,9 +1437,10 @@ def hash_index_upsert(
     touched directory per batch; run :func:`compact_hash_index` on a
     cadence to restore the build layout."""
     meta = _index_meta(spark, index_path)
+    root = index_dataset_root(index_path)  # writers land in the active version
     n_buckets = meta["n_buckets"]
     if not assume_new_ids:
-        existing = read_static_schema(spark, f"{index_path}/hashes").select(
+        existing = read_static_schema(spark, f"{root}/hashes").select(
             F.col(meta["id_col"]).alias(id_col)
         )
         batch = batch.join(existing, id_col, "left_anti")
@@ -1456,7 +1457,7 @@ def hash_index_upsert(
         .localCheckpoint()
     )
     hashed.repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
-        f"{index_path}/hashes"
+        f"{root}/hashes"
     )
 
 
@@ -1492,6 +1493,7 @@ def hash_index_probe(
     :func:`hash_index_probe_stream`, which runs each micro-batch
     through THIS batch routing inside ``foreachBatch``."""
     meta = _index_meta(spark, index_path)
+    root = index_dataset_root(index_path)  # one snapshot per probe
     n_buckets = meta["n_buckets"]
     # precomputed routing implies a fused caller that already
     # parallelism-guarded the raw batch — skip the .rdd probe here (it
@@ -1505,7 +1507,7 @@ def hash_index_probe(
         F.col(id_col).alias("probe_id"),
         content_hash(F.col(text)).alias("content_hash"),
     ).withColumn("bucket", F.pmod(F.col("content_hash"), F.lit(n_buckets)))
-    hashes = read_static_schema(spark, f"{index_path}/hashes")
+    hashes = read_static_schema(spark, f"{root}/hashes")
     if batch.isStreaming:
         probe_side = probe
     else:
@@ -1530,7 +1532,7 @@ def hash_index_probe(
             "content_hash",
         )
     )
-    tomb = _read_optional(spark, f"{index_path}/tombstones")
+    tomb = _read_optional(spark, f"{root}/tombstones")
     if tomb is not None:
         cand = cand.join(
             F.broadcast(tomb.select(F.col(meta["id_col"]).alias("corpus_id"))),
@@ -1548,26 +1550,37 @@ def hash_index_delete(spark, index_path: str, ids, *, id_col: str = "doc_id") ->
     visible to the upsert anti-join until compaction (re-add requires a
     compact first)."""
     meta = _index_meta(spark, index_path)
+    root = index_dataset_root(index_path)
     if isinstance(ids, DataFrame):
         frame = ids.select(F.col(id_col).cast("long").alias(meta["id_col"]))
     else:
         frame = spark.createDataFrame([(int(i),) for i in ids], f"{meta['id_col']} long")
-    frame.coalesce(1).write.mode("append").parquet(f"{index_path}/tombstones")
+    frame.coalesce(1).write.mode("append").parquet(f"{root}/tombstones")
 
 
-def compact_hash_index(spark, index_path: str) -> None:
+def compact_hash_index(spark, index_path: str, *, versioned: bool = False) -> None:
     """Restore ONE file per bucket directory after many upsert batches,
     folding any tombstones in physically (rows dropped in the rewrite,
     set cleared). Probe answers are byte-identical before/after.
-    Crash-safe rename-aside swap; not concurrent-probe safe — run
-    between probe batches (``hash_index_probe_stream`` can do it on a
-    cadence, where it is trivially serial with the loop)."""
+    Crash-safe rename-aside swap; the default in-place mode is not
+    concurrent-probe safe — run between probe batches
+    (``hash_index_probe_stream`` can do it on a cadence, where it is
+    trivially serial with the loop). ``versioned=True`` is the
+    snapshot-read mode (same contract as
+    :func:`compact_minhash_index`): new layout into a fresh version
+    dir, atomic CURRENT repoint, in-flight probes finish on their old
+    version, writers stay single-writer; reclaim stale versions with
+    :func:`gc_hash_index_versions`."""
     import shutil
 
-    from kafka_streams_the_clojure_way_spark.sources.files import compact_partitioned
+    from kafka_streams_the_clojure_way_spark.sources.files import (
+        compact_partitioned,
+        write_partitioned,
+    )
 
     meta = _index_meta(spark, index_path)
-    tomb = _read_optional(spark, f"{index_path}/tombstones")
+    root = index_dataset_root(index_path)
+    tomb = _read_optional(spark, f"{root}/tombstones")
     drop = None
     if tomb is not None:
         dead = F.broadcast(tomb.select(meta["id_col"]).distinct())
@@ -1575,9 +1588,26 @@ def compact_hash_index(spark, index_path: str) -> None:
         def drop(df):  # noqa: F811
             return df.join(dead, meta["id_col"], "left_anti")
 
-    compact_partitioned(spark, f"{index_path}/hashes", "bucket", transform=drop)
+    if versioned:
+        rel = _next_index_version(index_path)
+        newroot = os.path.join(index_path, rel)
+        hashes = spark.read.parquet(f"{root}/hashes")
+        if drop is not None:
+            hashes = drop(hashes)
+        write_partitioned(
+            hashes.repartition("bucket"), f"{newroot}/hashes", "bucket"
+        )
+        _repoint_index_version(index_path, rel)
+        return
+
+    compact_partitioned(spark, f"{root}/hashes", "bucket", transform=drop)
     if tomb is not None:
-        shutil.rmtree(f"{index_path}/tombstones")
+        shutil.rmtree(f"{root}/tombstones")
+
+
+def gc_hash_index_versions(index_path: str) -> list[str]:
+    """:func:`gc_index_versions` for the hash family's datasets."""
+    return gc_index_versions(index_path, datasets=("hashes", "tombstones"))
 
 
 def hash_index_probe_stream(

@@ -5025,7 +5025,7 @@ def meta_hash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (~16 bytes/doc), never the corpus text."""
     path = _hash_index_path(spark, sf_dir)
     return (
-        spark.read.parquet(f"{path}/hashes")
+        spark.read.parquet(f"{D.index_dataset_root(path)}/hashes")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_postings"),

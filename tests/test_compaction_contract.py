@@ -224,3 +224,47 @@ def test_minhash_versioned_compact_serves_probes_during_compact(
     D.minhash_index_upsert(spark, path, extra)
     after_upsert = answers()
     assert any(c >= 5_000_000 for _, c, _ in after_upsert)
+
+
+def test_hash_versioned_compact_serves_probes_during_compact(spark, tmp_path):
+    """Versioned snapshot reads rolled out to the SECOND family (hash
+    index): same contract as the minhash template — in-flight probe
+    finishes on its snapshot across a repoint, post-repoint probes read
+    the new version with tombstones folded, GC reclaims stale versions,
+    upserts land in the current version."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    # probes are byte-identical re-crawls of corpus docs under new ids
+    probe = corpus.limit(30).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    path = str(tmp_path / "hx")
+    D.build_hash_index(corpus.filter(F.col("doc_id") % 3 == 1), path)
+    D.hash_index_upsert(spark, path, corpus.filter(F.col("doc_id") % 3 == 2))
+    victim = corpus.select("doc_id").limit(1).collect()[0][0]
+    D.hash_index_delete(spark, path, [victim])
+
+    def answers(frame=None):
+        frame = D.hash_index_probe(spark, path, probe) if frame is None else frame
+        return sorted((r.probe_id, r.corpus_id) for r in frame.collect())
+
+    before = answers()
+    assert before and all(c != victim for _, c in before)
+
+    inflight = D.hash_index_probe(spark, path, probe)
+    D.compact_hash_index(spark, path, versioned=True)
+    root = D.index_dataset_root(path)
+    assert root != path and os.path.basename(root).startswith("v_")
+    assert answers(inflight) == before          # snapshot intact
+    assert not os.path.isdir(os.path.join(root, "tombstones"))
+    assert answers() == before                  # new version serves
+
+    deleted = D.gc_hash_index_versions(path)
+    assert deleted and not os.path.isdir(os.path.join(path, "hashes"))
+    assert answers() == before
+
+    extra = probe.select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+    D.hash_index_upsert(spark, path, extra)
+    assert any(c >= 5_000_000 for _, c in answers())
