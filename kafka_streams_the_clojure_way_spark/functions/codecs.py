@@ -230,6 +230,124 @@ def png_encode_rgb(
     return _png_encode(data, width, PNG_RGB_BPP, 2, filter_cycle)
 
 
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass — the
+#: spec's interlace pattern (PNG 1.2 §2.6). Each pass is an independent
+#: sub-image with its own filter-byte scanlines; reconstruction places
+#: pass pixel (i, j) at (x0 + i*dx, y0 + j*dy).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_pass_dims(width: int, height: int) -> list[tuple[int, int]]:
+    """(pass_width, pass_height) per Adam7 pass; 0-dimension passes are
+    empty (no scanlines, not even filter bytes — per spec)."""
+    return [
+        (
+            max(0, (width - x0 + dx - 1) // dx),
+            max(0, (height - y0 + dy - 1) // dy),
+        )
+        for x0, y0, dx, dy in _ADAM7
+    ]
+
+
+def png_encode_gray_interlaced(
+    data: bytes,
+    width: int = PNG_WIDTH,
+    filter_cycle: tuple[int, ...] = DEFAULT_FILTER_CYCLE,
+) -> bytes:
+    """Encode ``data`` as a spec-conformant ADAM7-INTERLACED 8-bit
+    grayscale PNG: the padded pixel grid is split into the seven pass
+    sub-images, each filtered independently (same per-row filter cycle,
+    prior-row context WITHIN the pass), concatenated into one IDAT
+    stream, and the IHDR interlace byte set to 1. Decodes to exactly
+    the same pixel stream as :func:`png_encode_gray` of the same
+    payload — interlacing reorders bytes on the wire, never changes the
+    image."""
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    pad = -len(data) % width
+    pixels = data + PNG_PAD * pad
+    if not data:
+        pixels = PNG_PAD * width
+    height = len(pixels) // width
+    raw = bytearray()
+    for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_pass_dims(width, height)):
+        if pw == 0 or ph == 0:
+            continue
+        sub = bytes(
+            pixels[(y0 + j * dy) * width + (x0 + i * dx)]
+            for j in range(ph)
+            for i in range(pw)
+        )
+        raw += _filter_scanlines(sub, pw, 1, filter_cycle)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 1)
+    return (
+        _PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _adam7_unfilter(inflated: bytes, width: int, height: int):
+    """Invert Adam7 interlacing for an 8-bit single-channel image:
+    per-pass scanline unfiltering (bpp=1, the shared filter inverses)
+    followed by sparse placement into the full grid. Returns a numpy
+    uint8 array of width*height pixels; raises ValueError on a payload
+    whose length disagrees with the pass geometry."""
+    import numpy as np
+
+    dims = _adam7_pass_dims(width, height)
+    expect = sum(ph * (pw + 1) for pw, ph in dims if pw and ph)
+    raw = np.frombuffer(inflated, dtype=np.uint8)
+    if raw.size != expect:
+        raise ValueError(
+            f"PNG Adam7 pixel payload {raw.size} != expected {expect}"
+        )
+    out = np.empty(height * width, dtype=np.uint8)
+    pos = 0
+    for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, dims):
+        if pw == 0 or ph == 0:
+            continue
+        rows = raw[pos : pos + ph * (pw + 1)].reshape(ph, pw + 1)
+        pos += ph * (pw + 1)
+        ftypes = rows[:, 0]
+        body = rows[:, 1:].astype(np.int64)
+        prev = np.zeros(pw, dtype=np.int64)
+        for j in range(ph):
+            f, row = int(ftypes[j]), body[j]
+            if f == 0:
+                cur = row
+            elif f == 1:
+                cur = np.cumsum(row) & 0xFF
+            elif f == 2:
+                cur = (row + prev) & 0xFF
+            elif f == 3:
+                cur = np.empty(pw, dtype=np.int64)
+                for i in range(pw):
+                    left = int(cur[i - 1]) if i >= 1 else 0
+                    cur[i] = (row[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+            elif f == 4:
+                cur = np.empty(pw, dtype=np.int64)
+                for i in range(pw):
+                    left = int(cur[i - 1]) if i >= 1 else 0
+                    upleft = int(prev[i - 1]) if i >= 1 else 0
+                    cur[i] = (row[i] + _paeth(left, int(prev[i]), upleft)) & 0xFF
+            else:
+                raise ValueError(f"invalid PNG filter type {f}")
+            idx = (y0 + j * dy) * width + x0 + np.arange(pw) * dx
+            out[idx] = cur.astype(np.uint8)
+            prev = cur
+    return out
+
+
 def _fixture_palette() -> bytes:
     """The deterministic 256-entry PLTE the paletted fixture encoder
     writes: entry i = (i, 255-i, (7*i + 13) % 256). Deliberately NOT the
@@ -290,6 +408,7 @@ def _png_decode(png: bytes, expect_ctype: int, bpp: int) -> bytes:
     width = height = -1
     idat = bytearray()
     plte: bytes | None = None
+    interlaced = False
     seen_end = False
     while pos < len(png):
         if pos + 8 > len(png):
@@ -307,12 +426,23 @@ def _png_decode(png: bytes, expect_ctype: int, bpp: int) -> bytes:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if (depth, ctype, comp, filt, interlace) != (8, expect_ctype, 0, 0, 0):
+            # Adam7 (interlace=1) is accepted on the GRAYSCALE path
+            # (r10): the seven passes unfilter independently at bpp=1
+            # and reconstruct to the identical pixel stream. Truecolor/
+            # paletted interlace stays a classified rejection.
+            ok_interlace = (0, 1) if expect_ctype == 0 else (0,)
+            if (depth, ctype, comp, filt) != (
+                8,
+                expect_ctype,
+                0,
+                0,
+            ) or interlace not in ok_interlace:
                 raise ValueError(
                     f"unsupported PNG variant (need 8-bit color type "
                     f"{expect_ctype}, got depth={depth} color={ctype} "
                     f"interlace={interlace})"
                 )
+            interlaced = interlace == 1
         elif tag == b"PLTE":
             if length == 0 or length % 3 or length > 768:
                 raise ValueError(f"PNG PLTE length {length} invalid")
@@ -333,6 +463,8 @@ def _png_decode(png: bytes, expect_ctype: int, bpp: int) -> bytes:
         inflated = zlib.decompress(bytes(idat))
     except zlib.error as exc:  # normalize to the module's ValueError contract
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    if interlaced:
+        return _adam7_unfilter(inflated, width, height).tobytes()
     raw = np.frombuffer(inflated, dtype=np.uint8)
     if raw.size != height * (wb + 1):
         raise ValueError(

@@ -105,16 +105,18 @@ def encode_text_assets(
     import pandas as pd
 
     if codec not in (
-        "png", "png_rgb", "png_palette", "wav", "wav16", "pgm", "y4m", "y4m420"
+        "png", "png_rgb", "png_palette", "png_adam7", "wav", "wav16", "pgm",
+        "y4m", "y4m420",
     ):
         raise ValueError(
-            f"codec must be 'png', 'png_rgb', 'png_palette', 'wav', 'wav16', "
-            f"'pgm', 'y4m' or 'y4m420', got {codec!r}"
+            f"codec must be 'png', 'png_rgb', 'png_palette', 'png_adam7', "
+            f"'wav', 'wav16', 'pgm', 'y4m' or 'y4m420', got {codec!r}"
         )
     mime = {
         "png": "image/png",
         "png_rgb": "image/png",
         "png_palette": "image/png",
+        "png_adam7": "image/png",
         "wav": "audio/wav",
         "wav16": "audio/wav",
         "pgm": "video/x-pgm-frames",
@@ -129,6 +131,9 @@ def encode_text_assets(
             "png": CC.png_encode_gray,
             "png_rgb": CC.png_encode_rgb,
             "png_palette": CC.png_encode_palette,
+            # Adam7-interlaced grayscale: same decoded pixel stream as
+            # "png" (interlacing reorders wire bytes, never the image)
+            "png_adam7": CC.png_encode_gray_interlaced,
             "wav": CC.wav_encode_pcm8,
             "wav16": CC.wav_encode_pcm16,  # 16-bit stereo (channels=2)
             "pgm": CC.pgm_encode_video,

@@ -1665,6 +1665,50 @@ def multimodal_image_palette_luma(spark: SparkSession, sf_dir: str) -> DataFrame
     return rgb_luma_stats(assets, decode="png_palette")
 
 
+@query(
+    "multimodal_image_interlaced_checksum",
+    oracle=f"""
+    WITH geo AS (
+        SELECT doc_id, {_PNG_PIXELS_SQL} AS p,
+               {CC.png_padded_len_sql('text')} AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_pix,
+           CAST(list_sum(list_transform(
+                range(1, CAST(n AS INT) + 1),
+                j -> unicode(substr(p, CAST(j AS INT), 1)))) AS BIGINT)
+               AS pix_sum,
+           CAST(unicode(substr(p, 1, 1)) AS BIGINT) AS pix_head,
+           CAST(unicode(substr(p, CAST(n AS INT), 1)) AS BIGINT) AS pix_tail
+    FROM geo
+    """,
+)
+def multimodal_image_interlaced_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAM7-INTERLACED grayscale decode over a MIXED corpus (r10 —
+    the second-most-common crawl PNG shape after palette): even doc_ids
+    encode sequentially, odd ids through the real seven-pass Adam7
+    interlacer (each pass an independently-filtered sub-image, IHDR
+    interlace=1), and BOTH decode through the shared engine to the
+    identical pixel stream — interlacing reorders wire bytes, never
+    the image, which is exactly what the one shared oracle pins: a
+    wrong pass geometry, a filter inverse applied across pass
+    boundaries, or a misplaced sparse write flips the per-doc checksum
+    (sum + endpoints) for the odd ids only. Truecolor/paletted
+    interlace stays a classified quarantine kind
+    (tests/test_codecs.py). Funnel shape: one mapInPandas decode, four
+    small columns out."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assets = encode_text_assets(docs.filter(F.col("doc_id") % 2 == 0), "png").unionByName(
+        encode_text_assets(docs.filter(F.col("doc_id") % 2 == 1), "png_adam7")
+    )
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        asset_pixel_checksum,
+    )
+
+    return asset_pixel_checksum(assets, decode="png")
+
+
 #: offset for synthetic "re-encoded copy" ids — keeps the twin id space
 #: disjoint from real doc ids at every SF.
 _TWIN_OFFSET = 10_000_000

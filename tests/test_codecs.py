@@ -212,6 +212,53 @@ def test_png_rgb_rejects_gray_and_vice_versa():
 
 
 # --------------------------------------------------------------------------
+# Adam7-interlaced grayscale PNG — r10
+# --------------------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(payloads, st.sampled_from([(0,), (1,), (2,), (3,), (4,), (0, 1, 2), (0, 1, 2, 3, 4)]))
+def test_png_adam7_decodes_identically_to_sequential(data, cycle):
+    """Interlacing reorders wire bytes, never the image: the Adam7
+    encoder's output must decode (through the SAME png_decode_gray
+    entry) to exactly the sequential encoder's pixel stream, for every
+    filter type — each pass unfilters independently at bpp=1."""
+    from kafka_streams_the_clojure_way_spark.functions.codecs import (
+        png_encode_gray_interlaced,
+    )
+
+    seq = png_decode_gray(png_encode_gray(data, filter_cycle=cycle))
+    inter = png_decode_gray(png_encode_gray_interlaced(data, filter_cycle=cycle))
+    assert inter == seq
+
+
+def test_png_adam7_small_widths_and_rejections():
+    """Widths below the 8-pixel pass grid exercise EMPTY passes (zero
+    scanlines, not even filter bytes — per spec); truecolor/paletted
+    decoders keep rejecting interlaced containers with a classified
+    kind; a truncated interlaced payload classifies 'truncated'."""
+    from kafka_streams_the_clojure_way_spark.functions.codecs import (
+        classify_codec_error,
+        png_decode_rgb,
+        png_encode_gray_interlaced,
+    )
+
+    d = bytes(range(40))
+    for w in (1, 2, 3, 5, 7, 8, 9):
+        assert png_decode_gray(
+            png_encode_gray_interlaced(d, width=w)
+        ) == png_decode_gray(png_encode_gray(d, width=w)), w
+    inter = png_encode_gray_interlaced(b"interlaced grayscale bytes")
+    with pytest.raises(ValueError, match="color type"):
+        png_decode_rgb(inter)
+    try:
+        png_decode_rgb(inter)
+    except ValueError as exc:
+        assert classify_codec_error(str(exc)) == "unsupported"
+    with pytest.raises(ValueError, match="missing IEND"):
+        png_decode_gray(inter[:-12])
+
+
+# --------------------------------------------------------------------------
 # Paletted (color type 3) PNG — r10
 # --------------------------------------------------------------------------
 
