@@ -444,6 +444,14 @@ def _png_decode(png: bytes, expect_ctype: int, bpp: int) -> bytes:
                 )
             interlaced = interlace == 1
         elif tag == b"PLTE":
+            # spec ordering (PNG 1.2 §4.1.2): at most one PLTE, and it
+            # must precede the first IDAT — a malformed paletted PNG
+            # violating either is a classified quarantine, not a
+            # silent decode.
+            if idat:
+                raise ValueError("PNG PLTE after IDAT")
+            if plte is not None:
+                raise ValueError("PNG duplicate PLTE chunk")
             if length == 0 or length % 3 or length > 768:
                 raise ValueError(f"PNG PLTE length {length} invalid")
             plte = body
@@ -534,6 +542,36 @@ def png_decode_palette(png: bytes) -> bytes:
     lookup per pixel. Raises ``ValueError`` on missing/ill-sized PLTE
     or out-of-range indexes (classified quarantine kinds)."""
     return _png_decode(png, 3, 1)
+
+
+def png_decode_auto(png: bytes) -> bytes:
+    """Decode ANY supported 8-bit PNG by dispatching on the IHDR color
+    type — grayscale (0) to its gray plane, truecolor (2) to the
+    interleaved RGB stream, paletted (3) to the PLTE-expanded RGB
+    stream. This is the decode a permissive ingestion gate needs: a
+    crawl's PNGs arrive in every color type, and a gate that only
+    accepts grayscale silently quarantines the most common classes as
+    'corrupt' (ADVICE r10). Color types 4/6 (alpha) raise the module's
+    classified 'unsupported' ValueError — quarantine rows, never job
+    kills. Magic and IHDR framing are validated before the dispatch so
+    a truncated header classifies as truncated/bad_magic, not as an
+    index error."""
+    if png[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG: bad magic")
+    if len(png) < 26:
+        raise ValueError("truncated PNG chunk header")
+    if png[12:16] != b"IHDR":
+        raise ValueError("PNG first chunk is not a 13-byte IHDR")
+    ctype = png[25]
+    if ctype == 0:
+        return _png_decode(png, 0, 1)
+    if ctype == 2:
+        return _png_decode(png, 2, PNG_RGB_BPP)
+    if ctype == 3:
+        return _png_decode(png, 3, 1)
+    raise ValueError(
+        f"unsupported PNG variant (color type {ctype} has no decoder)"
+    )
 
 
 def png_palette_luma_sql(idx: str) -> str:

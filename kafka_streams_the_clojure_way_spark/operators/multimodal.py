@@ -480,7 +480,11 @@ def asset_pixel_checksum(
     content pin an end-to-end transcode audit needs: any mis-decoded,
     mis-sampled, or mis-ordered pixel moves the sum (and the endpoints
     catch symmetric swaps the sum forgives). ``decode="png"`` runs the
-    real stdlib PNG decoder; ``decode="wav"`` the std RIFF parser
+    real stdlib PNG decoder (grayscale profile); ``decode="png_any"``
+    dispatches by IHDR color type (gray plane / truecolor RGB /
+    PLTE-expanded RGB — the permissive ingestion-gate profile, where
+    'not grayscale' must not read as 'corrupt'); ``decode="wav"`` the
+    std RIFF parser
     (8-bit mono); ``decode="pcm"`` the general WAV profile (8-bit mono
     + 16-bit mono/stereo with documented downmix/requantization);
     ``decode="y4m"`` the YUV4MPEG2 demuxer (concatenated luma planes —
@@ -503,9 +507,10 @@ def asset_pixel_checksum(
     import numpy as np
     import pandas as pd
 
-    if decode not in (None, "png", "wav", "pcm", "y4m"):
+    if decode not in (None, "png", "png_any", "wav", "pcm", "y4m"):
         raise ValueError(
-            f"decode must be None, 'png', 'wav', 'pcm' or 'y4m', got {decode!r}"
+            f"decode must be None, 'png', 'png_any', 'wav', 'pcm' or 'y4m', "
+            f"got {decode!r}"
         )
     if mode not in ("strict", "permissive"):
         raise ValueError(f"mode must be 'strict' or 'permissive', got {mode!r}")
@@ -522,6 +527,16 @@ def asset_pixel_checksum(
             )
 
             unwrap = lambda raw: png_decode_gray(bytes(raw))  # noqa: E731
+        elif decode == "png_any":
+            # color-type dispatch (gray/truecolor/palette) — the
+            # permissive ingestion gate's profile: a crawl's PNGs are
+            # not all grayscale, and 'not grayscale' must not classify
+            # as corrupt (ADVICE r10)
+            from kafka_streams_the_clojure_way_spark.functions.codecs import (
+                png_decode_auto,
+            )
+
+            unwrap = lambda raw: png_decode_auto(bytes(raw))  # noqa: E731
         elif decode == "wav":
             from kafka_streams_the_clojure_way_spark.functions.codecs import (
                 wav_decode_pcm8,

@@ -72,6 +72,32 @@ from kafka_streams_the_clojure_way_spark.operators import similarity as S
 from kafka_streams_the_clojure_way_spark.operators import text as T
 from kafka_streams_the_clojure_way_spark.plans.spec import Topology
 
+#: live spool paths awaiting cleanup. ONE process-wide atexit handler
+#: sweeps whatever is left at interpreter exit; the normal path is the
+#: cache registry's per-trigger ``unpersist``, which also DISCARDS the
+#: path here — so a long-running stream never accumulates per-trigger
+#: atexit callbacks (each used to register its own; the closures leaked
+#: for the life of the process even after the dir was deleted).
+_LIVE_SPOOLS: set[str] = set()
+_SPOOL_ATEXIT_REGISTERED = False
+
+
+def _register_spool(path: str) -> None:
+    global _SPOOL_ATEXIT_REGISTERED
+    _LIVE_SPOOLS.add(path)
+    if not _SPOOL_ATEXIT_REGISTERED:
+        import atexit
+        import shutil
+
+        def _sweep() -> None:
+            for p in list(_LIVE_SPOOLS):
+                shutil.rmtree(p, ignore_errors=True)
+            _LIVE_SPOOLS.clear()
+
+        atexit.register(_sweep)
+        _SPOOL_ATEXIT_REGISTERED = True
+
+
 class _SpoolDir:
     """Registry shim for a per-trigger spool directory: quacks like a
     cached DataFrame for the drain loop (``unpersist()`` deletes the
@@ -85,6 +111,7 @@ class _SpoolDir:
         import shutil
 
         shutil.rmtree(self.path, ignore_errors=True)
+        _LIVE_SPOOLS.discard(self.path)
         return self
 
 
@@ -281,12 +308,10 @@ def ingestion_topology(
                 # rides the cache registry so the streaming loop deletes
                 # it per trigger (atexit backstops registry-less
                 # callers).
-                import atexit
-                import shutil
                 import tempfile
 
                 spool = tempfile.mkdtemp(prefix="ingest_spool_")
-                atexit.register(shutil.rmtree, spool, ignore_errors=True)
+                _register_spool(spool)
                 # natural partitioning — no coalesce(1): collapsing the
                 # whole gate chain's final stage to one task serializes
                 # the upstream probes (measured 14s -> 34s on a
@@ -476,7 +501,11 @@ def multimodal_ingestion_topology(
                 batch.filter(mime == m), decode=dec, mode="permissive"
             )
             for m, dec in (
-                ("image/png", "png"),
+                # png_any: color-type dispatch — a truecolor/paletted
+                # upload decodes instead of quarantining as 'corrupt'
+                # (ADVICE r10; grayscale output is bit-identical to the
+                # 'png' profile, so the registered oracle is unchanged)
+                ("image/png", "png_any"),
                 ("audio/wav", "wav"),
                 ("video/x-yuv4mpeg", "y4m"),
             )
@@ -584,9 +613,14 @@ def compute_batch_routing(
 
     def leg(df: DataFrame, tag: str) -> None:
         legs.append(
-            df.select(F.col("key").cast("long").alias("key")).withColumn(
-                "tag", F.lit(tag)
-            )
+            df.select(F.col("key").cast("long").alias("key"))
+            # a NULL text column yields NULL hash/pmod keys; a None
+            # bucket can never match a real partition, so dropping it
+            # here is output-identical (the unfused per-probe path
+            # degrades the same way) — and int(None) would crash the
+            # fused collect below.
+            .filter(F.col("key").isNotNull())
+            .withColumn("tag", F.lit(tag))
         )
         expected.append(tag)
 

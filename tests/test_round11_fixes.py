@@ -1,0 +1,250 @@
+"""Round-11 ADVICE regression pins:
+
+1. (medium) the multimodal decode gate dispatches PNG by IHDR color
+   type — a paletted or truecolor upload FLOWS THROUGH the permissive
+   full-decode gate instead of quarantining as 'unsupported variant'
+   (plans/ingestion.py decode_gate -> asset_pixel_checksum
+   decode="png_any" -> functions/codecs.png_decode_auto);
+2. (low) _png_decode enforces the spec's PLTE ordering (PNG 1.2
+   §4.1.2): PLTE after the first IDAT and a second PLTE chunk are
+   classified rejections, not silent decodes;
+3. (low) compute_batch_routing survives NULL text rows (a NULL
+   hash/pmod key is dropped, matching the unfused path's degrade);
+4. (low) per-compile spool dirs share ONE process-wide atexit sweep
+   and deregister on unpersist — no per-trigger callback leak.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from kafka_streams_the_clojure_way_spark.functions.codecs import (
+    _fixture_palette,
+    classify_codec_error,
+    png_decode_auto,
+    png_decode_gray,
+    png_decode_palette,
+    png_decode_rgb,
+    png_encode_gray,
+    png_encode_palette,
+    png_encode_rgb,
+)
+
+SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+
+def _rechunk(png: bytes, mutate):
+    """Re-emit a PNG's chunk stream through ``mutate(chunks) ->
+    chunks`` (each chunk a (tag, body) pair), recomputing CRCs."""
+    pos, chunks = 8, []
+    while pos < len(png):
+        (length,) = struct.unpack(">I", png[pos : pos + 4])
+        tag = png[pos + 4 : pos + 8]
+        chunks.append((tag, png[pos + 8 : pos + 8 + length]))
+        pos += 12 + length
+    out = bytearray(png[:8])
+    for tag, body in mutate(chunks):
+        out += (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+    return bytes(out)
+
+
+def test_png_decode_auto_dispatches_by_color_type():
+    data = bytes(range(200)) * 2
+    gray = png_encode_gray(data)
+    rgb = png_encode_rgb(data)
+    pal = png_encode_palette(data)
+    assert png_decode_auto(gray) == png_decode_gray(gray)
+    assert png_decode_auto(rgb) == png_decode_rgb(rgb)
+    assert png_decode_auto(pal) == png_decode_palette(pal)
+
+    # alpha color types classify as 'unsupported', not a crash: flip
+    # the IHDR color-type byte of a gray container to 6 (RGBA)
+    def to_rgba(chunks):
+        return [
+            (t, b[:9] + bytes([6]) + b[10:] if t == b"IHDR" else b)
+            for t, b in chunks
+        ]
+
+    with pytest.raises(ValueError, match="unsupported"):
+        png_decode_auto(_rechunk(gray, to_rgba))
+    try:
+        png_decode_auto(_rechunk(gray, to_rgba))
+    except ValueError as exc:
+        assert classify_codec_error(str(exc)) == "unsupported"
+    with pytest.raises(ValueError, match="bad magic"):
+        png_decode_auto(b"JFIF" + gray)
+
+
+def test_plte_ordering_violations_classified():
+    pal = png_encode_palette(bytes(range(256)))
+
+    def plte_after_idat(chunks):
+        plte = [c for c in chunks if c[0] == b"PLTE"]
+        rest = [c for c in chunks if c[0] != b"PLTE"]
+        # ... IHDR IDAT PLTE IEND
+        return rest[:-1] + plte + rest[-1:]
+
+    def double_plte(chunks):
+        out = []
+        for t, b in chunks:
+            out.append((t, b))
+            if t == b"PLTE":
+                out.append((t, b))
+        return out
+
+    with pytest.raises(ValueError, match="PLTE after IDAT"):
+        png_decode_palette(_rechunk(pal, plte_after_idat))
+    with pytest.raises(ValueError, match="duplicate PLTE"):
+        png_decode_palette(_rechunk(pal, double_plte))
+    for broken in (
+        _rechunk(pal, plte_after_idat),
+        _rechunk(pal, double_plte),
+    ):
+        try:
+            png_decode_palette(broken)
+        except ValueError as exc:
+            assert classify_codec_error(str(exc)) == "decode_error"
+
+
+def test_decode_gate_accepts_every_supported_png_color_type(spark):
+    """A paletted (and truecolor, and Adam7-gray) asset flows THROUGH
+    the multimodal ingestion decode gate un-quarantined, with its
+    checksum pinned to the decoded RGB stream; a corrupted paletted
+    asset still dies at the gate (ADVICE r10 medium)."""
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        encode_text_assets,
+    )
+    from kafka_streams_the_clojure_way_spark.plans.ingestion import (
+        multimodal_ingestion_topology,
+    )
+
+    texts = {
+        1: "gray asset payload",
+        2: "truecolor asset payload",
+        3: "paletted asset payload",
+        4: "interlaced asset payload",
+        5: "corrupt paletted payload",
+    }
+
+    def enc(i, codec):
+        return encode_text_assets(
+            spark.createDataFrame([(i, texts[i])], SCHEMA), codec
+        )
+
+    clean = (
+        enc(1, "png")
+        .unionByName(enc(2, "png_rgb"))
+        .unionByName(enc(3, "png_palette"))
+        .unionByName(enc(4, "png_adam7"))
+    )
+    # corrupt paletted container: truncate the tail (kills IEND)
+    corrupt = enc(5, "png_palette").withColumn(
+        "asset",
+        F.struct(
+            F.expr("substring(asset.bytes, 1, 40)").alias("bytes"),
+            F.col("asset.mime").alias("mime"),
+            F.col("asset.width").alias("width"),
+            F.col("asset.height").alias("height"),
+            F.col("asset.n_frames").alias("n_frames"),
+            F.col("asset.sample_rate").alias("sample_rate"),
+        ),
+    ).withColumn("doc_id", F.lit(5).cast("long"))
+    corrupt = corrupt.select(*clean.columns)
+
+    caches: list = []
+    topo = multimodal_ingestion_topology(
+        spark,
+        image_index_path="/nonexistent/img",
+        audio_index_path="/nonexistent/aud",
+        video_index_path="/nonexistent/vid",
+        cache_registry=caches,
+    )
+    gate = topo["entities"]["stream/decode-gate"]["xform"]
+    out = gate(clean.unionByName(corrupt))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}, "corrupt asset must quarantine"
+
+    pal_rgb = png_decode_auto(
+        _collect_payload(enc(3, "png_palette"))
+    )
+    assert rows[3].n_pix == len(pal_rgb)
+    assert rows[3].pix_sum == sum(pal_rgb)
+    rgb = png_decode_auto(_collect_payload(enc(2, "png_rgb")))
+    assert rows[2].n_pix == len(rgb)
+    assert rows[2].pix_sum == sum(rgb)
+    # gray and Adam7-gray decode to the padded text bytes
+    assert rows[1].n_pix == 64 and rows[4].n_pix == 64
+    for fr in caches:
+        fr.unpersist()
+
+
+def _collect_payload(asset_df) -> bytes:
+    return bytes(asset_df.select("asset.bytes").collect()[0][0])
+
+
+def test_fixture_palette_nontrivial():
+    """The paletted gate pin above is only meaningful if a skipped PLTE
+    lookup would move the checksum — the fixture palette must not be a
+    grayscale ramp."""
+    pal = _fixture_palette()
+    assert any(
+        pal[3 * i] != pal[3 * i + 1] or pal[3 * i + 1] != pal[3 * i + 2]
+        for i in range(256)
+    )
+
+
+def test_batch_routing_tolerates_null_text(spark):
+    """A NULL text row must not crash the fused routing collect
+    (int(None) in compute_batch_routing) — its keys are dropped, which
+    is output-identical: a NULL bucket can never match a partition."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        build_hash_index,
+    )
+    from kafka_streams_the_clojure_way_spark.plans.ingestion import (
+        compute_batch_routing,
+    )
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, None), (3, "x y")],
+        SCHEMA,
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/hash_idx"
+        build_hash_index(docs.filter(F.col("text").isNotNull()), path)
+        topo = {
+            "routing": {
+                "id_col": "doc_id",
+                "text": "text",
+                "hash_index_path": path,
+            }
+        }
+        routing = compute_batch_routing(spark, topo, docs)
+        assert "hash_buckets" in routing
+        assert all(isinstance(k, int) for k in routing["hash_buckets"])
+
+
+def test_spool_atexit_registry_deregisters():
+    from kafka_streams_the_clojure_way_spark.plans import ingestion as I
+
+    before = set(I._LIVE_SPOOLS)
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ingest_spool_test_")
+    I._register_spool(d)
+    assert d in I._LIVE_SPOOLS
+    I._SpoolDir(d).unpersist()
+    assert d not in I._LIVE_SPOOLS
+    assert I._LIVE_SPOOLS == before
