@@ -330,14 +330,16 @@ def build_audiofp_index(
     fps.unpersist()
 
 
-def _read_postings(spark, index_path: str, id_col: str):
+def _read_postings(spark, root: str, id_col: str):
     """Read the postings dataset with an EXPLICIT schema: a fully
     df-capped (or freshly compacted-to-empty) index has zero part
     files, where schema inference fails — an empty index must probe as
-    empty, not error."""
+    empty, not error. ``root`` is a RESOLVED dataset root
+    (``dedup.index_dataset_root``) — callers resolve once per call so
+    a versioned repoint mid-call can never mix snapshots."""
     return spark.read.schema(
         f"{id_col} long, frame_idx long, fp long"
-    ).parquet(f"{index_path}/postings")
+    ).parquet(f"{root}/postings")
 
 
 def audiofp_index_probe(
@@ -360,9 +362,13 @@ def audiofp_index_probe(
     the batch side broadcasts into the (frame_idx, fp) equi-join. The
     df cap is a property of the INDEXED corpus (the between-form
     semantics); batch-side keys are never capped."""
-    from kafka_streams_the_clojure_way_spark.operators.dedup import _index_meta
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        _index_meta,
+        index_dataset_root,
+    )
 
     meta = _index_meta(spark, index_path)
+    root = index_dataset_root(index_path)  # one snapshot per probe
     bar = meta["min_shared"] if min_shared is None else min_shared
     # precomputed probe fingerprints (shared signature table): the
     # caller asserts they came from the index's meta'd decode codec
@@ -379,7 +385,7 @@ def audiofp_index_probe(
         .withColumnRenamed("frame_idx", "p_frame_idx")
         .withColumnRenamed("fp", "p_fp")
     )
-    postings = _read_postings(spark, index_path, meta["id_col"])
+    postings = _read_postings(spark, root, meta["id_col"])
     if not batch_assets.isStreaming:
         fp_keys = [r["p_fp"] for r in probe.select("p_fp").distinct().collect()]
         if not fp_keys:
@@ -390,7 +396,7 @@ def audiofp_index_probe(
         # directories (<= 128 legs), the frame_idx leg resolves in the
         # equi-join below.
         postings = postings.filter(F.col("fp").isin(sorted(set(fp_keys))))
-    dropped = spark.read.parquet(f"{index_path}/dropped")
+    dropped = spark.read.parquet(f"{root}/dropped")
     postings = postings.join(
         F.broadcast(dropped), ["frame_idx", "fp"], "left_anti"
     )
@@ -436,15 +442,19 @@ def audiofp_index_upsert(
     (stricter, never looser), and the retry's id anti-join skips the
     half-added docs; a rebuild restores them. The reverse order would
     leave over-cap keys SERVING quadratic fanout until the retry."""
-    from kafka_streams_the_clojure_way_spark.operators.dedup import _index_meta
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        _index_meta,
+        index_dataset_root,
+    )
 
     meta = _index_meta(spark, index_path)
+    root = index_dataset_root(index_path)  # writers land in the active version
     fps = audio_fingerprints(
         with_min_parallelism(new_assets), id_col, meta["decode"] or None
     )
     if not assume_new_ids:
         existing_ids = (
-            _read_postings(spark, index_path, meta["id_col"])
+            _read_postings(spark, root, meta["id_col"])
             .select(meta["id_col"])
             .distinct()
         )
@@ -454,7 +464,7 @@ def audiofp_index_upsert(
     # append can't recompute the batch against itself (the
     # minhash_index_upsert lesson).
     fps = fps.localCheckpoint(eager=True)
-    dropped = spark.read.parquet(f"{index_path}/dropped")
+    dropped = spark.read.parquet(f"{root}/dropped")
     fps = fps.join(F.broadcast(dropped), ["frame_idx", "fp"], "left_anti")
     batch_keys = fps.groupBy("frame_idx", "fp").agg(
         F.count(F.lit(1)).alias("new_df")
@@ -463,7 +473,7 @@ def audiofp_index_upsert(
     if not fp_keys:
         return
     existing_df = (
-        _read_postings(spark, index_path, meta["id_col"])
+        _read_postings(spark, root, meta["id_col"])
         .filter(F.col("fp").isin(sorted(set(fp_keys))))
         .groupBy("frame_idx", "fp")
         .agg(F.count(F.lit(1)).alias("old_df"))
@@ -478,49 +488,81 @@ def audiofp_index_upsert(
     ).localCheckpoint(eager=True)
     if newly_dropped.count() > 0:
         newly_dropped.coalesce(1).write.mode("append").parquet(
-            f"{index_path}/dropped"
+            f"{root}/dropped"
         )
         fps = fps.join(F.broadcast(newly_dropped), ["frame_idx", "fp"], "left_anti")
     fps.repartition("fp").write.mode("append").partitionBy("fp").parquet(
-        f"{index_path}/postings"
+        f"{root}/postings"
     )
 
 
-def compact_audiofp_index(spark, index_path: str) -> None:
+def compact_audiofp_index(spark, index_path: str, *, versioned: bool = False) -> None:
     """Fold upsert-appended slivers back to one file per fp directory
     AND physically remove postings on dropped keys (the logical deletes
     the upsert path accrues). Answers unchanged — probes already
     anti-join the drop list; this restores scan-planning cost and
     reclaims the hidden rows' bytes. Same crash-safe rename-aside swap
     as the other families (complete old or new dataset, never torn —
-    tests/test_compaction_contract.py); NOT concurrent-probe safe —
-    single-writer maintenance window: run between probe batches
-    (``audiofp_index_probe_stream`` can do it on a cadence, serial
-    with the loop)."""
+    tests/test_compaction_contract.py); the default in-place mode is
+    NOT concurrent-probe safe — single-writer maintenance window: run
+    between probe batches (``audiofp_index_probe_stream`` can do it on
+    a cadence, serial with the loop). ``versioned=True`` is the
+    snapshot-read mode (the ``compact_minhash_index`` contract):
+    compacted postings land in a fresh version dir with the drop list
+    COPIED alongside (unlike tombstones it is a permanent df-cap
+    artifact — probes and upserts keep consulting it), then the atomic
+    CURRENT repoint; reclaim stale versions with
+    :func:`gc_audiofp_index_versions`."""
     import os
 
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        compact_into_version,
+        index_dataset_root,
+    )
     from kafka_streams_the_clojure_way_spark.sources.files import (
         compact_partitioned,
     )
 
+    root = index_dataset_root(index_path)
     has_files = any(
         f.endswith(".parquet")
-        for _, _, files in os.walk(f"{index_path}/postings")
+        for _, _, files in os.walk(f"{root}/postings")
         for f in files
     )
     if not has_files:  # already empty (e.g. fully df-capped): no-op
         return
-    dropped = spark.read.parquet(f"{index_path}/dropped").localCheckpoint(
+    dropped = spark.read.parquet(f"{root}/dropped").localCheckpoint(
         eager=True
     )
-    compact_partitioned(
-        spark,
-        f"{index_path}/postings",
-        "fp",
-        transform=lambda df: df.join(
-            F.broadcast(dropped), ["frame_idx", "fp"], "left_anti"
-        ),
+    anti = lambda df: df.join(  # noqa: E731
+        F.broadcast(dropped), ["frame_idx", "fp"], "left_anti"
     )
+    if versioned:
+
+        def write(newroot: str) -> None:
+            compact_partitioned(
+                spark, f"{root}/postings", "fp", transform=anti,
+                dest=f"{newroot}/postings",
+            )
+            # the drop list survives versions: future upserts must keep
+            # honoring keys the corpus already capped
+            dropped.coalesce(1).write.mode("overwrite").parquet(
+                f"{newroot}/dropped"
+            )
+
+        compact_into_version(index_path, write)
+        return
+    compact_partitioned(spark, f"{root}/postings", "fp", transform=anti)
+
+
+def gc_audiofp_index_versions(index_path: str) -> list[str]:
+    """``dedup.gc_index_versions`` for the audio fingerprint family's
+    datasets."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        gc_index_versions,
+    )
+
+    return gc_index_versions(index_path, datasets=("postings", "dropped"))
 
 
 def audio_fp_pairs_between_sql(

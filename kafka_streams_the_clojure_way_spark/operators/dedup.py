@@ -190,6 +190,23 @@ def gc_index_versions(index_path: str, *, datasets: tuple[str, ...]) -> list[str
     return deleted
 
 
+def compact_into_version(index_path: str, write_fn) -> str:
+    """Shared versioned-compact driver for EVERY index family: allocate
+    the next ``v_NNNNNN`` directory, let ``write_fn(newroot)`` write
+    the family's compacted datasets into it, then atomically repoint
+    CURRENT. Crash-safe by construction — a crash inside ``write_fn``
+    leaves an orphan version dir (CURRENT untouched, readers
+    unaffected; GC reclaims it), and the pointer write is an atomic
+    rename. Returns the new root path. Single-writer contract as
+    everywhere: never run concurrently with an upsert or another
+    compact."""
+    rel = _next_index_version(index_path)
+    newroot = os.path.join(index_path, rel)
+    write_fn(newroot)
+    _repoint_index_version(index_path, rel)
+    return newroot
+
+
 def gc_minhash_index_versions(index_path: str) -> list[str]:
     """:func:`gc_index_versions` for the minhash family's datasets."""
     return gc_index_versions(
@@ -2645,6 +2662,7 @@ def containment_index_probe(
     as ``minhash_index_probe`` — the batch's shingle-set frame is
     cached; pass a list to own the unpersist."""
     meta = _index_meta(spark, index_path)
+    root = index_dataset_root(index_path)  # one snapshot per probe
     t_num, t_den = meta["t_num"], meta["t_den"]
     base = (
         batch
@@ -2673,10 +2691,10 @@ def containment_index_probe(
         F.col(id_col).alias("probe_id"), F.explode("sh").alias("h")
     )
     cid = meta["id_col"]
-    c_full = read_static_schema(spark, f"{index_path}/full").select(
+    c_full = read_static_schema(spark, f"{root}/full").select(
         F.col(cid).alias("corpus_id"), "h"
     )
-    c_prefix = read_static_schema(spark, f"{index_path}/prefix").select(
+    c_prefix = read_static_schema(spark, f"{root}/prefix").select(
         F.col(cid).alias("corpus_id"), "h"
     )
     leg1 = F.broadcast(p_prefix).join(c_full, "h")
@@ -2692,12 +2710,12 @@ def containment_index_probe(
         F.col("sh").alias("sh_p"),
         F.col("size").alias("sz_p"),
     )
-    ca = read_static_schema(spark, f"{index_path}/sets").select(
+    ca = read_static_schema(spark, f"{root}/sets").select(
         F.col(cid).alias("corpus_id"),
         F.col("sh").alias("sh_c"),
         F.col("size").alias("sz_c"),
     )
-    tomb = _read_optional(spark, f"{index_path}/tombstones")
+    tomb = _read_optional(spark, f"{root}/tombstones")
     if tomb is not None:
         # logical deletes, same contract as the other indexes: tombstoned
         # corpus docs drop out of candidates via a broadcast anti-join
@@ -2754,9 +2772,10 @@ def containment_index_upsert(
     Each append is one file per batch; run
     :func:`compact_containment_index` on a cadence."""
     meta = _index_meta(spark, index_path)
+    root = index_dataset_root(index_path)  # writers land in the active version
     t_num, t_den, cid = meta["t_num"], meta["t_den"], meta["id_col"]
     if not assume_new_ids:
-        existing = read_static_schema(spark, f"{index_path}/sets").select(
+        existing = read_static_schema(spark, f"{root}/sets").select(
             F.col(cid).alias(id_col)
         )
         batch = batch.join(existing, id_col, "left_anti")
@@ -2768,7 +2787,7 @@ def containment_index_upsert(
         .withColumn("size", F.array_size("sh"))
         .localCheckpoint()
     )
-    sets.coalesce(1).write.mode("append").parquet(f"{index_path}/sets")
+    sets.coalesce(1).write.mode("append").parquet(f"{root}/sets")
     prefix_len = (
         F.col("size")
         - F.expr(f"(size * {t_num} + {t_den} - 1) div {t_den}")
@@ -2776,11 +2795,11 @@ def containment_index_upsert(
     )
     sets.select(F.col(cid), F.explode("sh").alias("h")).coalesce(1).write.mode(
         "append"
-    ).parquet(f"{index_path}/full")
+    ).parquet(f"{root}/full")
     sets.select(
         F.col(cid),
         F.explode(F.slice(F.sort_array(F.col("sh")), 1, prefix_len)).alias("h"),
-    ).coalesce(1).write.mode("append").parquet(f"{index_path}/prefix")
+    ).coalesce(1).write.mode("append").parquet(f"{root}/prefix")
 
 
 def containment_index_delete(
@@ -2796,24 +2815,34 @@ def containment_index_delete(
         frame = ids.select(F.col(id_col).cast("long").alias(meta["id_col"]))
     else:
         frame = spark.createDataFrame([(int(i),) for i in ids], f"{meta['id_col']} long")
-    frame.coalesce(1).write.mode("append").parquet(f"{index_path}/tombstones")
+    frame.coalesce(1).write.mode("append").parquet(
+        f"{index_dataset_root(index_path)}/tombstones"
+    )
 
 
-def compact_containment_index(spark, index_path: str) -> None:
+def compact_containment_index(
+    spark, index_path: str, *, versioned: bool = False
+) -> None:
     """Restore size-targeted files in ``sets``/``full``/``prefix`` after
     many upsert batches, folding tombstones in physically (rows dropped
     during the rewrite, set cleared) — probe answers byte-identical
     before/after. Note compaction preserves rows, it does not re-derive
     them: a doc left partially posted by a crashed upsert (the
     documented orphan state) is healed by a rebuild, not a compact.
-    Crash-safe rename-aside swap; not concurrent-probe safe — run
-    between probe batches."""
+    Crash-safe rename-aside swap; the default in-place mode is not
+    concurrent-probe safe — run between probe batches.
+    ``versioned=True`` is the snapshot-read mode (the
+    :func:`compact_minhash_index` contract): compacted legs into a
+    fresh version dir, atomic CURRENT repoint, in-flight probes finish
+    on their old version; reclaim stale versions with
+    :func:`gc_containment_index_versions`."""
     import shutil
 
     from kafka_streams_the_clojure_way_spark.sources.files import compact_files
 
     meta = _index_meta(spark, index_path)
-    tomb = _read_optional(spark, f"{index_path}/tombstones")
+    root = index_dataset_root(index_path)
+    tomb = _read_optional(spark, f"{root}/tombstones")
     drop = None
     if tomb is not None:
         dead = F.broadcast(tomb.select(meta["id_col"]).distinct())
@@ -2821,10 +2850,30 @@ def compact_containment_index(spark, index_path: str) -> None:
         def drop(df):  # noqa: F811
             return df.join(dead, meta["id_col"], "left_anti")
 
+    if versioned:
+
+        def write(newroot: str) -> None:
+            for leg in ("sets", "full", "prefix"):
+                compact_files(
+                    spark, f"{root}/{leg}", transform=drop,
+                    dest=f"{newroot}/{leg}",
+                )
+            # no tombstones dir in the new version — they were folded in
+
+        compact_into_version(index_path, write)
+        return
+
     for leg in ("sets", "full", "prefix"):
-        compact_files(spark, f"{index_path}/{leg}", transform=drop)
+        compact_files(spark, f"{root}/{leg}", transform=drop)
     if tomb is not None:
-        shutil.rmtree(f"{index_path}/tombstones")
+        shutil.rmtree(f"{root}/tombstones")
+
+
+def gc_containment_index_versions(index_path: str) -> list[str]:
+    """:func:`gc_index_versions` for the containment family's datasets."""
+    return gc_index_versions(
+        index_path, datasets=("sets", "full", "prefix", "tombstones")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2989,6 +3038,7 @@ def bloom_index_probe(
     broadcast into one map-side inner join. A doc passes iff every one
     of its needed words has all needed bits set."""
     meta = _index_meta(spark, index_path)
+    root = index_dataset_root(index_path)  # one snapshot per probe
     base = (
         batch
         if (batch.isStreaming or segments is not None)
@@ -3020,7 +3070,7 @@ def bloom_index_probe(
         need = need.cache()
         if cache_registry is not None:
             cache_registry.append(need)
-    bits = read_static_schema(spark, f"{index_path}/bits")
+    bits = read_static_schema(spark, f"{root}/bits")
     if not batch.isStreaming:
         if segments is None:
             segs = [
@@ -3064,6 +3114,7 @@ def bloom_index_upsert(
     probe is bit-identical to rebuild-then-probe, and replayed batches
     are naturally idempotent (at-least-once safe with no anti-join)."""
     meta = _index_meta(spark, index_path)
+    root = index_dataset_root(index_path)  # writers land in the active version
     bits = (
         _bloom_bit_rows(
             with_min_parallelism(batch),
@@ -3076,22 +3127,41 @@ def bloom_index_upsert(
         .agg(F.bit_or("mask").alias("word"))
     )
     bits.repartition("segment").write.mode("append").partitionBy("segment").parquet(
-        f"{index_path}/bits"
+        f"{root}/bits"
     )
 
 
-def compact_bloom_index(spark, index_path: str) -> None:
+def compact_bloom_index(spark, index_path: str, *, versioned: bool = False) -> None:
     """Fold upsert-appended rows back to at most one (word_idx, word)
     row per word and ONE file per segment directory — probe answers
     byte-identical before/after (the probe folds rows itself; compaction
     just moves that fold to write time). Crash-safe rename-aside swap;
-    not concurrent-probe safe — run between probe batches."""
+    the default in-place mode is not concurrent-probe safe — run
+    between probe batches. ``versioned=True`` is the snapshot-read mode
+    (the :func:`compact_minhash_index` contract): folded bits into a
+    fresh version dir + atomic CURRENT repoint; reclaim stale versions
+    with :func:`gc_bloom_index_versions`."""
     from kafka_streams_the_clojure_way_spark.sources.files import compact_partitioned
 
     def fold(df: DataFrame) -> DataFrame:
         return df.groupBy("segment", "word_idx").agg(F.bit_or("word").alias("word"))
 
-    compact_partitioned(spark, f"{index_path}/bits", "segment", transform=fold)
+    root = index_dataset_root(index_path)
+    if versioned:
+        compact_into_version(
+            index_path,
+            lambda newroot: compact_partitioned(
+                spark, f"{root}/bits", "segment", transform=fold,
+                dest=f"{newroot}/bits",
+            ),
+        )
+        return
+    compact_partitioned(spark, f"{root}/bits", "segment", transform=fold)
+
+
+def gc_bloom_index_versions(index_path: str) -> list[str]:
+    """:func:`gc_index_versions` for the Bloom family's dataset."""
+    return gc_index_versions(index_path, datasets=("bits",))
 
 
 def bloom_gated_exact_probe(
@@ -3250,6 +3320,7 @@ def keyset_index_probe(
     from kafka_streams_the_clojure_way_spark.functions.portable import hash60
 
     meta = _index_meta(spark, index_path)
+    root = index_dataset_root(index_path)  # one snapshot per probe
     base = probe if segments is not None else with_min_parallelism(probe)
     pkeys = base.select(F.col(key_col).alias("key")).distinct()
     if not probe.isStreaming:
@@ -3277,7 +3348,7 @@ def keyset_index_probe(
         need = need.cache()
         if cache_registry is not None:
             cache_registry.append(need)
-    bits = read_static_schema(spark, f"{index_path}/bits")
+    bits = read_static_schema(spark, f"{root}/bits")
     if not probe.isStreaming:
         if segments is None:
             segs = [
@@ -3301,7 +3372,7 @@ def keyset_index_probe(
         .filter(F.col("n_hit") == F.col("n_need"))
         .select("key", "segment")
     )
-    keys_tbl = read_static_schema(spark, f"{index_path}/keys")
+    keys_tbl = read_static_schema(spark, f"{root}/keys")
     if not probe.isStreaming:
         if confirm_segments is None:
             # maybe feeds the keys-segment routing collect and the final
@@ -3340,6 +3411,7 @@ def keyset_index_upsert(
     from kafka_streams_the_clojure_way_spark.functions.portable import hash60
 
     meta = _index_meta(spark, index_path)
+    root = index_dataset_root(index_path)  # writers land in the active version
     base = (
         with_min_parallelism(new_keys)
         .select(F.col(key_col).alias("key"))
@@ -3362,30 +3434,53 @@ def keyset_index_upsert(
         .agg(F.bit_or("mask").alias("word"))
     )
     bits.repartition("segment").write.mode("append").partitionBy("segment").parquet(
-        f"{index_path}/bits"
+        f"{root}/bits"
     )
     fresh.repartition("segment").write.mode("append").partitionBy("segment").parquet(
-        f"{index_path}/keys"
+        f"{root}/keys"
     )
 
 
-def compact_keyset_index(spark, index_path: str) -> None:
+def compact_keyset_index(spark, index_path: str, *, versioned: bool = False) -> None:
     """Fold upsert-appended bit rows and restore ONE file per segment
     directory in both legs — probe answers byte-identical before/after
     (upserts anti-join, so keys are already duplicate-free; the bit
     fold just moves the probe's own fold to write time). Crash-safe
     rename-aside swap (a crash leaves a complete old or new dataset,
-    pinned in tests/test_compaction_contract.py); NOT concurrent-probe
-    safe — single-writer maintenance window: run between probe batches
-    (the *_probe_stream loops can compact on a cadence, trivially
-    serial with the loop)."""
+    pinned in tests/test_compaction_contract.py); the default in-place
+    mode is NOT concurrent-probe safe — single-writer maintenance
+    window: run between probe batches (the *_probe_stream loops can
+    compact on a cadence, trivially serial with the loop).
+    ``versioned=True`` is the snapshot-read mode (the
+    :func:`compact_minhash_index` contract): both legs into a fresh
+    version dir + atomic CURRENT repoint; reclaim stale versions with
+    :func:`gc_keyset_index_versions`."""
     from kafka_streams_the_clojure_way_spark.sources.files import compact_partitioned
 
     def fold(df: DataFrame) -> DataFrame:
         return df.groupBy("segment", "word_idx").agg(F.bit_or("word").alias("word"))
 
-    compact_partitioned(spark, f"{index_path}/bits", "segment", transform=fold)
-    compact_partitioned(spark, f"{index_path}/keys", "segment")
+    root = index_dataset_root(index_path)
+    if versioned:
+
+        def write(newroot: str) -> None:
+            compact_partitioned(
+                spark, f"{root}/bits", "segment", transform=fold,
+                dest=f"{newroot}/bits",
+            )
+            compact_partitioned(
+                spark, f"{root}/keys", "segment", dest=f"{newroot}/keys"
+            )
+
+        compact_into_version(index_path, write)
+        return
+    compact_partitioned(spark, f"{root}/bits", "segment", transform=fold)
+    compact_partitioned(spark, f"{root}/keys", "segment")
+
+
+def gc_keyset_index_versions(index_path: str) -> list[str]:
+    """:func:`gc_index_versions` for the keyset family's datasets."""
+    return gc_index_versions(index_path, datasets=("bits", "keys"))
 
 
 # --------------------------------------------------------------------------

@@ -629,9 +629,13 @@ def phash_index_probe(
     equi-join (the batch side broadcasts into it), and verify is
     popcount-on-xor over the stored signatures (no payload ever
     rejoins)."""
-    from kafka_streams_the_clojure_way_spark.operators.dedup import _index_meta
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        _index_meta,
+        index_dataset_root,
+    )
 
     meta = _index_meta(spark, index_path)
+    root = index_dataset_root(index_path)  # one snapshot per probe
     dist = meta["max_dist"] if max_dist is None else max_dist
     if dist > meta["n_bands"] - 1:
         raise ValueError(
@@ -651,7 +655,7 @@ def phash_index_probe(
     probe = _banded(sigs, id_col, meta["n_bands"]).withColumnRenamed(
         id_col, "probe_id"
     )
-    bands = spark.read.parquet(f"{index_path}/bands")
+    bands = spark.read.parquet(f"{root}/bands")
     if not batch_assets.isStreaming:
         keys = [
             (r["band"], int(r["bkey"]) % meta["n_buckets"])
@@ -702,9 +706,13 @@ def phash_index_upsert(
     ``assume_new_ids=False``, already-indexed ids are anti-joined out
     first so at-least-once replays stay idempotent (the
     ``minhash_index_upsert`` contract)."""
-    from kafka_streams_the_clojure_way_spark.operators.dedup import _index_meta
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        _index_meta,
+        index_dataset_root,
+    )
 
     meta = _index_meta(spark, index_path)
+    root = index_dataset_root(index_path)  # writers land in the active version
     sigs = phash_assets(
         with_min_parallelism(new_assets), id_col, meta["decode"] or None
     )
@@ -713,29 +721,57 @@ def phash_index_upsert(
     )
     if not assume_new_ids:
         existing = (
-            spark.read.parquet(f"{index_path}/bands")
+            spark.read.parquet(f"{root}/bands")
             .select(meta["id_col"])
             .distinct()
         )
         banded = banded.join(existing, id_col, "left_anti")
     banded.repartition("band", "bucket").write.mode("append").partitionBy(
         "band", "bucket"
-    ).parquet(f"{index_path}/bands")
+    ).parquet(f"{root}/bands")
 
 
-def compact_phash_index(spark, index_path: str) -> None:
+def compact_phash_index(spark, index_path: str, *, versioned: bool = False) -> None:
     """Fold upsert-appended slivers back to one file per (band, bucket)
     directory — answers unchanged, file-listing cost restored. Same
     crash-safe rename-aside swap as ``compact_minhash_index`` (complete
     old or new dataset, never torn — tests/test_compaction_contract.py);
-    NOT concurrent-probe safe — single-writer maintenance window: run
-    between probe batches (``phash_index_probe_stream`` can compact on
-    a cadence, serial with the loop)."""
+    the default in-place mode is NOT concurrent-probe safe —
+    single-writer maintenance window: run between probe batches
+    (``phash_index_probe_stream`` can compact on a cadence, serial with
+    the loop). ``versioned=True`` is the snapshot-read mode (the
+    ``compact_minhash_index`` contract): compacted bands into a fresh
+    version dir + atomic CURRENT repoint — in-flight probes finish on
+    their old version; reclaim stale versions with
+    :func:`gc_phash_index_versions`."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        compact_into_version,
+        index_dataset_root,
+    )
     from kafka_streams_the_clojure_way_spark.sources.files import (
         compact_partitioned,
     )
 
-    compact_partitioned(spark, f"{index_path}/bands", "band", "bucket")
+    root = index_dataset_root(index_path)
+    if versioned:
+        compact_into_version(
+            index_path,
+            lambda newroot: compact_partitioned(
+                spark, f"{root}/bands", "band", "bucket",
+                dest=f"{newroot}/bands",
+            ),
+        )
+        return
+    compact_partitioned(spark, f"{root}/bands", "band", "bucket")
+
+
+def gc_phash_index_versions(index_path: str) -> list[str]:
+    """``dedup.gc_index_versions`` for the image pHash family's dataset."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        gc_index_versions,
+    )
+
+    return gc_index_versions(index_path, datasets=("bands",))
 
 
 def phash_index_probe_stream(
@@ -915,9 +951,13 @@ def video_phash_index_probe(
     resolves (band, bkey, frame_idx) exactly, and popcount-on-xor
     verifies per aligned frame before the pair-frame dedup and the
     per-pair count."""
-    from kafka_streams_the_clojure_way_spark.operators.dedup import _index_meta
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        _index_meta,
+        index_dataset_root,
+    )
 
     meta = _index_meta(spark, index_path)
+    root = index_dataset_root(index_path)  # one snapshot per probe
     dist = meta["max_dist"] if max_dist is None else max_dist
     bar = meta["min_frames"] if min_frames is None else min_frames
     if dist > meta["n_bands"] - 1:
@@ -948,7 +988,7 @@ def video_phash_index_probe(
         )
         .withColumn("p_bucket", F.pmod(F.col("p_bkey"), F.lit(meta["n_buckets"])))
     )
-    frames = spark.read.parquet(f"{index_path}/frames")
+    frames = spark.read.parquet(f"{root}/frames")
     if not batch_assets.isStreaming:
         keys = [
             (r["p_band"], r["p_bucket"])
@@ -998,9 +1038,13 @@ def video_phash_index_upsert(
     (band, bucket) directories only. Already-indexed ids are anti-joined
     out by default so at-least-once replays stay idempotent (the shared
     upsert contract)."""
-    from kafka_streams_the_clojure_way_spark.operators.dedup import _index_meta
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        _index_meta,
+        index_dataset_root,
+    )
 
     meta = _index_meta(spark, index_path)
+    root = index_dataset_root(index_path)  # writers land in the active version
     sigs = video_frame_phashes(
         with_min_parallelism(new_assets), id_col, stride=meta["stride"]
     )
@@ -1022,29 +1066,57 @@ def video_phash_index_upsert(
     )
     if not assume_new_ids:
         existing = (
-            spark.read.parquet(f"{index_path}/frames")
+            spark.read.parquet(f"{root}/frames")
             .select(meta["id_col"])
             .distinct()
         )
         banded = banded.join(existing, id_col, "left_anti")
     banded.repartition("band", "bucket").write.mode("append").partitionBy(
         "band", "bucket"
-    ).parquet(f"{index_path}/frames")
+    ).parquet(f"{root}/frames")
 
 
-def compact_video_phash_index(spark, index_path: str) -> None:
+def compact_video_phash_index(
+    spark, index_path: str, *, versioned: bool = False
+) -> None:
     """Fold upsert-appended slivers back to one file per (band, bucket)
     directory — answers unchanged, scan-planning cost restored.
     Crash-safe rename-aside swap (complete old or new dataset, never
-    torn — tests/test_compaction_contract.py); NOT concurrent-probe
-    safe — single-writer maintenance window: run between probe batches
-    (``video_phash_index_probe_stream`` can compact on a cadence,
-    serial with the loop)."""
+    torn — tests/test_compaction_contract.py); the default in-place
+    mode is NOT concurrent-probe safe — single-writer maintenance
+    window: run between probe batches (``video_phash_index_probe_stream``
+    can compact on a cadence, serial with the loop). ``versioned=True``
+    is the snapshot-read mode (the ``compact_minhash_index`` contract):
+    compacted frames into a fresh version dir + atomic CURRENT repoint;
+    reclaim stale versions with :func:`gc_video_phash_index_versions`."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        compact_into_version,
+        index_dataset_root,
+    )
     from kafka_streams_the_clojure_way_spark.sources.files import (
         compact_partitioned,
     )
 
-    compact_partitioned(spark, f"{index_path}/frames", "band", "bucket")
+    root = index_dataset_root(index_path)
+    if versioned:
+        compact_into_version(
+            index_path,
+            lambda newroot: compact_partitioned(
+                spark, f"{root}/frames", "band", "bucket",
+                dest=f"{newroot}/frames",
+            ),
+        )
+        return
+    compact_partitioned(spark, f"{root}/frames", "band", "bucket")
+
+
+def gc_video_phash_index_versions(index_path: str) -> list[str]:
+    """``dedup.gc_index_versions`` for the video pHash family's dataset."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        gc_index_versions,
+    )
+
+    return gc_index_versions(index_path, datasets=("frames",))
 
 
 def video_phash_pairs_between_sql(

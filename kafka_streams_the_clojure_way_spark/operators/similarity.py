@@ -570,14 +570,18 @@ def ivf_index_upsert(
     Add-only contract as in minhash_index_upsert: duplicate ids would
     shadow-duplicate candidates, so arriving ids are anti-joined against
     the postings id column unless ``assume_new_ids=True``."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        index_dataset_root,
+    )
     from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
     from kafka_streams_the_clojure_way_spark.sources.files import with_min_parallelism
 
+    root = index_dataset_root(index_path)  # writers land in the active version
     cents = F.broadcast(
-        read_static_schema(spark, f"{index_path}/centroids").select("cent_id", "cent_vec")
+        read_static_schema(spark, f"{root}/centroids").select("cent_id", "cent_vec")
     )
     if not assume_new_ids:
-        existing = read_static_schema(spark, f"{index_path}/postings").select(
+        existing = read_static_schema(spark, f"{root}/postings").select(
             F.col("neighbor_id").alias(id_col)
         )
         batch = batch.join(existing, id_col, "left_anti")
@@ -599,7 +603,7 @@ def ivf_index_upsert(
     # and a long-running add loop regresses to tiny-file listing cost.
     # After many batches, compact_ivf_index restores the build layout.
     postings.repartition("cell").write.mode("append").partitionBy("cell").parquet(
-        f"{index_path}/postings"
+        f"{root}/postings"
     )
 
 
@@ -617,17 +621,26 @@ def ivf_index_delete(spark, index_path: str, ids, *, id_col: str = "vec_id") -> 
         frame = ids.select(F.col(id_col).cast("long").alias("neighbor_id"))
     else:
         frame = spark.createDataFrame([(int(i),) for i in ids], "neighbor_id long")
-    frame.coalesce(1).write.mode("append").parquet(f"{index_path}/tombstones")
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        index_dataset_root,
+    )
+
+    frame.coalesce(1).write.mode("append").parquet(
+        f"{index_dataset_root(index_path)}/tombstones"
+    )
 
 
-def _ivf_tombstones(spark, index_path: str):
+def _ivf_tombstones(spark, root: str):
+    """``root`` is a RESOLVED dataset root (``dedup.index_dataset_root``)
+    — callers resolve once per call so a versioned repoint mid-call can
+    never mix snapshots."""
     try:
-        return read_static_schema(spark, f"{index_path}/tombstones")
+        return read_static_schema(spark, f"{root}/tombstones")
     except Exception:
         return None
 
 
-def compact_ivf_index(spark, index_path: str) -> None:
+def compact_ivf_index(spark, index_path: str, *, versioned: bool = False) -> None:
     """Index maintenance for long-running vector ingestion: restore ONE
     file per cell directory in ``postings`` after many
     :func:`ivf_index_upsert` batches have each appended their own file
@@ -635,13 +648,24 @@ def compact_ivf_index(spark, index_path: str) -> None:
     :func:`ivf_index_delete` tombstones in physically (rows dropped in
     the rewrite, tombstone set cleared). Probe answers are
     byte-identical before/after (tombstoned vectors were already
-    anti-joined away). Crash-safe rename-aside swap; NOT
-    concurrent-probe safe — run between probe batches."""
+    anti-joined away). Crash-safe rename-aside swap; the default
+    in-place mode is NOT concurrent-probe safe — run between probe
+    batches. ``versioned=True`` is the snapshot-read mode (the
+    ``dedup.compact_minhash_index`` contract): compacted postings plus
+    a copy of the (model-sized, write-once) centroid table land in a
+    fresh version dir, then the atomic CURRENT repoint — in-flight
+    top-k/near-dup probes finish on their old version; reclaim stale
+    versions with :func:`gc_ivf_index_versions`."""
     import shutil
 
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        compact_into_version,
+        index_dataset_root,
+    )
     from kafka_streams_the_clojure_way_spark.sources.files import compact_partitioned
 
-    tomb = _ivf_tombstones(spark, index_path)
+    root = index_dataset_root(index_path)
+    tomb = _ivf_tombstones(spark, root)
     drop = None
     if tomb is not None:
         dead = F.broadcast(tomb.select("neighbor_id").distinct())
@@ -649,9 +673,37 @@ def compact_ivf_index(spark, index_path: str) -> None:
         def drop(df):  # noqa: F811
             return df.join(dead, "neighbor_id", "left_anti")
 
-    compact_partitioned(spark, f"{index_path}/postings", "cell", transform=drop)
+    if versioned:
+
+        def write(newroot: str) -> None:
+            compact_partitioned(
+                spark, f"{root}/postings", "cell", transform=drop,
+                dest=f"{newroot}/postings",
+            )
+            # the frozen quantizer travels with its postings: a version
+            # root is complete on its own (GC of the legacy root must
+            # not orphan readers of the current one)
+            spark.read.parquet(f"{root}/centroids").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{newroot}/centroids")
+
+        compact_into_version(index_path, write)
+        return
+
+    compact_partitioned(spark, f"{root}/postings", "cell", transform=drop)
     if tomb is not None:
-        shutil.rmtree(f"{index_path}/tombstones")
+        shutil.rmtree(f"{root}/tombstones")
+
+
+def gc_ivf_index_versions(index_path: str) -> list[str]:
+    """``dedup.gc_index_versions`` for the IVF family's datasets."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        gc_index_versions,
+    )
+
+    return gc_index_versions(
+        index_path, datasets=("centroids", "postings", "tombstones")
+    )
 
 
 def ivf_index_topk(
@@ -670,10 +722,14 @@ def ivf_index_topk(
     ON THE PARTITION COLUMN — dynamic partition pruning turns that into
     a scan of only the probed cell directories. Same output contract as
     ``ivf_topk``."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        index_dataset_root,
+    )
     from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
 
+    root = index_dataset_root(index_path)  # one snapshot per probe
     cents = F.broadcast(
-        read_static_schema(spark, f"{index_path}/centroids").select(
+        read_static_schema(spark, f"{root}/centroids").select(
             F.col("cent_id"), F.col("cent_vec")
         )
     )
@@ -691,13 +747,13 @@ def ivf_index_topk(
         rank_col="__cr",
     ).select(query_id, "__qvec", F.col("cent_id").alias("cell"))
 
-    postings = read_static_schema(spark, f"{index_path}/postings")
+    postings = read_static_schema(spark, f"{root}/postings")
     scored = (
         postings.join(F.broadcast(probe), "cell")
         .filter(F.col("neighbor_id") != F.col(query_id))
         .withColumn("cosine", cosine(F.col("__qvec"), F.col("vec")))
     )
-    tomb = _ivf_tombstones(spark, index_path)
+    tomb = _ivf_tombstones(spark, root)
     if tomb is not None:
         # logical deletes: tombstoned vectors never reach the top-k
         # (broadcast anti-join bounded by the live tombstone count);
@@ -834,10 +890,14 @@ def ivf_index_neardup_pairs(
     duplicate (probe_id != corpus_id). Tombstoned vectors never match.
 
     Output: (probe_id, corpus_id, cosine_r)."""
+    from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        index_dataset_root,
+    )
     from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
 
+    root = index_dataset_root(index_path)  # one snapshot per probe
     cents = F.broadcast(
-        read_static_schema(spark, f"{index_path}/centroids").select(
+        read_static_schema(spark, f"{root}/centroids").select(
             F.col("cent_id"), F.col("cent_vec")
         )
     )
@@ -855,14 +915,14 @@ def ivf_index_neardup_pairs(
         rank_col="__cr",
     ).select("probe_id", "__qvec", F.col("cent_id").alias("cell"))
 
-    postings = read_static_schema(spark, f"{index_path}/postings")
+    postings = read_static_schema(spark, f"{root}/postings")
     scored = (
         postings.join(F.broadcast(probe), "cell")
         .filter(F.col("neighbor_id") != F.col("probe_id"))
         .withColumn("cosine", cosine(F.col("__qvec"), F.col("vec")))
         .filter(F.col("cosine") >= threshold)
     )
-    tomb = _ivf_tombstones(spark, index_path)
+    tomb = _ivf_tombstones(spark, root)
     if tomb is not None:
         scored = scored.join(
             F.broadcast(tomb.select("neighbor_id").distinct()),

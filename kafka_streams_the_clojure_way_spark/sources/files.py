@@ -326,7 +326,8 @@ def overwrite_partitions(df: DataFrame, path: str, *partition_cols: str, **optio
 
 
 def compact_files(
-    spark: SparkSession, path: str, target_file_mb: int = 128, transform=None, **options
+    spark: SparkSession, path: str, target_file_mb: int = 128, transform=None,
+    dest: str | None = None, **options
 ) -> int:
     """Compact a parquet dataset's small files toward ``target_file_mb``
     outputs; returns the new file count. ``transform`` (DataFrame ->
@@ -343,7 +344,12 @@ def compact_files(
     old — a crash at any step leaves either the old or the new complete
     dataset on disk (the rename-aside window is still not safe for
     concurrent readers; pause reads or use a table format with atomic
-    commits for that)."""
+    commits for that).
+
+    ``dest``: write the compacted layout to a FRESH directory instead
+    of swapping in place — the versioned-compaction write path (the
+    caller repoints its CURRENT pointer afterwards; the source dataset
+    is never touched, so concurrent readers keep their snapshot)."""
     import shutil
 
     total_bytes = sum(
@@ -353,7 +359,7 @@ def compact_files(
         if f.endswith(".parquet")
     )
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-    tmp = path.rstrip("/") + ".__compact_tmp__"
+    tmp = dest if dest is not None else path.rstrip("/") + ".__compact_tmp__"
     df = spark.read.parquet(path)
     if transform is not None:
         df = transform(df)
@@ -363,12 +369,14 @@ def compact_files(
         .options(**options)
         .parquet(tmp)
     )
-    _swap_dataset(path, tmp)
+    if dest is None:
+        _swap_dataset(path, tmp)
     return n_files
 
 
 def compact_partitioned(
-    spark: SparkSession, path: str, *partition_cols: str, transform=None, **options
+    spark: SparkSession, path: str, *partition_cols: str, transform=None,
+    dest: str | None = None, **options
 ) -> None:
     """Compact a hive-partitioned dataset back to ONE file per partition
     directory — the layout the partitioned writers produce on first
@@ -383,11 +391,13 @@ def compact_partitioned(
     or new dataset (still not concurrent-reader safe; pause probes or
     use a table format with atomic commits for that). ``transform``
     (DataFrame -> DataFrame, e.g. a tombstone anti-join) is applied
-    during the rewrite — see compact_files."""
+    during the rewrite — see compact_files. ``dest``: versioned-compact
+    write path (fresh directory, no swap, source untouched) — see
+    compact_files."""
     df = spark.read.parquet(path)
     if transform is not None:
         df = transform(df)
-    tmp = path.rstrip("/") + ".__compact_tmp__"
+    tmp = dest if dest is not None else path.rstrip("/") + ".__compact_tmp__"
     (
         df.repartition(*partition_cols)
         .write.mode("overwrite")
@@ -395,7 +405,8 @@ def compact_partitioned(
         .partitionBy(*partition_cols)
         .parquet(tmp)
     )
-    _swap_dataset(path, tmp)
+    if dest is None:
+        _swap_dataset(path, tmp)
 
 
 def _swap_dataset(path: str, tmp: str) -> None:
