@@ -703,25 +703,61 @@ def wav_encode_pcm16(
     return buf.getvalue()
 
 
+def wav_encode_pcm24(
+    data: bytes, rate: int = WAV_RATE, channels: int = 2
+) -> bytes:
+    """Encode ``data`` as a real RIFF/WAVE file with 24-bit signed
+    little-endian PCM samples (r11 codec tail — the studio/master
+    profile real audio corpora also ship). Each input byte ``b``
+    becomes one 24-bit sample ``(b << 16) - 2^23`` (full-scale signed);
+    bytes alternate channels, payload space-padded to a channel
+    multiple. Exact inverse through :func:`wav_decode_pcm`'s 24-bit
+    branch: mono round-trips the bytes exactly; stereo decodes to the
+    SAME pairwise byte average as the 16-bit profile — which is what
+    lets a mixed 16/24-bit corpus share one oracle expression."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if channels not in (1, 2):
+        raise ValueError(f"channels must be 1 or 2, got {channels}")
+    padded = data + PNG_PAD * (-len(data) % channels)
+    a = np.frombuffer(padded, dtype=np.uint8).astype(np.int64)
+    samples = (a << 16) - (1 << 23)  # signed 24-bit, full scale
+    # pack each sample as 3 little-endian bytes (two's complement)
+    u = (samples & 0xFFFFFF).astype("<u4").view(np.uint8).reshape(-1, 4)
+    frames = u[:, :3].tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(3)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
 def wav_decode_pcm(payload: bytes) -> bytes:
     """General WAV decode to an 8-bit unsigned sample stream through
     the std ``wave`` RIFF parser — accepts 8-bit mono (samples ARE the
-    bytes, byte-identical to :func:`wav_decode_pcm8`) plus 16-bit
-    mono/stereo with the DOCUMENTED integer reduction every downstream
-    fingerprint consumes:
+    bytes, byte-identical to :func:`wav_decode_pcm8`) plus 16-bit and
+    24-bit (r11) mono/stereo with the DOCUMENTED integer reduction
+    every downstream fingerprint consumes:
 
-    1. **downmix** stereo to mono FIRST, in 16-bit space:
+    1. **downmix** stereo to mono FIRST, in native sample space:
        ``m = (L + R) >> 1`` (arithmetic shift — exact integer mean,
        floor);
-    2. **requantize** 16-bit to 8-bit: ``q = (m + 32768) >> 8``
-       (offset to unsigned, keep the high byte).
+    2. **requantize** to 8-bit: keep the high byte —
+       ``q = (m + 32768) >> 8`` for 16-bit, ``q = (m + 2^23) >> 16``
+       for 24-bit.
 
     Both steps are exact int64 arithmetic, so fingerprints over the
     decoded stream stay integer-exact and cross-engine reproducible
-    (for :func:`wav_encode_pcm16` fixtures the result is the pairwise
-    byte average of the padded input). Raises ``ValueError`` on
-    non-WAV bytes or any other geometry (24-bit, >2 channels) — the
-    quarantine contract."""
+    (for :func:`wav_encode_pcm16` / :func:`wav_encode_pcm24` fixtures
+    the result is the pairwise byte average of the padded input — the
+    two wire profiles share one oracle expression). Raises
+    ``ValueError`` on non-WAV bytes or any other geometry (32-bit,
+    >2 channels) — the quarantine contract."""
     import io
     import wave
 
@@ -741,9 +777,19 @@ def wav_decode_pcm(payload: bytes) -> bytes:
             a = a.reshape(-1, 2)
             a = (a[:, 0] + a[:, 1]) >> 1
         return (((a + 32768) >> 8).astype(np.uint8)).tobytes()
+    if sw == 3 and ch in (1, 2):
+        if len(raw) % 3:
+            raise ValueError("truncated 24-bit WAV sample stream")
+        b = np.frombuffer(raw, dtype=np.uint8).astype(np.int64).reshape(-1, 3)
+        a = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        a = a - ((a & (1 << 23)) << 1)  # sign-extend 24-bit two's complement
+        if ch == 2:
+            a = a.reshape(-1, 2)
+            a = (a[:, 0] + a[:, 1]) >> 1
+        return (((a + (1 << 23)) >> 16).astype(np.uint8)).tobytes()
     raise ValueError(
         f"unsupported WAV geometry: channels={ch} sampwidth={sw} "
-        "(need 8-bit mono or 16-bit mono/stereo PCM)"
+        "(need 8/16/24-bit mono/stereo PCM)"
     )
 
 
@@ -855,6 +901,20 @@ def y4m_encode_video(
         w, h = frame_len // 2, 2
         out = bytearray(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h))
         chroma = Y4M_NEUTRAL_CHROMA * ((w // 2) * (h // 2) * 2)
+    elif cspace == "422":
+        # 4:2:2 — chroma halved horizontally only: two (W/2)*H planes.
+        # Same W=frame_len/2, H=2 split as the 420 fixture, so the luma
+        # plane still carries exactly frame_len payload bytes per frame.
+        if frame_len % 4:
+            raise ValueError("422 fixture needs frame_len % 4 == 0")
+        w, h = frame_len // 2, 2
+        out = bytearray(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C422\n" % (w, h))
+        chroma = Y4M_NEUTRAL_CHROMA * ((w // 2) * h * 2)
+    elif cspace == "444":
+        # 4:4:4 — full-resolution chroma: two W*H planes.
+        w, h = frame_len, 1
+        out = bytearray(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C444\n" % (w, h))
+        chroma = Y4M_NEUTRAL_CHROMA * (w * h * 2)
     else:
         raise ValueError(f"unsupported fixture colorspace {cspace!r}")
     for off in range(0, len(padded), frame_len):
@@ -865,11 +925,13 @@ def y4m_encode_video(
 def _y4m_parse_stream_header(payload: bytes) -> tuple[int, int, int, int]:
     """(width, height, data_start, frame_size) from a Y4M stream header
     — magic, tagged W/H parameters, and the colorspace validated.
-    Supported: ``Cmono`` (frame = one W*H luma plane) and the
-    C420 family (``C420``/``C420jpeg``/``C420mpeg2``/``C420paldv`` —
-    frame = W*H luma + two (W/2)*(H/2) chroma planes = W*H*3/2; the
-    siting suffixes differ only in chroma sample placement, which a
-    luma-only consumer never reads). C422/C444 and other layouts stay
+    Supported: ``Cmono`` (frame = one W*H luma plane), the C420 family
+    (``C420``/``C420jpeg``/``C420mpeg2``/``C420paldv`` — frame = W*H
+    luma + two (W/2)*(H/2) chroma planes = W*H*3/2; the siting suffixes
+    differ only in chroma sample placement, which a luma-only consumer
+    never reads), ``C422`` (r11 — two (W/2)*H chroma planes, frame =
+    W*H*2, even W required) and ``C444`` (full-resolution chroma,
+    frame = W*H*3). Other layouts (C411, alpha/16-bit extensions) stay
     loud rejections (the quarantine contract)."""
     if not payload.startswith(Y4M_MAGIC):
         raise ValueError("not a YUV4MPEG2 stream: bad magic")
@@ -900,9 +962,18 @@ def _y4m_parse_stream_header(payload: bytes) -> tuple[int, int, int, int]:
                 f"got {width}x{height}"
             )
         fsize = width * height * 3 // 2
+    elif cspace == b"422":
+        if width % 2:
+            raise ValueError(
+                f"unsupported Y4M C422 geometry (even W required), got W={width}"
+            )
+        fsize = width * height * 2
+    elif cspace == b"444":
+        fsize = width * height * 3
     else:
         raise ValueError(
-            f"unsupported Y4M colorspace {cspace!r} (need Cmono or C420*)"
+            f"unsupported Y4M colorspace {cspace!r} "
+            "(need Cmono, C420*, C422 or C444)"
         )
     return width, height, hdr_end + 1, fsize
 

@@ -105,12 +105,13 @@ def encode_text_assets(
     import pandas as pd
 
     if codec not in (
-        "png", "png_rgb", "png_palette", "png_adam7", "wav", "wav16", "pgm",
-        "y4m", "y4m420",
+        "png", "png_rgb", "png_palette", "png_adam7", "wav", "wav16", "wav24",
+        "pgm", "y4m", "y4m420", "y4m422", "y4m444",
     ):
         raise ValueError(
             f"codec must be 'png', 'png_rgb', 'png_palette', 'png_adam7', "
-            f"'wav', 'wav16', 'pgm', 'y4m' or 'y4m420', got {codec!r}"
+            f"'wav', 'wav16', 'wav24', 'pgm', 'y4m', 'y4m420', 'y4m422' or "
+            f"'y4m444', got {codec!r}"
         )
     mime = {
         "png": "image/png",
@@ -119,9 +120,12 @@ def encode_text_assets(
         "png_adam7": "image/png",
         "wav": "audio/wav",
         "wav16": "audio/wav",
+        "wav24": "audio/wav",
         "pgm": "video/x-pgm-frames",
         "y4m": "video/x-yuv4mpeg",
         "y4m420": "video/x-yuv4mpeg",
+        "y4m422": "video/x-yuv4mpeg",
+        "y4m444": "video/x-yuv4mpeg",
     }[codec]
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -136,6 +140,9 @@ def encode_text_assets(
             "png_adam7": CC.png_encode_gray_interlaced,
             "wav": CC.wav_encode_pcm8,
             "wav16": CC.wav_encode_pcm16,  # 16-bit stereo (channels=2)
+            # 24-bit stereo — decodes to the SAME pairwise byte average
+            # as wav16, so a mixed 16/24-bit corpus shares one oracle
+            "wav24": CC.wav_encode_pcm24,
             "pgm": CC.pgm_encode_video,
             "y4m": CC.y4m_encode_video,
             # real 4:2:0 stream whose LUMA carries the same payload
@@ -143,6 +150,10 @@ def encode_text_assets(
             # doubles, neutral chroma planes appended) — so mixed
             # Cmono/C420 corpora share one luma-level oracle.
             "y4m420": lambda b: CC.y4m_encode_video(b, cspace="420"),
+            # 4:2:2 / 4:4:4 (r11): same frame_len luma payload per
+            # frame, wider neutral chroma — luma oracles stay invariant
+            "y4m422": lambda b: CC.y4m_encode_video(b, cspace="422"),
+            "y4m444": lambda b: CC.y4m_encode_video(b, cspace="444"),
         }[codec]
         for pdf in batches:
             payloads = [enc(t.encode("utf-8")) for t in pdf[text_col].values]

@@ -794,6 +794,9 @@ def run_ingestion_stream(
     upsert_bloom_index_path: str | None = None,
     upsert_containment_index_path: str | None = None,
     upsert_ivf_index_path: str | None = None,
+    upsert_image_index_path: str | None = None,
+    upsert_audio_index_path: str | None = None,
+    upsert_video_index_path: str | None = None,
     embeddings: DataFrame | None = None,
     psi_ref_counts: list[tuple] | None = None,
     psi_sink=None,
@@ -836,6 +839,17 @@ def run_ingestion_stream(
     side table the semantic gate uses) adds admitted docs' VECTORS to
     the IVF index through its frozen centroids, so a later semantic
     twin of an admitted doc dies at the semantic gate.
+
+    ``upsert_image_index_path`` / ``upsert_audio_index_path`` /
+    ``upsert_video_index_path`` close the MULTIMODAL loop the same way
+    (VERDICT r10 #4 — ``audiofp_index_probe_stream``'s probe-then-
+    upsert is the template): each trigger's curated ASSET survivors are
+    split by modality mime and upserted into the per-modality persisted
+    near-dup index, so a re-encoded twin arriving two triggers after
+    its original is caught by the neardup gate, not just build-time
+    corpus content. Signatures are recomputed from the admitted
+    payloads under each index's meta'd decode codec — survivor-batch-
+    sized work; replays stay idempotent via the upserts' id anti-joins.
     ``compact_every=N`` compacts the upserted index(es) after every
     N-th upserting batch. foreachBatch is at-least-once, so the default
     ``assume_new_ids=False`` keeps replayed batches idempotent via the
@@ -965,6 +979,48 @@ def run_ingestion_stream(
                     ),
                     assume_new_ids=assume_new_ids,
                 )
+            if upsert_image_index_path is not None:
+                from kafka_streams_the_clojure_way_spark.operators import (
+                    imagehash as IH,
+                )
+
+                IH.phash_index_upsert(
+                    spark,
+                    upsert_image_index_path,
+                    curated.filter(
+                        F.col("asset").getField("mime") == "image/png"
+                    ),
+                    id_col=id_col,
+                    assume_new_ids=assume_new_ids,
+                )
+            if upsert_audio_index_path is not None:
+                from kafka_streams_the_clojure_way_spark.operators import (
+                    audiofp as AFP,
+                )
+
+                AFP.audiofp_index_upsert(
+                    spark,
+                    upsert_audio_index_path,
+                    curated.filter(
+                        F.col("asset").getField("mime") == "audio/wav"
+                    ),
+                    id_col=id_col,
+                    assume_new_ids=assume_new_ids,
+                )
+            if upsert_video_index_path is not None:
+                from kafka_streams_the_clojure_way_spark.operators import (
+                    imagehash as IH,
+                )
+
+                IH.video_phash_index_upsert(
+                    spark,
+                    upsert_video_index_path,
+                    curated.filter(
+                        F.col("asset").getField("mime") == "video/x-yuv4mpeg"
+                    ),
+                    id_col=id_col,
+                    assume_new_ids=assume_new_ids,
+                )
         finally:
             if cache_registry is not None:
                 for frame in cache_registry:
@@ -981,6 +1037,24 @@ def run_ingestion_stream(
                 D.compact_containment_index(spark, upsert_containment_index_path)
             if upsert_ivf_index_path is not None:
                 S.compact_ivf_index(spark, upsert_ivf_index_path)
+            if upsert_image_index_path is not None:
+                from kafka_streams_the_clojure_way_spark.operators import (
+                    imagehash as IH,
+                )
+
+                IH.compact_phash_index(spark, upsert_image_index_path)
+            if upsert_audio_index_path is not None:
+                from kafka_streams_the_clojure_way_spark.operators import (
+                    audiofp as AFP,
+                )
+
+                AFP.compact_audiofp_index(spark, upsert_audio_index_path)
+            if upsert_video_index_path is not None:
+                from kafka_streams_the_clojure_way_spark.operators import (
+                    imagehash as IH,
+                )
+
+                IH.compact_video_phash_index(spark, upsert_video_index_path)
 
     writer = stream.writeStream.foreachBatch(serve)
     if checkpoint is not None:

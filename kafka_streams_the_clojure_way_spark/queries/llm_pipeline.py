@@ -1774,17 +1774,23 @@ def _shared_audio_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _encode_video_mixed(df) -> "DataFrame":
-    """MIXED-CONTAINER video fixture (VERDICT r9 #2): even doc_ids mux
-    as Cmono Y4M, odd as REAL C420 (4:2:0 neutral-chroma planes, the
-    colorspace real crawls ship). Both encoders carry exactly
-    {CC.Y4M_FRAME_LEN} luma payload bytes per frame (the C420 geometry
-    halves W and doubles H), and the decoder returns the luma plane
-    only — so every luma-level oracle (frame sample, pHash pairs,
-    index probe, layout) is container-invariant and stays bit-exact
-    over the mix."""
-    even = encode_text_assets(df.filter(F.col("doc_id") % 2 == 0), "y4m")
-    odd = encode_text_assets(df.filter(F.col("doc_id") % 2 == 1), "y4m420")
-    return even.unionByName(odd)
+    """MIXED-CONTAINER video fixture (VERDICT r9 #2, widened r10 #5):
+    doc_id % 4 muxes Cmono / REAL C420 / C422 / C444 — the colorspace
+    spread real crawls ship. Every encoder carries exactly
+    {CC.Y4M_FRAME_LEN} luma payload bytes per frame (the subsampled
+    geometries reshape W x H, never the luma plane), and the decoder
+    returns the luma plane only — so every luma-level oracle (frame
+    sample, pHash pairs, index probe, layout) is container-invariant
+    and stays bit-exact over the whole mix. Only the header-walk
+    metadata oracle sees the per-colorspace W x H geometry."""
+    parts = [
+        encode_text_assets(df.filter(F.col("doc_id") % 4 == m), codec)
+        for m, codec in enumerate(["y4m", "y4m420", "y4m422", "y4m444"])
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _shared_video_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1956,12 +1962,12 @@ def meta_phash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
                   ELSE 'video/x-yuv4mpeg' END AS mime,
            CAST(CASE m WHEN 0 THEN {CC.PNG_WIDTH} WHEN 1 THEN -1
-                       ELSE CASE WHEN doc_id % 2 = 0 THEN {CC.Y4M_FRAME_LEN}
+                       ELSE CASE WHEN doc_id % 4 IN (0, 3) THEN {CC.Y4M_FRAME_LEN}
                                  ELSE {CC.Y4M_FRAME_LEN // 2} END
                 END AS INT) AS width,
            CAST(CASE m WHEN 0 THEN greatest((n + {CC.PNG_WIDTH - 1}) // {CC.PNG_WIDTH}, 1)
                        WHEN 1 THEN -1
-                       ELSE CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END
+                       ELSE CASE WHEN doc_id % 4 IN (0, 3) THEN 1 ELSE 2 END
                 END AS INT) AS height,
            CAST(CASE m WHEN 0 THEN 1 WHEN 1 THEN n
                        ELSE (n + {CC.Y4M_FRAME_LEN - 1}) // {CC.Y4M_FRAME_LEN}
@@ -1988,8 +1994,8 @@ def multimodal_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame
         encode_text_assets(docs.filter(F.col("doc_id") % 3 == m), codec)
         for m, codec in enumerate(["png", "wav"])
     ]
-    # video slice is itself MIXED Cmono/C420 — the header walk must
-    # report each container's true geometry (64x1 vs 32x2)
+    # video slice is itself MIXED Cmono/C420/C422/C444 — the header
+    # walk must report each container's true geometry (64x1 vs 32x2)
     parts.append(_encode_video_mixed(docs.filter(F.col("doc_id") % 3 == 2)))
     assets = parts[0].unionByName(parts[1]).unionByName(parts[2])
     return decode_assets(assets, decoder="stdlib").select(
@@ -2187,6 +2193,18 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _encode_audio_mixed(df) -> "DataFrame":
+    """MIXED-PROFILE audio fixture (r11 codec tail): even doc_ids mux
+    as 16-bit stereo WAV, odd as 24-bit stereo (wav_encode_pcm24 — the
+    studio/master profile). Both profiles decode through
+    ``wav_decode_pcm``'s documented downmix + high-byte requantization
+    to the SAME pairwise byte average of the padded text, so every
+    sample-level oracle is wire-profile-invariant."""
+    even = encode_text_assets(df.filter(F.col("doc_id") % 2 == 0), "wav16")
+    odd = encode_text_assets(df.filter(F.col("doc_id") % 2 == 1), "wav24")
+    return even.unionByName(odd)
+
+
 @query(
     "multimodal_audio_fingerprint_pcm16",
     oracle=(
@@ -2208,10 +2226,14 @@ def multimodal_audio_fingerprint_pcm16(
     input is the pairwise byte average of the (space-padded) text and
     the oracle recomputes every fingerprint bit-for-bit with substring
     arithmetic. Same kernel, same plan shape as the mono path; only
-    the decoder profile widens."""
+    the decoder profile widens. r11: the corpus is a MIXED 16/24-bit
+    wire profile (doc_id parity muxes wav16 vs wav24 stereo) — the
+    24-bit branch's downmix + ``(m + 2^23) >> 16`` requantization
+    reduces to the SAME pairwise byte average, so one oracle covers
+    both profiles and a requantization slip in either flips the hash."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return AFP.audio_fingerprints(
-        encode_text_assets(docs, "wav16"), decode="pcm"
+        _encode_audio_mixed(docs), decode="pcm"
     )
 
 
@@ -2250,14 +2272,16 @@ def multimodal_audio_pcm16_checksum(spark: SparkSession, sf_dir: str) -> DataFra
     endpoints, reproduced by the oracle as pairwise byte averages of
     the padded text — a wrong channel interleave, a sign/offset slip in
     requantization, or an off-by-one in the downmix flips the value
-    hash. One mapInPandas funnel."""
+    hash. One mapInPandas funnel. r11: runs over the MIXED 16/24-bit
+    stereo corpus (see multimodal_audio_fingerprint_pcm16) — both
+    profiles decode to the same pairwise byte average, one oracle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     from kafka_streams_the_clojure_way_spark.operators.multimodal import (
         asset_pixel_checksum,
     )
 
     return asset_pixel_checksum(
-        encode_text_assets(docs, "wav16"), decode="pcm"
+        _encode_audio_mixed(docs), decode="pcm"
     )
 
 

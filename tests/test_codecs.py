@@ -431,13 +431,21 @@ def test_wav_pcm_corruption_and_unsupported_loud():
     except ValueError as exc:
         assert classify_codec_error(str(exc)) == "unsupported"
 
-    # 24-bit mono: also rejected loudly
+    # 24-bit mono DECODES since r11 (high-byte requantization); 32-bit
+    # stays a loud rejection
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(3)
         w.setframerate(16_000)
         w.writeframes(b"\x00\x01\x02" * 4)
+    assert len(wav_decode_pcm(buf.getvalue())) == 4
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)
+        w.setframerate(16_000)
+        w.writeframes(b"\x00\x01\x02\x03" * 4)
     with _pytest.raises(ValueError, match="unsupported WAV geometry"):
         wav_decode_pcm(buf.getvalue())
 
@@ -519,14 +527,15 @@ def test_y4m_corruption_detected():
 
     with _pytest.raises(ValueError, match="bad magic"):
         y4m_decode_frames(b"NOT4MPEG2" + good[9:])
-    # chroma-subsampled colorspaces: the C420 family DECODES since r10
-    # (luma plane only); C422/C444 stay unsupported layouts, and a
-    # C420 tag with odd geometry is rejected (both classified).
-    c422 = good.replace(b"Cmono", b"C422 ", 1)
+    # chroma-subsampled colorspaces: the C420 family (r10) and
+    # C422/C444 (r11) DECODE (luma plane only); other layouts like
+    # C411 stay unsupported, and a C420 tag with odd geometry is
+    # rejected (both classified).
+    c411 = good.replace(b"Cmono", b"C411 ", 1)
     with _pytest.raises(ValueError, match="unsupported Y4M colorspace"):
-        y4m_decode_frames(c422)
+        y4m_decode_frames(c411)
     try:
-        y4m_decode_frames(c422)
+        y4m_decode_frames(c411)
     except ValueError as exc:
         assert classify_codec_error(str(exc)) == "unsupported"
     odd420 = good.replace(b"Cmono", b"C420 ", 1)  # keeps W64 H1: odd H

@@ -248,3 +248,107 @@ def test_spool_atexit_registry_deregisters():
     I._SpoolDir(d).unpersist()
     assert d not in I._LIVE_SPOOLS
     assert I._LIVE_SPOOLS == before
+
+
+# ---------------------------------------------------------------------------
+# r11 codec tail: Y4M C422/C444 luma + 24-bit WAV (VERDICT r10 #5)
+# ---------------------------------------------------------------------------
+
+def test_wav_pcm24_roundtrip_and_stereo_matches_pcm16_reduction():
+    from kafka_streams_the_clojure_way_spark.functions.codecs import (
+        wav_decode_pcm,
+        wav_encode_pcm16,
+        wav_encode_pcm24,
+    )
+
+    data = bytes(range(256)) + b"hello 24-bit world"
+    # mono: exact byte round-trip through the 24-bit quantizer
+    assert wav_decode_pcm(wav_encode_pcm24(data, channels=1)) == data
+    # stereo: SAME pairwise byte average as the 16-bit profile — the
+    # invariant that lets a mixed 16/24-bit corpus share one oracle
+    assert wav_decode_pcm(wav_encode_pcm24(data, channels=2)) == wav_decode_pcm(
+        wav_encode_pcm16(data, channels=2)
+    )
+
+
+def test_wav_unsupported_geometry_classified():
+    import io
+    import wave
+
+    from kafka_streams_the_clojure_way_spark.functions.codecs import (
+        classify_codec_error,
+        wav_decode_pcm,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)  # 32-bit: outside the supported profile
+        w.setframerate(8000)
+        w.writeframes(b"\x00" * 32)
+    with pytest.raises(ValueError, match="unsupported WAV geometry"):
+        wav_decode_pcm(buf.getvalue())
+    try:
+        wav_decode_pcm(buf.getvalue())
+    except ValueError as exc:
+        assert classify_codec_error(str(exc)) == "unsupported"
+
+
+def test_y4m_c422_c444_luma_matches_mono():
+    from kafka_streams_the_clojure_way_spark.functions.codecs import (
+        Y4M_FRAME_LEN,
+        y4m_decode_frames,
+        y4m_encode_video,
+        y4m_parse_meta,
+    )
+
+    data = b"the quick brown fox jumps over the lazy dog " * 5
+    pad = (-len(data)) % Y4M_FRAME_LEN
+    padded = data + b" " * pad
+    mono = b"".join(y4m_decode_frames(y4m_encode_video(data)))
+    assert mono == padded
+    for cspace in ("420", "422", "444"):
+        got = b"".join(
+            y4m_decode_frames(y4m_encode_video(data, cspace=cspace))
+        )
+        assert got == padded, f"C{cspace} luma diverged from Cmono"
+    # header-walk geometry: 422 halves W/doubles H, 444 keeps mono's
+    assert y4m_parse_meta(y4m_encode_video(data, cspace="422"))[:2] == (
+        Y4M_FRAME_LEN // 2, 2,
+    )
+    assert y4m_parse_meta(y4m_encode_video(data, cspace="444"))[:2] == (
+        Y4M_FRAME_LEN, 1,
+    )
+
+
+def test_y4m_c422_c444_corruptions_classified():
+    from kafka_streams_the_clojure_way_spark.functions.codecs import (
+        classify_codec_error,
+        y4m_decode_frames,
+        y4m_encode_video,
+    )
+
+    data = b"some luma payload bytes for the corruption cases here"
+    # odd-W C422 is a classified rejection
+    bad_422 = y4m_encode_video(data, cspace="422").replace(
+        b"W32 H2", b"W31 H2", 1
+    )
+    with pytest.raises(ValueError, match="C422 geometry"):
+        y4m_decode_frames(bad_422)
+    # a C444 frame missing its chroma tail IS truncated
+    full = y4m_encode_video(data, cspace="444")
+    with pytest.raises(ValueError, match="truncated"):
+        y4m_decode_frames(full[:-10])
+    # an unknown colorspace stays loud
+    alien = y4m_encode_video(data).replace(b"Cmono", b"C411", 1)
+    with pytest.raises(ValueError, match="unsupported Y4M colorspace"):
+        y4m_decode_frames(alien)
+    for broken, kind in (
+        (bad_422, "unsupported"),
+        (full[:-10], "truncated"),
+        (alien, "unsupported"),
+    ):
+        try:
+            y4m_decode_frames(broken)
+        except ValueError as exc:
+            assert classify_codec_error(str(exc)) == kind
