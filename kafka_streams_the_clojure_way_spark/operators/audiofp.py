@@ -39,7 +39,10 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafka_streams_the_clojure_way_spark.sources.files import with_min_parallelism
+from kafka_streams_the_clojure_way_spark.sources.files import (
+    read_static_schema,
+    with_min_parallelism,
+)
 
 FRAME_W = 32
 N_BANDS = 8
@@ -396,7 +399,7 @@ def audiofp_index_probe(
         # directories (<= 128 legs), the frame_idx leg resolves in the
         # equi-join below.
         postings = postings.filter(F.col("fp").isin(sorted(set(fp_keys))))
-    dropped = spark.read.parquet(f"{root}/dropped")
+    dropped = read_static_schema(spark, f"{root}/dropped")
     postings = postings.join(
         F.broadcast(dropped), ["frame_idx", "fp"], "left_anti"
     )
@@ -464,7 +467,7 @@ def audiofp_index_upsert(
     # append can't recompute the batch against itself (the
     # minhash_index_upsert lesson).
     fps = fps.localCheckpoint(eager=True)
-    dropped = spark.read.parquet(f"{root}/dropped")
+    dropped = read_static_schema(spark, f"{root}/dropped")
     fps = fps.join(F.broadcast(dropped), ["frame_idx", "fp"], "left_anti")
     batch_keys = fps.groupBy("frame_idx", "fp").agg(
         F.count(F.lit(1)).alias("new_df")
@@ -531,7 +534,7 @@ def compact_audiofp_index(spark, index_path: str, *, versioned: bool = False) ->
     )
     if not has_files:  # already empty (e.g. fully df-capped): no-op
         return
-    dropped = spark.read.parquet(f"{root}/dropped").localCheckpoint(
+    dropped = read_static_schema(spark, f"{root}/dropped").localCheckpoint(
         eager=True
     )
     anti = lambda df: df.join(  # noqa: E731

@@ -271,7 +271,11 @@ def kmeans_fit(
     )
     if path:
         cents.write.mode("overwrite").parquet(path)
-        return corpus.sparkSession.read.parquet(path)
+        from kafka_streams_the_clojure_way_spark.sources.files import (
+            read_static_schema,
+        )
+
+        return read_static_schema(corpus.sparkSession, path)
     return cents
 
 

@@ -183,6 +183,11 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
+        # materialized once: deg (x2 via the union) and ranked all read
+        # e — without the cut the caller's edge-construction subtree
+        # (often itself a join) re-expands per reference (the r11 plan
+        # of graph_triangle_parts carried 154 Exchange nodes).
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -206,7 +211,10 @@ def triangle_counts(
     oriented = ranked.select(
         F.when(F.col("a_first"), F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(F.col("a_first"), F.col("b")).otherwise(F.col("a")).alias("hi"),
-    )
+        # materialized once: referenced THREE times below (both wedge
+        # legs + the closing-edge side) — each reference would otherwise
+        # re-run the degree joins above.
+    ).localCheckpoint(eager=False)
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")
     # both legs share lo, so distinct edges always differ in hi: strict <
     # enumerates each unordered wedge exactly once
@@ -248,6 +256,13 @@ PR_DAMP_NUM = 85   # damping 0.85 as an exact ratio
 PR_DAMP_DEN = 100
 PR_ITERS = 6
 
+#: max node count for the per-iteration broadcast-join fast path: a
+#: (node, rank) row is two longs (~16 B unserialized, ~32 B in a built
+#: hash relation), so 2M nodes is a ~64 MB broadcast — inside the
+#: engine's autoBroadcastJoinThreshold and far below the 8 GB hard cap.
+#: Larger graphs keep the shuffled sort-merge rounds.
+PR_BROADCAST_MAX_NODES = 2_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -277,9 +292,15 @@ def pagerank(
     out-edges) leak their damped mass, as in the uniform-teleport
     formulation without dangling redistribution.
     """
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).dropDuplicates(["src", "dst"])
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        # materialized once: nodes AND eo both derive from e, and without
+        # the cut each re-expands the full upstream subtree (the caller's
+        # edge construction is often itself a join of duplicated frames —
+        # 154 Exchange nodes in the pagerank query's r11 plan).
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -289,15 +310,29 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     eo = e.join(outdeg, "src").localCheckpoint(eager=False)
 
+    # Join-strategy choice for the 2 joins inside every round (guide §3.1):
+    # the rank/inc frames are NODE-sized two-long-column tables behind a
+    # checkpoint, so Catalyst has no size estimate and falls back to
+    # sort-merge — which re-shuffles the EDGE table every iteration (6
+    # edge shuffles per query). When the node count is small enough to
+    # broadcast safely, hint both sides broadcast: per round the edges
+    # then never move — one shuffle total (the contrib groupBy), per
+    # iteration. Scale-adaptive, not local-tuned: one count job on the
+    # checkpointed nodes frame decides; a 1e8-node production graph
+    # exceeds the cap and keeps the shuffled path.
+    n_nodes = nodes.count()
+    small = n_nodes <= PR_BROADCAST_MAX_NODES
+    hint = F.broadcast if small else (lambda df: df)
+
     base = ((PR_DAMP_DEN - PR_DAMP_NUM) * unit) // PR_DAMP_DEN
     rank = nodes.select("node", F.lit(int(unit)).cast("long").alias("r"))
     for _ in range(iters):
-        contrib = eo.join(rank, eo["src"] == rank["node"]).selectExpr(
+        contrib = eo.join(hint(rank), eo["src"] == rank["node"]).selectExpr(
             "dst AS node", "r div outdeg AS c"
         )
         inc = contrib.groupBy("node").agg(F.sum("c").alias("inc"))
         rank = (
-            nodes.join(inc, "node", "left")
+            nodes.join(hint(inc), "node", "left")
             .selectExpr(
                 "node",
                 f"CAST({base} + ({PR_DAMP_NUM} * coalesce(inc, CAST(0 AS BIGINT)))"

@@ -46,7 +46,10 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafka_streams_the_clojure_way_spark.sources.files import with_min_parallelism
+from kafka_streams_the_clojure_way_spark.sources.files import (
+    read_static_schema,
+    with_min_parallelism,
+)
 
 PHASH_GRID = 8
 PHASH_SCALE = 1 << 14
@@ -655,7 +658,7 @@ def phash_index_probe(
     probe = _banded(sigs, id_col, meta["n_bands"]).withColumnRenamed(
         id_col, "probe_id"
     )
-    bands = spark.read.parquet(f"{root}/bands")
+    bands = read_static_schema(spark, f"{root}/bands")
     if not batch_assets.isStreaming:
         keys = [
             (r["band"], int(r["bkey"]) % meta["n_buckets"])
@@ -721,7 +724,7 @@ def phash_index_upsert(
     )
     if not assume_new_ids:
         existing = (
-            spark.read.parquet(f"{root}/bands")
+            read_static_schema(spark, f"{root}/bands")
             .select(meta["id_col"])
             .distinct()
         )
@@ -988,7 +991,7 @@ def video_phash_index_probe(
         )
         .withColumn("p_bucket", F.pmod(F.col("p_bkey"), F.lit(meta["n_buckets"])))
     )
-    frames = spark.read.parquet(f"{root}/frames")
+    frames = read_static_schema(spark, f"{root}/frames")
     if not batch_assets.isStreaming:
         keys = [
             (r["p_band"], r["p_bucket"])
@@ -1066,7 +1069,7 @@ def video_phash_index_upsert(
     )
     if not assume_new_ids:
         existing = (
-            spark.read.parquet(f"{root}/frames")
+            read_static_schema(spark, f"{root}/frames")
             .select(meta["id_col"])
             .distinct()
         )

@@ -174,6 +174,13 @@ def encode_text_assets(
                 }
             )
 
+    # NOTE (r11, measured): no blanket parallelism guard here. An
+    # operator-level with_min_parallelism was tried and REGRESSED the
+    # family 9.9s -> 16.2s at sf0.1: the per-task Python fan-out (an
+    # exchange per fixture leg + ~32 mapInPandas tasks per chained
+    # kernel) costs more than the trivial encode kernels save. Only the
+    # decode-heavy image chains win; THOSE queries guard their input
+    # (see queries/llm_pipeline._image_assets).
     return df.select(id_col, text_col).mapInPandas(
         kernel, schema=f"{id_col} long, asset struct<{ASSET_SCHEMA}>"
     )

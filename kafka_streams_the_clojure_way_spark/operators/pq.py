@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_streams_the_clojure_way_spark.sources.files import read_static_schema
+
 from kafka_streams_the_clojure_way_spark.operators.clustering import (
     MEAN_UNITS,
     _sq_dist,
@@ -540,17 +542,17 @@ def load_ivfpq_model(spark, path: str):
     probes prune it by cell)."""
     cent_rows = [
         (r["cent_id"], list(r["cent_vec"]))
-        for r in spark.read.parquet(f"{path}/centroids")
+        for r in read_static_schema(spark, f"{path}/centroids")
         .orderBy("cent_id")
         .collect()
     ]
     codebook = [
         (r["s"], r["code"], list(r["c"]))
-        for r in spark.read.parquet(f"{path}/codebook")
+        for r in read_static_schema(spark, f"{path}/codebook")
         .orderBy("s", "code")
         .collect()
     ]
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = read_static_schema(spark, f"{path}/codes")
     return cent_rows, codebook, codes
 
 

@@ -29,7 +29,7 @@ from kafka_streams_the_clojure_way_spark.queries.llm_pipeline import (
     _minhash_index_path,
 )
 from kafka_streams_the_clojure_way_spark.queries.registry import query
-from kafka_streams_the_clojure_way_spark.sources.files import load_table
+from kafka_streams_the_clojure_way_spark.sources.files import load_table, read_static_schema
 
 _B = T.DSIR_BUCKETS
 _Q = T.DSIR_Q
@@ -348,7 +348,9 @@ def _shared_gate(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """A materialized gate output of the shared six-gate compile, read
     back through the CURRENT session (parquet-backed, so the shared
     compile survives clearCache and session turnover)."""
-    return spark.read.parquet(_shared_ingestion(spark, sf_dir)["paths"][name])
+    return read_static_schema(
+        spark, _shared_ingestion(spark, sf_dir)["paths"][name]
+    )
 
 
 @query("pipeline_ingestion_curated", oracle=_INGESTION_ORACLE)
@@ -399,7 +401,7 @@ def pipeline_ingestion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared = _shared_ingestion(spark, sf_dir)
     paths = shared["paths"]
     if "audit" in paths:
-        return spark.read.parquet(paths["audit"])
+        return read_static_schema(spark, paths["audit"])
 
     def survivors(entity: str, flag: str) -> DataFrame:
         return _shared_gate(spark, sf_dir, entity).select(
@@ -431,7 +433,7 @@ def pipeline_ingestion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit_path = os.path.join(os.path.dirname(next(iter(paths.values()))), "audit")
     audit.coalesce(4).write.mode("overwrite").parquet(audit_path)
     paths["audit"] = audit_path
-    return spark.read.parquet(audit_path)
+    return read_static_schema(spark, audit_path)
 
 
 #: per-process persisted IVF index over the CORPUS slice of the

@@ -29,7 +29,11 @@ from kafka_streams_the_clojure_way_spark.operators.multimodal import (
     wrap_binary_assets,
 )
 from kafka_streams_the_clojure_way_spark.queries.registry import ORACLES, query
-from kafka_streams_the_clojure_way_spark.sources.files import load_table, with_min_parallelism
+from kafka_streams_the_clojure_way_spark.sources.files import (
+    load_table,
+    read_static_schema,
+    with_min_parallelism,
+)
 
 
 def _select_sql(exprs: dict[str, str], table: str, extra: str = "doc_id") -> str:
@@ -226,11 +230,19 @@ def _materialized_sigs(spark: SparkSession, sf_dir: str, kind: str, builder):
     consumer."""
     token = _source_table_token(sf_dir)
     key = (sf_dir, kind)
+    from kafka_streams_the_clojure_way_spark.sources.files import (
+        read_static_schema,
+    )
+
     hit = _SHARED_SIGS_CACHE.get(key)
     if hit is not None:
         path, cached_token = hit
         if token is None or cached_token == token:
-            return spark.read.parquet(path)
+            # schema-cached read: the table is immutable once written
+            # (rebuilds go to a FRESH tempdir, so a per-path schema cache
+            # can never serve a stale schema) — skips the per-consumer
+            # footer-inference job (~80 ms x consumers x passes).
+            return read_static_schema(spark, path)
     import atexit
     import shutil
     import tempfile
@@ -239,7 +251,7 @@ def _materialized_sigs(spark: SparkSession, sf_dir: str, kind: str, builder):
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     builder().write.mode("overwrite").parquet(path)
     _SHARED_SIGS_CACHE[key] = (path, token)
-    return spark.read.parquet(path)
+    return read_static_schema(spark, path)
 
 
 def _shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1458,8 +1470,20 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mis-decode, mis-sample, or re-encode corruption anywhere in the
     loop surfaces as a value mismatch. Payload-in/payload-out (no
     funnel) — the one multimodal op to budget shuffle/IO ~= input."""
+    # parallelism-guard the docs BEFORE the 4-codec-pass Python chain
+    # (decode -> resample -> re-encode -> re-decode runs fused in one
+    # stage): the fixture parquet scans as one split, which serializes
+    # the whole transcode onto one core. Targeted guard — measured
+    # 3.55 s -> 1.20 s interleaved min-of-3 at sf0.1; a blanket guard in
+    # encode_text_assets REGRESSED trivial-kernel queries (family 9.9 s
+    # -> 16.2 s — see the encode_text_assets note).
     resized = resize_assets(
-        _image_assets(spark, sf_dir), _RESIZE_W, _RESIZE_H, codec="png"
+        encode_text_assets(
+            with_min_parallelism(load_table(spark, sf_dir, "documents")), "png"
+        ),
+        _RESIZE_W,
+        _RESIZE_H,
+        codec="png",
     )
     from kafka_streams_the_clojure_way_spark.operators.multimodal import (
         asset_pixel_checksum,
@@ -1656,7 +1680,12 @@ def multimodal_image_palette_luma(spark: SparkSession, sf_dir: str) -> DataFrame
     palette formulas per byte and catches it. Paletted PNGs that fail
     structurally (bad PLTE length, out-of-range index) raise classified
     kinds for the quarantine path (pinned in tests/test_codecs.py)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # targeted parallelism guard (see multimodal_image_resize note):
+    # palette decode (bpp=1 filters + PLTE expansion + luma) measured
+    # 1.36 s -> 0.98 s interleaved min-of-3 at sf0.1 with the fan-out.
+    docs = with_min_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     assets = encode_text_assets(docs, "png_palette")
     from kafka_streams_the_clojure_way_spark.operators.multimodal import (
         rgb_luma_stats,
@@ -1698,7 +1727,14 @@ def multimodal_image_interlaced_checksum(spark: SparkSession, sf_dir: str) -> Da
     interlace stays a classified quarantine kind
     (tests/test_codecs.py). Funnel shape: one mapInPandas decode, four
     small columns out."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # targeted parallelism guard BEFORE the parity split (see
+    # multimodal_image_resize note): Adam7 encode + 7-pass deinterlace
+    # is the heavy kernel class; guarding once upstream means both legs
+    # inherit the fan-out with a single exchange. Measured
+    # 2.12 s -> 1.72 s interleaved min-of-3 at sf0.1.
+    docs = with_min_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     assets = encode_text_assets(docs.filter(F.col("doc_id") % 2 == 0), "png").unionByName(
         encode_text_assets(docs.filter(F.col("doc_id") % 2 == 1), "png_adam7")
     )
@@ -1939,7 +1975,7 @@ def meta_phash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     (9 rows x ~20 bytes per image), never the corpus payloads."""
     path = _phash_index_path(spark, sf_dir)
     return (
-        spark.read.parquet(f"{path}/bands")
+        read_static_schema(spark, f"{path}/bands")
         .select(
             "doc_id",
             "phash",
@@ -2146,7 +2182,7 @@ def meta_video_phash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame
     past their postings). Scan cost: the frames table only, never the
     corpus payloads."""
     path = _video_index_path(spark, sf_dir)
-    return spark.read.parquet(f"{path}/frames").select(
+    return read_static_schema(spark, f"{path}/frames").select(
         "doc_id",
         "frame_idx",
         "phash",
@@ -2470,7 +2506,7 @@ def meta_audiofp_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop tables only, never the corpus audio."""
     path = _audiofp_index_path(spark, sf_dir)
     postings = AFP._read_postings(spark, path, "doc_id")
-    dropped = spark.read.parquet(f"{path}/dropped")
+    dropped = read_static_schema(spark, f"{path}/dropped")
     return (
         postings.join(F.broadcast(dropped), ["frame_idx", "fp"], "left_anti")
         .select("doc_id", "frame_idx", F.col("fp").cast("long").alias("fp"))
@@ -5093,7 +5129,7 @@ def meta_hash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (~16 bytes/doc), never the corpus text."""
     path = _hash_index_path(spark, sf_dir)
     return (
-        spark.read.parquet(f"{D.index_dataset_root(path)}/hashes")
+        read_static_schema(spark, f"{D.index_dataset_root(path)}/hashes")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_postings"),
@@ -5130,7 +5166,7 @@ def meta_minhash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banding table (~1% of corpus bytes), never the corpus text."""
     path = _minhash_index_path(spark, sf_dir)
     return (
-        spark.read.parquet(f"{D.index_dataset_root(path)}/bands")
+        read_static_schema(spark, f"{D.index_dataset_root(path)}/bands")
         .groupBy("band", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_postings"),
@@ -5379,7 +5415,7 @@ def meta_bloom_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus text."""
     path = _bloom_index_path(spark, sf_dir)
     return (
-        spark.read.parquet(f"{path}/bits")
+        read_static_schema(spark, f"{path}/bits")
         .groupBy("segment", "word_idx")
         .agg(F.bit_or("word").alias("word"))
         .select(F.col("segment").cast("long").alias("segment"), "word_idx", "word")
@@ -5490,7 +5526,7 @@ def meta_keyset_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/test leak). Scan cost: the bits table only (~10 bits/gram)."""
     path = _bench_keyset_path(spark, sf_dir)
     return (
-        spark.read.parquet(f"{path}/bits")
+        read_static_schema(spark, f"{path}/bits")
         .groupBy("segment", "word_idx")
         .agg(F.bit_or("word").alias("word"))
         .select(F.col("segment").cast("long").alias("segment"), "word_idx", "word")

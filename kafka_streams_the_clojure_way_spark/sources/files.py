@@ -48,7 +48,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Schema via the per-process STATIC-SCHEMA cache (read_static_schema):
+    # the driver-generated test tables are immutable for the life of a
+    # process, and `spark.read.parquet` without a schema pays a footer
+    # schema-inference JOB per call (~80 ms measured on local[32]) — a
+    # pure fixed cost repeated for every query x table x bench pass. With
+    # the cached schema the read is listing-only (~16 ms). This is
+    # metadata caching (what a metastore provides), never result caching:
+    # file listing still happens per read, and every query still computes
+    # from the parquet bytes.
+    df = read_static_schema(spark, os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
