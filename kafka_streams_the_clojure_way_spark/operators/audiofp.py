@@ -354,6 +354,7 @@ def audiofp_index_probe(
     min_shared: int | None = None,
     cache_registry: list | None = None,
     fps: DataFrame | None = None,
+    routing: list | None = None,
 ) -> DataFrame:
     """Probe the persisted audio index with an arriving clip batch:
     (probe_id, corpus_id, n_shared) for every batch clip sharing >=
@@ -390,7 +391,14 @@ def audiofp_index_probe(
     )
     postings = _read_postings(spark, root, meta["id_col"])
     if not batch_assets.isStreaming:
-        fp_keys = [r["p_fp"] for r in probe.select("p_fp").distinct().collect()]
+        # ``routing``: precomputed fp keys from the fused routing job
+        # (superset-safe — the (frame_idx, fp) equi-join is exact);
+        # skips this probe's own eager collect.
+        fp_keys = (
+            [int(x) for x in routing]
+            if routing is not None
+            else [r["p_fp"] for r in probe.select("p_fp").distinct().collect()]
+        )
         if not fp_keys:
             return spark.createDataFrame(
                 [], "probe_id long, corpus_id long, n_shared long"

@@ -622,6 +622,7 @@ def phash_index_probe(
     max_dist: int | None = None,
     cache_registry: list | None = None,
     sigs: DataFrame | None = None,
+    routing: list | None = None,
 ) -> DataFrame:
     """Probe the persisted band index with an arriving image batch:
     (probe_id, corpus_id, hamming) for every batch image within
@@ -631,7 +632,11 @@ def phash_index_probe(
     the bands scan, the exact ``bkey`` resolves in the candidate
     equi-join (the batch side broadcasts into it), and verify is
     popcount-on-xor over the stored signatures (no payload ever
-    rejoins)."""
+    rejoins). ``routing``: precomputed (band, bucket) key list (a
+    SUPERSET is output-identical — the equi-join resolves the exact
+    bkey) from a fused multi-probe routing job
+    (``plans.ingestion.compute_asset_routing``); skips this probe's own
+    eager collect."""
     from kafka_streams_the_clojure_way_spark.operators.dedup import (
         _index_meta,
         index_dataset_root,
@@ -660,10 +665,14 @@ def phash_index_probe(
     )
     bands = read_static_schema(spark, f"{root}/bands")
     if not batch_assets.isStreaming:
-        keys = [
-            (r["band"], int(r["bkey"]) % meta["n_buckets"])
-            for r in probe.select("band", "bkey").distinct().collect()
-        ]
+        keys = (
+            [(int(b), int(k)) for b, k in routing]
+            if routing is not None
+            else [
+                (r["band"], int(r["bkey"]) % meta["n_buckets"])
+                for r in probe.select("band", "bkey").distinct().collect()
+            ]
+        )
         if not keys:
             return spark.createDataFrame(
                 [], "probe_id long, corpus_id long, hamming long"
@@ -944,6 +953,7 @@ def video_phash_index_probe(
     min_frames: int | None = None,
     cache_registry: list | None = None,
     sigs: DataFrame | None = None,
+    routing: list | None = None,
 ) -> DataFrame:
     """Probe the persisted video frame index with an arriving batch:
     (probe_id, corpus_id, n_close_frames) for every batch video with >=
@@ -953,7 +963,9 @@ def video_phash_index_probe(
     a literal static PartitionFilter, the broadcast candidate join
     resolves (band, bkey, frame_idx) exactly, and popcount-on-xor
     verifies per aligned frame before the pair-frame dedup and the
-    per-pair count."""
+    per-pair count. ``routing``: precomputed (band, bucket) keys from
+    the fused routing job (superset-safe — the equi-join is exact);
+    skips this probe's own eager collect."""
     from kafka_streams_the_clojure_way_spark.operators.dedup import (
         _index_meta,
         index_dataset_root,
@@ -993,10 +1005,14 @@ def video_phash_index_probe(
     )
     frames = read_static_schema(spark, f"{root}/frames")
     if not batch_assets.isStreaming:
-        keys = [
-            (r["p_band"], r["p_bucket"])
-            for r in probe.select("p_band", "p_bucket").distinct().collect()
-        ]
+        keys = (
+            [(int(b), int(k)) for b, k in routing]
+            if routing is not None
+            else [
+                (r["p_band"], r["p_bucket"])
+                for r in probe.select("p_band", "p_bucket").distinct().collect()
+            ]
+        )
         if not keys:
             return spark.createDataFrame(
                 [], "probe_id long, corpus_id long, n_close_frames long"
