@@ -3360,15 +3360,24 @@ def keyset_index_probe(
             return pkeys.limit(0)
         bits = bits.filter(F.col("segment").isin(segs))
     folded = bits.groupBy("segment", "word_idx").agg(F.bit_or("word").alias("word"))
-    hits = (
-        folded.join(F.broadcast(need), ["segment", "word_idx"])
-        .filter(F.col("word").bitwiseAND(F.col("need")) == F.col("need"))
-        .groupBy("key", "segment")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    totals = need.groupBy("key", "segment").agg(F.count(F.lit(1)).alias("n_need"))
+    # broadcast the BITS fold, not the probe's need rows: folded is
+    # bounded by the index geometry (probed segments x words/segment)
+    # no matter the probe size, while need is |distinct probe keys| x k
+    # — corpus-vocabulary-sized for a whole-corpus decontamination
+    # sweep (broadcasting it measured ~2.5 s of the bloom-gated
+    # contamination query at sf0.1; guide §3.1 — broadcast the side
+    # that is PROVABLY small). The left join + one conditional-count
+    # aggregate replaces the former hits/totals two-aggregate join:
+    # a word_idx absent from the fold (no set bits) makes the AND test
+    # null -> counted 0, exactly the inner join's miss.
+    hit = F.col("word").bitwiseAND(F.col("need")) == F.col("need")
     maybe = (
-        totals.join(hits, ["key", "segment"])
+        need.join(F.broadcast(folded), ["segment", "word_idx"], "left")
+        .groupBy("key", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_need"),
+            F.sum(F.when(hit, 1).otherwise(0)).alias("n_hit"),
+        )
         .filter(F.col("n_hit") == F.col("n_need"))
         .select("key", "segment")
     )

@@ -1293,6 +1293,132 @@ def mmr_topk(
 
 KCENTER_K = 8
 
+#: Below this many corpus rows the greedy k-center chain runs on the
+#: driver: ONE bounded collect (100k rows x 64 double dims ≈ 50 MB)
+#: replaces k TakeOrdered jobs whose per-round planning/job overhead
+#: dominates at small scale — the same adaptive escape hatch
+#: ``graph.LOCAL_CC_MAX_EDGES`` ships for connected components. The
+#: local chain reproduces the distributed arithmetic BIT-FOR-BIT: the
+#: dot products fold in dimension order (a numpy loop over dims is the
+#: same left fold as ``aggregate(zip_with(...))``), and rounding is the
+#: same HALF_UP-on-shortest-repr as Spark's ``round``. Larger corpora
+#: take the distributed incremental-min loop below; pass 0 to force it.
+KCENTER_LOCAL_MAX_ROWS = 100_000
+
+
+def _spark_round6_array(x):
+    """Elementwise Spark ``round(x, 6)`` (BigDecimal HALF_UP on the
+    shortest decimal repr) over a float64 numpy array. Fast path:
+    ``floor(x*1e6 + 0.5)/1e6`` — exact except within the binary error
+    band of a .5 boundary, where (plus negatives/non-finites) the
+    decimal-exact scalar path decides. Pinned against Spark's round in
+    tests/test_round11_fixes.py."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    m = x * 1e6
+    out = np.floor(m + 0.5) / 1e6
+    with np.errstate(invalid="ignore"):
+        near = np.abs(m - np.floor(m) - 0.5) < 1e-6
+        fix = near | (x < 0) | ~np.isfinite(x)
+    q = Decimal("1e-6")
+    for i in np.nonzero(fix)[0]:
+        xi = float(x[i])
+        if math.isnan(xi) or math.isinf(xi):
+            out[i] = xi
+        else:
+            out[i] = float(Decimal(repr(xi)).quantize(q, rounding=ROUND_HALF_UP))
+    return out
+
+
+def _kcenter_local(rows, k: int, id_col: str) -> list[tuple]:
+    """Driver-side greedy k-center over collected (id, __v) rows —
+    bit-identical to the distributed chain: dot products fold in
+    DIMENSION ORDER (a numpy loop over dims reproduces the
+    ``aggregate(zip_with(...))`` left fold exactly), rounding is
+    Spark's HALF_UP, the min-fold uses ``fmin`` (NaN loses, like
+    Spark's ``least`` under NaN-greatest ordering), and the argmax
+    orders (mind DESC NULLS LAST, id ASC)."""
+    import numpy as np
+
+    ids = [r[id_col] for r in rows]
+    raw = [r["__v"] for r in rows]
+    n = len(rows)
+    dims = None
+    for v in raw:
+        if v is not None and not any(e is None for e in v):
+            dims = len(v)
+            break
+    valid = np.array(
+        [
+            v is not None and not any(e is None for e in v) and len(v) == dims
+            for v in raw
+        ],
+        dtype=bool,
+    )
+    order = sorted(range(n), key=lambda i: ids[i])
+    first = order[0]
+    picks = [(ids[first], 1)]
+    picked = {first}
+    if dims is None or k == 1:
+        return picks[: k if k >= 1 else 0]
+
+    V = np.zeros((n, dims), dtype=np.float64)
+    for i in np.nonzero(valid)[0]:
+        V[i] = raw[i]
+    # per-row self-dot in dimension order: ((0 + v0*v0) + v1*v1) + ...
+    self_dot = np.zeros(n, dtype=np.float64)
+    for d in range(dims):
+        self_dot = self_dot + V[:, d] * V[:, d]
+    self_norm = np.sqrt(self_dot)
+    idx_by_id = sorted(range(n), key=lambda i: ids[i])
+
+    def dist_to(center_i: int):
+        c = V[center_i]
+        cd = 0.0
+        for d in range(dims):
+            cd = cd + float(c[d]) * float(c[d])
+        acc = np.zeros(n, dtype=np.float64)
+        for d in range(dims):
+            acc = acc + V[:, d] * c[d]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = acc / (self_norm * np.sqrt(cd))
+        return _spark_round6_array(1.0 - cos)
+
+    mind = None
+    last = first
+    while len(picks) < k:
+        if valid[last]:
+            d_new = dist_to(last)
+            mind = d_new if mind is None else np.fmin(mind, d_new)
+        best = None
+        for i in idx_by_id:  # id-ascending: first win takes each tie
+            if i in picked or not valid[i] or mind is None:
+                continue
+            di = mind[i]
+            if best is None:
+                best = i
+                continue
+            db = mind[best]
+            # DESC with NaN greatest: NaN beats everything non-NaN
+            if (np.isnan(di) and not np.isnan(db)) or (
+                not np.isnan(db) and not np.isnan(di) and di > db
+            ):
+                best = i
+        if best is None:
+            # no valid-distance candidate: lowest unpicked id (the
+            # NULLS LAST tail of the distributed ordering)
+            rest = [i for i in idx_by_id if i not in picked]
+            if not rest:
+                break
+            best = rest[0]
+        picks.append((ids[best], len(picks) + 1))
+        picked.add(best)
+        last = best
+    return picks
+
 
 def kcenter_coreset(
     corpus: DataFrame,
@@ -1350,10 +1476,17 @@ def kcenter_coreset(
     def lit_vec(values) -> Column:
         return F.array(*[F.lit(None).cast("double") if x is None else F.lit(float(x)) for x in values])
 
-    seed = vecs.orderBy(id_col).limit(1).collect()
-    if not seed:
+    n_rows = vecs.count()
+    if n_rows == 0:
         vecs.unpersist()
         return spark.createDataFrame([], out_schema)
+    if n_rows <= KCENTER_LOCAL_MAX_ROWS:
+        rows = vecs.collect()  # bounded by the documented cap
+        vecs.unpersist()
+        return spark.createDataFrame(
+            _kcenter_local(rows, k, id_col), out_schema
+        )
+    seed = vecs.orderBy(id_col).limit(1).collect()
     picks = [(seed[0][id_col], 1)]
     # state = every unselected vector with its running min rounded
     # distance to the selected set; each round appends one narrow

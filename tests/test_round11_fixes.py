@@ -352,3 +352,48 @@ def test_y4m_c422_c444_corruptions_classified():
             y4m_decode_frames(broken)
         except ValueError as exc:
             assert classify_codec_error(str(exc)) == kind
+
+
+def test_spark_round6_array_matches_spark_round(spark):
+    """The kcenter local path's vectorized rounding must reproduce
+    Spark's round(x, 6) (BigDecimal HALF_UP on shortest repr) exactly,
+    including near-boundary and negative values."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from kafka_streams_the_clojure_way_spark.operators.similarity import (
+        _spark_round6_array,
+    )
+
+    vals = [
+        0.0, 1.0, 0.1234565, 0.1234575, 0.12345649999, 0.1234565000001,
+        -0.1234565, -0.1234575, 1.9999995, 0.0000005, -0.0000005,
+        0.6770344999999999, 1.0000004999999999, 2e-7, 1e-9, -1e-9,
+        0.9999994999999999, 123.4567895, float("nan"), float("inf"),
+        float("-inf"), 1.5e-06, 2.5e-06, -2.5e-06,
+    ]
+    got = _spark_round6_array(np.array(vals, dtype=np.float64))
+    rows = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i int, x double"
+    ).select("i", F.round("x", 6).alias("r")).collect()
+    want = {r["i"]: r["r"] for r in rows}
+    for i, v in enumerate(vals):
+        g, w = float(got[i]), want[i]
+        assert (g != g and w != w) or g == w, (i, vals[i], g, w)
+
+
+def test_kcenter_local_path_matches_distributed(spark, monkeypatch):
+    """The size-gated driver chain and the distributed incremental-min
+    loop must pick identical (id, pick) sequences."""
+    from kafka_streams_the_clojure_way_spark.operators import similarity as S
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    local = sorted(
+        tuple(r) for r in S.kcenter_coreset(emb, k=5).collect()
+    )
+    monkeypatch.setattr(S, "KCENTER_LOCAL_MAX_ROWS", 0)
+    dist = sorted(
+        tuple(r) for r in S.kcenter_coreset(emb, k=5).collect()
+    )
+    assert local == dist and len(local) == 5
