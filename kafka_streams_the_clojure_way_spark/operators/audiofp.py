@@ -367,6 +367,7 @@ def audiofp_index_probe(
     df cap is a property of the INDEXED corpus (the between-form
     semantics); batch-side keys are never capped."""
     from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        _in_literals,
         _index_meta,
         index_dataset_root,
     )
@@ -406,7 +407,7 @@ def audiofp_index_probe(
         # one single-column IN literal on the partition column: prunes
         # directories (<= 128 legs), the frame_idx leg resolves in the
         # equi-join below.
-        postings = postings.filter(F.col("fp").isin(sorted(set(fp_keys))))
+        postings = postings.filter(_in_literals("fp", fp_keys))
     dropped = read_static_schema(spark, f"{root}/dropped")
     postings = postings.join(
         F.broadcast(dropped), ["frame_idx", "fp"], "left_anti"
@@ -454,6 +455,7 @@ def audiofp_index_upsert(
     half-added docs; a rebuild restores them. The reverse order would
     leave over-cap keys SERVING quadratic fanout until the retry."""
     from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        _in_literals,
         _index_meta,
         index_dataset_root,
     )
@@ -485,7 +487,7 @@ def audiofp_index_upsert(
         return
     existing_df = (
         _read_postings(spark, root, meta["id_col"])
-        .filter(F.col("fp").isin(sorted(set(fp_keys))))
+        .filter(_in_literals("fp", fp_keys))
         .groupBy("frame_idx", "fp")
         .agg(F.count(F.lit(1)).alias("old_df"))
     )

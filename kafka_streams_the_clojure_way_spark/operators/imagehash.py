@@ -243,8 +243,21 @@ def _band_bits(n_bands: int) -> int:
 
 
 def _band_structs(sig_col, n_bands: int):
+    """Exploded (band, bkey) structs for ``sig_col``. Built as ONE
+    ``F.expr`` string when handed a column NAME (r11: the per-band
+    Column-op construction was ~54 py4j round trips per call — a
+    measured slice of every probe/build compile; the parsed expression
+    tree is identical, band stays int and bkey long exactly like the
+    ``F.lit``/``bitwiseAND`` form)."""
     bits = _band_bits(n_bands)
     mask = (1 << bits) - 1
+    if isinstance(sig_col, str):
+        parts = ", ".join(
+            f"struct({b} AS band, "
+            f"(shiftrightunsigned({sig_col}, {b * bits}) & {mask}) AS bkey)"
+            for b in range(n_bands)
+        )
+        return F.explode(F.expr(f"array({parts})"))
     return F.explode(
         F.array(
             *[
@@ -262,7 +275,7 @@ def _band_structs(sig_col, n_bands: int):
 
 def _banded(sigs: DataFrame, id_col: str, n_bands: int = PHASH_BANDS) -> DataFrame:
     return sigs.select(
-        id_col, "phash", _band_structs(F.col("phash"), n_bands).alias("bk")
+        id_col, "phash", _band_structs("phash", n_bands).alias("bk")
     ).select(
         id_col, "phash", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
@@ -470,7 +483,7 @@ def video_phash_pairs(
         id_col,
         "frame_idx",
         "phash",
-        _band_structs(F.col("phash"), n_bands).alias("bk"),
+        _band_structs("phash", n_bands).alias("bk"),
     ).select(
         id_col,
         "frame_idx",
@@ -638,6 +651,7 @@ def phash_index_probe(
     (``plans.ingestion.compute_asset_routing``); skips this probe's own
     eager collect."""
     from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        _in_literals,
         _index_meta,
         index_dataset_root,
     )
@@ -685,8 +699,8 @@ def phash_index_probe(
         # superset directories are eliminated by the candidate equi-join
         # on the exact bkey.
         bands = bands.filter(
-            F.col("band").isin(sorted({b for b, _ in keys}))
-            & F.col("bucket").isin(sorted({k for _, k in keys}))
+            _in_literals("band", {b for b, _ in keys})
+            & _in_literals("bucket", {k for _, k in keys})
         )
     cand = bands.join(
         F.broadcast(probe.withColumnRenamed("phash", "probe_phash")),
@@ -910,7 +924,7 @@ def build_video_phash_index(
             id_col,
             "frame_idx",
             "phash",
-            _band_structs(F.col("phash"), n_bands).alias("bk"),
+            _band_structs("phash", n_bands).alias("bk"),
         )
         .select(
             id_col,
@@ -967,6 +981,7 @@ def video_phash_index_probe(
     the fused routing job (superset-safe — the equi-join is exact);
     skips this probe's own eager collect."""
     from kafka_streams_the_clojure_way_spark.operators.dedup import (
+        _in_literals,
         _index_meta,
         index_dataset_root,
     )
@@ -992,7 +1007,7 @@ def video_phash_index_probe(
             F.col(id_col).alias("probe_id"),
             F.col("frame_idx").alias("p_frame_idx"),
             F.col("phash").alias("probe_phash"),
-            _band_structs(F.col("phash"), meta["n_bands"]).alias("bk"),
+            _band_structs("phash", meta["n_bands"]).alias("bk"),
         )
         .select(
             "probe_id",
@@ -1018,8 +1033,8 @@ def video_phash_index_probe(
                 [], "probe_id long, corpus_id long, n_close_frames long"
             )
         frames = frames.filter(
-            F.col("band").isin(sorted({b for b, _ in keys}))
-            & F.col("bucket").isin(sorted({k for _, k in keys}))
+            _in_literals("band", {b for b, _ in keys})
+            & _in_literals("bucket", {k for _, k in keys})
         )
     cand = frames.join(
         F.broadcast(probe),
@@ -1072,7 +1087,7 @@ def video_phash_index_upsert(
             id_col,
             "frame_idx",
             "phash",
-            _band_structs(F.col("phash"), meta["n_bands"]).alias("bk"),
+            _band_structs("phash", meta["n_bands"]).alias("bk"),
         )
         .select(
             id_col,

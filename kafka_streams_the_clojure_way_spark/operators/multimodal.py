@@ -525,7 +525,7 @@ def asset_pixel_checksum(
     import numpy as np
     import pandas as pd
 
-    if decode not in (None, "png", "png_any", "wav", "pcm", "y4m"):
+    if decode not in _CHECKSUM_DECODERS:
         raise ValueError(
             f"decode must be None, 'png', 'png_any', 'wav', 'pcm' or 'y4m', "
             f"got {decode!r}"
@@ -539,48 +539,7 @@ def asset_pixel_checksum(
             classify_codec_error,
         )
 
-        if decode == "png":
-            from kafka_streams_the_clojure_way_spark.functions.codecs import (
-                png_decode_gray,
-            )
-
-            unwrap = lambda raw: png_decode_gray(bytes(raw))  # noqa: E731
-        elif decode == "png_any":
-            # color-type dispatch (gray/truecolor/palette) — the
-            # permissive ingestion gate's profile: a crawl's PNGs are
-            # not all grayscale, and 'not grayscale' must not classify
-            # as corrupt (ADVICE r10)
-            from kafka_streams_the_clojure_way_spark.functions.codecs import (
-                png_decode_auto,
-            )
-
-            unwrap = lambda raw: png_decode_auto(bytes(raw))  # noqa: E731
-        elif decode == "wav":
-            from kafka_streams_the_clojure_way_spark.functions.codecs import (
-                wav_decode_pcm8,
-            )
-
-            unwrap = lambda raw: wav_decode_pcm8(bytes(raw))  # noqa: E731
-        elif decode == "pcm":
-            # general profile: 8-bit mono OR 16-bit mono/stereo, reduced
-            # to one 8-bit stream (documented downmix + requantization)
-            from kafka_streams_the_clojure_way_spark.functions.codecs import (
-                wav_decode_pcm,
-            )
-
-            unwrap = lambda raw: wav_decode_pcm(bytes(raw))  # noqa: E731
-        elif decode == "y4m":
-            # full demux, concatenated luma planes (Cmono and the C420
-            # family — chroma skipped) — the video leg of the checksum
-            from kafka_streams_the_clojure_way_spark.functions.codecs import (
-                y4m_decode_frames,
-            )
-
-            unwrap = lambda raw: b"".join(  # noqa: E731
-                y4m_decode_frames(bytes(raw))
-            )
-        else:
-            unwrap = bytes
+        unwrap = _checksum_unwrap(decode)
         for pdf in batches:
             kinds: list[str | None] = []
             if permissive:
@@ -625,6 +584,120 @@ def asset_pixel_checksum(
     if permissive:
         schema += ", status string, error_kind string"
     return df.select(id_col, "asset").mapInPandas(kernel, schema=schema)
+
+
+#: decode profiles the checksum kernels accept (None = raw payload).
+_CHECKSUM_DECODERS = (None, "png", "png_any", "wav", "pcm", "y4m")
+
+
+def _checksum_unwrap(decode: str | None):
+    """The payload -> decoded-byte-stream callable behind each checksum
+    decode profile (worker-side; import inside the task). Shared by
+    :func:`asset_pixel_checksum` and the fused decode gate so both run
+    the IDENTICAL codec kernel per profile."""
+    if decode == "png":
+        from kafka_streams_the_clojure_way_spark.functions.codecs import (
+            png_decode_gray,
+        )
+
+        return lambda raw: png_decode_gray(bytes(raw))
+    if decode == "png_any":
+        # color-type dispatch (gray/truecolor/palette) — the permissive
+        # ingestion gate's profile: a crawl's PNGs are not all
+        # grayscale, and 'not grayscale' must not classify as corrupt
+        # (ADVICE r10)
+        from kafka_streams_the_clojure_way_spark.functions.codecs import (
+            png_decode_auto,
+        )
+
+        return lambda raw: png_decode_auto(bytes(raw))
+    if decode == "wav":
+        from kafka_streams_the_clojure_way_spark.functions.codecs import (
+            wav_decode_pcm8,
+        )
+
+        return lambda raw: wav_decode_pcm8(bytes(raw))
+    if decode == "pcm":
+        # general profile: 8-bit mono OR 16-bit mono/stereo, reduced to
+        # one 8-bit stream (documented downmix + requantization)
+        from kafka_streams_the_clojure_way_spark.functions.codecs import (
+            wav_decode_pcm,
+        )
+
+        return lambda raw: wav_decode_pcm(bytes(raw))
+    if decode == "y4m":
+        # full demux, concatenated luma planes (Cmono and the C420
+        # family — chroma skipped)
+        from kafka_streams_the_clojure_way_spark.functions.codecs import (
+            y4m_decode_frames,
+        )
+
+        return lambda raw: b"".join(y4m_decode_frames(bytes(raw)))
+    return bytes
+
+
+def asset_decode_gate(
+    df: DataFrame,
+    mime_decoders: dict[str, str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ONE permissive full-decode pass over a mixed-modality batch — the
+    ingestion decode gate FUSED (r11 perf: guide §4, minimize Python
+    boundary stages): per-row dispatch by mime to the same codec kernel
+    :func:`asset_pixel_checksum` runs for that modality, with the asset
+    struct PASSED THROUGH, so the gate needs no per-modality legs, no
+    union, and no join back to the batch. Output: survivors only —
+    rows whose mime is in ``mime_decoders`` AND whose payload decodes —
+    carrying (id, asset, n_pix, pix_sum). Bit-identical to the
+    filter-by-mime + asset_pixel_checksum(mode="permissive") +
+    inner-join composition it replaces (pinned in
+    tests/test_round11_fixes.py): a corrupt payload quarantines (drops)
+    exactly where it did, and an unlisted mime drops exactly as a row
+    matching no modality leg's filter did."""
+    import numpy as np
+    import pandas as pd
+
+    for dec in mime_decoders.values():
+        if dec not in _CHECKSUM_DECODERS or dec is None:
+            raise ValueError(f"unknown checksum decode profile {dec!r}")
+    decoders = dict(mime_decoders)
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        unwraps = {m: _checksum_unwrap(d) for m, d in decoders.items()}
+        for pdf in batches:
+            assets = pdf["asset"].values
+            keep = np.zeros(len(pdf), dtype=bool)
+            pix: list[bytes] = []
+            for i, a in enumerate(assets):
+                unwrap = unwraps.get(a["mime"])
+                if unwrap is None:
+                    continue  # unlisted mime: matched no modality leg
+                try:
+                    decoded = unwrap(a["bytes"])
+                except (ValueError, NotImplementedError):
+                    continue  # quarantined: one corrupt row, not the job
+                keep[i] = True
+                pix.append(decoded)
+            lens = np.fromiter((len(p) for p in pix), dtype=np.int64, count=len(pix))
+            buf = np.frombuffer(b"".join(pix), dtype=np.uint8).astype(np.int64)
+            ends = np.cumsum(lens)
+            csum = np.concatenate(([0], np.cumsum(buf)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values[keep],
+                    "asset": assets[keep],
+                    "n_pix": lens,
+                    "pix_sum": csum[ends] - csum[ends - lens],
+                }
+            )
+
+    return df.select(id_col, "asset").mapInPandas(
+        kernel,
+        schema=(
+            f"{id_col} long, asset struct<{ASSET_SCHEMA}>, "
+            "n_pix long, pix_sum long"
+        ),
+    )
 
 
 FRAME_STRIDE = 5

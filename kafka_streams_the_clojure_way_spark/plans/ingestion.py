@@ -451,10 +451,11 @@ def multimodal_ingestion_topology(
             │
         stream/decode-gate    permissive FULL decode per modality
             │                 (PNG pixels / WAV samples / Y4M luma —
-            │                 asset_pixel_checksum, mode="permissive"):
-            │                 a corrupt container costs ONE quarantined
-            │                 row, never the job; survivors carry their
-            │                 decoded-content checksum columns
+            │                 asset_decode_gate, ONE fused mapInPandas
+            │                 dispatching by mime): a corrupt container
+            │                 costs ONE quarantined row, never the job;
+            │                 survivors carry their decoded-content
+            │                 checksum columns
         stream/neardup-gate   per-modality PERSISTED index probe
             │                 (image pHash bands / audio fingerprint
             │                 postings / video per-frame pHash bands,
@@ -482,7 +483,7 @@ def multimodal_ingestion_topology(
     from kafka_streams_the_clojure_way_spark.operators import audiofp as AFP
     from kafka_streams_the_clojure_way_spark.operators import imagehash as IH
     from kafka_streams_the_clojure_way_spark.operators.multimodal import (
-        asset_pixel_checksum,
+        asset_decode_gate,
     )
 
     #: per-batch precomputed probe routing (filled by compile_ingestion /
@@ -502,32 +503,26 @@ def multimodal_ingestion_topology(
     mime = F.col("asset").getField("mime")
 
     def decode_gate(batch: DataFrame) -> DataFrame:
-        # pin the RAW batch: its construction (for the registered query,
-        # a python-codec ENCODE funnel) would otherwise re-run once per
-        # consumer — the ok-derivation below AND the join's left side
-        # (measured ~0.7 s/extra pass at sf0.1).
-        batch = _pin(batch)
-        parts = [
-            asset_pixel_checksum(
-                batch.filter(mime == m), decode=dec, mode="permissive"
+        # ONE fused permissive full-decode pass (r11: was 3 per-mime
+        # asset_pixel_checksum legs + 2 unions + a join back to a
+        # cache-pinned raw batch — the fused kernel dispatches by mime
+        # per row, passes the asset through, and emits survivors with
+        # their checksums directly, so the raw batch has exactly one
+        # consumer and needs no pin). png_any: color-type dispatch — a
+        # truecolor/paletted upload decodes instead of quarantining as
+        # 'corrupt' (ADVICE r10; grayscale output is bit-identical to
+        # the 'png' profile, so the registered oracle is unchanged).
+        return _pin(
+            asset_decode_gate(
+                batch,
+                {
+                    "image/png": "png_any",
+                    "audio/wav": "wav",
+                    "video/x-yuv4mpeg": "y4m",
+                },
+                id_col=id_col,
             )
-            for m, dec in (
-                # png_any: color-type dispatch — a truecolor/paletted
-                # upload decodes instead of quarantining as 'corrupt'
-                # (ADVICE r10; grayscale output is bit-identical to the
-                # 'png' profile, so the registered oracle is unchanged)
-                ("image/png", "png_any"),
-                ("audio/wav", "wav"),
-                ("video/x-yuv4mpeg", "y4m"),
-            )
-        ]
-        checks = parts[0].unionByName(parts[1]).unionByName(parts[2])
-        ok = checks.filter(F.col("status") == "ok").select(
-            id_col, "n_pix", "pix_sum"
         )
-        # inner join: quarantined rows drop out; survivors keep their
-        # decoded-content checksums for the sink
-        return _pin(batch.join(ok, id_col))
 
     def neardup_gate(batch: DataFrame) -> DataFrame:
         sigs = probe_sigs or {}
@@ -750,7 +745,7 @@ def compute_asset_routing(spark: SparkSession, topology: Topology) -> dict:
         nb = meta["n_buckets"]
         legs.append(
             frame.select(
-                IH._band_structs(F.col("phash"), meta["n_bands"]).alias("bk")
+                IH._band_structs("phash", meta["n_bands"]).alias("bk")
             )
             .select(
                 (

@@ -397,3 +397,62 @@ def test_kcenter_local_path_matches_distributed(spark, monkeypatch):
         tuple(r) for r in S.kcenter_coreset(emb, k=5).collect()
     )
     assert local == dist and len(local) == 5
+
+
+def test_asset_decode_gate_matches_leg_composition(spark):
+    """The fused decode gate (one mapInPandas, per-mime dispatch, asset
+    pass-through) must be row-identical to the per-modality
+    filter + asset_pixel_checksum(permissive) + inner-join composition
+    it replaced — survivors, checksums, quarantine drops, and
+    unknown-mime drops alike."""
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        asset_decode_gate,
+        asset_pixel_checksum,
+        corrupt_assets,
+        encode_text_assets,
+    )
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    img = corrupt_assets(
+        encode_text_assets(docs.filter(F.col("doc_id") % 4 == 0), "png")
+    )
+    aud = encode_text_assets(docs.filter(F.col("doc_id") % 4 == 1), "wav")
+    vid = encode_text_assets(docs.filter(F.col("doc_id") % 4 == 2), "y4m")
+    # unknown mime: must drop in both paths
+    odd = encode_text_assets(docs.filter(F.col("doc_id") % 4 == 3), "wav").withColumn(
+        "asset",
+        F.struct(
+            F.col("asset.bytes").alias("bytes"),
+            F.lit("application/x-unknown").alias("mime"),
+            F.col("asset.width").alias("width"),
+            F.col("asset.height").alias("height"),
+            F.col("asset.n_frames").alias("n_frames"),
+            F.col("asset.sample_rate").alias("sample_rate"),
+        ),
+    )
+    batch = img.unionByName(aud).unionByName(vid).unionByName(odd)
+    decoders = {"image/png": "png_any", "audio/wav": "wav", "video/x-yuv4mpeg": "y4m"}
+
+    fused = asset_decode_gate(batch, decoders)
+    mime = F.col("asset").getField("mime")
+    parts = [
+        asset_pixel_checksum(batch.filter(mime == m), decode=dec, mode="permissive")
+        for m, dec in decoders.items()
+    ]
+    checks = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    ok = checks.filter(F.col("status") == "ok").select("doc_id", "n_pix", "pix_sum")
+    legacy = batch.join(ok, "doc_id")
+
+    cols = ["doc_id", "n_pix", "pix_sum"]
+    got = sorted(tuple(r) for r in fused.select(*cols).collect())
+    want = sorted(tuple(r) for r in legacy.select(*cols).collect())
+    assert got == want and len(got) > 0
+    # the pass-through asset must be byte-identical to the input's
+    keep = {r["doc_id"]: bytes(r["asset"]["bytes"]) for r in fused.collect()}
+    orig = {
+        r["doc_id"]: bytes(r["asset"]["bytes"])
+        for r in batch.collect()
+        if r["doc_id"] in keep
+    }
+    assert keep == orig
