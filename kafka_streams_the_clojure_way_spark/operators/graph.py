@@ -95,9 +95,17 @@ def connected_components(
         comp = _local_union_find(
             (r["u"], r["v"]) for r in sym.toLocalIterator()
         )
-        return sym.sparkSession.createDataFrame(
+        out = sym.sparkSession.createDataFrame(
             list(comp.items()), "node long, component long"
         )
+        # createDataFrame(list) is RDD-backed — NO stats, so a consumer
+        # join planner sees defaultSizeInBytes and falls back to
+        # sort-merge (r11: the keep-best/cluster-assignment queries each
+        # paid an extra full-docs shuffle). The marker lets consumers
+        # broadcast-hint a frame that is PROVABLY driver-small (it was
+        # just collected) without guessing about the distributed path.
+        out._kstcw_driver_small = True
+        return out
     # init = one propagation round fused in: label(u) = min(u, direct
     # neighbors) — distinct nodes fall out of the same groupBy for free,
     # and dense (clique-ish) near-dup graphs hit the fixpoint immediately
@@ -145,9 +153,15 @@ def cluster_assignments(
     their own singleton cluster. The downstream dedup policy is then a
     trivial ``filter(doc_id == cluster_id)`` to keep canonicals."""
     comp = connected_components(pairs, pair_a, pair_b)
+    # broadcast the component map when the union-find escape hatch just
+    # built it on the driver (see the _kstcw_driver_small note there);
+    # the distributed-path frame keeps planner/AQE strategy choice.
+    hint = (
+        F.broadcast if getattr(comp, "_kstcw_driver_small", False) else (lambda d: d)
+    )
     return (
         all_ids.select(id_col)
-        .join(comp, all_ids[id_col] == comp.node, "left")
+        .join(hint(comp), all_ids[id_col] == comp.node, "left")
         .select(
             id_col,
             F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
@@ -263,6 +277,19 @@ PR_ITERS = 6
 #: Larger graphs keep the shuffled sort-merge rounds.
 PR_BROADCAST_MAX_NODES = 2_000_000
 
+#: max DEDUPED edge count for the driver-local fixed-point chain (r11,
+#: the kcenter/connected_components escape-hatch precedent): below this,
+#: 6 Spark rounds of join+groupBy are pure fixed overhead (~12 jobs +
+#: 6 lineage checkpoints for integer arithmetic a driver does in
+#: milliseconds), so the operator collects the checkpointed edge list
+#: ONCE (bounded: 2M (long, long) rows ~ 32 MB) and iterates in numpy
+#: int64 — bit-identical by construction, every operation is the same
+#: exact integer div/sum. Production graphs above the gate keep the
+#: distributed loop; the gate reads ONE count off the already-
+#: materialized checkpoint, so the decision is scale-adaptive, not a
+#: local[32] constant.
+PR_LOCAL_MAX_EDGES = 2_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -307,9 +334,6 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    eo = e.join(outdeg, "src").localCheckpoint(eager=False)
-
     # Join-strategy choice for the 2 joins inside every round (guide §3.1):
     # the rank/inc frames are NODE-sized two-long-column tables behind a
     # checkpoint, so Catalyst has no size estimate and falls back to
@@ -321,10 +345,37 @@ def pagerank(
     # checkpointed nodes frame decides; a 1e8-node production graph
     # exceeds the cap and keeps the shuffled path.
     n_nodes = nodes.count()
+    base = ((PR_DAMP_DEN - PR_DAMP_NUM) * unit) // PR_DAMP_DEN
+
+    # Size-gated driver-local chain (see PR_LOCAL_MAX_EDGES): the edge
+    # count is read off the checkpoint the n_nodes job just
+    # materialized, so the gate costs one cheap count.
+    if n_nodes <= PR_BROADCAST_MAX_NODES and e.count() <= PR_LOCAL_MAX_EDGES:
+        import numpy as np
+
+        rows = e.toPandas()
+        src_arr = rows["src"].to_numpy(dtype=np.int64)
+        dst_arr = rows["dst"].to_numpy(dtype=np.int64)
+        node_ids = np.unique(np.concatenate([src_arr, dst_arr]))
+        si = np.searchsorted(node_ids, src_arr)
+        di = np.searchsorted(node_ids, dst_arr)
+        outdeg_arr = np.bincount(si, minlength=node_ids.size)
+        r = np.full(node_ids.size, int(unit), dtype=np.int64)
+        for _ in range(iters):
+            c = r[si] // outdeg_arr[si]
+            inc_arr = np.zeros(node_ids.size, dtype=np.int64)
+            np.add.at(inc_arr, di, c)  # int64 accumulate — exact
+            r = base + (PR_DAMP_NUM * inc_arr) // PR_DAMP_DEN
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [(int(n), int(v)) for n, v in zip(node_ids, r)],
+            "node long, rank_units long",
+        )
+
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    eo = e.join(outdeg, "src").localCheckpoint(eager=False)
     small = n_nodes <= PR_BROADCAST_MAX_NODES
     hint = F.broadcast if small else (lambda df: df)
-
-    base = ((PR_DAMP_DEN - PR_DAMP_NUM) * unit) // PR_DAMP_DEN
     rank = nodes.select("node", F.lit(int(unit)).cast("long").alias("r"))
     for _ in range(iters):
         contrib = eo.join(hint(rank), eo["src"] == rank["node"]).selectExpr(

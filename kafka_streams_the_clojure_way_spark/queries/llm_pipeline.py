@@ -4791,8 +4791,17 @@ def _ann_quality_frame(
         k=10,
         assume_bounded=True,
     ).select("query_id", "neighbor_id")
+    # two consumers (the hits join's broadcast side AND the qids
+    # distinct) — cache the n_queries x 10 result so the brute-force
+    # ground-truth scan runs ONCE per eval, not twice (r11).
+    truth = truth.cache()
     gains = F.array(*[F.lit(g) for g in _DCG_GAIN_UNITS])
-    hits = approx.join(truth, ["query_id", "neighbor_id"]).select(
+    # broadcast hints (guide §3.1): both sides are top-k RESULT sets —
+    # n_queries x 10 rows by construction (an eval runs on a bounded
+    # query sample) — but they sit behind window/agg subtrees whose
+    # sizes Catalyst can't estimate, so the static plan fell back to
+    # two sort-merge joins (2 extra Exchanges each, r11 plan audit).
+    hits = approx.join(F.broadcast(truth), ["query_id", "neighbor_id"]).select(
         "query_id", F.element_at(gains, F.col("rank").cast("int")).alias("g")
     )
     scored = hits.groupBy("query_id").agg(
@@ -4800,7 +4809,7 @@ def _ann_quality_frame(
     )
     qids = truth.select("query_id").distinct()
     return (
-        qids.join(scored, "query_id", "left")
+        qids.join(F.broadcast(scored), "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),

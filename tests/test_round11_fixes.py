@@ -456,3 +456,30 @@ def test_asset_decode_gate_matches_leg_composition(spark):
         if r["doc_id"] in keep
     }
     assert keep == orig
+
+
+def test_pagerank_local_path_matches_distributed(spark, monkeypatch):
+    """The size-gated driver-local fixed-point chain must reproduce the
+    distributed 6-round loop bit-for-bit (all-integer arithmetic)."""
+    from kafka_streams_the_clojure_way_spark.operators import graph as G
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    op = (
+        li.filter(F.col("l_orderkey") % 8 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .dropDuplicates()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .dropDuplicates()
+    )
+    edges = und.selectExpr("u AS src", "v AS dst").unionAll(
+        und.selectExpr("v AS src", "u AS dst")
+    )
+    local = sorted(tuple(r) for r in G.pagerank(edges).collect())
+    monkeypatch.setattr(G, "PR_LOCAL_MAX_EDGES", 0)
+    dist = sorted(tuple(r) for r in G.pagerank(edges).collect())
+    assert local == dist and len(local) > 0
