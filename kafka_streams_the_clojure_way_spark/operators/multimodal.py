@@ -86,6 +86,54 @@ def wrap_binary_assets(df: DataFrame, bytes_col: str, mime: str) -> DataFrame:
     )
 
 
+#: mime per fixture codec (module-level: shared by the single-codec and
+#: per-row-dispatch encoders).
+_CODEC_MIME = {
+    "png": "image/png",
+    "png_rgb": "image/png",
+    "png_palette": "image/png",
+    "png_adam7": "image/png",
+    "wav": "audio/wav",
+    "wav16": "audio/wav",
+    "wav24": "audio/wav",
+    "pgm": "video/x-pgm-frames",
+    "y4m": "video/x-yuv4mpeg",
+    "y4m420": "video/x-yuv4mpeg",
+    "y4m422": "video/x-yuv4mpeg",
+    "y4m444": "video/x-yuv4mpeg",
+}
+
+
+def _codec_encoders():
+    """bytes -> container encoder per fixture codec (worker-side)."""
+    from kafka_streams_the_clojure_way_spark.functions import codecs as CC
+
+    return {
+        "png": CC.png_encode_gray,
+        "png_rgb": CC.png_encode_rgb,
+        "png_palette": CC.png_encode_palette,
+        # Adam7-interlaced grayscale: same decoded pixel stream as
+        # "png" (interlacing reorders wire bytes, never the image)
+        "png_adam7": CC.png_encode_gray_interlaced,
+        "wav": CC.wav_encode_pcm8,
+        "wav16": CC.wav_encode_pcm16,  # 16-bit stereo (channels=2)
+        # 24-bit stereo — decodes to the SAME pairwise byte average
+        # as wav16, so a mixed 16/24-bit corpus shares one oracle
+        "wav24": CC.wav_encode_pcm24,
+        "pgm": CC.pgm_encode_video,
+        "y4m": CC.y4m_encode_video,
+        # real 4:2:0 stream whose LUMA carries the same payload
+        # bytes per frame as the Cmono fixture (W halves, H
+        # doubles, neutral chroma planes appended) — so mixed
+        # Cmono/C420 corpora share one luma-level oracle.
+        "y4m420": lambda b: CC.y4m_encode_video(b, cspace="420"),
+        # 4:2:2 / 4:4:4 (r11): same frame_len luma payload per
+        # frame, wider neutral chroma — luma oracles stay invariant
+        "y4m422": lambda b: CC.y4m_encode_video(b, cspace="422"),
+        "y4m444": lambda b: CC.y4m_encode_video(b, cspace="444"),
+    }
+
+
 def encode_text_assets(
     df: DataFrame,
     codec: str,
@@ -113,48 +161,10 @@ def encode_text_assets(
             f"'wav', 'wav16', 'wav24', 'pgm', 'y4m', 'y4m420', 'y4m422' or "
             f"'y4m444', got {codec!r}"
         )
-    mime = {
-        "png": "image/png",
-        "png_rgb": "image/png",
-        "png_palette": "image/png",
-        "png_adam7": "image/png",
-        "wav": "audio/wav",
-        "wav16": "audio/wav",
-        "wav24": "audio/wav",
-        "pgm": "video/x-pgm-frames",
-        "y4m": "video/x-yuv4mpeg",
-        "y4m420": "video/x-yuv4mpeg",
-        "y4m422": "video/x-yuv4mpeg",
-        "y4m444": "video/x-yuv4mpeg",
-    }[codec]
+    mime = _CODEC_MIME[codec]
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        from kafka_streams_the_clojure_way_spark.functions import codecs as CC
-
-        enc = {
-            "png": CC.png_encode_gray,
-            "png_rgb": CC.png_encode_rgb,
-            "png_palette": CC.png_encode_palette,
-            # Adam7-interlaced grayscale: same decoded pixel stream as
-            # "png" (interlacing reorders wire bytes, never the image)
-            "png_adam7": CC.png_encode_gray_interlaced,
-            "wav": CC.wav_encode_pcm8,
-            "wav16": CC.wav_encode_pcm16,  # 16-bit stereo (channels=2)
-            # 24-bit stereo — decodes to the SAME pairwise byte average
-            # as wav16, so a mixed 16/24-bit corpus shares one oracle
-            "wav24": CC.wav_encode_pcm24,
-            "pgm": CC.pgm_encode_video,
-            "y4m": CC.y4m_encode_video,
-            # real 4:2:0 stream whose LUMA carries the same payload
-            # bytes per frame as the Cmono fixture (W halves, H
-            # doubles, neutral chroma planes appended) — so mixed
-            # Cmono/C420 corpora share one luma-level oracle.
-            "y4m420": lambda b: CC.y4m_encode_video(b, cspace="420"),
-            # 4:2:2 / 4:4:4 (r11): same frame_len luma payload per
-            # frame, wider neutral chroma — luma oracles stay invariant
-            "y4m422": lambda b: CC.y4m_encode_video(b, cspace="422"),
-            "y4m444": lambda b: CC.y4m_encode_video(b, cspace="444"),
-        }[codec]
+        enc = _codec_encoders()[codec]
         for pdf in batches:
             payloads = [enc(t.encode("utf-8")) for t in pdf[text_col].values]
             yield pd.DataFrame(
@@ -198,6 +208,25 @@ PNG_IDAT_BODY_OFFSET = 8 + 25 + 8
 PNG_IEND_LEN = 12
 
 
+def _corrupt_payload(
+    doc_id: int, raw: bytes, flip_offset: int, trunc_tail: int
+) -> bytes:
+    """The id%4-keyed seeded corruption of :func:`corrupt_assets`,
+    factored so the fused fixture encoder applies the identical bytes."""
+    kind = doc_id % 4
+    if kind == 1 and len(raw) > flip_offset:
+        return (
+            raw[:flip_offset]
+            + bytes([raw[flip_offset] ^ 0xFF])
+            + raw[flip_offset + 1 :]
+        )
+    if kind == 2:
+        return raw[: max(0, len(raw) - trunc_tail)]
+    if kind == 3:
+        return b"\x00\x00\x00\x00" + raw[4:]
+    return raw
+
+
 def corrupt_assets(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -223,18 +252,9 @@ def corrupt_assets(
         for pdf in batches:
             out = []
             for doc_id, asset in zip(pdf[id_col].values, pdf["asset"].values):
-                raw = bytes(asset["bytes"])
-                kind = int(doc_id) % 4
-                if kind == 1 and len(raw) > flip_offset:
-                    raw = (
-                        raw[:flip_offset]
-                        + bytes([raw[flip_offset] ^ 0xFF])
-                        + raw[flip_offset + 1 :]
-                    )
-                elif kind == 2:
-                    raw = raw[: max(0, len(raw) - trunc_tail)]
-                elif kind == 3:
-                    raw = b"\x00\x00\x00\x00" + raw[4:]
+                raw = _corrupt_payload(
+                    int(doc_id), bytes(asset["bytes"]), flip_offset, trunc_tail
+                )
                 out.append(
                     {
                         id_col: doc_id,
@@ -251,6 +271,65 @@ def corrupt_assets(
             yield pd.DataFrame(out)
 
     return df.select(id_col, "asset").mapInPandas(
+        kernel, schema=f"{id_col} long, asset struct<{ASSET_SCHEMA}>"
+    )
+
+
+def encode_text_assets_by(
+    df: DataFrame,
+    codec_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    corrupt_png: bool = False,
+    flip_offset: int = PNG_IDAT_BODY_OFFSET,
+    trunc_tail: int = PNG_IEND_LEN,
+) -> DataFrame:
+    """Fixture encoder with PER-ROW codec dispatch — ONE mapInPandas
+    over a mixed-modality corpus (r11, guide §4: was one
+    ``encode_text_assets`` leg per codec + a union tree + an extra
+    corruption pass; a 6-leg fixture built 7 Python stages that each
+    re-scanned the source). ``codec_col`` names a string column holding
+    one of the :func:`encode_text_assets` codec tags per row; rows
+    encode through the IDENTICAL per-codec encoders, so the output is
+    row-identical to the filter-per-codec union it replaces (pinned in
+    tests/test_round11_fixes.py). ``corrupt_png=True`` additionally
+    applies :func:`corrupt_assets`' id%4 seeded corruption classes to
+    the image/png rows in the same pass (byte-identical helper)."""
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        enc = _codec_encoders()
+        for pdf in batches:
+            out = []
+            for doc_id, text, codec in zip(
+                pdf[id_col].values, pdf[text_col].values, pdf[codec_col].values
+            ):
+                encoder = enc.get(codec)
+                if encoder is None:
+                    raise ValueError(f"unknown fixture codec {codec!r}")
+                mime = _CODEC_MIME[codec]
+                raw = encoder(text.encode("utf-8"))
+                if corrupt_png and mime == "image/png":
+                    raw = _corrupt_payload(
+                        int(doc_id), raw, flip_offset, trunc_tail
+                    )
+                out.append(
+                    {
+                        id_col: doc_id,
+                        "asset": {
+                            "bytes": raw,
+                            "mime": mime,
+                            "width": -1,
+                            "height": -1,
+                            "n_frames": -1,
+                            "sample_rate": -1,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col, codec_col).mapInPandas(
         kernel, schema=f"{id_col} long, asset struct<{ASSET_SCHEMA}>"
     )
 

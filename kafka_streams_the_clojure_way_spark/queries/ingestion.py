@@ -685,12 +685,10 @@ def _multimodal_arriving(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-predictable for PNG; the audio/video corruption classes are
     pinned by their own codec suites)."""
     from kafka_streams_the_clojure_way_spark.operators.multimodal import (
-        corrupt_assets,
-        encode_text_assets,
+        encode_text_assets_by,
     )
     from kafka_streams_the_clojure_way_spark.queries.llm_pipeline import (
         _PHASH_PROBE_MOD_VAL,
-        _encode_video_mixed,
         _perturbed_twins,
     )
 
@@ -700,12 +698,25 @@ def _multimodal_arriving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fresh = docs.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
     arriving = twins.unionByName(fresh)
-    img = corrupt_assets(
-        encode_text_assets(arriving.filter(F.col("doc_id") % 3 == 0), "png")
+    # ONE per-row-dispatch encode pass (r11): was 6 filter+encode legs
+    # (png + corrupt pass, wav, 4 video colorspaces) unioned — same
+    # per-codec encoders and the same id%4 corruption bytes on the
+    # image slice, row for row (operator parity pinned in
+    # tests/test_round11_fixes.py; the registered oracle is unchanged)
+    return encode_text_assets_by(
+        arriving.withColumn(
+            "__codec",
+            F.expr(
+                "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' "
+                "WHEN 1 THEN 'wav' "
+                "ELSE CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'y4m' "
+                "WHEN 1 THEN 'y4m420' WHEN 2 THEN 'y4m422' "
+                "ELSE 'y4m444' END END"
+            ),
+        ),
+        "__codec",
+        corrupt_png=True,
     )
-    aud = encode_text_assets(arriving.filter(F.col("doc_id") % 3 == 1), "wav")
-    vid = _encode_video_mixed(arriving.filter(F.col("doc_id") % 3 == 2))
-    return img.unionByName(aud).unionByName(vid)
 
 
 def _multimodal_topology(spark: SparkSession, sf_dir: str, cache_registry=None):

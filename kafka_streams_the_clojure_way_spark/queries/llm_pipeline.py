@@ -1735,11 +1735,20 @@ def multimodal_image_interlaced_checksum(spark: SparkSession, sf_dir: str) -> Da
     docs = with_min_parallelism(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    assets = encode_text_assets(docs.filter(F.col("doc_id") % 2 == 0), "png").unionByName(
-        encode_text_assets(docs.filter(F.col("doc_id") % 2 == 1), "png_adam7")
-    )
     from kafka_streams_the_clojure_way_spark.operators.multimodal import (
         asset_pixel_checksum,
+        encode_text_assets_by,
+    )
+
+    assets = encode_text_assets_by(
+        docs.withColumn(
+            "__codec",
+            F.expr(
+                "CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN 'png' "
+                "ELSE 'png_adam7' END"
+            ),
+        ),
+        "__codec",
     )
 
     return asset_pixel_checksum(assets, decode="png")
@@ -1819,14 +1828,23 @@ def _encode_video_mixed(df) -> "DataFrame":
     sample, pHash pairs, index probe, layout) is container-invariant
     and stays bit-exact over the whole mix. Only the header-walk
     metadata oracle sees the per-colorspace W x H geometry."""
-    parts = [
-        encode_text_assets(df.filter(F.col("doc_id") % 4 == m), codec)
-        for m, codec in enumerate(["y4m", "y4m420", "y4m422", "y4m444"])
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        encode_text_assets_by,
+    )
+
+    # per-row codec dispatch (r11): one mapInPandas instead of four
+    # filter+encode legs unioned — same encoders row for row
+    return encode_text_assets_by(
+        df.withColumn(
+            "__codec",
+            F.expr(
+                "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'y4m' "
+                "WHEN 1 THEN 'y4m420' WHEN 2 THEN 'y4m422' "
+                "ELSE 'y4m444' END"
+            ),
+        ),
+        "__codec",
+    )
 
 
 def _shared_video_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2025,15 +2043,27 @@ def multimodal_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle recomputes the expected geometry from the encoders'
     documented layout, so a header mis-parse (wrong endianness, off-by-
     one in the chunk walk) surfaces as a value mismatch."""
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        encode_text_assets_by,
+    )
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    parts = [
-        encode_text_assets(docs.filter(F.col("doc_id") % 3 == m), codec)
-        for m, codec in enumerate(["png", "wav"])
-    ]
-    # video slice is itself MIXED Cmono/C420/C422/C444 — the header
-    # walk must report each container's true geometry (64x1 vs 32x2)
-    parts.append(_encode_video_mixed(docs.filter(F.col("doc_id") % 3 == 2)))
-    assets = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    # one per-row-dispatch encode pass (r11); the video slice stays
+    # MIXED Cmono/C420/C422/C444 — the header walk must report each
+    # container's true geometry (64x1 vs 32x2)
+    assets = encode_text_assets_by(
+        docs.withColumn(
+            "__codec",
+            F.expr(
+                "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' "
+                "WHEN 1 THEN 'wav' "
+                "ELSE CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'y4m' "
+                "WHEN 1 THEN 'y4m420' WHEN 2 THEN 'y4m422' "
+                "ELSE 'y4m444' END END"
+            ),
+        ),
+        "__codec",
+    )
     return decode_assets(assets, decoder="stdlib").select(
         "doc_id", "mime", "width", "height", "n_frames", "sample_rate"
     )
@@ -2236,9 +2266,20 @@ def _encode_audio_mixed(df) -> "DataFrame":
     ``wav_decode_pcm``'s documented downmix + high-byte requantization
     to the SAME pairwise byte average of the padded text, so every
     sample-level oracle is wire-profile-invariant."""
-    even = encode_text_assets(df.filter(F.col("doc_id") % 2 == 0), "wav16")
-    odd = encode_text_assets(df.filter(F.col("doc_id") % 2 == 1), "wav24")
-    return even.unionByName(odd)
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        encode_text_assets_by,
+    )
+
+    return encode_text_assets_by(
+        df.withColumn(
+            "__codec",
+            F.expr(
+                "CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN 'wav16' "
+                "ELSE 'wav24' END"
+            ),
+        ),
+        "__codec",
+    )
 
 
 @query(
@@ -5483,8 +5524,22 @@ def text_contamination_bloom_gated(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("source") != _BENCH_SOURCE)
         .select("doc_id", "s")
     )
+    # full-segment routing superset (r11): a WHOLE-CORPUS sweep probes
+    # essentially every segment, so the probe's two adaptive
+    # segment-routing collects — each a job over the vocabulary-sized
+    # distinct-key frame — buy no pruning here; the caller-supplied
+    # superset is output-identical by the probe's routing contract and
+    # skips both collects (and the need-frame cache they forced). Small
+    # probe batches (the ingestion gate) keep adaptive routing.
+    all_segs = list(range(int(D._index_meta(spark, path)["n_segments"])))
     members = (
-        D.keyset_index_probe(spark, path, corpus.select(F.col("s").alias("key")))
+        D.keyset_index_probe(
+            spark,
+            path,
+            corpus.select(F.col("s").alias("key")),
+            segments=all_segs,
+            confirm_segments=all_segs,
+        )
         .withColumnRenamed("key", "s")
         .withColumn("__hit", F.lit(1))
     )

@@ -483,3 +483,51 @@ def test_pagerank_local_path_matches_distributed(spark, monkeypatch):
     monkeypatch.setattr(G, "PR_LOCAL_MAX_EDGES", 0)
     dist = sorted(tuple(r) for r in G.pagerank(edges).collect())
     assert local == dist and len(local) > 0
+
+
+def test_encode_text_assets_by_matches_leg_union(spark):
+    """The per-row-codec fixture encoder must be row-identical (payload
+    bytes included) to the filter-per-codec + union composition — with
+    and without the fused png corruption pass."""
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        corrupt_assets,
+        encode_text_assets,
+        encode_text_assets_by,
+    )
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    case = F.expr(
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav' "
+        "ELSE CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'y4m' "
+        "WHEN 1 THEN 'y4m420' WHEN 2 THEN 'y4m422' ELSE 'y4m444' END END"
+    )
+
+    def snap(df):
+        return sorted(
+            (r["doc_id"], bytes(r["asset"]["bytes"]), r["asset"]["mime"])
+            for r in df.collect()
+        )
+
+    legacy_vid = None
+    for m, codec in enumerate(["y4m", "y4m420", "y4m422", "y4m444"]):
+        leg = encode_text_assets(
+            docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 4 == m)),
+            codec,
+        )
+        legacy_vid = leg if legacy_vid is None else legacy_vid.unionByName(leg)
+    legacy = (
+        corrupt_assets(
+            encode_text_assets(docs.filter(F.col("doc_id") % 3 == 0), "png")
+        )
+        .unionByName(
+            encode_text_assets(docs.filter(F.col("doc_id") % 3 == 1), "wav")
+        )
+        .unionByName(legacy_vid)
+    )
+    fused = encode_text_assets_by(
+        docs.withColumn("__codec", case), "__codec", corrupt_png=True
+    )
+    assert snap(fused) == snap(legacy) and fused.count() == docs.count()
