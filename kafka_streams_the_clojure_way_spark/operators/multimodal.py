@@ -565,6 +565,77 @@ def resize_assets(
     )
 
 
+def transcode_checksum_assets(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full PNG transcode audit in ONE Python pass (r11, guide §4):
+    decode -> nearest-neighbor resample -> re-encode -> decode again ->
+    checksum, per asset — exactly
+    ``asset_pixel_checksum(resize_assets(df, w, h, codec="png"),
+    decode="png")`` (same codec kernels called in the same order, same
+    output columns), but without shipping every intermediate payload
+    across two extra JVM<->Python Arrow hops: the 3-stage chain spawned
+    three Python workers per task whose transfer/setup overhead dwarfed
+    the codec CPU (whole-corpus encode+decode measures ~0.7 s
+    single-core at sf0.1). Parity pinned in
+    tests/test_round11_fixes.py."""
+    import numpy as np
+    import pandas as pd
+
+    target = width * height
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from kafka_streams_the_clojure_way_spark.functions.codecs import (
+            png_decode_gray,
+            png_encode_gray,
+        )
+
+        for pdf in batches:
+            pix: list[bytes] = []
+            for a in pdf["asset"].values:
+                decoded = png_decode_gray(bytes(a["bytes"]))
+                n = len(decoded)
+                resampled = bytes(
+                    decoded[(k * n) // target] for k in range(target)
+                )
+                reencoded = png_encode_gray(resampled, width=width)
+                pix.append(png_decode_gray(reencoded))
+            lens = np.fromiter(
+                (len(p) for p in pix), dtype=np.int64, count=len(pix)
+            )
+            buf = np.frombuffer(b"".join(pix), dtype=np.uint8).astype(np.int64)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            csum = np.concatenate(([0], np.cumsum(buf)))
+            sbuf = buf if buf.size else np.zeros(1, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "n_pix": lens,
+                    "pix_sum": csum[ends] - csum[starts],
+                    "pix_head": np.where(
+                        lens > 0, sbuf[np.minimum(starts, sbuf.size - 1)], -1
+                    ),
+                    "pix_tail": np.where(
+                        lens > 0,
+                        sbuf[np.minimum(np.maximum(ends - 1, 0), sbuf.size - 1)],
+                        -1,
+                    ),
+                }
+            )
+
+    return df.select(id_col, "asset").mapInPandas(
+        kernel,
+        schema=(
+            f"{id_col} long, n_pix long, pix_sum long, "
+            "pix_head long, pix_tail long"
+        ),
+    )
+
+
 def asset_pixel_checksum(
     df: DataFrame,
     id_col: str = "doc_id",

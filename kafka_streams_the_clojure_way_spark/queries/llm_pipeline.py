@@ -24,7 +24,6 @@ from kafka_streams_the_clojure_way_spark.operators.multimodal import (
     decode_assets,
     encode_text_assets,
     extract_features,
-    resize_assets,
     sample_frames,
     wrap_binary_assets,
 )
@@ -1477,19 +1476,23 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3.55 s -> 1.20 s interleaved min-of-3 at sf0.1; a blanket guard in
     # encode_text_assets REGRESSED trivial-kernel queries (family 9.9 s
     # -> 16.2 s — see the encode_text_assets note).
-    resized = resize_assets(
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        transcode_checksum_assets,
+    )
+
+    # ONE fused transcode+checksum Python pass (r11): the former
+    # encode -> resize_assets -> asset_pixel_checksum 3-stage chain ran
+    # three Python workers per task and shipped every intermediate
+    # payload across two extra Arrow hops — pure overhead next to the
+    # ~30 ms/core of actual codec CPU (see transcode_checksum_assets;
+    # operator-level parity pinned, oracle unchanged).
+    return transcode_checksum_assets(
         encode_text_assets(
             with_min_parallelism(load_table(spark, sf_dir, "documents")), "png"
         ),
         _RESIZE_W,
         _RESIZE_H,
-        codec="png",
     )
-    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
-        asset_pixel_checksum,
-    )
-
-    return asset_pixel_checksum(resized, decode="png")
 
 
 #: residue classes of the seeded corruption fixture (multimodal.

@@ -531,3 +531,25 @@ def test_encode_text_assets_by_matches_leg_union(spark):
         docs.withColumn("__codec", case), "__codec", corrupt_png=True
     )
     assert snap(fused) == snap(legacy) and fused.count() == docs.count()
+
+
+def test_transcode_checksum_matches_chain(spark):
+    """The fused transcode+checksum kernel must equal the
+    resize_assets -> asset_pixel_checksum(decode='png') composition."""
+    from kafka_streams_the_clojure_way_spark.operators.multimodal import (
+        asset_pixel_checksum,
+        encode_text_assets,
+        resize_assets,
+        transcode_checksum_assets,
+    )
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assets = encode_text_assets(docs, "png")
+    fused = transcode_checksum_assets(assets, 16, 16)
+    legacy = asset_pixel_checksum(
+        resize_assets(assets, 16, 16, codec="png"), decode="png"
+    )
+    got = sorted(tuple(r) for r in fused.collect())
+    want = sorted(tuple(r) for r in legacy.collect())
+    assert got == want and len(got) > 0
