@@ -170,34 +170,82 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 #: invalidate below).
 _SCHEMA_CACHE: dict[str, object] = {}
 
+#: listing-token-validated DataFrame cache for the same datasets
+#: (r11): ``spark.read.parquet`` builds a fresh InMemoryFileIndex per
+#: call — a driver-side LISTING of the dataset tree (~0.1-0.25 s for a
+#: partitioned index's hundreds of leaf dirs), repeated for every probe
+#: of every query and ~10x per streaming trigger. A cached DataFrame is
+#: reused ONLY while the dataset's (relative-path, size) file token is
+#: unchanged — any append/compact/rebuild writes part-files with fresh
+#: task-UUID names, so the token flips and the next read lists fresh
+#: (the `_meta_token` convention). On filesystems where the local walk
+#: fails (object stores) the token is None and every read stays fresh —
+#: the pre-r11 behavior. Metadata caching only: every query still
+#: computes from the parquet bytes.
+_DF_CACHE: dict[tuple, tuple[object, DataFrame]] = {}
+
+
+def _listing_token(path: str):
+    try:
+        entries = []
+        for root, _dirs, files in os.walk(path):
+            rel = os.path.relpath(root, path)
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                entries.append(
+                    (rel, f, os.path.getsize(os.path.join(root, f)))
+                )
+        return tuple(sorted(entries))
+    except OSError:
+        return None
+
 
 def read_static_schema(spark: SparkSession, path: str) -> DataFrame:
     """Read a parquet dataset whose SCHEMA is stable across appends —
     the persisted-index dataset contract (bands/hashes/bits/keys/
     postings/...). First read per (process, path) pays the normal
     inference job and caches the schema; later reads pass it explicitly,
-    so re-probing an index costs file listing only, no footer job.
-    File LISTING is never cached — appended files are always seen.
-    Rebuilds that might change schema must call
-    :func:`invalidate_static_schema` on the dataset's root (the index
-    build_* functions do, via their meta invalidation hook)."""
+    so re-probing an index costs file listing only, no footer job — and
+    (r11) even the listing is skipped while the dataset's file token is
+    unchanged (see ``_DF_CACHE``: appended files are ALWAYS seen,
+    because an append changes the token). Rebuilds that might change
+    schema must call :func:`invalidate_static_schema` on the dataset's
+    root (the index build_* functions do, via their meta invalidation
+    hook)."""
     key = os.path.normpath(path)
+    token = _listing_token(key)
+    dkey = (key, id(spark))
+    if token is not None:
+        hit = _DF_CACHE.get(dkey)
+        if hit is not None and hit[0] == token:
+            return hit[1]
     schema = _SCHEMA_CACHE.get(key)
     if schema is not None:
-        return spark.read.schema(schema).parquet(path)
-    df = spark.read.parquet(path)
-    _SCHEMA_CACHE[key] = df.schema
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    if token is not None:
+        _DF_CACHE[dkey] = (token, df)
     return df
 
 
 def invalidate_static_schema(prefix: str) -> None:
-    """Drop cached schemas for every dataset under ``prefix`` (an index
-    root or a single dataset dir). Called by the index build functions;
-    needed manually only for out-of-process REBUILDS of a reused path —
-    the same contract as ``dedup.invalidate_index_meta``."""
+    """Drop cached schemas AND cached listing-token DataFrames for every
+    dataset under ``prefix`` (an index root or a single dataset dir).
+    Called by the index build functions; needed manually only for
+    out-of-process REBUILDS of a reused path — the same contract as
+    ``dedup.invalidate_index_meta``."""
     norm = os.path.normpath(prefix)
     for key in [k for k in _SCHEMA_CACHE if k == norm or k.startswith(norm + os.sep)]:
         _SCHEMA_CACHE.pop(key, None)
+    for dkey in [
+        k
+        for k in _DF_CACHE
+        if k[0] == norm or k[0].startswith(norm + os.sep)
+    ]:
+        _DF_CACHE.pop(dkey, None)
 
 
 def write_partitioned(

@@ -553,3 +553,26 @@ def test_transcode_checksum_matches_chain(spark):
     got = sorted(tuple(r) for r in fused.collect())
     want = sorted(tuple(r) for r in legacy.collect())
     assert got == want and len(got) > 0
+
+
+def test_read_static_schema_sees_appends_and_rebuilds(spark, tmp_path):
+    """The r11 listing-token DataFrame cache must NEVER serve a stale
+    file set: an append (new part-file) and an in-place rewrite both
+    flip the token and force a fresh listing; an unchanged dataset
+    serves the cached frame."""
+    from kafka_streams_the_clojure_way_spark.sources import files as SF
+
+    p = str(tmp_path / "ds")
+    spark.range(5).write.parquet(p)
+    df1 = SF.read_static_schema(spark, p)
+    assert df1.count() == 5
+    # unchanged dataset -> same cached frame object
+    assert SF.read_static_schema(spark, p) is df1
+    # append must be visible immediately
+    spark.range(5, 8).write.mode("append").parquet(p)
+    df2 = SF.read_static_schema(spark, p)
+    assert df2 is not df1 and df2.count() == 8
+    # explicit invalidation drops the cached frame too
+    SF.invalidate_static_schema(p)
+    df3 = SF.read_static_schema(spark, p)
+    assert df3 is not df2 and df3.count() == 8
