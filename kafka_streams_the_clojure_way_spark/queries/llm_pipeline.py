@@ -4077,9 +4077,21 @@ def sample_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (P.hash60(F.col("tok")) % _DSIR_BUCKETS).alias("bucket"),
     )
-    dist = bucketed.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_s"),
-        F.count_if(F.col("lang") == "en").alias("n_t"),
+    # ONE corpus token pass (r11): the (doc, lang, bucket) count table
+    # is map-side-combined down from the token stream and cached; BOTH
+    # the bucket-count ratio model and the per-doc scoring derive from
+    # it (each branch re-exploded the corpus before). lang is per-doc,
+    # so the extra grouping key changes no count.
+    per = (
+        bucketed.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+    dist = per.groupBy("bucket").agg(
+        F.sum("cnt").alias("n_s"),
+        F.sum(
+            F.when(F.col("lang") == "en", F.col("cnt")).otherwise(F.lit(0))
+        ).alias("n_t"),
     )
     tot = dist.agg(
         F.sum("n_s").cast("double").alias("t_s"),
@@ -4092,8 +4104,8 @@ def sample_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.col("n_s") + 1.0) / (F.col("t_s") + _DSIR_BUCKETS))
         ).alias("log_ratio"),
     )
-    doc_buckets = bucketed.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+    doc_buckets = per.groupBy("doc_id", "bucket").agg(
+        F.sum("cnt").alias("cnt")
     )
     return (
         doc_buckets.join(F.broadcast(ratio), "bucket")
@@ -5053,9 +5065,12 @@ def agg_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducer key. Totals are a |sources|-row broadcast. Output is
     |sources|^2 / 2 rows — model-sized at any corpus scale."""
     docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
+    # cached: two consumers (per-source totals AND the per-shingle
+    # source sets) — without the pin the shingle explode + distinct
+    # (THE corpus pass) runs twice (r11).
     posts = docs.select(
         "source", F.explode(D.shingle_hashes(F.col("text"))).alias("h")
-    ).distinct()
+    ).distinct().cache()
     tot = posts.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     srcs = posts.groupBy("h").agg(
         F.sort_array(F.collect_set("source")).alias("srcs")
@@ -5686,9 +5701,21 @@ def sample_dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (P.hash60(F.col("tok")) % _DSIR_BUCKETS).alias("bucket"),
     )
-    dist = bucketed.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_s"),
-        F.count_if(F.col("lang") == "en").alias("n_t"),
+    # ONE corpus token pass (r11): the (doc, lang, bucket) count table
+    # is map-side-combined down from the token stream and cached; BOTH
+    # the bucket-count ratio model and the per-doc scoring derive from
+    # it (each branch re-exploded the corpus before). lang is per-doc,
+    # so the extra grouping key changes no count.
+    per = (
+        bucketed.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+    dist = per.groupBy("bucket").agg(
+        F.sum("cnt").alias("n_s"),
+        F.sum(
+            F.when(F.col("lang") == "en", F.col("cnt")).otherwise(F.lit(0))
+        ).alias("n_t"),
     )
     tot = dist.agg(
         F.sum("n_s").cast("double").alias("t_s"),
@@ -5701,8 +5728,8 @@ def sample_dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.col("n_s") + 1.0) / (F.col("t_s") + _DSIR_BUCKETS))
         ).alias("log_ratio"),
     )
-    doc_buckets = bucketed.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+    doc_buckets = per.groupBy("doc_id", "bucket").agg(
+        F.sum("cnt").alias("cnt")
     )
     scored = (
         doc_buckets.join(F.broadcast(ratio), "bucket")
