@@ -4077,21 +4077,17 @@ def sample_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (P.hash60(F.col("tok")) % _DSIR_BUCKETS).alias("bucket"),
     )
-    # ONE corpus token pass (r11): the (doc, lang, bucket) count table
-    # is map-side-combined down from the token stream and cached; BOTH
-    # the bucket-count ratio model and the per-doc scoring derive from
-    # it (each branch re-exploded the corpus before). lang is per-doc,
-    # so the extra grouping key changes no count.
-    per = (
-        bucketed.groupBy("doc_id", "lang", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .cache()
-    )
-    dist = per.groupBy("bucket").agg(
-        F.sum("cnt").alias("n_s"),
-        F.sum(
-            F.when(F.col("lang") == "en", F.col("cnt")).otherwise(F.lit(0))
-        ).alias("n_t"),
+    # TWO map-side-combined corpus passes, deliberately (r11 A/B): the
+    # "one corpus pass" variant (cache a (doc, lang, bucket) count
+    # table, derive both branches) measured 3.1-3.5 s vs 2.0 s for this
+    # shape at sf0.1 — materializing the doc x bucket table costs more
+    # than the second explode, and at 100 TB caching a token-scale
+    # table is the wrong trade outright. Each pass partial-aggregates
+    # before its shuffle (bucket: _DSIR_BUCKETS-row output; (doc, bucket):
+    # bounded by tokens), so neither pass shuffles the token stream.
+    dist = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.count_if(F.col("lang") == "en").alias("n_t"),
     )
     tot = dist.agg(
         F.sum("n_s").cast("double").alias("t_s"),
@@ -4104,8 +4100,8 @@ def sample_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.col("n_s") + 1.0) / (F.col("t_s") + _DSIR_BUCKETS))
         ).alias("log_ratio"),
     )
-    doc_buckets = per.groupBy("doc_id", "bucket").agg(
-        F.sum("cnt").alias("cnt")
+    doc_buckets = bucketed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
     return (
         doc_buckets.join(F.broadcast(ratio), "bucket")
@@ -5065,12 +5061,15 @@ def agg_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducer key. Totals are a |sources|-row broadcast. Output is
     |sources|^2 / 2 rows — model-sized at any corpus scale."""
     docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
-    # cached: two consumers (per-source totals AND the per-shingle
-    # source sets) — without the pin the shingle explode + distinct
-    # (THE corpus pass) runs twice (r11).
+    # two consumers (per-source totals AND the per-shingle source
+    # sets) share THE corpus pass through exchange reuse: both branches
+    # aggregate the identical distinct subtree, so its Exchange is
+    # computed once (ReusedExchange). An explicit cache pin here
+    # measured SLOWER (materialization cost on top of the same single
+    # pass) — r11.
     posts = docs.select(
         "source", F.explode(D.shingle_hashes(F.col("text"))).alias("h")
-    ).distinct().cache()
+    ).distinct()
     tot = posts.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     srcs = posts.groupBy("h").agg(
         F.sort_array(F.collect_set("source")).alias("srcs")
@@ -5701,21 +5700,17 @@ def sample_dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (P.hash60(F.col("tok")) % _DSIR_BUCKETS).alias("bucket"),
     )
-    # ONE corpus token pass (r11): the (doc, lang, bucket) count table
-    # is map-side-combined down from the token stream and cached; BOTH
-    # the bucket-count ratio model and the per-doc scoring derive from
-    # it (each branch re-exploded the corpus before). lang is per-doc,
-    # so the extra grouping key changes no count.
-    per = (
-        bucketed.groupBy("doc_id", "lang", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .cache()
-    )
-    dist = per.groupBy("bucket").agg(
-        F.sum("cnt").alias("n_s"),
-        F.sum(
-            F.when(F.col("lang") == "en", F.col("cnt")).otherwise(F.lit(0))
-        ).alias("n_t"),
+    # TWO map-side-combined corpus passes, deliberately (r11 A/B): the
+    # "one corpus pass" variant (cache a (doc, lang, bucket) count
+    # table, derive both branches) measured 3.1-3.5 s vs 2.0 s for this
+    # shape at sf0.1 — materializing the doc x bucket table costs more
+    # than the second explode, and at 100 TB caching a token-scale
+    # table is the wrong trade outright. Each pass partial-aggregates
+    # before its shuffle (bucket: _DSIR_BUCKETS-row output; (doc, bucket):
+    # bounded by tokens), so neither pass shuffles the token stream.
+    dist = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.count_if(F.col("lang") == "en").alias("n_t"),
     )
     tot = dist.agg(
         F.sum("n_s").cast("double").alias("t_s"),
@@ -5728,8 +5723,8 @@ def sample_dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.col("n_s") + 1.0) / (F.col("t_s") + _DSIR_BUCKETS))
         ).alias("log_ratio"),
     )
-    doc_buckets = per.groupBy("doc_id", "bucket").agg(
-        F.sum("cnt").alias("cnt")
+    doc_buckets = bucketed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
     scored = (
         doc_buckets.join(F.broadcast(ratio), "bucket")
