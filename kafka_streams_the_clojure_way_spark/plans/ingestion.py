@@ -153,6 +153,7 @@ def ingestion_topology(
     semantic_n_probe: int = S.IVF_NPROBE,
     keyset_index_path: str | None = None,
     cache_registry: list | None = None,
+    raw_verdicts: bool = False,
 ) -> Topology:
     """Build the curation-loop topology dict. ``index_path`` is a
     persisted MinHash band index (``build_minhash_index``); ``corpus``
@@ -206,6 +207,27 @@ def ingestion_topology(
     to it, so without the cache the upstream chain re-evaluates once
     per branch — the index probe and its verify join would run ~4x by
     the containment gate. With it, each gate runs exactly once.
+
+    ``raw_verdicts`` (r11, the serve-latency mode — guide §2.6
+    "overlap independent work"): compute every gate's FLAG set from the
+    RAW trigger batch instead of the previous gate's survivors. Output
+    is identical BY CONSTRUCTION: every gate's verdict depends only on
+    the individual document versus its index/corpus (never on other
+    batch docs' fates), so flags-from-raw is a superset of
+    flags-from-survivors whose extra members are exactly rows an
+    earlier gate already dropped — the anti-join cascade makes those
+    no-ops (pinned per-gate in tests/test_raw_verdicts.py). What it
+    buys: the six flag subtrees become INDEPENDENT plans hanging off
+    the shallow raw batch, so (a) one sink force runs them as
+    concurrent stages instead of a ~20-stage sequential chain — the
+    measured 250-row-trigger floor was stage latency, not bytes — and
+    (b) the contamination gate needs no lineage-truncation spool (its
+    grams explode off the raw batch, depth 1). Cost: a gate probes
+    rows an earlier gate would have dropped — bounded by the batch's
+    duplicate fraction × that gate's per-row probe cost, the right
+    trade for latency-bound triggers (steady-state batches are
+    mostly-new). Batch-mode compiles of the chained form (the
+    registered queries) are unaffected unless opted in.
     """
 
     #: per-batch precomputed routing (filled by compile_ingestion /
@@ -222,27 +244,48 @@ def ingestion_topology(
             cache_registry.append(df)
         return df
 
-    def exact_gate(batch: DataFrame) -> DataFrame:
+    def _flag_src(batch: DataFrame) -> DataFrame:
+        # raw-verdict mode: derive this gate's FLAGS from the raw trigger
+        # batch (set by compile_ingestion for the compile's duration);
+        # the anti-join below still runs on the chained input, so the
+        # output is identical (see the raw_verdicts contract above).
+        if raw_verdicts:
+            return routing_box.get("raw_batch", batch)
+        return batch
+
+    def _prebuilt(name: str):
+        # raw-verdict compile pre-constructs every gate's flag frame in
+        # a thread pool (plan CONSTRUCTION is py4j/Catalyst-bound and
+        # each flag plan depends only on the raw batch — overlapping the
+        # six builds cuts the per-trigger construction wall).
+        return routing_box.get("flags", {}).get(name)
+
+    def _exact_flags(src: DataFrame) -> DataFrame:
         if bloom_index_path is not None:
             pairs = D.bloom_gated_exact_probe(
-                spark, bloom_index_path, hash_index_path, batch,
+                spark, bloom_index_path, hash_index_path, src,
                 text=text, id_col=id_col, cache_registry=cache_registry,
                 segments=routing_box.get("bloom_segments"),
                 buckets=routing_box.get("hash_buckets"),
             )
         else:
             pairs = D.hash_index_probe(
-                spark, hash_index_path, batch, text=text, id_col=id_col,
+                spark, hash_index_path, src, text=text, id_col=id_col,
                 buckets=routing_box.get("hash_buckets"),
             )
-        flagged = pairs.select(F.col("probe_id").alias(id_col)).distinct()
+        return pairs.select(F.col("probe_id").alias(id_col)).distinct()
+
+    def exact_gate(batch: DataFrame) -> DataFrame:
+        flagged = _prebuilt("exact")
+        if flagged is None:
+            flagged = _exact_flags(_flag_src(batch))
         return _pin(batch.join(flagged, id_col, "left_anti"))
 
-    def neardup_gate(batch: DataFrame) -> DataFrame:
+    def _neardup_flags(src: DataFrame) -> DataFrame:
         pairs = D.minhash_index_probe(
             spark,
             index_path,
-            batch,
+            src,
             text=text,
             id_col=id_col,
             threshold=jaccard_threshold,
@@ -250,23 +293,33 @@ def ingestion_topology(
             routing=routing_box.get("minhash_routing"),
             sigs=routing_box.get("minhash_sigs"),
         )
-        flagged = pairs.select(F.col("probe_id").alias(id_col)).distinct()
+        return pairs.select(F.col("probe_id").alias(id_col)).distinct()
+
+    def neardup_gate(batch: DataFrame) -> DataFrame:
+        flagged = _prebuilt("neardup")
+        if flagged is None:
+            flagged = _neardup_flags(_flag_src(batch))
         # anti-join on a probe-sized key set: AQE broadcasts it.
         return _pin(batch.join(flagged, id_col, "left_anti"))
 
-    def dsir_gate(batch: DataFrame) -> DataFrame:
+    def _dsir_keep(src: DataFrame) -> DataFrame:
         scored = T.dsir_score_stateless(
-            batch, ratios, text=text, id_col=id_col, quantize=True
+            src, ratios, text=text, id_col=id_col, quantize=True
         )
-        keep = scored.filter(F.col("dsir_logweight_r") >= dsir_cutoff)
+        return scored.filter(F.col("dsir_logweight_r") >= dsir_cutoff)
+
+    def dsir_gate(batch: DataFrame) -> DataFrame:
+        keep = _prebuilt("dsir")
+        if keep is None:
+            keep = _dsir_keep(_flag_src(batch))
         return _pin(batch.join(keep, id_col))
 
-    def containment_gate(batch: DataFrame) -> DataFrame:
+    def _containment_flags(src: DataFrame) -> DataFrame:
         if containment_index_path is not None:
             pairs = D.containment_index_probe(
                 spark,
                 containment_index_path,
-                batch,
+                src,
                 text=text,
                 id_col=id_col,
                 cache_registry=cache_registry,
@@ -277,9 +330,14 @@ def ingestion_topology(
             )
         else:
             pairs = D.containment_pairs_between(
-                batch, corpus, text=text, id_col=id_col, t_num=t_num, t_den=t_den
+                src, corpus, text=text, id_col=id_col, t_num=t_num, t_den=t_den
             )
-        flagged = pairs.select(F.col("probe_id").alias(id_col)).distinct()
+        return pairs.select(F.col("probe_id").alias(id_col)).distinct()
+
+    def containment_gate(batch: DataFrame) -> DataFrame:
+        flagged = _prebuilt("containment")
+        if flagged is None:
+            flagged = _containment_flags(_flag_src(batch))
         return _pin(batch.join(flagged, id_col, "left_anti"))
 
     def contamination_gate(batch: DataFrame) -> DataFrame:
@@ -290,6 +348,16 @@ def ingestion_topology(
         # the exact keys table by raw string.
         from kafka_streams_the_clojure_way_spark.operators import text as TX
 
+        flagged = _prebuilt("contamination")
+        if flagged is not None:
+            return _pin(batch.join(flagged, id_col, "left_anti"))
+        src = _flag_src(batch)
+        if raw_verdicts and src is not batch:
+            # flags hang off the raw batch (depth-1 lineage): no plan
+            # explosion, so no spool/checkpoint truncation needed.
+            return _pin(
+                batch.join(_contamination_flags(src), id_col, "left_anti")
+            )
         if not batch.isStreaming:
             # five gates of verdict-derive-and-join-back lineage feed this
             # point, and the keyset probe references its input several
@@ -325,7 +393,12 @@ def ingestion_topology(
                 # unfused (per-probe collect) path: lazy RDD truncation,
                 # nothing materializes before the sink runs.
                 batch = batch.localCheckpoint(eager=False)
-        grams = batch.select(
+        return _pin(batch.join(_contamination_flags(batch), id_col, "left_anti"))
+
+    def _contamination_flags(src: DataFrame) -> DataFrame:
+        from kafka_streams_the_clojure_way_spark.operators import text as TX
+
+        grams = src.select(
             F.col(id_col),
             F.explode_outer(TX.shingles_col(F.col(text))).alias("key"),
         ).filter(F.col("key").isNotNull())
@@ -337,16 +410,13 @@ def ingestion_topology(
             # scan and kills the probe's second adaptive collect.
             confirm_segments=routing_box.get("keyset_segments"),
         )
-        flagged = (
-            grams.join(members, "key", "left_semi").select(id_col).distinct()
-        )
-        return _pin(batch.join(flagged, id_col, "left_anti"))
+        return grams.join(members, "key", "left_semi").select(id_col).distinct()
 
-    def semantic_gate(batch: DataFrame) -> DataFrame:
+    def _semantic_flags(src: DataFrame) -> DataFrame:
         # batch ids -> vectors via the side table (inner join: a doc
         # with no embedding has no semantic signal and passes through),
         # then one partition-pruned probe of the persisted IVF index.
-        probes = batch.select(F.col(id_col)).join(
+        probes = src.select(F.col(id_col)).join(
             embeddings.select(
                 F.col("vec_id").alias(id_col), F.col("embedding")
             ),
@@ -361,7 +431,12 @@ def ingestion_topology(
             vec_col="embedding",
             n_probe=semantic_n_probe,
         )
-        flagged = pairs.select(F.col("probe_id").alias(id_col)).distinct()
+        return pairs.select(F.col("probe_id").alias(id_col)).distinct()
+
+    def semantic_gate(batch: DataFrame) -> DataFrame:
+        flagged = _prebuilt("semantic")
+        if flagged is None:
+            flagged = _semantic_flags(_flag_src(batch))
         return _pin(batch.join(flagged, id_col, "left_anti"))
 
     entities = {
@@ -424,6 +499,19 @@ def ingestion_topology(
         "bloom_index_path": bloom_index_path,
         "keyset_index_path": keyset_index_path,
     }
+    # raw-verdict flag builders, topology order (only the gates present):
+    # compile_ingestion constructs these concurrently off the raw batch.
+    flag_fns: dict = {}
+    if raw_verdicts:
+        if hash_index_path is not None:
+            flag_fns["exact"] = _exact_flags
+        flag_fns["neardup"] = _neardup_flags
+        flag_fns["dsir"] = _dsir_keep
+        flag_fns["containment"] = _containment_flags
+        if keyset_index_path is not None:
+            flag_fns["contamination"] = _contamination_flags
+        if ivf_index_path is not None:
+            flag_fns["semantic"] = _semantic_flags
     return {
         "entities": entities,
         "workflow": workflow,
@@ -431,6 +519,8 @@ def ingestion_topology(
         "routing": routing,
         "routing_box": routing_box,
         "cache_registry": cache_registry,
+        "raw_verdicts": raw_verdicts,
+        "flag_fns": flag_fns,
     }
 
 
@@ -707,9 +797,14 @@ def compute_batch_routing(
     union = legs[0]
     for frame in legs[1:]:
         union = union.unionByName(frame)
-    keys: dict[str, list[int]] = {tag: [] for tag in expected}
-    for r in union.distinct().collect():  # the ONE routing job
-        keys[r["tag"]].append(int(r["key"]))
+    # Driver-side dedupe instead of .distinct(): the union is a pure
+    # projection of the batch (plus the sigs cache), so collecting it
+    # raw keeps the ONE routing job a single shuffle-free stage — the
+    # distinct's exchange was pure per-trigger stage latency. Row count
+    # is batch-bounded (ids + grams), never corpus-bounded.
+    keys: dict[str, set[int]] = {tag: set() for tag in expected}
+    for r in union.collect():  # the ONE routing job
+        keys[r["tag"]].add(int(r["key"]))
     out.update({tag: sorted(vals) for tag, vals in keys.items()})
     return out
 
@@ -833,6 +928,34 @@ def compile_ingestion(
                 )
             )
             box.update(compute_asset_routing(spark, topology))
+        if (
+            topology.get("raw_verdicts")
+            and box is not None
+            and not batch.isStreaming
+        ):
+            # raw-verdict gates read their flag source here for the
+            # compile's duration (cleared with the box below).
+            box["raw_batch"] = batch
+            flag_fns = topology.get("flag_fns") or {}
+            if flag_fns:
+                # Construct every gate's flag plan CONCURRENTLY: plan
+                # construction is py4j/Catalyst-bound (~3 s serial per
+                # trigger measured at sf0.1) and each flag plan depends
+                # only on the raw batch + the routing box filled above,
+                # so the builds overlap safely (plan construction is
+                # thread-safe; JVM calls release the GIL). In unfused
+                # mode each probe's own routing collect rides its
+                # thread, so those jobs overlap too (guide §2.6).
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=len(flag_fns)) as pool:
+                    futs = {
+                        name: pool.submit(fn, batch)
+                        for name, fn in flag_fns.items()
+                    }
+                    box["flags"] = {
+                        name: fut.result() for name, fut in futs.items()
+                    }
         return compile_topology(
             spark, topology, {source_topic(topology): batch}
         )
@@ -906,7 +1029,7 @@ def run_ingestion_stream(
     assume_new_ids: bool = False,
     checkpoint: str | None = None,
     trigger: dict | None = None,
-    fuse_routing: bool = True,
+    fuse_routing: bool | None = None,
 ):
     """Run the curation topology CONTINUOUSLY: each micro-batch of
     ``stream`` is bound as ``topic/raw-docs``, the topology compiles
@@ -971,8 +1094,20 @@ def run_ingestion_stream(
     :func:`ingestion_topology` — cached frames the gates create are
     unpersisted after every batch (no per-trigger cache leak).
 
+    ``fuse_routing``: ``None`` (default) resolves by topology mode —
+    per-probe routing for ``raw_verdicts`` topologies, the fused
+    one-job router otherwise. Rationale (r11, measured at sf0.1): the
+    raw-verdict compile constructs every gate's flag plan in a thread
+    pool, so each probe's own routing collect OVERLAPS the other
+    gates' construction (250-row-trigger p50 5.1 s vs 8.0 s with the
+    serial fused job in front); a chained topology constructs gates
+    sequentially, where six serial collects are exactly what the fused
+    router exists to kill.
+
     Returns the started ``StreamingQuery``; default trigger is
     ``availableNow`` (drain-what-exists, then stop)."""
+    if fuse_routing is None:
+        fuse_routing = not topology.get("raw_verdicts")
     gates = topology.get("gates", {})
     if (
         upsert_hash_index_path is not None

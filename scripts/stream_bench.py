@@ -122,7 +122,14 @@ def ingestion_main() -> None:
         embeddings=embeddings,
     )
     caches: list = []
-    topo = ingestion_topology(spark, cache_registry=caches, **topo_kw)
+    # raw_verdicts: the serve-latency mode (r11) — identical curated
+    # output (pinned in tests/test_raw_verdicts.py), flag subtrees run
+    # as concurrent stages instead of a sequential gate chain. The
+    # chained A/B leg below rebuilds the classic topology.
+    topo = ingestion_topology(
+        spark, cache_registry=caches, raw_verdicts=True, **topo_kw
+    )
+    topo_chained = ingestion_topology(spark, cache_registry=caches, **topo_kw)
 
     # replayed arriving stream: replication copies with re-keyed ids
     # (kept off the corpus id space AND off each other), one parquet
@@ -199,10 +206,15 @@ def ingestion_main() -> None:
     # the same small triggers with per-probe routing collects in the
     # SAME process, so the fused/unfused ratio cancels host drift.
     runs = []
-    for label, files_per_trigger, fuse in (
-        ("all_files_per_trigger", n_batches, True),
-        ("one_file_per_trigger", 1, True),
-        ("one_file_per_trigger_unfused", 1, False),
+    # fuse=None resolves per topology mode (raw_verdicts -> per-probe
+    # routing overlapped by the threaded flag construction; chained ->
+    # the fused one-job router). The explicit fused/chained legs are the
+    # same-process A/Bs that cancel host drift.
+    for label, files_per_trigger, fuse, run_topo in (
+        ("all_files_per_trigger", n_batches, None, topo),
+        ("one_file_per_trigger", 1, None, topo),
+        ("one_file_per_trigger_fused", 1, True, topo),
+        ("one_file_per_trigger_chained", 1, True, topo_chained),
     ):
         shutil.rmtree(f"{TMP}/curated_out", ignore_errors=True)
         shutil.rmtree(f"{TMP}/ckpt_ingest", ignore_errors=True)
@@ -214,7 +226,7 @@ def ingestion_main() -> None:
         t0 = time.time()
         q = run_ingestion_stream(
             spark,
-            topo,
+            run_topo,
             stream,
             f"{TMP}/curated_out",
             cache_registry=caches,
