@@ -51,6 +51,43 @@ def _sq_dist_sql(vec: str, cent: str) -> str:
     )
 
 
+def lit_vec(values) -> "F.Column":
+    """A literal array<double> column from a driver-side vector. Python
+    floats ARE doubles, and collected float32 values widen exactly, so a
+    literal built this way is bit-identical to ``cast(col AS
+    array<double>)`` of the row it came from."""
+    return F.array(*[F.lit(float(x)) for x in values])
+
+
+def attach_model(df: DataFrame, name: str, value, schema: str) -> DataFrame:
+    """Attach a driver-side model value (a centroid list, a codebook) to
+    every row of ``df`` as column ``name`` via a 1-row broadcast cross.
+
+    Why not literals: a k x dim model inlined as per-element ``F.lit``
+    trees costs thousands of py4j round trips per plan construction
+    (measured 6-12 s of driver time for a 118 x 64 centroid table), and
+    ``F.expr`` text of the same size still pays >1 s of SQL parsing.
+    One createDataFrame + BroadcastNestedLoopJoin of a single row ships
+    the same doubles bit-exactly (pickle floats ARE doubles) with O(1)
+    plan-construction cost, and the broadcast is model-sized by
+    definition. The cross is a 1-row scalar broadcast — the same shape
+    as every other scalar cross in the engine."""
+    one = df.sparkSession.createDataFrame([(value,)], f"{name} {schema}")
+    return df.crossJoin(F.broadcast(one))
+
+
+def seq_dot(a, b=None) -> float:
+    """Driver-side replica of ``similarity.dot``'s sequential fold —
+    the same IEEE-double operations in the same order, so a norm
+    precomputed here over collected values is bit-identical to the JVM
+    expression it replaces."""
+    b = a if b is None else b
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
 def _vec_frame(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     from kafka_streams_the_clojure_way_spark.sources.files import (
         with_min_parallelism,
@@ -68,31 +105,33 @@ def _vec_frame(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 
 def _assign(vecs: DataFrame, cents: list[list[float]], id_col: str) -> DataFrame:
-    """One assignment pass against a broadcast centroid list: per-vector
-    argmin of the portable squared-L2 fold, ties to the lower cluster id."""
-    from kafka_streams_the_clojure_way_spark.operators.relational import (
-        top_k_per_key,
-    )
+    """One assignment pass against the driver-resident centroid list:
+    per-vector argmin of the portable squared-L2 fold, ties to the lower
+    cluster id.
 
-    cent_df = F.broadcast(
-        vecs.sparkSession.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)],
-            "__cluster int, __c array<double>",
-        )
+    The centroids are a k-row driver-side constant, so the argmin is a
+    ROW-LOCAL expression — ``array_min`` over a literal (distance,
+    cluster) struct array — instead of the former k-way broadcast join +
+    top-1 window (r11, guide §2.4: that shape paid an Exchange + sort
+    per assignment pass for an argmin over k=8 candidates). Results are
+    identical: the same sequential-fold distance per candidate, and
+    array_min's lexicographic struct ordering IS the (distance ASC,
+    cluster ASC) tie-break the window used."""
+    # transform over ONE attached model array keeps the expression tree
+    # and the plan-construction cost O(1) in k (per-candidate inlined
+    # literal trees measured slower on both counts — see attach_model).
+    cand = F.transform(
+        F.col("__cents"),
+        lambda e: F.struct(
+            _sq_dist(F.col("__v"), e["v"]).alias("d"), e["c"].alias("c")
+        ),
     )
-    scored = vecs.join(cent_df).select(
-        id_col,
-        "__v",
-        "__cluster",
-        _sq_dist(F.col("__v"), F.col("__c")).alias("__d"),
-    )
-    return top_k_per_key(
-        scored,
-        keys=[id_col],
-        order_by=[F.col("__d").asc(), F.col("__cluster").asc()],
-        k=1,
-        rank_col="__r",
-    ).select(id_col, "__v", F.col("__cluster").alias("cluster"))
+    return attach_model(
+        vecs,
+        "__cents",
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "array<struct<c:int,v:array<double>>>",
+    ).select(id_col, "__v", F.array_min(cand)["c"].alias("cluster"))
 
 
 def kmeans_train(

@@ -42,9 +42,12 @@ from kafka_streams_the_clojure_way_spark.operators.clustering import (
     MEAN_UNITS,
     _sq_dist,
     _sq_dist_sql,
+    attach_model,
+    seq_dot,
 )
 from kafka_streams_the_clojure_way_spark.operators.similarity import (
     IVF_N_CELLS,
+    dot,
 )
 
 PQ_M = 4          # subspaces
@@ -93,10 +96,8 @@ def pq_model(
     artifact a production job persists), ``codes`` a DataFrame
     ``(id, s, code)`` of corpus assignments.
     """
-    from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
     from kafka_streams_the_clojure_way_spark.sources.files import with_min_parallelism
 
-    spark = corpus.sparkSession
     dim = len(
         corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
         .first()["__v"]
@@ -122,23 +123,37 @@ def pq_model(
     }
 
     def assign(cb: dict[tuple[int, int], list[float]]) -> DataFrame:
-        cb_df = F.broadcast(
-            spark.createDataFrame(
-                [(s, c, v) for (s, c), v in sorted(cb.items())],
-                "s int, code int, c array<double>",
-            )
+        # Row-local per-subspace argmin (r11, guide §2.4): the codebook
+        # is a driver-side M x K constant, so the code assignment is a
+        # CASE WHEN on the subspace id over literal (distance, code)
+        # struct arrays — array_min's lexicographic struct order IS the
+        # former window's (distance ASC, code ASC) tie-break, and the
+        # K-way broadcast join + top-1 window (an Exchange + sort per
+        # Lloyd round and per encode pass) disappears outright.
+        by_s: dict[int, list[tuple[int, list[float]]]] = {}
+        for (s, c), v in sorted(cb.items()):
+            by_s.setdefault(s, []).append((c, v))
+        # the attached model is indexed by subspace id; the per-row
+        # argmin is a transform over that subspace's candidate array
+        # (see clustering.attach_model for why not literals).
+        cand = F.transform(
+            F.element_at(F.col("__cb"), F.col("s") + 1),
+            lambda e: F.struct(
+                _sq_dist(F.col("sub"), e["v"]).alias("d"),
+                e["code"].alias("code"),
+            ),
         )
-        scored = subs.join(cb_df, "s").select(
-            id_col, "s", "sub", "code",
-            _sq_dist(F.col("sub"), F.col("c")).alias("__d"),
+        return attach_model(
+            subs,
+            "__cb",
+            [
+                [(c, [float(x) for x in v]) for c, v in by_s[s]]
+                for s in sorted(by_s)
+            ],
+            "array<array<struct<code:int,v:array<double>>>>",
+        ).select(
+            id_col, "s", "sub", F.array_min(cand)["code"].alias("code")
         )
-        return top_k_per_key(
-            scored,
-            keys=[id_col, "s"],
-            order_by=[F.col("__d").asc(), F.col("code").asc()],
-            k=1,
-            rank_col="__r",
-        ).select(id_col, "s", "sub", "code")
 
     for _ in range(n_iter):
         sums = (
@@ -439,26 +454,57 @@ def ivfpq_topk(
     )
 
 
-def _best_cells(cents, side: DataFrame, sid: str, n: int) -> DataFrame:
-    """Route one side against the broadcast centroid frame: n best cells
-    per row by (cosine desc, cent_id), residual attached."""
-    from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
-    from kafka_streams_the_clojure_way_spark.operators.similarity import cosine
+def _best_cells(cent_rows, side: DataFrame, sid: str, n: int) -> DataFrame:
+    """Route one side against the driver-resident centroid list: n best
+    cells per row by (cosine desc, cent_id), residual attached.
 
-    scored = side.join(cents).select(
-        sid, "__v", "__cent_id", "__cent",
-        cosine(F.col("__v"), F.col("__cent")).alias("__cos"),
+    Row-local (r11, guide §2.4): the centroids are a model-sized driver
+    list, so per-row scoring + top-n is ``sort_array(..., asc=False)``
+    over a literal (cosine, -cent_id, centroid) struct array sliced to n
+    and exploded — no broadcast join, no window Exchange + sort.
+    Descending lexicographic struct order on (cosine, -cent_id) IS the
+    former window's (cosine DESC, cent_id ASC) tie-break; -cent_id is
+    exact long arithmetic, and cent_id is unique so the centroid payload
+    field never participates in a comparison."""
+    import math
+
+    # The centroid table rides in as ONE attached model array (see
+    # clustering.attach_model — per-candidate literal trees cost seconds
+    # of plan construction); centroid norms are driver-precomputed with
+    # the same sequential fold (seq_dot) and the row's norm is factored
+    # into a column evaluated once, so each candidate costs exactly one
+    # dot fold and the composed cosine is the same doubles in the same
+    # order as cosine(v, cent): dot / (sqrt(dot(v,v)) * sqrt(dot(c,c))).
+    cand = F.transform(
+        F.col("__cents"),
+        lambda e: F.struct(
+            (dot(F.col("__v"), e["c"]) / (F.col("__nv") * e["n"])).alias(
+                "__cos"
+            ),
+            e["negid"].alias("__negid"),
+            e["c"].alias("__cent"),
+        ),
     )
-    return top_k_per_key(
-        scored,
-        keys=[sid],
-        order_by=[F.col("__cos").desc(), F.col("__cent_id").asc()],
-        k=n,
-        rank_col="__crank",
-    ).select(
-        sid,
-        F.col("__cent_id").alias("cell"),
-        F.zip_with("__v", "__cent", lambda x, c: x - c).alias("__res"),
+    best = F.slice(F.sort_array(cand, asc=False), 1, n)
+    return (
+        attach_model(
+            side,
+            "__cents",
+            [
+                (-int(cid), [float(x) for x in v], math.sqrt(seq_dot(v)))
+                for cid, v in cent_rows
+            ],
+            "array<struct<negid:bigint,c:array<double>,n:double>>",
+        )
+        .withColumn("__nv", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+        .select(sid, "__v", F.explode(best).alias("__b"))
+        .select(
+            sid,
+            (-F.col("__b.__negid")).alias("cell"),
+            F.zip_with(
+                "__v", F.col("__b.__cent"), lambda x, c: x - c
+            ).alias("__res"),
+        )
     )
 
 
@@ -501,17 +547,12 @@ def ivfpq_model(
         .select(F.col(id_col).alias("__cent_id"), vd.alias("__cent"))
         .collect()
     ]
-    cents = F.broadcast(
-        corpus.sparkSession.createDataFrame(
-            cent_rows, "__cent_id long, __cent array<double>"
-        )
-    )
     # checkpoint the routed residuals: the frame feeds the PQ trainer
     # (dim probe + seed + per-iteration scans), the encode pass, AND the
-    # cell map — without truncation the 118-centroid routing window
+    # cell map — without truncation the 118-centroid routing expression
     # recomputes ~4x (measured ~25% of query wall-clock)
     corpus_res = _best_cells(
-        cents,
+        cent_rows,
         with_min_parallelism(corpus).select(F.col(id_col), vd.alias("__v")),
         id_col,
         1,
@@ -575,13 +616,8 @@ def ivfpq_serve(
     bit-exactly through createDataFrame, so serve == the monolithic
     ivfpq_topk row for row."""
     vd = F.col(vec_col).cast("array<double>")
-    cents = F.broadcast(
-        codes.sparkSession.createDataFrame(
-            cent_rows, "__cent_id long, __cent array<double>"
-        )
-    )
     probe_res = _best_cells(
-        cents,
+        cent_rows,
         queries.select(F.col(id_col).alias(query_id), vd.alias("__v")),
         query_id,
         n_probe,

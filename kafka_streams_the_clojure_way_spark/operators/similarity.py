@@ -273,6 +273,32 @@ IVF_N_CELLS = 118
 IVF_NPROBE = 3
 
 
+def ivf_centroid_rows(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = IVF_CENTROID_MOD,
+    n_cells: int = IVF_N_CELLS,
+) -> list:
+    """Collect the deterministic IVF coarse-quantizer model: the
+    ``(cent_id, centroid-as-doubles)`` rows ``ivf_topk`` routes against.
+    Model-sized by construction (``n_cells`` rows); collecting it once
+    per (process, corpus) and passing it to every probe is the
+    train/serve split the persisted-index path already uses."""
+    return [
+        (r["__cent_id"], list(r["__cent_vec"]))
+        for r in corpus.filter(F.col(id_col) % centroid_mod == 1)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("__cent_id"),
+            F.col(vec_col).cast("array<double>").alias("__cent_vec"),
+        )
+        .collect()
+    ]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -284,6 +310,7 @@ def ivf_topk(
     n_probe: int = IVF_NPROBE,
     centroid_mod: int = IVF_CENTROID_MOD,
     n_cells: int = IVF_N_CELLS,
+    cent_rows: list | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the industry-standard ANN
     scale path (Sivic&Zisserman'03 video-google; FAISS IVF*):
@@ -291,9 +318,9 @@ def ivf_topk(
     1. coarse quantizer: a deterministic centroid subset
        (``id % centroid_mod == 1``; production would k-means — the plan
        shape is identical, only the centroid table differs),
-    2. assignment: every corpus vector joins the BROADCAST centroid table
-       and keeps its best cell (one streamed pass, partial top-1 below
-       the window shuffle),
+    2. assignment: every corpus vector scores the model-sized centroid
+       list ROW-LOCALLY and keeps its best cell (one streamed pass, no
+       shuffle),
     3. probing: each query likewise keeps its ``n_probe`` best cells,
     4. candidates: corpus⋈queries on cell id — an equi-join that touches
        only probed cells (~n_probe/n_centroids of the corpus) instead of
@@ -302,32 +329,70 @@ def ivf_topk(
     Recall/cost dial is n_probe. At 100 TB the assignment output
     (id, cell, vec) is the persisted "index": partition/bucket it BY CELL
     once and probes become partition-pruned scans with no shuffle at all.
-    """
-    cents = F.broadcast(
-        corpus.filter(F.col(id_col) % centroid_mod == 1)
-        .orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("__cent_id"), F.col(vec_col).alias("__cent_vec")
-        )
-    )
 
+    ``cent_rows`` (optional): the collected ``(cent_id, centroid)``
+    model rows — the FAISS train/serve split. Callers that serve many
+    queries against one corpus collect the model once and pass it here;
+    omitted, the operator collects it itself (one model-sized job).
+    """
+    # Model-sized centroid subset collected ONCE (n_cells rows); cell
+    # routing is then a ROW-LOCAL expression on both sides (r11, guide
+    # §2.4): sort_array(desc) over the attached (cosine, -cent_id)
+    # struct array, sliced to n and exploded — the former broadcast
+    # join + top-n window paid an Exchange + sort over |side| x n_cells
+    # rows per side. Descending (cosine, -cent_id) IS the window's
+    # (cosine DESC, cent_id ASC) order; collected float32 centroids
+    # widen exactly to the double literals cosine's fold casts to.
     from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
 
-    def best_cells(side: DataFrame, sid: str, svec: str, n: int) -> DataFrame:
-        scored = side.join(cents).select(
-            F.col(sid),
-            F.col(svec),
-            F.col("__cent_id"),
-            cosine(F.col(svec), F.col("__cent_vec")).alias("__cos"),
+    if cent_rows is None:
+        cent_rows = ivf_centroid_rows(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroid_mod=centroid_mod,
+            n_cells=n_cells,
         )
-        return top_k_per_key(
-            scored,
-            keys=[sid],
-            order_by=[F.col("__cos").desc(), F.col("__cent_id")],
-            k=n,
-            rank_col="__crank",
-        ).select(sid, svec, F.col("__cent_id").alias("cell"))
+
+    import math
+
+    from kafka_streams_the_clojure_way_spark.operators.clustering import (
+        attach_model,
+        seq_dot,
+    )
+
+    # The centroid table rides in as ONE attached model array (see
+    # clustering.attach_model); centroid norms are driver constants via
+    # the identical sequential fold, the row norm is a column evaluated
+    # once, so the composed cosine is the same doubles in the same order
+    # as cosine(svec, cent): dot / (sqrt(dot(v,v)) * sqrt(dot(c,c))).
+    cent_model = [
+        (-int(cid), [float(x) for x in v], math.sqrt(seq_dot(v)))
+        for cid, v in cent_rows
+    ]
+
+    def best_cells(side: DataFrame, sid: str, svec: str, n: int) -> DataFrame:
+        cand = F.transform(
+            F.col("__cents"),
+            lambda e: F.struct(
+                (dot(F.col(svec), e["c"]) / (F.col("__nv") * e["n"])).alias(
+                    "__cos"
+                ),
+                e["negid"].alias("__negid"),
+            ),
+        )
+        best = F.slice(F.sort_array(cand, asc=False), 1, n)
+        return (
+            attach_model(
+                side,
+                "__cents",
+                cent_model,
+                "array<struct<negid:bigint,c:array<double>,n:double>>",
+            )
+            .withColumn("__nv", F.sqrt(dot(F.col(svec), F.col(svec))))
+            .select(sid, svec, F.explode(best).alias("__b"))
+            .select(sid, svec, (-F.col("__b.__negid")).alias("cell"))
+        )
 
     corpus_cells = best_cells(
         with_min_parallelism(corpus).select(

@@ -759,7 +759,12 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine within candidates. At 100 TB the cell assignment is the
     persisted index — partition by cell and probes prune partitions."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, _queries_frame(spark, sf_dir), k=10)
+    return S.ivf_topk(
+        emb,
+        _queries_frame(spark, sf_dir),
+        k=10,
+        cent_rows=_ivf_cent_rows(spark, sf_dir),
+    )
 
 
 #: per-process persisted IVF index (build_ivf_index artifact) — the
@@ -909,6 +914,20 @@ _KMEANS_MODEL_CACHE: dict[tuple, DataFrame] = {}
 #: to inline training and the oracles are untouched.
 _PQ_MODEL_CACHE: dict[tuple, tuple] = {}
 _IVFPQ_MODEL_CACHE: dict[tuple, tuple] = {}
+#: and for the inline-IVF coarse quantizer: the deterministic centroid
+#: subset is THE model (n_cells rows); collect it once per (process,
+#: sf_dir) so each probe query routes row-locally without paying a
+#: model-collect job per call (r11 — same train/serve split as above).
+_IVF_CENT_CACHE: dict[tuple, list] = {}
+
+
+def _ivf_cent_rows(spark: SparkSession, sf_dir: str) -> list:
+    key = (sf_dir, S.IVF_CENTROID_MOD, S.IVF_N_CELLS)
+    rows = _IVF_CENT_CACHE.get(key)
+    if rows is None:
+        rows = S.ivf_centroid_rows(load_table(spark, sf_dir, "embeddings"))
+        _IVF_CENT_CACHE[key] = rows
+    return rows
 
 
 def _kmeans_model(
@@ -4912,6 +4931,7 @@ def eval_ann_ivf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         _queries_frame(spark, sf_dir),
         k=10,
+        cent_rows=_ivf_cent_rows(spark, sf_dir),
     ).select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     return _ann_quality_frame(spark, sf_dir, approx)
 
@@ -4974,7 +4994,13 @@ def eval_cluster_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assign = C.kmeans_assignments(emb, model=_kmeans_model(spark, sf_dir))
     j = assign.join(emb.select("vec_id", "label"), "vec_id")
-    cont = j.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
+    # cached: the contingency table is at most k x |labels| rows and has
+    # THREE aggregation consumers below (s, per-cluster, per-label) —
+    # without the pin each branch re-runs the corpus-wide assignment +
+    # join upstream (r11: 3 corpus passes -> 1).
+    cont = (
+        j.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n")).cache()
+    )
 
     def comb2(c: str):
         return F.expr(f"({c} * ({c} - 1)) div 2")
