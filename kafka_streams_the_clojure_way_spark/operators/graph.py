@@ -170,7 +170,11 @@ def cluster_assignments(
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "u", dst: str = "v"
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    *,
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph, as two
     equi-joins (node-iterator / Cohen's MapReduce formulation, the
@@ -189,20 +193,29 @@ def triangle_counts(
     any graph, the best general bound. Both joins are plain shuffled
     equi-joins; nothing is ever collected.
 
-    Returns (node, n_triangles) for nodes in >= 1 triangle."""
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    Returns (node, n_triangles) for nodes in >= 1 triangle.
+
+    ``assume_normalized``: the caller guarantees ``edges`` is already
+    one-row-per-undirected-edge with ``src < dst``, no self-loops, AND
+    cheap to re-read (cached/checkpointed) — skips the normalize shuffle
+    and the lineage cut here (r11: the shared cached co-purchase edge
+    upstream satisfies all three)."""
+    if assume_normalized:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates(["a", "b"])
+            # materialized once: deg (x2 via the union) and ranked all read
+            # e — without the cut the caller's edge-construction subtree
+            # (often itself a join) re-expands per reference (the r11 plan
+            # of graph_triangle_parts carried 154 Exchange nodes).
+            .localCheckpoint(eager=False)
         )
-        .filter(F.col("a") != F.col("b"))
-        .dropDuplicates(["a", "b"])
-        # materialized once: deg (x2 via the union) and ranked all read
-        # e — without the cut the caller's edge-construction subtree
-        # (often itself a join) re-expands per reference (the r11 plan
-        # of graph_triangle_parts carried 154 Exchange nodes).
-        .localCheckpoint(eager=False)
-    )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -297,6 +310,8 @@ def pagerank(
     dst: str = "dst",
     iters: int = PR_ITERS,
     unit: int = PR_UNIT,
+    *,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over directed ``(src, dst)`` edges, in
     integer fixed-point so the result is bit-reproducible (Page et al.
@@ -319,15 +334,17 @@ def pagerank(
     out-edges) leak their damped mass, as in the uniform-teleport
     formulation without dangling redistribution.
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .dropDuplicates(["src", "dst"])
-        # materialized once: nodes AND eo both derive from e, and without
-        # the cut each re-expands the full upstream subtree (the caller's
-        # edge construction is often itself a join of duplicated frames —
-        # 154 Exchange nodes in the pagerank query's r11 plan).
-        .localCheckpoint(eager=False)
-    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        # ``assume_distinct``: the caller guarantees one row per directed
+        # edge (r11: the symmetrized distinct co-purchase upstream is
+        # distinct by construction) — skip the dedup shuffle.
+        e = e.dropDuplicates(["src", "dst"])
+    # materialized once: nodes AND eo both derive from e, and without
+    # the cut each re-expands the full upstream subtree (the caller's
+    # edge construction is often itself a join of duplicated frames —
+    # 154 Exchange nodes in the pagerank query's r11 plan).
+    e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))

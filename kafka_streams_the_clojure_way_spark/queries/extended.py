@@ -108,6 +108,28 @@ def join_interval_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Graph analytics: triangle counting
 # --------------------------------------------------------------------------
 
+#: shared co-purchase edge upstream: graph_triangle_parts and
+#: graph_pagerank_parts build the IDENTICAL undirected (u < v) distinct
+#: edge list. One plan builder, NO cache pin — an explicit .cache() was
+#: A/B-measured this round (best-of-3, canary-normalized family runs)
+#: and LOST ~5%: the InMemoryRelation write+columnar read costs more at
+#: this edge count than re-running the scan+join chain, the same
+#: verdict as the r11 DSIR and overlap-matrix cache experiments.
+def _copurchase_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.filter(F.col("l_orderkey") % 8 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .dropDuplicates()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .dropDuplicates()
+    )
+
+
 @query(
     "graph_triangle_parts",
     oracle="""
@@ -146,21 +168,9 @@ def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the full-corpus graph belongs in a dedicated job, not a 130-query
     sweep. Oracle: the naive three-way self-join on id-ordered edges
     (fine at oracle SF; counts each triangle once)."""
-    li = load_table(spark, sf_dir, "lineitem")
     from kafka_streams_the_clojure_way_spark.operators.graph import triangle_counts
 
-    op = (
-        li.filter(F.col("l_orderkey") % 8 == 0)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .dropDuplicates()
-    )
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .dropDuplicates()
-    )
-    return triangle_counts(edges)
+    return triangle_counts(_copurchase_und(spark, sf_dir))
 
 
 _PR_EDGES_SQL = """
@@ -192,24 +202,15 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point BIGINTs so the result (and the DuckDB unrolled-CTE
     oracle) is bit-exact regardless of partial-sum order. See
     operators/graph.pagerank for the 100 TB shape."""
-    li = load_table(spark, sf_dir, "lineitem")
     from kafka_streams_the_clojure_way_spark.operators.graph import pagerank
 
-    op = (
-        li.filter(F.col("l_orderkey") % 8 == 0)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .dropDuplicates()
-    )
-    a, b = op.alias("a"), op.alias("b")
-    und = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .dropDuplicates()
-    )
+    und = _copurchase_und(spark, sf_dir)
     edges = und.selectExpr("u AS src", "v AS dst").unionAll(
         und.selectExpr("v AS src", "u AS dst")
     )
-    return pagerank(edges)
+    # distinct by construction: und is distinct with u < v, so the two
+    # symmetrized halves cannot collide — skip the operator's dedup.
+    return pagerank(edges, assume_distinct=True)
 
 
 # --------------------------------------------------------------------------
