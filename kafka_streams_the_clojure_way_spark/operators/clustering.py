@@ -369,7 +369,11 @@ def semdedup_flags(
     for long-running callers). Pass a list and the cached frames are
     appended to it instead — unpersist after materializing results
     (same lifecycle contract as ``minhash_index_probe``)."""
-    from kafka_streams_the_clojure_way_spark.operators.similarity import cosine
+    from kafka_streams_the_clojure_way_spark.operators.similarity import (
+        cosine_prenorm,
+        dot,
+        norm_col,
+    )
     from kafka_streams_the_clojure_way_spark.sources.files import (
         with_min_parallelism,
     )
@@ -382,22 +386,39 @@ def semdedup_flags(
         corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, model=model
     ).cache()
     vecs = with_min_parallelism(corpus).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        norm_col(F.col(vec_col).cast("array<double>")).alias("__n"),
     )
     av = assigned.join(vecs, id_col).cache()
     if cache_registry is not None:
         cache_registry.extend([assigned, av])
     a = av.select(
-        F.col("cluster"), F.col(id_col).alias("__ida"), F.col("__v").alias("__va")
+        F.col("cluster"),
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
     )
     b = av.select(
-        F.col("cluster"), F.col(id_col).alias("__idb"), F.col("__v").alias("__vb")
+        F.col("cluster"),
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
     )
-    # every vector with a sufficiently-similar LOWER-id cluster-mate dies
+    # every vector with a sufficiently-similar LOWER-id cluster-mate dies;
+    # one dot fold per in-cluster pair — norms are per-row in the cached
+    # av frame (bit-equal to cosine(__va, __vb): similarity.cosine_prenorm)
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("__idb") < F.col("__ida"))
-        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .filter(
+            cosine_prenorm(
+                dot(F.col("__va"), F.col("__vb")),
+                F.col("__na"),
+                F.col("__nb"),
+            )
+            >= threshold
+        )
         .select(F.col("__ida").alias(id_col))
         .distinct()
     )

@@ -74,6 +74,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm_col(vec: Column) -> Column:
+    """``sqrt(dot(v, v))`` — exactly one side's factor of cosine()'s
+    denominator. Pair-scoring paths precompute this ONCE PER ROW before
+    the candidate join and combine with :func:`cosine_prenorm`, so each
+    candidate pair runs one dot fold instead of three (r11, guide §2.3
+    "don't recompute per pair what is per-row"); the composed
+    expression multiplies and divides the identical doubles in the
+    identical order as cosine(), so results are bit-equal."""
+    return F.sqrt(dot(vec, vec))
+
+
+def cosine_prenorm(dot_ab: Column, na: Column, nb: Column) -> Column:
+    """cosine from a pair dot and the two rows' precomputed norms —
+    bit-equal to ``cosine(a, b)`` when ``na``/``nb`` are norm_col of the
+    same vectors (same operation order: dot / (sqrt_a * sqrt_b))."""
+    return dot_ab / (na * nb)
+
+
 def _dot_sql(a: str, b: str) -> str:
     zipped = f"list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
     prods = f"list_transform({zipped}, p -> p[1] * p[2])"
@@ -121,14 +139,28 @@ def brute_force_topk(
             )
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec")
+            F.col(id_col).alias(query_id),
+            F.col(vec_col).alias("__qvec"),
+            norm_col(F.col(vec_col)).alias("__qn"),
         )
     )
     scored = (
         with_min_parallelism(corpus)
-        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec"),
+            norm_col(F.col(vec_col)).alias("__cn"),
+        )
         .join(q, F.col("neighbor_id") != F.col(query_id))
-        .withColumn("cosine", cosine(F.col("__qvec"), F.col("__cvec")))
+        # one dot fold per pair; norms are per-row (see cosine_prenorm)
+        .withColumn(
+            "cosine",
+            cosine_prenorm(
+                dot(F.col("__qvec"), F.col("__cvec")),
+                F.col("__qn"),
+                F.col("__cn"),
+            ),
+        )
     )
     from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
 
@@ -218,11 +250,13 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         lsh_bucket(F.col(vec_col)).alias("__bucket"),
+        norm_col(F.col(vec_col)).alias("__cn"),
     )
     q0 = queries.select(
         F.col(id_col).alias(query_id),
         F.col(vec_col).alias("__qvec"),
         lsh_bucket(F.col(vec_col)).alias("__b0"),
+        norm_col(F.col(vec_col)).alias("__qn"),
     )
     q = F.broadcast(
         q0.withColumn(
@@ -235,7 +269,16 @@ def lsh_topk(
     scored = (
         c.join(q, "__bucket")
         .filter(F.col("neighbor_id") != F.col(query_id))
-        .withColumn("cosine", cosine(F.col("__qvec"), F.col("__cvec")))
+        # per-pair: one dot fold; norms were computed per ROW above
+        # (bit-equal to cosine(__qvec, __cvec) — see cosine_prenorm)
+        .withColumn(
+            "cosine",
+            cosine_prenorm(
+                dot(F.col("__qvec"), F.col("__cvec")),
+                F.col("__qn"),
+                F.col("__cn"),
+            ),
+        )
     )
     from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
 
@@ -382,6 +425,7 @@ def ivf_topk(
             ),
         )
         best = F.slice(F.sort_array(cand, asc=False), 1, n)
+        nv = f"__n_{svec}"
         return (
             attach_model(
                 side,
@@ -389,9 +433,9 @@ def ivf_topk(
                 cent_model,
                 "array<struct<negid:bigint,c:array<double>,n:double>>",
             )
-            .withColumn("__nv", F.sqrt(dot(F.col(svec), F.col(svec))))
-            .select(sid, svec, F.explode(best).alias("__b"))
-            .select(sid, svec, (-F.col("__b.__negid")).alias("cell"))
+            .withColumn("__nv", norm_col(F.col(svec)))
+            .select(sid, svec, F.col("__nv").alias(nv), F.explode(best).alias("__b"))
+            .select(sid, svec, nv, (-F.col("__b.__negid")).alias("cell"))
         )
 
     corpus_cells = best_cells(
@@ -411,7 +455,16 @@ def ivf_topk(
     scored = (
         corpus_cells.join(F.broadcast(probe), "cell")
         .filter(F.col("neighbor_id") != F.col(query_id))
-        .withColumn("cosine", cosine(F.col("__qvec"), F.col("__cvec")))
+        # one dot fold per candidate; both sides' norms rode through the
+        # router (bit-equal to cosine(__qvec, __cvec) — cosine_prenorm)
+        .withColumn(
+            "cosine",
+            cosine_prenorm(
+                dot(F.col("__qvec"), F.col("__cvec")),
+                F.col("__n___qvec"),
+                F.col("__n___cvec"),
+            ),
+        )
     )
     return top_k_per_key(
         scored.select(query_id, "neighbor_id", "cosine"),
@@ -810,13 +863,27 @@ def ivf_index_topk(
         order_by=[F.col("__cos").desc(), F.col("cent_id")],
         k=n_probe,
         rank_col="__cr",
-    ).select(query_id, "__qvec", F.col("cent_id").alias("cell"))
+    ).select(
+        query_id,
+        "__qvec",
+        norm_col(F.col("__qvec")).alias("__qn"),
+        F.col("cent_id").alias("cell"),
+    )
 
     postings = read_static_schema(spark, f"{root}/postings")
     scored = (
-        postings.join(F.broadcast(probe), "cell")
+        postings.withColumn("__cn", norm_col(F.col("vec")))
+        .join(F.broadcast(probe), "cell")
         .filter(F.col("neighbor_id") != F.col(query_id))
-        .withColumn("cosine", cosine(F.col("__qvec"), F.col("vec")))
+        # one dot fold per candidate (bit-equal — see cosine_prenorm)
+        .withColumn(
+            "cosine",
+            cosine_prenorm(
+                dot(F.col("__qvec"), F.col("vec")),
+                F.col("__qn"),
+                F.col("__cn"),
+            ),
+        )
     )
     tomb = _ivf_tombstones(spark, root)
     if tomb is not None:
@@ -978,13 +1045,27 @@ def ivf_index_neardup_pairs(
         order_by=[F.col("__cos").desc(), F.col("cent_id")],
         k=n_probe,
         rank_col="__cr",
-    ).select("probe_id", "__qvec", F.col("cent_id").alias("cell"))
+    ).select(
+        "probe_id",
+        "__qvec",
+        norm_col(F.col("__qvec")).alias("__qn"),
+        F.col("cent_id").alias("cell"),
+    )
 
     postings = read_static_schema(spark, f"{root}/postings")
     scored = (
-        postings.join(F.broadcast(probe), "cell")
+        postings.withColumn("__cn", norm_col(F.col("vec")))
+        .join(F.broadcast(probe), "cell")
         .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .withColumn("cosine", cosine(F.col("__qvec"), F.col("vec")))
+        # one dot fold per candidate (bit-equal — see cosine_prenorm)
+        .withColumn(
+            "cosine",
+            cosine_prenorm(
+                dot(F.col("__qvec"), F.col("vec")),
+                F.col("__qn"),
+                F.col("__cn"),
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
     )
     tomb = _ivf_tombstones(spark, root)
@@ -1199,13 +1280,29 @@ def quantized_rerank_topk(
         id_col=id_col, vec_col=vec_col, query_id=query_id,
     ).select(query_id, "neighbor_id")
     qv = F.broadcast(
-        queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec"))
+        queries.select(
+            F.col(id_col).alias(query_id),
+            F.col(vec_col).alias("__qvec"),
+            norm_col(F.col(vec_col)).alias("__qn"),
+        )
     )
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm_col(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         cand.join(qv, query_id)
         .join(cv, "neighbor_id")
-        .withColumn("cosine", cosine(F.col("__qvec"), F.col("__cvec")))
+        # one dot fold per candidate (bit-equal — see cosine_prenorm)
+        .withColumn(
+            "cosine",
+            cosine_prenorm(
+                dot(F.col("__qvec"), F.col("__cvec")),
+                F.col("__qn"),
+                F.col("__cn"),
+            ),
+        )
     )
     from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
 
@@ -1277,18 +1374,38 @@ def mmr_topk(
                               vec_col=vec_col, query_id=query_id,
                               assume_bounded=assume_bounded)
     vecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vec"),
+        norm_col(F.col(vec_col)).alias("__n"),
     )
     cand = (
         scored.select(query_id, "neighbor_id", F.col("cosine_r").alias("rel"))
         .join(vecs, "neighbor_id")
         .cache()
     )
-    a = cand.select(query_id, F.col("neighbor_id").alias("ida"), F.col("__vec").alias("__va"))
-    b = cand.select(query_id, F.col("neighbor_id").alias("idb"), F.col("__vec").alias("__vb"))
+    a = cand.select(
+        query_id,
+        F.col("neighbor_id").alias("ida"),
+        F.col("__vec").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = cand.select(
+        query_id,
+        F.col("neighbor_id").alias("idb"),
+        F.col("__vec").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
     pairs = a.join(b, query_id).filter(F.col("ida") != F.col("idb")).select(
         F.col(query_id).alias("__qp"), "ida", "idb",
-        F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim"),
+        # one dot fold per candidate pair (bit-equal — cosine_prenorm)
+        F.round(
+            cosine_prenorm(
+                dot(F.col("__va"), F.col("__vb")),
+                F.col("__na"),
+                F.col("__nb"),
+            ),
+            6,
+        ).alias("sim"),
     )
     slim = cand.select(query_id, "neighbor_id", "rel")
     lam_f = float(lam)

@@ -517,6 +517,9 @@ def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         "vec_id",
         "embedding",
         S.lsh_bucket(F.col("embedding")).alias("bucket"),
+        # per-row norm: each bucket pair below runs ONE dot fold instead
+        # of three (bit-equal — similarity.cosine_prenorm)
+        S.norm_col(F.col("embedding")).alias("nv"),
     ).cache()
     a, b = e.alias("a"), e.alias("b")
     cand = a.join(
@@ -525,7 +528,11 @@ def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select(
         F.col("a.vec_id").alias("id_a"),
         F.col("b.vec_id").alias("id_b"),
-        S.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+        S.cosine_prenorm(
+            S.dot(F.col("a.embedding"), F.col("b.embedding")),
+            F.col("a.nv"),
+            F.col("b.nv"),
+        ).alias("cosine"),
     )
     return (
         cand.filter(F.col("cosine") > _NEARDUP_COS)

@@ -4011,9 +4011,16 @@ def sim_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC_ID).select(
-        F.col("embedding").alias("qvec")
+        F.col("embedding").alias("qvec"),
+        S.norm_col(F.col("embedding")).alias("qn"),
     )
-    cos = S.cosine(F.col("qvec"), F.col("embedding"))
+    # one dot fold per corpus row — the query norm rides the 1-row
+    # broadcast, the row norm is per-row (bit-equal: cosine_prenorm)
+    cos = S.cosine_prenorm(
+        S.dot(F.col("qvec"), F.col("embedding")),
+        F.col("qn"),
+        S.norm_col(F.col("embedding")),
+    )
     dense_top = (
         emb.filter(F.col("vec_id") != _RRF_QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
