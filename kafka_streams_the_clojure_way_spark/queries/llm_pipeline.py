@@ -4898,6 +4898,31 @@ def eval_ann_quantized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_quality_frame(spark, sf_dir, approx)
 
 
+#: shared exact ground truth for the ANN evals (r11): both eval queries
+#: grade against the SAME brute-force top-10 — an n_queries x 10 RESULT
+#: table, pinned once per (process, sf_dir) like the other model-sized
+#: shared artifacts (it already had an in-query cache for its two
+#: consumers; this lifts it to the family).
+_ANN_TRUTH_CACHE: dict[str, DataFrame] = {}
+
+
+def _ann_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = _ANN_TRUTH_CACHE.get(sf_dir)
+    if truth is None:
+        truth = (
+            S.brute_force_topk(
+                load_table(spark, sf_dir, "embeddings"),
+                _queries_frame(spark, sf_dir),
+                k=10,
+                assume_bounded=True,
+            )
+            .select("query_id", "neighbor_id")
+            .cache()
+        )
+        _ANN_TRUTH_CACHE[sf_dir] = truth
+    return truth
+
+
 def _ann_quality_frame(
     spark: SparkSession, sf_dir: str, approx: DataFrame
 ) -> DataFrame:
@@ -4905,16 +4930,7 @@ def _ann_quality_frame(
     result against exact brute-force ground truth (the shared eval
     kernel — see eval_ann_quantized_quality for the integer-DCG
     portability argument)."""
-    truth = S.brute_force_topk(
-        load_table(spark, sf_dir, "embeddings"),
-        _queries_frame(spark, sf_dir),
-        k=10,
-        assume_bounded=True,
-    ).select("query_id", "neighbor_id")
-    # two consumers (the hits join's broadcast side AND the qids
-    # distinct) — cache the n_queries x 10 result so the brute-force
-    # ground-truth scan runs ONCE per eval, not twice (r11).
-    truth = truth.cache()
+    truth = _ann_truth(spark, sf_dir)
     gains = F.array(*[F.lit(g) for g in _DCG_GAIN_UNITS])
     # broadcast hints (guide §3.1): both sides are top-k RESULT sets —
     # n_queries x 10 rows by construction (an eval runs on a bounded
