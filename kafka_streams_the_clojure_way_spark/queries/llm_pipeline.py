@@ -1118,10 +1118,6 @@ def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|labels| x dim sums, map-side combine); the |labels|-row centroid
     table then BROADCASTS into the same tiny-cross argmin shape as
     Lloyd assignment; the confusion matrix is a |labels|^2-row groupBy."""
-    from kafka_streams_the_clojure_way_spark.operators.relational import (
-        top_k_per_key,
-    )
-
     sums = _label_sums(spark, sf_dir)
     cent = sums.groupBy("label").agg(
         F.transform(
@@ -1141,23 +1137,35 @@ def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c")
     ).select(F.col("label").alias("pred_label"), "c")
 
+    # |labels|-row model: collect it (the former broadcast build was a
+    # driver job of the same size) and classify ROW-LOCALLY — array_min
+    # over the attached (distance, pred_label) struct array replaces the
+    # |labels|-way broadcast join + top-1 window (r11, guide §2.4; same
+    # shape and same bit-equality argument as clustering._assign — the
+    # collected doubles are the exact aggregated values).
+    cent_rows = [
+        (int(r["pred_label"]), [float(x) for x in r["c"]])
+        for r in cent.collect()
+    ]
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    scored = vecs.join(F.broadcast(cent)).select(
-        "vec_id",
-        "label",
-        "pred_label",
-        C._sq_dist(F.col("v"), F.col("c")).alias("d"),
-    )
-    assigned = top_k_per_key(
-        scored,
-        keys=["vec_id"],
-        order_by=[F.col("d").asc(), F.col("pred_label").asc()],
-        k=1,
-        rank_col="__r",
-    )
+    best = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda e: F.struct(
+                C._sq_dist(F.col("v"), e["v"]).alias("d"),
+                e["pl"].alias("pl"),
+            ),
+        )
+    )["pl"]
+    assigned = C.attach_model(
+        vecs,
+        "__cents",
+        cent_rows,
+        "array<struct<pl:int,v:array<double>>>",
+    ).select("label", best.alias("pred_label"))
     return (
         assigned.groupBy(
             F.col("label").cast("long").alias("true_label"),
