@@ -126,52 +126,190 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _paeth_np(a, b, c):
+    """Vectorized Paeth predictor — elementwise twin of :func:`_paeth`
+    (same tie-breaking: left wins ties with up, up wins ties with
+    up-left, exactly the spec's <= chain)."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
 def _filter_scanlines(
     pixels: bytes, width_bytes: int, bpp: int, filter_cycle: tuple[int, ...]
 ) -> bytes:
     """Apply PNG scanline filtering (encode side) to a padded pixel
     stream: one filter byte per row, ``a`` = the byte ``bpp`` positions
     left (the spec's per-channel predictor — bpp=1 grayscale, bpp=3
-    truecolor)."""
+    truecolor).
+
+    Vectorized (r12): every PNG encode filter predicts from the RAW
+    pixels of the current and previous scanline — never from filtered
+    output — so there is no inter-row recurrence anywhere on the encode
+    side and all rows of each filter type compute as one whole-image
+    numpy expression (the per-row/per-byte Python of r11 cost ~0.4 s
+    per corpus pass at sf0.1; byte-identical output pinned in
+    tests/test_round12_opts.py)."""
+    import numpy as np
+
     height = len(pixels) // width_bytes
-    raw = bytearray()
-    prev = bytes(width_bytes)
-    for r in range(height):
-        row = pixels[r * width_bytes : (r + 1) * width_bytes]
-        ftype = filter_cycle[r % len(filter_cycle)]
-        raw.append(ftype)
-        if ftype == 0:  # None
-            raw += row
-        elif ftype == 1:  # Sub
-            raw += bytes(
-                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
-                for i in range(width_bytes)
-            )
-        elif ftype == 2:  # Up
-            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(width_bytes))
-        elif ftype == 3:  # Average
-            raw += bytes(
-                (row[i] - (((row[i - bpp] if i >= bpp else 0) + prev[i]) >> 1))
-                & 0xFF
-                for i in range(width_bytes)
-            )
-        elif ftype == 4:  # Paeth
-            raw += bytes(
-                (
-                    row[i]
-                    - _paeth(
-                        row[i - bpp] if i >= bpp else 0,
-                        prev[i],
-                        prev[i - bpp] if i >= bpp else 0,
-                    )
-                )
-                & 0xFF
-                for i in range(width_bytes)
-            )
-        else:
-            raise ValueError(f"invalid PNG filter type {ftype}")
-        prev = row
-    return bytes(raw)
+    arr = (
+        np.frombuffer(pixels, dtype=np.uint8, count=height * width_bytes)
+        .reshape(height, width_bytes)
+        .astype(np.int16)
+    )
+    prev = np.zeros_like(arr)
+    prev[1:] = arr[:-1]
+    left = np.zeros_like(arr)
+    left[:, bpp:] = arr[:, :-bpp]
+    upleft = np.zeros_like(arr)
+    upleft[1:, bpp:] = arr[:-1, :-bpp]
+    ftypes = np.fromiter(
+        (filter_cycle[r % len(filter_cycle)] for r in range(height)),
+        dtype=np.int64,
+        count=height,
+    )
+    bad = (ftypes < 0) | (ftypes > 4)
+    if bad.any():
+        raise ValueError(f"invalid PNG filter type {int(ftypes[np.argmax(bad)])}")
+    out = np.empty((height, width_bytes + 1), dtype=np.uint8)
+    out[:, 0] = ftypes
+    body = out[:, 1:]
+    for f in np.unique(ftypes):
+        m = ftypes == f
+        if f == 0:  # None
+            body[m] = arr[m]
+        elif f == 1:  # Sub
+            body[m] = (arr[m] - left[m]) & 0xFF
+        elif f == 2:  # Up
+            body[m] = (arr[m] - prev[m]) & 0xFF
+        elif f == 3:  # Average
+            body[m] = (arr[m] - ((left[m] + prev[m]) >> 1)) & 0xFF
+        else:  # Paeth
+            body[m] = (arr[m] - _paeth_np(left[m], prev[m], upleft[m])) & 0xFF
+    return out.tobytes()
+
+
+def _filter_scanlines_batch(arr, heights, bpp: int, filter_cycle: tuple[int, ...]):
+    """Encode-side scanline filtering over MANY images' rows stacked
+    into one matrix (``arr``: (total_rows, width_bytes) int16;
+    ``heights``: rows per image). Same whole-matrix vectorization as
+    :func:`_filter_scanlines` — encode filters predict from RAW pixels
+    only — with the previous-row context zeroed at each image's first
+    row and the filter cycle restarting per image. Returns the
+    (total_rows, width_bytes + 1) filtered matrix (uint8); slice rows
+    per image to get each image's raw IDAT stream."""
+    import numpy as np
+
+    total, width_bytes = arr.shape
+    starts = np.concatenate(([0], np.cumsum(heights)[:-1]))
+    first = np.zeros(total, dtype=bool)
+    first[starts] = True
+    prev = np.zeros_like(arr)
+    prev[1:] = arr[:-1]
+    prev[first] = 0
+    left = np.zeros_like(arr)
+    left[:, bpp:] = arr[:, :-bpp]
+    upleft = np.zeros_like(prev)
+    upleft[:, bpp:] = prev[:, :-bpp]
+    img_of = np.repeat(np.arange(len(heights)), heights)
+    j = np.arange(total) - starts[img_of]
+    cyc = np.asarray(filter_cycle, dtype=np.int64)
+    bad = (cyc < 0) | (cyc > 4)
+    if bad.any():
+        raise ValueError(f"invalid PNG filter type {int(cyc[np.argmax(bad)])}")
+    ftypes = cyc[j % len(cyc)]
+    out = np.empty((total, width_bytes + 1), dtype=np.uint8)
+    out[:, 0] = ftypes
+    body = out[:, 1:]
+    for f in np.unique(ftypes):
+        m = ftypes == f
+        if f == 0:  # None
+            body[m] = arr[m]
+        elif f == 1:  # Sub
+            body[m] = (arr[m] - left[m]) & 0xFF
+        elif f == 2:  # Up
+            body[m] = (arr[m] - prev[m]) & 0xFF
+        elif f == 3:  # Average
+            body[m] = (arr[m] - ((left[m] + prev[m]) >> 1)) & 0xFF
+        else:  # Paeth
+            body[m] = (arr[m] - _paeth_np(left[m], prev[m], upleft[m])) & 0xFF
+    return out
+
+
+def _png_encode_batch(
+    datas,
+    width: int,
+    bpp: int,
+    ctype: int,
+    filter_cycle: tuple[int, ...],
+    plte: bytes | None = None,
+) -> list[bytes]:
+    """Encode MANY payloads as PNGs with one stacked filtering pass
+    (guide §4.2): padding, per-image geometry and chunk assembly stay
+    per payload (zlib.compress and crc32 are C-speed and inherently
+    per-image), but the scanline filtering — the r11 per-row Python —
+    runs once over all images' rows. Byte-identical per element to
+    :func:`_png_encode` (tests/test_round12_opts.py)."""
+    import numpy as np
+
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    width_bytes = width * bpp
+    blank = PNG_PAD * width_bytes
+    padded = []
+    for data in datas:
+        data = bytes(data)
+        if not data:
+            padded.append(blank)  # zero-byte payload -> one blank row
+            continue
+        padded.append(data + PNG_PAD * (-len(data) % width_bytes))
+    heights = np.fromiter(
+        (len(p) // width_bytes for p in padded), dtype=np.int64, count=len(padded)
+    )
+    stacked = (
+        np.frombuffer(b"".join(padded), dtype=np.uint8)
+        .reshape(-1, width_bytes)
+        .astype(np.int16)
+    )
+    raw = _filter_scanlines_batch(stacked, heights, bpp, filter_cycle)
+    bounds = np.concatenate(([0], np.cumsum(heights)))
+    pngs: list[bytes] = []
+    plte_chunk = _chunk(b"PLTE", plte) if plte is not None else b""
+    iend = _chunk(b"IEND", b"")
+    for k in range(len(padded)):
+        ihdr = struct.pack(
+            ">IIBBBBB", width, int(heights[k]), 8, ctype, 0, 0, 0
+        )
+        body = raw[bounds[k] : bounds[k + 1]].tobytes()
+        pngs.append(
+            _PNG_MAGIC
+            + _chunk(b"IHDR", ihdr)
+            + plte_chunk
+            + _chunk(b"IDAT", zlib.compress(body))
+            + iend
+        )
+    return pngs
+
+
+def png_encode_gray_batch(
+    datas,
+    width: int = PNG_WIDTH,
+    filter_cycle: tuple[int, ...] = DEFAULT_FILTER_CYCLE,
+) -> list[bytes]:
+    """Batch twin of :func:`png_encode_gray` (one stacked filter pass)."""
+    return _png_encode_batch(datas, width, 1, 0, filter_cycle)
+
+
+def png_encode_rgb_batch(
+    datas,
+    width: int = PNG_WIDTH,
+    filter_cycle: tuple[int, ...] = DEFAULT_FILTER_CYCLE,
+) -> list[bytes]:
+    """Batch twin of :func:`png_encode_rgb`."""
+    return _png_encode_batch(datas, width, PNG_RGB_BPP, 2, filter_cycle)
 
 
 def _png_encode(
@@ -276,16 +414,16 @@ def png_encode_gray_interlaced(
     pixels = data + PNG_PAD * pad
     if not data:
         pixels = PNG_PAD * width
+    import numpy as np
+
     height = len(pixels) // width
+    grid = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
     raw = bytearray()
     for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_pass_dims(width, height)):
         if pw == 0 or ph == 0:
             continue
-        sub = bytes(
-            pixels[(y0 + j * dy) * width + (x0 + i * dx)]
-            for j in range(ph)
-            for i in range(pw)
-        )
+        # strided view of the pass sub-image — no per-pixel Python (r12)
+        sub = np.ascontiguousarray(grid[y0::dy, x0::dx]).tobytes()
         raw += _filter_scanlines(sub, pw, 1, filter_cycle)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 1)
     return (
@@ -296,12 +434,161 @@ def png_encode_gray_interlaced(
     )
 
 
+def _png_unfilter(ftypes, data, bpp: int, first=None):
+    """Invert PNG scanline filtering (decode side): ``ftypes`` is the
+    per-row filter column, ``data`` the (height, width_bytes) filtered
+    bytes (integer arrays). ``first`` optionally marks rows whose
+    previous scanline is the spec's zero row — row 0 of each image when
+    MANY images' scanlines are stacked into one matrix (the batch decode
+    path); default: row 0 only. Returns the (height, width_bytes)
+    decoded pixel matrix (int16, values 0-255; int16 arithmetic is
+    mod-256-exact because numpy wrap-around is mod 2^16 and 256 | 2^16).
+
+    Vectorized (r12): None rows copy and Sub rows are an independent
+    per-row per-channel cumsum, so both compute for ALL rows at once;
+    Up rows only depend on the previous DECODED row, so they resolve as
+    a wavefront — each pass resolves every Up row whose predecessor is
+    already decoded (one whole-matrix numpy op per pass; pass count =
+    the longest consecutive Up run, 1 for the fixture encoder's 0/1/2
+    cycle). Average/Paeth are genuine per-byte recurrences on decode
+    (their inputs include the row's own decoded bytes), so a stream
+    containing them falls back to the ordered per-row walk — the
+    round-trip tests' (0,1,2,3,4) cycle exercises that path.
+    Byte-identical to the r11 per-row loop (tests/test_round12_opts.py)."""
+    import numpy as np
+
+    height, wb = data.shape
+    data = data.astype(np.int16, copy=False)
+    bad = (ftypes < 0) | (ftypes > 4)
+    if bad.any():
+        raise ValueError(f"invalid PNG filter type {int(ftypes[np.argmax(bad)])}")
+    if first is None:
+        first = np.zeros(height, dtype=bool)
+        if height:
+            first[0] = True
+    out = np.empty((height, wb), dtype=np.int16)
+    m0 = ftypes == 0
+    if m0.any():
+        out[m0] = data[m0]
+    m1 = ftypes == 1
+    if m1.any():
+        sub = data[m1]
+        out[m1] = (
+            np.cumsum(sub.reshape(sub.shape[0], -1, bpp), axis=1) & 0xFF
+        ).reshape(sub.shape[0], -1)
+    m2 = ftypes == 2
+    if not ((ftypes == 3) | (ftypes == 4)).any():
+        resolved = ~m2
+        pending = np.nonzero(m2)[0]
+        while pending.size:
+            prev_resolved = np.empty(height, dtype=bool)
+            prev_resolved[0] = True
+            prev_resolved[1:] = resolved[:-1]
+            prev_ok = (prev_resolved | first)[pending]
+            idx = pending[prev_ok]
+            prev_rows = np.where(
+                first[idx][:, None], 0, out[np.maximum(idx - 1, 0)]
+            )
+            out[idx] = (data[idx] + prev_rows) & 0xFF
+            resolved[idx] = True
+            pending = pending[~prev_ok]
+        return out
+    # Average/Paeth present: ordered walk over the unresolved rows
+    # (f0/f1 rows above double as resolved context for their successors)
+    prev = np.zeros(wb, dtype=np.int64)
+    for r in range(height):
+        if first[r]:
+            prev = np.zeros(wb, dtype=np.int64)
+        f = int(ftypes[r])
+        if f <= 1:
+            prev = out[r].astype(np.int64)
+            continue
+        row = data[r].astype(np.int64)
+        if f == 2:
+            cur = (row + prev) & 0xFF
+        elif f == 3:
+            cur = np.empty(wb, dtype=np.int64)
+            for i in range(wb):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (row[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        else:
+            cur = np.empty(wb, dtype=np.int64)
+            for i in range(wb):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                upleft = int(prev[i - bpp]) if i >= bpp else 0
+                cur[i] = (row[i] + _paeth(left, int(prev[i]), upleft)) & 0xFF
+        out[r] = cur
+        prev = cur
+    return out
+
+
+def png_encode_gray_interlaced_batch(
+    datas,
+    width: int = PNG_WIDTH,
+    filter_cycle: tuple[int, ...] = DEFAULT_FILTER_CYCLE,
+) -> list[bytes]:
+    """Batch twin of :func:`png_encode_gray_interlaced`: the seven
+    Adam7 passes are each extracted and filtered as ONE stacked matrix
+    across all images (pass width is a function of the shared scanline
+    width; per-image pass heights vary and ride in as the stacked
+    filter's per-image boundaries, which also restart the filter cycle
+    per (image, pass) exactly like the scalar encoder's per-pass
+    :func:`_filter_scanlines` call). Byte-identical per element."""
+    import numpy as np
+
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    padded = []
+    blank = PNG_PAD * width
+    for data in datas:
+        data = bytes(data)
+        padded.append((data + PNG_PAD * (-len(data) % width)) if data else blank)
+    n = len(padded)
+    heights = np.fromiter(
+        (len(p) // width for p in padded), dtype=np.int64, count=n
+    )
+    grid = np.frombuffer(b"".join(padded), dtype=np.uint8).reshape(-1, width)
+    gstarts = np.concatenate(([0], np.cumsum(heights)[:-1]))
+    img_of = np.repeat(np.arange(n), heights)
+    j = np.arange(grid.shape[0]) - gstarts[img_of]
+    # per (pass, image) filtered scanline blocks
+    pass_blocks: list[list[bytes]] = [[] for _ in range(n)]
+    for x0, y0, dx, dy in _ADAM7:
+        pw = max(0, (width - x0 + dx - 1) // dx)
+        if pw == 0:
+            continue
+        ph = np.maximum(0, (heights - y0 + dy - 1) // dy)
+        keep = (j >= y0) & ((j - y0) % dy == 0) & (ph[img_of] > 0)
+        if not keep.any():
+            continue
+        sub = grid[keep][:, x0::dx].astype(np.int16)
+        live = ph[ph > 0]
+        raw = _filter_scanlines_batch(sub, live, 1, filter_cycle)
+        bounds = np.concatenate(([0], np.cumsum(live)))
+        live_imgs = np.nonzero(ph > 0)[0]
+        for k, img in enumerate(live_imgs):
+            pass_blocks[img].append(raw[bounds[k] : bounds[k + 1]].tobytes())
+    iend = _chunk(b"IEND", b"")
+    out: list[bytes] = []
+    for i in range(n):
+        ihdr = struct.pack(">IIBBBBB", width, int(heights[i]), 8, 0, 0, 0, 1)
+        out.append(
+            _PNG_MAGIC
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"".join(pass_blocks[i])))
+            + iend
+        )
+    return out
+
+
 def _adam7_unfilter(inflated: bytes, width: int, height: int):
     """Invert Adam7 interlacing for an 8-bit single-channel image:
-    per-pass scanline unfiltering (bpp=1, the shared filter inverses)
-    followed by sparse placement into the full grid. Returns a numpy
-    uint8 array of width*height pixels; raises ValueError on a payload
-    whose length disagrees with the pass geometry."""
+    per-pass scanline unfiltering (bpp=1, the shared
+    :func:`_png_unfilter` engine) followed by sparse placement into the
+    full grid — one fancy-index per pass, no per-scanline Python.
+    Returns a numpy uint8 array of width*height pixels; raises
+    ValueError on a payload whose length disagrees with the pass
+    geometry."""
     import numpy as np
 
     dims = _adam7_pass_dims(width, height)
@@ -318,33 +605,15 @@ def _adam7_unfilter(inflated: bytes, width: int, height: int):
             continue
         rows = raw[pos : pos + ph * (pw + 1)].reshape(ph, pw + 1)
         pos += ph * (pw + 1)
-        ftypes = rows[:, 0]
-        body = rows[:, 1:].astype(np.int64)
-        prev = np.zeros(pw, dtype=np.int64)
-        for j in range(ph):
-            f, row = int(ftypes[j]), body[j]
-            if f == 0:
-                cur = row
-            elif f == 1:
-                cur = np.cumsum(row) & 0xFF
-            elif f == 2:
-                cur = (row + prev) & 0xFF
-            elif f == 3:
-                cur = np.empty(pw, dtype=np.int64)
-                for i in range(pw):
-                    left = int(cur[i - 1]) if i >= 1 else 0
-                    cur[i] = (row[i] + ((left + int(prev[i])) >> 1)) & 0xFF
-            elif f == 4:
-                cur = np.empty(pw, dtype=np.int64)
-                for i in range(pw):
-                    left = int(cur[i - 1]) if i >= 1 else 0
-                    upleft = int(prev[i - 1]) if i >= 1 else 0
-                    cur[i] = (row[i] + _paeth(left, int(prev[i]), upleft)) & 0xFF
-            else:
-                raise ValueError(f"invalid PNG filter type {f}")
-            idx = (y0 + j * dy) * width + x0 + np.arange(pw) * dx
-            out[idx] = cur.astype(np.uint8)
-            prev = cur
+        sub = _png_unfilter(
+            rows[:, 0].astype(np.int64), rows[:, 1:].astype(np.int64), 1
+        )
+        idx = (
+            (y0 + np.arange(ph) * dy)[:, None] * width
+            + x0
+            + np.arange(pw)[None, :] * dx
+        )
+        out[idx.reshape(-1)] = sub.astype(np.uint8).reshape(-1)
     return out
 
 
@@ -389,19 +658,14 @@ def png_encode_palette(
     )
 
 
-def _png_decode(png: bytes, expect_ctype: int, bpp: int) -> bytes:
-    """Shared PNG decode engine: validates the magic, every chunk's
-    CRC-32, the IHDR geometry (8-bit, the expected color type),
-    concatenates multi-IDAT streams, inflates, and inverts all five
-    scanline filters with the spec's bpp-step predictors. For color
-    type 3 (paletted — bpp=1 index stream) the PLTE chunk is validated
-    (present before pixels are interpreted, length a non-empty multiple
-    of 3, every index in range) and each index maps through it to an
-    (R, G, B) triple, so the return value is an interleaved RGB stream
-    exactly like the truecolor path. Raises ``ValueError`` on any
-    corruption — the behavior a corrupt-object quarantine path needs."""
-    import numpy as np
-
+def _png_parse(png: bytes, expect_ctype: int) -> tuple[int, int, bool, bytes | None, bytes]:
+    """Chunk-walk + inflate half of the PNG decode engine: validates the
+    magic, every chunk's CRC-32, the IHDR geometry (8-bit, the expected
+    color type), PLTE ordering/size for color type 3, concatenates
+    multi-IDAT streams and inflates. Returns ``(width, height,
+    interlaced, plte, inflated)``; raises ``ValueError`` on any
+    corruption. Split out of :func:`_png_decode` (r12) so the batch
+    decoder can parse payloads individually and unfilter them stacked."""
     if png[: len(_PNG_MAGIC)] != _PNG_MAGIC:
         raise ValueError("not a PNG: bad magic")
     pos = len(_PNG_MAGIC)
@@ -466,11 +730,49 @@ def _png_decode(png: bytes, expect_ctype: int, bpp: int) -> bytes:
         raise ValueError("PNG missing IEND")
     if expect_ctype == 3 and plte is None:
         raise ValueError("PNG color type 3 missing PLTE")
-    wb = width * bpp
     try:
         inflated = zlib.decompress(bytes(idat))
     except zlib.error as exc:  # normalize to the module's ValueError contract
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    return width, height, interlaced, plte, inflated
+
+
+def _palette_map(pixels, plte: bytes) -> bytes:
+    """PLTE lookup for a decoded index stream (numpy uint8 array in,
+    interleaved RGB bytes out) — shared by the single and batch paths."""
+    import numpy as np
+
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = pixels.reshape(-1)
+    if idx.size and int(idx.max()) >= pal.shape[0]:
+        raise ValueError(
+            f"PNG palette index {int(idx.max())} out of range "
+            f"(palette has {pal.shape[0]} entries)"
+        )
+    return pal[idx].tobytes()
+
+
+def png_encode_palette_batch(
+    datas,
+    width: int = PNG_WIDTH,
+    filter_cycle: tuple[int, ...] = DEFAULT_FILTER_CYCLE,
+) -> list[bytes]:
+    """Batch twin of :func:`png_encode_palette` (one stacked filter
+    pass at bpp=1; the fixed fixture PLTE rides in every chunk set)."""
+    return _png_encode_batch(
+        datas, width, 1, 3, filter_cycle, plte=_fixture_palette()
+    )
+
+
+def _png_decode(png: bytes, expect_ctype: int, bpp: int) -> bytes:
+    """Shared PNG decode engine: :func:`_png_parse` validation + the
+    vectorized :func:`_png_unfilter` + (for color type 3) the PLTE map.
+    Raises ``ValueError`` on any corruption — the behavior a
+    corrupt-object quarantine path needs."""
+    import numpy as np
+
+    width, height, interlaced, plte, inflated = _png_parse(png, expect_ctype)
+    wb = width * bpp
     if interlaced:
         return _adam7_unfilter(inflated, width, height).tobytes()
     raw = np.frombuffer(inflated, dtype=np.uint8)
@@ -479,44 +781,207 @@ def _png_decode(png: bytes, expect_ctype: int, bpp: int) -> bytes:
             f"PNG pixel payload {raw.size} != {height}x({wb}+1)"
         )
     rows = raw.reshape(height, wb + 1)
-    ftypes = rows[:, 0]
-    data = rows[:, 1:].astype(np.int64)
-    out = np.empty((height, wb), dtype=np.int64)
-    prev = np.zeros(wb, dtype=np.int64)
-    for r in range(height):
-        f, row = int(ftypes[r]), data[r]
-        if f == 0:
-            cur = row
-        elif f == 1:  # Sub: x[i] = f[i] + x[i-bpp] -> per-channel cumsum
-            cur = (np.cumsum(row.reshape(-1, bpp), axis=0) & 0xFF).reshape(-1)
-        elif f == 2:  # Up
-            cur = (row + prev) & 0xFF
-        elif f == 3:  # Average: per-byte recurrence (floor-div is nonlinear)
-            cur = np.empty(wb, dtype=np.int64)
-            for i in range(wb):
-                left = int(cur[i - bpp]) if i >= bpp else 0
-                cur[i] = (row[i] + ((left + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth: per-byte recurrence (predictor choice)
-            cur = np.empty(wb, dtype=np.int64)
-            for i in range(wb):
-                left = int(cur[i - bpp]) if i >= bpp else 0
-                upleft = int(prev[i - bpp]) if i >= bpp else 0
-                cur[i] = (row[i] + _paeth(left, int(prev[i]), upleft)) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG filter type {f}")
-        out[r] = cur
-        prev = cur
-    pixels = out.astype(np.uint8)
+    pixels = _png_unfilter(
+        rows[:, 0].astype(np.int16), rows[:, 1:], bpp
+    ).astype(np.uint8)
     if expect_ctype == 3:
-        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = pixels.reshape(-1)
-        if idx.size and int(idx.max()) >= pal.shape[0]:
-            raise ValueError(
-                f"PNG palette index {int(idx.max())} out of range "
-                f"(palette has {pal.shape[0]} entries)"
-            )
-        return pal[idx].tobytes()
+        return _palette_map(pixels, plte)
     return pixels.tobytes()
+
+
+def _png_decode_batch(
+    pngs, expect_ctype: int, bpp: int, errors: str = "raise"
+) -> tuple[list, list]:
+    """Decode MANY PNGs with the per-payload work limited to what is
+    inherently per-payload (chunk walk + CRC + inflate, all C-speed):
+    every non-interlaced payload's scanlines are stacked into one
+    matrix per width and unfiltered in a single vectorized pass
+    (guide §4.2 — vectorize across the Arrow batch, not within one
+    tiny image). Byte-identical per element to :func:`_png_decode`
+    (pinned in tests/test_round12_opts.py), including error
+    classification: with ``errors="capture"`` each failing payload
+    yields ``None`` plus its ``ValueError`` in the second list (the
+    permissive-mode contract); with ``errors="raise"`` the first
+    failure propagates exactly like the scalar path would at that
+    element (earlier elements' work is discarded).
+
+    Returns ``(decoded, errs)`` — lists aligned with ``pngs``."""
+    import numpy as np
+
+    n = len(pngs)
+    decoded: list = [None] * n
+    errs: list = [None] * n
+    # (wb, rows_matrix, out_index, plte) per straight payload, grouped by wb
+    groups: dict[int, list] = {}
+    il_groups: dict[int, list] = {}  # interlaced, grouped by width
+    for i, png in enumerate(pngs):
+        try:
+            width, height, interlaced, plte, inflated = _png_parse(
+                bytes(png), expect_ctype
+            )
+            wb = width * bpp
+            if interlaced:
+                dims = _adam7_pass_dims(width, height)
+                expect = sum(ph * (pw + 1) for pw, ph in dims if pw and ph)
+                if len(inflated) != expect:
+                    raise ValueError(
+                        f"PNG Adam7 pixel payload {len(inflated)} != "
+                        f"expected {expect}"
+                    )
+                if height < 1 or width < 1:  # degenerate: scalar engine
+                    decoded[i] = _adam7_unfilter(
+                        inflated, width, height
+                    ).tobytes()
+                    continue
+                il_groups.setdefault(width, []).append((i, height, inflated))
+                continue
+            raw = np.frombuffer(inflated, dtype=np.uint8)
+            if raw.size != height * (wb + 1):
+                raise ValueError(
+                    f"PNG pixel payload {raw.size} != {height}x({wb}+1)"
+                )
+            rows = raw.reshape(height, wb + 1)
+            ftypes = rows[:, 0]
+            if (ftypes > 4).any():
+                bad = ftypes[ftypes > 4]
+                raise ValueError(f"invalid PNG filter type {int(bad[0])}")
+            if (ftypes >= 3).any():
+                # Average/Paeth: per-byte recurrence — scalar engine
+                pix = _png_unfilter(
+                    ftypes.astype(np.int16), rows[:, 1:], bpp
+                ).astype(np.uint8)
+                decoded[i] = (
+                    _palette_map(pix, plte) if expect_ctype == 3 else pix.tobytes()
+                )
+                continue
+            groups.setdefault(wb, []).append((i, rows, plte))
+        except ValueError as exc:
+            if errors == "raise":
+                raise
+            errs[i] = exc
+    for wb, members in groups.items():
+        heights = np.fromiter(
+            (m[1].shape[0] for m in members), dtype=np.int64, count=len(members)
+        )
+        stacked = np.concatenate([m[1] for m in members], axis=0)
+        starts = np.concatenate(([0], np.cumsum(heights)[:-1]))
+        first = np.zeros(stacked.shape[0], dtype=bool)
+        first[starts] = True
+        pix = _png_unfilter(
+            stacked[:, 0].astype(np.int16), stacked[:, 1:], bpp, first=first
+        ).astype(np.uint8)
+        flat = np.ascontiguousarray(pix).reshape(-1)
+        bounds = np.concatenate(([0], np.cumsum(heights * wb)))
+        for k, (i, _rows, plte) in enumerate(members):
+            seg = flat[bounds[k] : bounds[k + 1]]
+            try:
+                decoded[i] = (
+                    _palette_map(seg, plte) if expect_ctype == 3 else seg.tobytes()
+                )
+            except ValueError as exc:
+                if errors == "raise":
+                    raise
+                errs[i] = exc
+    # Adam7 payloads: per width, every pass unfilters as ONE stacked
+    # matrix across all images (the encode-side batch pattern run
+    # backwards), then one global fancy scatter per pass places the
+    # pass pixels at their interlace positions. All per-image geometry
+    # (pass row offsets, filter-byte gathers, Average/Paeth detection)
+    # is computed with whole-group numpy arithmetic over the images'
+    # concatenated inflate streams — no per-image numpy calls.
+    for width, members in il_groups.items():
+        nimg = len(members)
+        heights = np.fromiter(
+            (m[1] for m in members), dtype=np.int64, count=nimg
+        )
+        buf = np.frombuffer(b"".join(m[2] for m in members), dtype=np.uint8)
+        stream_off = np.concatenate(
+            (
+                [0],
+                np.cumsum(
+                    np.fromiter(
+                        (len(m[2]) for m in members), dtype=np.int64, count=nimg
+                    )
+                ),
+            )
+        )
+        # (pass, image) geometry: pw per pass, ph per (image, pass)
+        pws = np.array(
+            [max(0, (width - x0 + dx - 1) // dx) for x0, y0, dx, dy in _ADAM7],
+            dtype=np.int64,
+        )
+        y0s = np.array([p[1] for p in _ADAM7], dtype=np.int64)
+        dys = np.array([p[3] for p in _ADAM7], dtype=np.int64)
+        ph_kp = np.maximum(0, (heights[:, None] - y0s + dys - 1) // dys)
+        ph_kp[:, pws == 0] = 0
+        rowlen = pws + 1
+        span_kp = ph_kp * rowlen  # bytes per (image, pass)
+        # base offset of each (image, pass) block inside the big buffer
+        base_kp = stream_off[:-1, None] + np.concatenate(
+            (np.zeros((nimg, 1), dtype=np.int64), np.cumsum(span_kp, axis=1)[:, :-1]),
+            axis=1,
+        )
+        # every scanline's start offset, grouped by (image, pass) in
+        # C order (image-major) — one flat arange trick
+        counts = ph_kp.reshape(-1)
+        pair_base = base_kp.reshape(-1)
+        pair_rowlen = np.tile(rowlen, nimg)
+        total_rows = int(counts.sum())
+        pair_of_row = np.repeat(np.arange(nimg * 7), counts)
+        row_starts_flat = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        j_of_row = np.arange(total_rows) - row_starts_flat[pair_of_row]
+        row_off = pair_base[pair_of_row] + j_of_row * pair_rowlen[pair_of_row]
+        ft_all = buf[row_off]
+        img_of_row = pair_of_row // 7
+        # per-image max filter byte via segment reduce (every image has
+        # >= 1 scanline: pass 1 starts at y=0, so ph >= 1 when H >= 1)
+        img_row_starts = np.concatenate(
+            ([0], np.cumsum(ph_kp.sum(axis=1))[:-1])
+        )
+        ftmax = np.maximum.reduceat(ft_all, img_row_starts)
+        special = np.nonzero(ftmax >= 3)[0]
+        skip = np.zeros(nimg, dtype=bool)
+        for k in special:
+            i, h, inflated = members[k]
+            skip[k] = True
+            try:
+                # scalar engine: raises the classified error for >4,
+                # runs the per-byte recurrence for Average/Paeth
+                decoded[i] = _adam7_unfilter(inflated, width, h).tobytes()
+            except ValueError as exc:
+                if errors == "raise":
+                    raise
+                errs[i] = exc
+        out_offsets = np.concatenate(([0], np.cumsum(heights * width)))
+        flat = np.empty(int(out_offsets[-1]), dtype=np.uint8)
+        keep_row = ~skip[img_of_row]
+        for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            pw = int(pws[p])
+            if pw == 0:
+                continue
+            sel = keep_row & (pair_of_row % 7 == p)
+            if not sel.any():
+                continue
+            offs = row_off[sel]
+            stacked = buf[offs[:, None] + np.arange(pw + 1)]
+            first = np.empty(offs.size, dtype=bool)
+            first[0] = True
+            first[1:] = j_of_row[sel][1:] == 0
+            pix = _png_unfilter(
+                stacked[:, 0].astype(np.int16), stacked[:, 1:], 1, first=first
+            ).astype(np.uint8)
+            jj = j_of_row[sel]
+            idx = (
+                out_offsets[img_of_row[sel]][:, None]
+                + ((y0 + jj * dy) * width)[:, None]
+                + x0
+                + np.arange(pw)[None, :] * dx
+            )
+            flat[idx.reshape(-1)] = pix.reshape(-1)
+        for k, (i, h, _infl) in enumerate(members):
+            if not skip[k]:
+                decoded[i] = flat[out_offsets[k] : out_offsets[k + 1]].tobytes()
+    return decoded, errs
 
 
 def png_decode_gray(png: bytes) -> bytes:
@@ -542,6 +1007,60 @@ def png_decode_palette(png: bytes) -> bytes:
     lookup per pixel. Raises ``ValueError`` on missing/ill-sized PLTE
     or out-of-range indexes (classified quarantine kinds)."""
     return _png_decode(png, 3, 1)
+
+
+def png_decode_gray_batch(pngs, errors: str = "raise") -> tuple[list, list]:
+    """Batch twin of :func:`png_decode_gray` — see
+    :func:`_png_decode_batch` for the stacking/error contract."""
+    return _png_decode_batch(pngs, 0, 1, errors)
+
+
+def png_decode_rgb_batch(pngs, errors: str = "raise") -> tuple[list, list]:
+    """Batch twin of :func:`png_decode_rgb`."""
+    return _png_decode_batch(pngs, 2, PNG_RGB_BPP, errors)
+
+
+def png_decode_palette_batch(pngs, errors: str = "raise") -> tuple[list, list]:
+    """Batch twin of :func:`png_decode_palette`."""
+    return _png_decode_batch(pngs, 3, 1, errors)
+
+
+def png_decode_auto_batch(pngs, errors: str = "raise") -> tuple[list, list]:
+    """Batch twin of :func:`png_decode_auto`: dispatch each payload by
+    its IHDR color type (same validation order as the scalar function),
+    then decode each color-type group through the batch engine."""
+    n = len(pngs)
+    decoded: list = [None] * n
+    errs: list = [None] * n
+    by_ctype: dict[int, list[int]] = {}
+    for i, png in enumerate(pngs):
+        png = bytes(png)
+        try:
+            if png[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+                raise ValueError("not a PNG: bad magic")
+            if len(png) < 26:
+                raise ValueError("truncated PNG chunk header")
+            if png[12:16] != b"IHDR":
+                raise ValueError("PNG first chunk is not a 13-byte IHDR")
+            ctype = png[25]
+            if ctype not in (0, 2, 3):
+                raise ValueError(
+                    f"unsupported PNG variant (color type {ctype} has no decoder)"
+                )
+            by_ctype.setdefault(ctype, []).append(i)
+        except ValueError as exc:
+            if errors == "raise":
+                raise
+            errs[i] = exc
+    for ctype, idxs in by_ctype.items():
+        bpp = PNG_RGB_BPP if ctype == 2 else 1
+        dec, er = _png_decode_batch(
+            [pngs[i] for i in idxs], ctype, bpp, errors
+        )
+        for k, i in enumerate(idxs):
+            decoded[i] = dec[k]
+            errs[i] = er[k]
+    return decoded, errs
 
 
 def png_decode_auto(png: bytes) -> bytes:

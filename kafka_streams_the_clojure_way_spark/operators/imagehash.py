@@ -125,25 +125,31 @@ def phash_assets(
 
         if decode == "png":
             from kafka_streams_the_clojure_way_spark.functions.codecs import (
-                png_decode_gray,
+                png_decode_gray_batch,
             )
 
-            unwrap = lambda raw: png_decode_gray(bytes(raw))  # noqa: E731
+            def unwrap_batch(raws, errors="raise"):
+                return png_decode_gray_batch(raws, errors)
+
         else:
-            unwrap = bytes
+
+            def unwrap_batch(raws, errors="raise"):
+                return [bytes(r) for r in raws], [None] * len(raws)
+
         for pdf in batches:
+            raws = [a["bytes"] for a in pdf["asset"].values]
             kinds: list[str | None] = []
             if permissive:
-                payloads = []
-                for a in pdf["asset"].values:
-                    try:
-                        payloads.append(unwrap(a["bytes"]))
-                        kinds.append(None)
-                    except (ValueError, NotImplementedError) as exc:
-                        payloads.append(b"")
-                        kinds.append(classify_codec_error(str(exc)))
+                streams, errs = unwrap_batch(raws, errors="capture")
+                payloads = [
+                    s if e is None else b"" for s, e in zip(streams, errs)
+                ]
+                kinds = [
+                    None if e is None else classify_codec_error(str(e))
+                    for e in errs
+                ]
             else:
-                payloads = [unwrap(a["bytes"]) for a in pdf["asset"].values]
+                payloads, _ = unwrap_batch(raws, errors="raise")
             lens = np.fromiter((len(p) for p in payloads), dtype=np.int64)
             buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
             offs = np.concatenate(([0], np.cumsum(lens)[:-1]))

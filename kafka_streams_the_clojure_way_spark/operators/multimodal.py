@@ -104,6 +104,28 @@ _CODEC_MIME = {
 }
 
 
+def _codec_batch_encoders():
+    """list[bytes] -> list[container bytes] encoder per fixture codec
+    (worker-side). The PNG family routes through the r12 BATCH encoders
+    (one stacked scanline-filter pass per Arrow batch — guide §4.2);
+    the cheap container muxes (WAV via the std ``wave`` writer, PGM/Y4M
+    header concatenation) stay per-payload inside a list comprehension.
+    Byte-identical per element to :func:`_codec_encoders`."""
+    from kafka_streams_the_clojure_way_spark.functions import codecs as CC
+
+    batch = {
+        "png": CC.png_encode_gray_batch,
+        "png_rgb": CC.png_encode_rgb_batch,
+        "png_palette": CC.png_encode_palette_batch,
+        "png_adam7": CC.png_encode_gray_interlaced_batch,
+    }
+    out = dict(batch)
+    for codec, enc in _codec_encoders().items():
+        if codec not in out:
+            out[codec] = lambda payloads, _e=enc: [_e(p) for p in payloads]
+    return out
+
+
 def _codec_encoders():
     """bytes -> container encoder per fixture codec (worker-side)."""
     from kafka_streams_the_clojure_way_spark.functions import codecs as CC
@@ -164,9 +186,9 @@ def encode_text_assets(
     mime = _CODEC_MIME[codec]
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        enc = _codec_encoders()[codec]
+        enc = _codec_batch_encoders()[codec]
         for pdf in batches:
-            payloads = [enc(t.encode("utf-8")) for t in pdf[text_col].values]
+            payloads = enc([t.encode("utf-8") for t in pdf[text_col].values])
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
@@ -299,17 +321,28 @@ def encode_text_assets_by(
     import pandas as pd
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        enc = _codec_encoders()
+        enc = _codec_batch_encoders()
         for pdf in batches:
-            out = []
-            for doc_id, text, codec in zip(
-                pdf[id_col].values, pdf[text_col].values, pdf[codec_col].values
-            ):
+            ids = pdf[id_col].values
+            texts = pdf[text_col].values
+            codec_vals = pdf[codec_col].values
+            raws: list = [None] * len(pdf)
+            # group rows by codec so the PNG family hits the batch
+            # encoders once per codec, not once per row (r12)
+            by_codec: dict[str, list[int]] = {}
+            for i, c in enumerate(codec_vals):
+                by_codec.setdefault(c, []).append(i)
+            for codec, idxs in by_codec.items():
                 encoder = enc.get(codec)
                 if encoder is None:
                     raise ValueError(f"unknown fixture codec {codec!r}")
+                encoded = encoder([texts[i].encode("utf-8") for i in idxs])
+                for i, raw in zip(idxs, encoded):
+                    raws[i] = raw
+            out = []
+            for i, (doc_id, codec) in enumerate(zip(ids, codec_vals)):
                 mime = _CODEC_MIME[codec]
-                raw = encoder(text.encode("utf-8"))
+                raw = raws[i]
                 if corrupt_png and mime == "image/png":
                     raw = _corrupt_payload(
                         int(doc_id), raw, flip_offset, trunc_tail
@@ -514,6 +547,7 @@ def resize_assets(
     substring arithmetic), and RE-ENCODE a valid PNG of the new
     geometry. A real-codec build swaps in Pillow's resampler behind the
     same seam; plan shape identical either way."""
+    import numpy as np
     import pandas as pd
 
     if codec not in (None, "png"):
@@ -523,33 +557,48 @@ def resize_assets(
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         if codec == "png":
             from kafka_streams_the_clojure_way_spark.functions.codecs import (
-                png_decode_gray,
-                png_encode_gray,
+                png_decode_gray_batch,
+                png_encode_gray_batch,
             )
 
-            def kernel(raw: bytes) -> bytes:
-                pix = png_decode_gray(raw)
-                n = len(pix)
-                out = bytes(pix[(k * n) // target] for k in range(target))
-                return png_encode_gray(out, width=width)
+            ks = np.arange(target, dtype=np.int64)
+
+            def kernel_batch(raws: list[bytes]) -> list[bytes]:
+                # r12: batch decode -> numpy fancy-index resample
+                # (out[k] = pix[(k * n) // target]) -> batch re-encode
+                pixs, _ = png_decode_gray_batch(raws, "raise")
+                resampled = [
+                    np.frombuffer(p, dtype=np.uint8)[
+                        (ks * len(p)) // target
+                    ].tobytes()
+                    for p in pixs
+                ]
+                return png_encode_gray_batch(resampled, width=width)
 
         else:
 
-            def kernel(raw: bytes) -> bytes:
-                return raw[:target] + b"\x00" * (target - len(raw[:target]))
+            def kernel_batch(raws: list[bytes]) -> list[bytes]:
+                return [
+                    raw[:target] + b"\x00" * (target - len(raw[:target]))
+                    for raw in raws
+                ]
 
         # zip over .values, not pandas row iteration (which materializes
         # a Series per row, ~5-10x slower per batch); the per-payload
         # transcode itself is the only genuinely per-row work here
         # (variable-length binary has no columnar kernel)
         for pdf in batches:
+            assets = pdf["asset"].values
+            payloads = kernel_batch([bytes(a["bytes"]) for a in assets])
             out = []
-            for doc_id, asset in zip(pdf[id_col].values, pdf["asset"].values):
+            for doc_id, asset, payload in zip(
+                pdf[id_col].values, assets, payloads
+            ):
                 out.append(
                     {
                         id_col: doc_id,
                         "asset": {
-                            "bytes": kernel(bytes(asset["bytes"])),
+                            "bytes": payload,
                             "mime": asset["mime"],
                             "width": width,
                             "height": height,
@@ -593,14 +642,16 @@ def transcode_checksum_assets(
             png_encode_gray,
         )
 
+        ks = np.arange(target, dtype=np.int64)
         for pdf in batches:
             pix: list[bytes] = []
             for a in pdf["asset"].values:
                 decoded = png_decode_gray(bytes(a["bytes"]))
-                n = len(decoded)
-                resampled = bytes(
-                    decoded[(k * n) // target] for k in range(target)
-                )
+                # numpy fancy-index twin of the per-pixel genexp
+                # resampled[k] = decoded[(k * n) // target] (r12)
+                resampled = np.frombuffer(decoded, dtype=np.uint8)[
+                    (ks * len(decoded)) // target
+                ].tobytes()
                 reencoded = png_encode_gray(resampled, width=width)
                 pix.append(png_decode_gray(reencoded))
             lens = np.fromiter(
@@ -689,20 +740,18 @@ def asset_pixel_checksum(
             classify_codec_error,
         )
 
-        unwrap = _checksum_unwrap(decode)
+        unwrap_batch = _checksum_unwrap_batch(decode)
         for pdf in batches:
-            kinds: list[str | None] = []
+            payloads = [a["bytes"] for a in pdf["asset"].values]
             if permissive:
-                pix = []
-                for a in pdf["asset"].values:
-                    try:
-                        pix.append(unwrap(a["bytes"]))
-                        kinds.append(None)
-                    except (ValueError, NotImplementedError) as exc:
-                        pix.append(b"")
-                        kinds.append(classify_codec_error(str(exc)))
+                streams, errs = unwrap_batch(payloads, errors="capture")
+                pix = [s if e is None else b"" for s, e in zip(streams, errs)]
+                kinds = [
+                    None if e is None else classify_codec_error(str(e))
+                    for e in errs
+                ]
             else:
-                pix = [unwrap(a["bytes"]) for a in pdf["asset"].values]
+                pix, _ = unwrap_batch(payloads, errors="raise")
             lens = np.fromiter((len(p) for p in pix), dtype=np.int64)
             buf = np.frombuffer(b"".join(pix), dtype=np.uint8).astype(np.int64)
             ends = np.cumsum(lens)
@@ -786,6 +835,40 @@ def _checksum_unwrap(decode: str | None):
     return bytes
 
 
+def _checksum_unwrap_batch(decode: str | None):
+    """Batch twin of :func:`_checksum_unwrap`:
+    ``fn(payloads, errors) -> (streams, errs)`` with per-payload
+    ``ValueError`` capture (``errors="capture"``) or fail-fast
+    (``"raise"``). The PNG profiles route through the r12 stacked batch
+    decoders; WAV/Y4M stay per-payload (std-module parsing / header
+    walking — already C-bound) behind the same interface."""
+    from kafka_streams_the_clojure_way_spark.functions import codecs as CC
+
+    if decode == "png":
+        return lambda payloads, errors="raise": CC.png_decode_gray_batch(
+            payloads, errors
+        )
+    if decode == "png_any":
+        return lambda payloads, errors="raise": CC.png_decode_auto_batch(
+            payloads, errors
+        )
+    unwrap = _checksum_unwrap(decode)
+
+    def run(payloads, errors="raise"):
+        out: list = [None] * len(payloads)
+        errs: list = [None] * len(payloads)
+        for i, p in enumerate(payloads):
+            try:
+                out[i] = unwrap(p)
+            except (ValueError, NotImplementedError) as exc:
+                if errors == "raise":
+                    raise
+                errs[i] = exc
+        return out, errs
+
+    return run
+
+
 def asset_decode_gate(
     df: DataFrame,
     mime_decoders: dict[str, str],
@@ -813,21 +896,29 @@ def asset_decode_gate(
     decoders = dict(mime_decoders)
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        unwraps = {m: _checksum_unwrap(d) for m, d in decoders.items()}
+        unwraps = {m: _checksum_unwrap_batch(d) for m, d in decoders.items()}
         for pdf in batches:
             assets = pdf["asset"].values
             keep = np.zeros(len(pdf), dtype=bool)
-            pix: list[bytes] = []
+            streams: list = [None] * len(pdf)
+            # group rows by mime so each modality decodes as one batch
+            # (the PNG profiles hit the r12 stacked decoders); a row
+            # whose mime is unlisted matched no modality leg, a row
+            # whose payload fails its decoder quarantines — one corrupt
+            # row, not the job
+            by_mime: dict[str, list[int]] = {}
             for i, a in enumerate(assets):
-                unwrap = unwraps.get(a["mime"])
-                if unwrap is None:
-                    continue  # unlisted mime: matched no modality leg
-                try:
-                    decoded = unwrap(a["bytes"])
-                except (ValueError, NotImplementedError):
-                    continue  # quarantined: one corrupt row, not the job
-                keep[i] = True
-                pix.append(decoded)
+                if a["mime"] in unwraps:
+                    by_mime.setdefault(a["mime"], []).append(i)
+            for mime, idxs in by_mime.items():
+                dec, errs = unwraps[mime](
+                    [assets[i]["bytes"] for i in idxs], errors="capture"
+                )
+                for i, d, e in zip(idxs, dec, errs):
+                    if e is None:
+                        keep[i] = True
+                        streams[i] = d
+            pix: list[bytes] = [s for s in streams if s is not None]
             lens = np.fromiter((len(p) for p in pix), dtype=np.int64, count=len(pix))
             buf = np.frombuffer(b"".join(pix), dtype=np.uint8).astype(np.int64)
             ends = np.cumsum(lens)
@@ -1034,27 +1125,41 @@ def rgb_luma_stats(
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from kafka_streams_the_clojure_way_spark.functions import codecs as CC
 
-        dec = {
-            "png_rgb": CC.png_decode_rgb,
-            "png_palette": CC.png_decode_palette,
+        dec_batch = {
+            "png_rgb": CC.png_decode_rgb_batch,
+            "png_palette": CC.png_decode_palette_batch,
         }[decode]
         for pdf in batches:
-            ids, npx, lsum, lpoly = [], [], [], []
-            for i, a in zip(pdf[id_col].values, pdf["asset"].values):
-                y = np.frombuffer(
-                    CC.rgb_to_luma(dec(bytes(a["bytes"]))),
-                    dtype=np.uint8,
-                ).astype(np.int64)
-                ids.append(i)
-                npx.append(y.size)
-                lsum.append(int(y.sum()))
-                lpoly.append(int((y * np.arange(1, y.size + 1)).sum()))
+            # r12: one stacked decode for the whole batch, then ONE
+            # luma conversion + segment-sum over the concatenated
+            # streams (the extract_features discipline) instead of
+            # per-asset numpy calls
+            rgbs, _ = dec_batch(
+                [a["bytes"] for a in pdf["asset"].values], "raise"
+            )
+            lens = np.fromiter(
+                (len(r) // 3 for r in rgbs), dtype=np.int64, count=len(rgbs)
+            )
+            y = np.frombuffer(
+                CC.rgb_to_luma(b"".join(rgbs)), dtype=np.uint8
+            ).astype(np.int64)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            csum = np.concatenate(([0], np.cumsum(y)))
+            # position-weighted sum with PER-IMAGE positions (j+1):
+            # sum(y_j * (gpos_j + 1 - start)) = polysum - start * segsum
+            # over global positions gpos
+            gpoly = np.concatenate(
+                ([0], np.cumsum(y * np.arange(1, y.size + 1)))
+            )
+            seg_sum = csum[ends] - csum[starts]
+            seg_poly = (gpoly[ends] - gpoly[starts]) - starts * seg_sum
             yield pd.DataFrame(
                 {
-                    id_col: ids,
-                    "n_luma": npx,
-                    "luma_sum": lsum,
-                    "luma_poly": lpoly,
+                    id_col: pdf[id_col].values,
+                    "n_luma": lens,
+                    "luma_sum": seg_sum,
+                    "luma_poly": seg_poly,
                 }
             )
 
