@@ -51,14 +51,6 @@ def _sq_dist_sql(vec: str, cent: str) -> str:
     )
 
 
-def lit_vec(values) -> "F.Column":
-    """A literal array<double> column from a driver-side vector. Python
-    floats ARE doubles, and collected float32 values widen exactly, so a
-    literal built this way is bit-identical to ``cast(col AS
-    array<double>)`` of the row it came from."""
-    return F.array(*[F.lit(float(x)) for x in values])
-
-
 def attach_model(df: DataFrame, name: str, value, schema: str) -> DataFrame:
     """Attach a driver-side model value (a centroid list, a codebook) to
     every row of ``df`` as column ``name`` via a 1-row broadcast cross.

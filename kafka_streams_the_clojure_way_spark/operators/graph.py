@@ -173,8 +173,6 @@ def triangle_counts(
     edges: DataFrame,
     src: str = "u",
     dst: str = "v",
-    *,
-    assume_normalized: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph, as two
     equi-joins (node-iterator / Cohen's MapReduce formulation, the
@@ -193,29 +191,20 @@ def triangle_counts(
     any graph, the best general bound. Both joins are plain shuffled
     equi-joins; nothing is ever collected.
 
-    Returns (node, n_triangles) for nodes in >= 1 triangle.
-
-    ``assume_normalized``: the caller guarantees ``edges`` is already
-    one-row-per-undirected-edge with ``src < dst``, no self-loops, AND
-    cheap to re-read (cached/checkpointed) — skips the normalize shuffle
-    and the lineage cut here (r11: the shared cached co-purchase edge
-    upstream satisfies all three)."""
-    if assume_normalized:
-        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    else:
-        e = (
-            edges.select(
-                F.least(F.col(src), F.col(dst)).alias("a"),
-                F.greatest(F.col(src), F.col(dst)).alias("b"),
-            )
-            .filter(F.col("a") != F.col("b"))
-            .dropDuplicates(["a", "b"])
-            # materialized once: deg (x2 via the union) and ranked all read
-            # e — without the cut the caller's edge-construction subtree
-            # (often itself a join) re-expands per reference (the r11 plan
-            # of graph_triangle_parts carried 154 Exchange nodes).
-            .localCheckpoint(eager=False)
+    Returns (node, n_triangles) for nodes in >= 1 triangle."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
         )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        # materialized once: deg (x2 via the union) and ranked all read
+        # e — without the cut the caller's edge-construction subtree
+        # (often itself a join) re-expands per reference (the r11 plan
+        # of graph_triangle_parts carried 154 Exchange nodes).
+        .localCheckpoint(eager=False)
+    )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))

@@ -367,22 +367,33 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: artifacts are RESULT-sized (near-dup pairs and one label per doc),
 #: so they are pinned once per (process, sf_dir) like the kmeans model
 #: and the DSIR scored table.
-_LSH_PAIRS_CACHE: dict[str, DataFrame] = {}
-_LSH_CLUSTERS_CACHE: dict[str, DataFrame] = {}
+_LSH_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+_LSH_CLUSTERS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _session_key(spark: SparkSession, *parts) -> tuple:
+    """Cache key for module-level DataFrame pins: a cached DataFrame's
+    plan is bound to the SparkSession that built it, so the session's
+    applicationId rides in every key — a process that restarts its
+    session re-derives instead of serving a stale/broken plan
+    (ADVICE r11)."""
+    return (spark.sparkContext.applicationId, *parts)
 
 
 def _shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _LSH_PAIRS_CACHE.get(sf_dir)
+    key = _session_key(spark, sf_dir)
+    pairs = _LSH_PAIRS_CACHE.get(key)
     if pairs is None:
         pairs = D.minhash_lsh_pairs_from_sigs(
             _shared_minhash_sigs(spark, sf_dir), threshold=_JACCARD_THRESHOLD
         ).cache()
-        _LSH_PAIRS_CACHE[sf_dir] = pairs
+        _LSH_PAIRS_CACHE[key] = pairs
     return pairs
 
 
 def _shared_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    clusters = _LSH_CLUSTERS_CACHE.get(sf_dir)
+    key = _session_key(spark, sf_dir)
+    clusters = _LSH_CLUSTERS_CACHE.get(key)
     if clusters is None:
         from kafka_streams_the_clojure_way_spark.operators import graph as G
 
@@ -390,7 +401,7 @@ def _shared_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         clusters = G.cluster_assignments(
             docs.select("doc_id"), _shared_lsh_pairs(spark, sf_dir)
         ).cache()
-        _LSH_CLUSTERS_CACHE[sf_dir] = clusters
+        _LSH_CLUSTERS_CACHE[key] = clusters
     return clusters
 
 
@@ -629,16 +640,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: per-doc stats consumer compute the IDENTICAL spans from the shared
 #: gram postings. Merged spans are a result-sized table (per-doc
 #: maximal intervals), pinned once per (process, sf_dir).
-_NGRAM_SPANS_CACHE: dict[str, DataFrame] = {}
+_NGRAM_SPANS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _shared_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spans = _NGRAM_SPANS_CACHE.get(sf_dir)
+    key = _session_key(spark, sf_dir)
+    spans = _NGRAM_SPANS_CACHE.get(key)
     if spans is None:
         spans = D.duplicate_ngram_spans(
             None, postings=_shared_gram_postings(spark, sf_dir)
         ).cache()
-        _NGRAM_SPANS_CACHE[sf_dir] = spans
+        _NGRAM_SPANS_CACHE[key] = spans
     return spans
 
 
@@ -978,7 +990,7 @@ def _ivf_cent_rows(spark: SparkSession, sf_dir: str) -> list:
 def _kmeans_model(
     spark: SparkSession, sf_dir: str, *, k: int = 8, n_iter: int = 3
 ) -> DataFrame:
-    key = (sf_dir, k, n_iter)
+    key = _session_key(spark, sf_dir, k, n_iter)
     model = _KMEANS_MODEL_CACHE.get(key)
     if model is None:
         import tempfile
@@ -1284,7 +1296,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_model,
     )
 
-    key = (sf_dir, PQ_M, PQ_K, PQ_ITERS)
+    key = _session_key(spark, sf_dir, PQ_M, PQ_K, PQ_ITERS)
     got = _PQ_MODEL_CACHE.get(key)
     if got is None:
         emb = load_table(spark, sf_dir, "embeddings")
@@ -1321,7 +1333,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_serve,
     )
 
-    key = (sf_dir, 17, PQ_M, PQ_K, PQ_ITERS, S.IVF_N_CELLS)
+    key = _session_key(spark, sf_dir, 17, PQ_M, PQ_K, PQ_ITERS, S.IVF_N_CELLS)
     got = _IVFPQ_MODEL_CACHE.get(key)
     if got is None:
         emb = load_table(spark, sf_dir, "embeddings")
@@ -4147,11 +4159,12 @@ def sample_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: unlike the rejected (doc, lang, bucket) cache this pin is the
 #: model/result-sized artifact both consumers serve from. One frame per
 #: (process, sf_dir), same family-shared pattern as the kmeans model.
-_DSIR_SCORED_CACHE: dict[str, DataFrame] = {}
+_DSIR_SCORED_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _DSIR_SCORED_CACHE.get(sf_dir)
+    key = _session_key(spark, sf_dir)
+    scored = _DSIR_SCORED_CACHE.get(key)
     if scored is not None:
         return scored
     docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
@@ -4200,7 +4213,7 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    _DSIR_SCORED_CACHE[sf_dir] = scored
+    _DSIR_SCORED_CACHE[key] = scored
     return scored
 
 
@@ -4924,11 +4937,12 @@ def eval_ann_quantized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: table, pinned once per (process, sf_dir) like the other model-sized
 #: shared artifacts (it already had an in-query cache for its two
 #: consumers; this lifts it to the family).
-_ANN_TRUTH_CACHE: dict[str, DataFrame] = {}
+_ANN_TRUTH_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _ann_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    truth = _ANN_TRUTH_CACHE.get(sf_dir)
+    key = _session_key(spark, sf_dir)
+    truth = _ANN_TRUTH_CACHE.get(key)
     if truth is None:
         truth = (
             S.brute_force_topk(
@@ -4940,7 +4954,7 @@ def _ann_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id")
             .cache()
         )
-        _ANN_TRUTH_CACHE[sf_dir] = truth
+        _ANN_TRUTH_CACHE[key] = truth
     return truth
 
 
