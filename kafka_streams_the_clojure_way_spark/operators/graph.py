@@ -92,11 +92,29 @@ def connected_components(
         .localCheckpoint()
     )
     if sym.count() <= local_max_edges:
+        import pandas as pd
+
+        # Arrow pull + int-array iteration, not toLocalIterator: Row
+        # objects cost ~10x per edge, and the union-by-min-id result is
+        # independent of edge order, so any pull order is equivalent.
+        pdf = sym.toPandas()
         comp = _local_union_find(
-            (r["u"], r["v"]) for r in sym.toLocalIterator()
+            zip(pdf["u"].to_numpy().tolist(), pdf["v"].to_numpy().tolist())
         )
+        import numpy as np
+
         out = sym.sparkSession.createDataFrame(
-            list(comp.items()), "node long, component long"
+            pd.DataFrame(
+                {
+                    "node": np.fromiter(
+                        comp.keys(), dtype=np.int64, count=len(comp)
+                    ),
+                    "component": np.fromiter(
+                        comp.values(), dtype=np.int64, count=len(comp)
+                    ),
+                }
+            ),
+            "node long, component long",
         )
         # createDataFrame(list) is RDD-backed — NO stats, so a consumer
         # join planner sees defaultSizeInBytes and falls back to
@@ -173,6 +191,8 @@ def triangle_counts(
     edges: DataFrame,
     src: str = "u",
     dst: str = "v",
+    *,
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph, as two
     equi-joins (node-iterator / Cohen's MapReduce formulation, the
@@ -191,20 +211,33 @@ def triangle_counts(
     any graph, the best general bound. Both joins are plain shuffled
     equi-joins; nothing is ever collected.
 
-    Returns (node, n_triangles) for nodes in >= 1 triangle."""
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    Returns (node, n_triangles) for nodes in >= 1 triangle.
+
+    ``pre_normalized``: the caller guarantees ``edges`` is already one
+    row per undirected edge with ``src < dst`` on every row (which also
+    rules out self-loops) — the normalize projection, the self-loop
+    filter, and the dedup SHUFFLE are all identities on such input and
+    are skipped (r12; the co-purchase caller's materialized edge table
+    is distinct-with-u<v by construction, parity pinned in
+    tests/test_round12_opts.py). The localCheckpoint lineage cut is
+    kept on BOTH branches: deg (x2 via the union) and ranked all read
+    ``e``, and without the cut the caller's edge-construction subtree
+    (often itself a join) re-expands per reference (the r11 plan of
+    graph_triangle_parts carried 154 Exchange nodes)."""
+    if pre_normalized:
+        e = edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b")
+        ).localCheckpoint(eager=False)
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates(["a", "b"])
+            .localCheckpoint(eager=False)
         )
-        .filter(F.col("a") != F.col("b"))
-        .dropDuplicates(["a", "b"])
-        # materialized once: deg (x2 via the union) and ranked all read
-        # e — without the cut the caller's edge-construction subtree
-        # (often itself a join) re-expands per reference (the r11 plan
-        # of graph_triangle_parts carried 154 Exchange nodes).
-        .localCheckpoint(eager=False)
-    )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -334,6 +367,45 @@ def pagerank(
     # edge construction is often itself a join of duplicated frames —
     # 154 Exchange nodes in the pagerank query's r11 plan).
     e = e.localCheckpoint(eager=False)
+    base = ((PR_DAMP_DEN - PR_DAMP_NUM) * unit) // PR_DAMP_DEN
+
+    # Size-gated driver-local chain (see PR_LOCAL_MAX_EDGES). r12: the
+    # edge-count gate runs FIRST, off the checkpoint this count
+    # materializes — the former order built and counted a distinct
+    # nodes frame (an extra O(E) shuffle + checkpoint) before the gate,
+    # only for the local path to rederive the node ids in numpy anyway.
+    # The node-count gate is evaluated on node_ids.size, which equals
+    # the nodes frame's count by construction (unique(src) U unique(dst)),
+    # so the gate decisions are IDENTICAL to the old order.
+    if e.count() <= PR_LOCAL_MAX_EDGES:
+        import numpy as np
+
+        rows = e.toPandas()
+        src_arr = rows["src"].to_numpy(dtype=np.int64)
+        dst_arr = rows["dst"].to_numpy(dtype=np.int64)
+        node_ids = np.unique(np.concatenate([src_arr, dst_arr]))
+        if node_ids.size <= PR_BROADCAST_MAX_NODES:
+            import pandas as pd
+
+            si = np.searchsorted(node_ids, src_arr)
+            di = np.searchsorted(node_ids, dst_arr)
+            outdeg_arr = np.bincount(si, minlength=node_ids.size)
+            r = np.full(node_ids.size, int(unit), dtype=np.int64)
+            for _ in range(iters):
+                c = r[si] // outdeg_arr[si]
+                inc_arr = np.zeros(node_ids.size, dtype=np.int64)
+                np.add.at(inc_arr, di, c)  # int64 accumulate — exact
+                r = base + (PR_DAMP_NUM * inc_arr) // PR_DAMP_DEN
+            spark = edges.sparkSession
+            # pandas conversion, not a list of tuples: a node-sized
+            # list pays one py4j pickle per row (measured 2.0 s vs
+            # 0.39 s for 19.5k rows at sf0.1); int64 -> LongType is
+            # exact either way.
+            return spark.createDataFrame(
+                pd.DataFrame({"node": node_ids, "rank_units": r}),
+                "node long, rank_units long",
+            )
+
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -351,33 +423,6 @@ def pagerank(
     # checkpointed nodes frame decides; a 1e8-node production graph
     # exceeds the cap and keeps the shuffled path.
     n_nodes = nodes.count()
-    base = ((PR_DAMP_DEN - PR_DAMP_NUM) * unit) // PR_DAMP_DEN
-
-    # Size-gated driver-local chain (see PR_LOCAL_MAX_EDGES): the edge
-    # count is read off the checkpoint the n_nodes job just
-    # materialized, so the gate costs one cheap count.
-    if n_nodes <= PR_BROADCAST_MAX_NODES and e.count() <= PR_LOCAL_MAX_EDGES:
-        import numpy as np
-
-        rows = e.toPandas()
-        src_arr = rows["src"].to_numpy(dtype=np.int64)
-        dst_arr = rows["dst"].to_numpy(dtype=np.int64)
-        node_ids = np.unique(np.concatenate([src_arr, dst_arr]))
-        si = np.searchsorted(node_ids, src_arr)
-        di = np.searchsorted(node_ids, dst_arr)
-        outdeg_arr = np.bincount(si, minlength=node_ids.size)
-        r = np.full(node_ids.size, int(unit), dtype=np.int64)
-        for _ in range(iters):
-            c = r[si] // outdeg_arr[si]
-            inc_arr = np.zeros(node_ids.size, dtype=np.int64)
-            np.add.at(inc_arr, di, c)  # int64 accumulate — exact
-            r = base + (PR_DAMP_NUM * inc_arr) // PR_DAMP_DEN
-        spark = edges.sparkSession
-        return spark.createDataFrame(
-            [(int(n), int(v)) for n, v in zip(node_ids, r)],
-            "node long, rank_units long",
-        )
-
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     eo = e.join(outdeg, "src").localCheckpoint(eager=False)
     small = n_nodes <= PR_BROADCAST_MAX_NODES

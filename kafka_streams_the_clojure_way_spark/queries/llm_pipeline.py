@@ -219,15 +219,18 @@ _JACCARD_THRESHOLD = 0.8
 _SHARED_SIGS_CACHE: dict[tuple, tuple[str, object]] = {}
 
 
-def _materialized_sigs(spark: SparkSession, sf_dir: str, kind: str, builder):
+def _materialized_sigs(
+    spark: SparkSession, sf_dir: str, kind: str, builder, *, table: str = "documents"
+):
     """Per-(process, sf) materialized signature table with source-token
     validation and atexit cleanup — the shared-signature convention:
     ``builder()`` returns the DataFrame to persist; later calls read
     the parquet back (cheap column-pruned scans, survives clearCache).
     At corpus scale these ARE the production artifacts — signature
     tables a few % of corpus bytes, written once, fed to every
-    consumer."""
-    token = _source_table_token(sf_dir)
+    consumer. ``table`` names the source parquet the change token
+    watches (the table ``builder`` derives from)."""
+    token = _source_table_token(sf_dir, table)
     key = (sf_dir, kind)
     from kafka_streams_the_clojure_way_spark.sources.files import (
         read_static_schema,

@@ -127,3 +127,39 @@ def test_mixed_widths_one_batch():
     got, errs = CC.png_decode_gray_batch(pngs)
     assert got == [CC.png_decode_gray(p) for p in pngs]
     assert errs == [None] * len(pngs)
+
+
+def test_triangle_counts_pre_normalized_parity(spark):
+    """pre_normalized=True must be a pure shuffle-skip: on input that is
+    already one-row-per-undirected-edge with u < v (the materialized
+    co-purchase table's construction invariant) it returns exactly what
+    the normalizing path returns."""
+    from kafka_streams_the_clojure_way_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        # two triangles sharing edge (2,3) + a pendant edge, distinct, u < v
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 9)],
+        "u long, v long",
+    )
+    base = sorted(tuple(r) for r in triangle_counts(edges).collect())
+    fast = sorted(
+        tuple(r) for r in triangle_counts(edges, pre_normalized=True).collect()
+    )
+    assert base == fast
+    assert base  # non-trivial fixture
+
+
+def test_connected_components_local_pull_parity(spark, monkeypatch):
+    """The arrow-pull local union-find (r12) must match the distributed
+    hash-min loop on the same graph."""
+    from kafka_streams_the_clojure_way_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 12), (5, 4)], "src long, dst long"
+    )
+    local = sorted(tuple(r) for r in G.connected_components(edges).collect())
+    dist = sorted(
+        tuple(r)
+        for r in G.connected_components(edges, local_max_edges=0).collect()
+    )
+    assert local == dist
