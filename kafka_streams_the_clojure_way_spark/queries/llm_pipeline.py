@@ -77,10 +77,11 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-occurrence form, which remains the streaming-safe variant)."""
     docs = load_table(spark, sf_dir, "documents")
     counts = T.bpe_token_counts(docs)
-    return docs.select(
-        "doc_id",
-        F.array_size(T.tokens_col(F.col("text"))).cast("long").alias("n_tokens_ws"),
-    ).join(counts, "doc_id")
+    return (
+        _shared_tokens(spark, sf_dir)
+        .select("doc_id", F.col("n_toks").alias("n_tokens_ws"))
+        .join(counts, "doc_id")
+    )
 
 
 @query("text_quality_scores", oracle=_select_sql(T.quality_scores_sql(), "documents"))
@@ -309,6 +310,29 @@ def _shared_doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).filter(F.col("s").isNotNull())
 
     return _materialized_sigs(spark, sf_dir, "docgrams", build)
+
+
+def _shared_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized TOKENIZED corpus (doc_id, lang, source, toks,
+    n_toks) — the canonical LLM-pipeline artifact (you tokenize a
+    100 TB corpus once, not once per consumer; r12, VERDICT r11 #3).
+    ``toks`` is exactly ``T.tokens_col(text)`` and ``n_toks`` its
+    array_size, both materialized, so substituting this table for the
+    inline expressions is equivalence-preserving by construction. The
+    scalar routing columns (lang, source, n_toks) ride along so
+    count-only consumers never rejoin documents — and never even read
+    the ``toks`` bytes (parquet column pruning)."""
+
+    def build() -> DataFrame:
+        docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
+        return docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            T.tokens_col(F.col("text")).alias("toks"),
+        ).withColumn("n_toks", F.array_size("toks").cast("long"))
+
+    return _materialized_sigs(spark, sf_dir, "tokens", build)
 
 
 @query(
@@ -691,12 +715,11 @@ def dedup_ngram_span_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     al. drop or clip docs above a dup-fraction threshold). Left join back
     to the corpus so clean docs report 0 — span extraction shuffles only
     the covered positions, the join is keyed on doc_id."""
-    docs = load_table(spark, sf_dir, "documents")
     spans = _shared_ngram_spans(spark, sf_dir)
     per_doc = spans.groupBy("doc_id").agg(F.sum("span_tokens").alias("dup_tokens"))
-    n_tokens = F.array_size(T.tokens_col(F.col("text"))).cast("long")
     return (
-        docs.select("doc_id", n_tokens.alias("n_tokens"))
+        _shared_tokens(spark, sf_dir)
+        .select("doc_id", F.col("n_toks").alias("n_tokens"))
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
@@ -3042,10 +3065,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     share the boundary tokens and no split point loses context). One
     narrow posexplode per doc — output rows ~ n_tokens/stride per doc,
     no shuffle at all; the chunker runs scan-side at any corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
 
-    # token array let-bound: the per-chunk lambda slices a bound
-    # attribute, never re-splitting the text per chunk (portable.let_col).
     def _chunks(toks: F.Column) -> F.Column:
         n = F.array_size(toks).cast("long")
         n_chunks = F.when(n <= _CHUNK_TOKENS, F.lit(1).cast("long")).otherwise(
@@ -3060,11 +3080,17 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    toks_inline = T.tokens_col(F.col("text"))
-    n = F.array_size(toks_inline).cast("long")
-    chunks = P.let_col(toks_inline, _chunks)
+    # r12: chunk from the materialized token arrays — `toks` is a plain
+    # scan attribute, so the per-chunk lambda slices it directly (the
+    # let_col binding only existed to avoid re-splitting raw text).
+    chunks = _chunks(F.col("toks"))
     return (
-        docs.select("doc_id", n.alias("n"), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        _shared_tokens(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.col("n_toks").alias("n"),
+            F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+        )
         .select(
             "doc_id",
             F.col("chunk_id").cast("long").alias("chunk_id"),
@@ -3106,10 +3132,8 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     One running-sum window per source — a single shuffle on the source
     key; at 100 TB, partition the corpus by (source, date) first and the
     window runs per partition without a global sort."""
-    docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    n_tokens = F.array_size(T.tokens_col(F.col("text"))).cast("long")
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
@@ -3117,7 +3141,8 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = F.sum("n_tokens").over(w)
     return (
-        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        _shared_tokens(spark, sf_dir)  # r12: count-only read, toks pruned
+        .select("doc_id", "source", F.col("n_toks").alias("n_tokens"))
         .withColumn("stream_offset", (cum - F.col("n_tokens")).cast("long"))
         .withColumn(
             "pack_id", F.floor(F.col("stream_offset") / _PACK_BUDGET).cast("long")
@@ -3167,13 +3192,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines' last-ulp log differences."""
     from pyspark.sql.window import Window
 
-    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id", F.explode_outer(T.tokens_col(F.col("text"))).alias("term")
+    art = _shared_tokens(spark, sf_dir)  # one row per doc, r12
+    tok = art.select(
+        "doc_id", F.explode_outer(F.col("toks")).alias("term")
     ).filter(F.col("term").isNotNull())
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = art.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(n_docs))
@@ -3233,9 +3258,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     head always can — the split is what makes the plan scale-safe, not a
     micro-optimization. Rounding avg/min to 6 keeps engines' last-ulp
     log10 differences out of the hash (same trick as tfidf/geomean)."""
-    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id", F.explode_outer(T.tokens_col(F.col("text"))).alias("tok")
+    tok = _shared_tokens(spark, sf_dir).select(
+        "doc_id", F.explode_outer(F.col("toks")).alias("tok")
     ).filter(F.col("tok").isNotNull())
     uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     tot = uni.agg(F.sum("cnt").cast("double").alias("n"))
@@ -3268,8 +3292,9 @@ def agg_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate summary -> broadcast-pruned exact recount. The oracle is
     the full group-by the sketch path avoids shuffling at 100 TB; both
     produce the identical exact answer."""
-    docs = load_table(spark, sf_dir, "documents")
-    return SK.exact_heavy_hitters(docs, T.tokens_col(F.col("text")))
+    # r12: the sketch + recount passes each scan the materialized token
+    # table instead of tokenizing the corpus twice
+    return SK.exact_heavy_hitters(_shared_tokens(spark, sf_dir), F.col("toks"))
 
 
 @query(
@@ -3425,14 +3450,13 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic and oracle-exact. Shape: one per-source aggregate
     (tiny), rates broadcast back, per-row predicate; the corpus is never
     shuffled."""
-    docs = load_table(spark, sf_dir, "documents")
     u = P.hash60(
         F.concat(F.lit(_MIX_SALT), F.col("doc_id").cast("string"))
     ) % _WSAMPLE_DENOM
-    tok = docs.select(
+    tok = _shared_tokens(spark, sf_dir).select(
         "doc_id",
         "source",
-        F.array_size(T.tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        F.col("n_toks").alias("n_tokens"),
         u.alias("u"),
     )
     totals = tok.groupBy("source").agg(F.sum("n_tokens").alias("s_tokens"))
@@ -3502,14 +3526,13 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference can't flip a document. Same scale shape as the mixture
     query: tiny per-source aggregate, rates broadcast back, per-row
     hash gate — the corpus never shuffles."""
-    docs = load_table(spark, sf_dir, "documents")
     u = P.hash60(
         F.concat(F.lit(_TEMP_SALT), F.col("doc_id").cast("string"))
     ) % _WSAMPLE_DENOM
-    tok = docs.select(
+    tok = _shared_tokens(spark, sf_dir).select(
         "doc_id",
         "source",
-        F.array_size(T.tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        F.col("n_toks").alias("n_tokens"),
         u.alias("u"),
     )
     totals = tok.groupBy("source").agg(F.sum("n_tokens").alias("s_tokens"))
@@ -3929,16 +3952,15 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, bm25_r): per-doc rounded BM25 score for the fixed probe
     terms — the Spark twin of _BM25_SCORED_CTES, shared by
     text_bm25_topk and the RRF hybrid query so the two cannot drift."""
-    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
-    toks = T.tokens_col(F.col("text"))
-    dl = docs.select(
-        "doc_id", F.array_size(toks).cast("double").alias("dl")
+    art = _shared_tokens(spark, sf_dir)  # r12
+    dl = art.select(
+        "doc_id", F.col("n_toks").cast("double").alias("dl")
     )
     stats = dl.agg(
         F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
     )
-    tok = docs.select(
-        "doc_id", F.explode_outer(toks).alias("term")
+    tok = art.select(
+        "doc_id", F.explode_outer(F.col("toks")).alias("term")
     ).filter(F.col("term").isin(*_BM25_TERMS))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -4170,11 +4192,10 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _DSIR_SCORED_CACHE.get(key)
     if scored is not None:
         return scored
-    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(
+    tok = _shared_tokens(spark, sf_dir).select(
         "doc_id",
         "lang",
-        F.explode_outer(T.tokens_col(F.col("text"))).alias("tok"),
+        F.explode_outer(F.col("toks")).alias("tok"),
     ).filter(F.col("tok").isNotNull())
     bucketed = tok.select(
         "doc_id",
@@ -4224,25 +4245,27 @@ _BIGRAM_HEAD_K = 64  # Zipf-head broadcast size, same policy as the unigram LM
 _BIGRAM_SEP = "\x1f"
 
 
-def _bigrams_col(text: F.Column) -> F.Column:
-    """array<string> of unit-separator-joined adjacent token pairs;
-    empty (not reversed-sequence garbage) for docs under 2 tokens.
-    Token array let-bound — the per-pair lambda indexes a bound
-    attribute, never re-splitting the text per bigram (portable.let_col)."""
-
-    def body(toks: F.Column) -> F.Column:
-        n = F.array_size(toks)
-        return F.when(
-            n >= 2,
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.concat_ws(
-                    _BIGRAM_SEP, F.element_at(toks, i), F.element_at(toks, i + 1)
-                ),
+def _bigrams_from_toks(toks: F.Column) -> F.Column:
+    """array<string> of unit-separator-joined adjacent token pairs from
+    a token ARRAY column; empty (not reversed-sequence garbage) for
+    docs under 2 tokens."""
+    n = F.array_size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                _BIGRAM_SEP, F.element_at(toks, i), F.element_at(toks, i + 1)
             ),
-        ).otherwise(F.array().cast("array<string>"))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
-    return P.let_col(T.tokens_col(text), body)
+
+def _bigrams_col(text: F.Column) -> F.Column:
+    """Bigrams from raw text. Token array let-bound — the per-pair
+    lambda indexes a bound attribute, never re-splitting the text per
+    bigram (portable.let_col)."""
+    return P.let_col(T.tokens_col(text), _bigrams_from_toks)
 
 
 def _bigrams_sql(text: str) -> str:
@@ -4292,9 +4315,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     'the a'-class bigrams concentrate instances exactly like head
     unigrams do. Docs under 2 tokens have no bigrams and are absent,
     identically on both engines."""
-    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
-    bg = docs.select(
-        "doc_id", F.explode(_bigrams_col(F.col("text"))).alias("bg")
+    # r12: bigrams derive from the materialized tokenized corpus (the
+    # split/regex pass is paid once per process, not per consumer)
+    bg = _shared_tokens(spark, sf_dir).select(
+        "doc_id", F.explode(_bigrams_from_toks(F.col("toks"))).alias("bg")
     )
     # THE corpus pass: one explode + one map-side-combining groupBy into
     # the doc-bigram matrix (8M instances -> ~70k distinct (doc, bg)
@@ -4535,9 +4559,8 @@ def text_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     same exchange). Entropy sums (c/n)*log2(c/n) per DISTINCT token —
     the frame is the doc-term matrix, never the instance stream.
     Rounded to 6 for cross-engine log parity."""
-    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id", F.explode_outer(T.tokens_col(F.col("text"))).alias("tok")
+    tok = _shared_tokens(spark, sf_dir).select(
+        "doc_id", F.explode_outer(F.col("toks")).alias("tok")
     ).filter(F.col("tok").isNotNull())
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     n = tf.groupBy("doc_id").agg(F.sum("c").cast("double").alias("n_tok"))
@@ -4690,12 +4713,13 @@ def _token_budget_per_source(
 ) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     if tokenizer == "ws":
-        n_tokens = F.array_size(T.tokens_col(F.col("text"))).cast("long")
         budget = _TOKEN_BUDGET_PER_SOURCE
-        sized = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        sized = _shared_tokens(spark, sf_dir).select(
+            "doc_id", "source", F.col("n_toks").alias("n_tokens")
+        )
     elif tokenizer == "bpe":
+        docs = load_table(spark, sf_dir, "documents")
         # distinct-word fold (operators/text.bpe_token_counts) re-joined
         # onto (doc, source) — same integer counts as the occurrence
         # fold, ~10x fewer folds under Zipf.
@@ -4793,11 +4817,8 @@ def _shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     back. No global single-partition window ever touches corpus rows."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    sized = docs.select(
-        "doc_id",
-        "source",
-        F.array_size(T.tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    sized = _shared_tokens(spark, sf_dir).select(
+        "doc_id", "source", F.col("n_toks").alias("n_tokens")
     )
     src_tot = sized.groupBy("source").agg(F.sum("n_tokens").alias("tot"))
     w_off = (
@@ -5097,60 +5118,70 @@ def eval_cluster_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assign = C.kmeans_assignments(emb, model=_kmeans_model(spark, sf_dir))
     j = assign.join(emb.select("vec_id", "label"), "vec_id")
-    # cached: the contingency table is at most k x |labels| rows and has
-    # THREE aggregation consumers below (s, per-cluster, per-label) —
-    # without the pin each branch re-runs the corpus-wide assignment +
-    # join upstream (r11: 3 corpus passes -> 1).
-    cont = (
-        j.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n")).cache()
-    )
+    # ONE job: the contingency table is at most k x |labels| rows —
+    # model-sized by construction, the same bound as the r11
+    # sim_centroid_classify collect — so the marginal folds (three
+    # aggregation subtrees + two broadcast crosses in r11, ~15 driver
+    # jobs of fixed overhead each) run as exact Python-int arithmetic
+    # over the collected rows instead (r12). The two rounded doubles
+    # stay IN Spark (F.round over the integer fields below), so the
+    # rounding semantics are bit-identical to the former plan.
+    rows = j.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n")).collect()
 
-    def comb2(c: str):
-        return F.expr(f"({c} * ({c} - 1)) div 2")
+    def comb2(c: int) -> int:
+        return (c * (c - 1)) // 2
 
-    s = cont.agg(
-        F.sum("n").cast("long").alias("n_points"),
-        F.countDistinct("cluster").cast("long").alias("n_clusters"),
-        F.countDistinct("label").cast("long").alias("n_labels"),
-        F.sum(comb2("n")).cast("long").alias("pairs_both"),
+    a_sum: dict = {}
+    a_top: dict = {}
+    b_sum: dict = {}
+    n_points = 0
+    pairs_both = 0
+    for r in rows:
+        c, l, n = r["cluster"], r["label"], r["n"]
+        n_points += n
+        pairs_both += comb2(n)
+        a_sum[c] = a_sum.get(c, 0) + n
+        a_top[c] = max(a_top.get(c, 0), n)
+        b_sum[l] = b_sum.get(l, 0) + n
+    pairs_cluster = sum(comb2(a) for a in a_sum.values())
+    purity_hits = sum(a_top.values())
+    pairs_label = sum(comb2(b) for b in b_sum.values())
+    out = spark.createDataFrame(
+        [
+            (
+                n_points,
+                len(a_sum),
+                len(b_sum),
+                pairs_both,
+                pairs_cluster,
+                pairs_label,
+                purity_hits,
+            )
+        ],
+        "n_points long, n_clusters long, n_labels long, pairs_both long,"
+        " pairs_cluster long, pairs_label long, purity_hits long",
     )
-    per_cluster = cont.groupBy("cluster").agg(
-        F.sum("n").alias("a"), F.max("n").alias("top")
-    )
-    sa = per_cluster.agg(
-        F.sum(comb2("a")).cast("long").alias("pairs_cluster"),
-        F.sum("top").cast("long").alias("purity_hits"),
-    )
-    sb = (
-        cont.groupBy("label")
-        .agg(F.sum("n").alias("b"))
-        .agg(F.sum(comb2("b")).cast("long").alias("pairs_label"))
-    )
-    pairs_total = comb2("n_points")
-    return (
-        s.crossJoin(F.broadcast(sa))
-        .crossJoin(F.broadcast(sb))
-        .select(
-            "n_points",
-            "n_clusters",
-            "n_labels",
-            "pairs_both",
-            "pairs_cluster",
-            "pairs_label",
-            F.round(
-                (
-                    pairs_total
-                    + 2 * F.col("pairs_both")
-                    - F.col("pairs_cluster")
-                    - F.col("pairs_label")
-                ).cast("double")
-                / pairs_total.cast("double"),
-                6,
-            ).alias("rand_index_r"),
-            F.round(
-                F.col("purity_hits").cast("double") / F.col("n_points"), 6
-            ).alias("purity_r"),
-        )
+    pairs_total = F.expr("(n_points * (n_points - 1)) div 2")
+    return out.select(
+        "n_points",
+        "n_clusters",
+        "n_labels",
+        "pairs_both",
+        "pairs_cluster",
+        "pairs_label",
+        F.round(
+            (
+                pairs_total
+                + 2 * F.col("pairs_both")
+                - F.col("pairs_cluster")
+                - F.col("pairs_label")
+            ).cast("double")
+            / pairs_total.cast("double"),
+            6,
+        ).alias("rand_index_r"),
+        F.round(
+            F.col("purity_hits").cast("double") / F.col("n_points"), 6
+        ).alias("purity_r"),
     )
 
 

@@ -163,3 +163,46 @@ def test_connected_components_local_pull_parity(spark, monkeypatch):
         for r in G.connected_components(edges, local_max_edges=0).collect()
     )
     assert local == dist
+
+
+def test_shared_tokens_artifact_matches_inline(spark, sf_dir):
+    """The materialized tokenized corpus must be EXACTLY the inline
+    expressions it replaces: toks == tokens_col(text), n_toks ==
+    array_size(toks), one row per document, scalar columns unchanged."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.operators import text as T
+    from kafka_streams_the_clojure_way_spark.queries import llm_pipeline as L
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    art = L._shared_tokens(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        T.tokens_col(F.col("text")).alias("toks"),
+        F.array_size(T.tokens_col(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    got = {r["doc_id"]: r for r in art.collect()}
+    want = {r["doc_id"]: r for r in ref.collect()}
+    assert len(got) == len(want)
+    for k, w in want.items():
+        g = got[k]
+        assert (g["lang"], g["source"], g["toks"], g["n_toks"]) == (
+            w["lang"], w["source"], w["toks"], w["n_toks"]
+        )
+
+
+def test_bigrams_from_toks_matches_text_form(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.queries import llm_pipeline as L
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select("doc_id", L._bigrams_col(F.col("text")).alias("bg"))
+    b = L._shared_tokens(spark, sf_dir).select(
+        "doc_id", L._bigrams_from_toks(F.col("toks")).alias("bg")
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
