@@ -231,6 +231,12 @@ def _materialized_sigs(
     tables a few % of corpus bytes, written once, fed to every
     consumer. ``table`` names the source parquet the change token
     watches (the table ``builder`` derives from)."""
+    if sf_dir is None:
+        # test seam: property tests monkeypatch load_table with literal
+        # frames and pass sf_dir=None — there is no source path to
+        # token-validate against, so materializing would serve one
+        # example's artifact to the next. Build inline, cache nothing.
+        return builder()
     token = _source_table_token(sf_dir, table)
     key = (sf_dir, kind)
     from kafka_streams_the_clojure_way_spark.sources.files import (
@@ -325,10 +331,13 @@ def _shared_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
+        # the real documents table always carries lang/source; property
+        # tests drive query functions through the load_table seam with
+        # narrower literal frames, so ride only the columns present
+        scalars = [c for c in ("lang", "source") if c in docs.columns]
         return docs.select(
             "doc_id",
-            "lang",
-            "source",
+            *scalars,
             T.tokens_col(F.col("text")).alias("toks"),
         ).withColumn("n_toks", F.array_size("toks").cast("long"))
 
