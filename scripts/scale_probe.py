@@ -128,6 +128,13 @@ PROBE_QUERIES = [
     "multimodal_audio_fingerprint_pcm16",  # 16-bit stereo decode + downmix +
                                     # requantize + fingerprint (r9): the widened
                                     # wire-profile funnel, per-doc work only
+    "pipeline_ingestion_multimodal",  # composed decode->phash/audiofp/video
+                                    # funnel (r12, VERDICT r11 #6: previously
+                                    # unprobed): per-asset batch-codec kernels +
+                                    # three persisted index probes; probe batch
+                                    # matches every replica copy -> output
+                                    # ~factor^2 [factor-capped, see
+                                    # PROBE_FACTOR_CAP]
 ]
 
 
@@ -204,6 +211,7 @@ PROBE_FACTOR_CAP = {
     "dedup_audio_fp_indexed": 10,
     "dedup_video_phash_pairs": 10,
     "dedup_video_phash_indexed": 10,
+    "pipeline_ingestion_multimodal": 10,
 }
 
 

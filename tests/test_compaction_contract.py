@@ -21,6 +21,9 @@ from kafka_streams_the_clojure_way_spark.operators import dedup as D
 from kafka_streams_the_clojure_way_spark.sources import files as FS
 from kafka_streams_the_clojure_way_spark.sources.files import load_table
 
+# slow tier (r12): multi-minute suite, deselected by default (pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def _all_compact_fns():
     import inspect

@@ -27,6 +27,11 @@ from kafka_streams_the_clojure_way_spark.operators.multimodal import (
 )
 from kafka_streams_the_clojure_way_spark.sources.files import load_table
 
+import pytest
+
+# slow tier (r12): multi-minute suite, deselected by default (pytest.ini)
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 SCHEMA = StructType(

@@ -414,6 +414,11 @@ def test_stream_containment_upsert_catches_later_fragment(spark, tmp_path):
 
 from pyspark.sql.types import ArrayType, FloatType  # noqa: E402
 
+import pytest
+
+# slow tier (r12): multi-minute suite, deselected by default (pytest.ini)
+pytestmark = pytest.mark.slow
+
 EMB_SCHEMA = StructType(
     [
         StructField("vec_id", LongType()),

@@ -21,6 +21,11 @@ from kafka_streams_the_clojure_way_spark.operators.dedup import (
     keyset_index_upsert,
 )
 
+import pytest
+
+# slow tier (r12): multi-minute suite, deselected by default (pytest.ini)
+pytestmark = pytest.mark.slow
+
 MEMBERS = [f"gram {i} alpha" for i in range(40)]
 OTHERS = [f"gram {i} beta" for i in range(60)]
 

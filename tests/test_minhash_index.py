@@ -222,6 +222,11 @@ def test_foreachbatch_probe_then_upsert_loop(spark, tmp_path):
 
 import os
 
+import pytest
+
+# slow tier (r12): multi-minute suite, deselected by default (pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def _files_per_leaf_dir(root: str) -> dict[str, int]:
     """parquet-file count per (band=?, bucket=?) leaf directory."""

@@ -21,6 +21,9 @@ from kafka_streams_the_clojure_way_spark.plans.spec import (
     validate_topology,
 )
 
+# slow tier (r12): multi-minute suite, deselected by default (pytest.ini)
+pytestmark = pytest.mark.slow
+
 # --------------------------------------------------------------------------
 # Topology validator over random DAGs (pure Python — no Spark, so fast,
 # hypothesis can run its full example budget)

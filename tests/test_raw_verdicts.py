@@ -38,6 +38,11 @@ from tests.test_ingestion_topology import (
     SEM_TWIN,
 )
 
+import pytest
+
+# slow tier (r12): multi-minute suite, deselected by default (pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def _six_gate_kwargs(spark, tmp_path):
     corpus = spark.createDataFrame(CORPUS, SCHEMA)

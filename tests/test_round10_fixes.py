@@ -32,6 +32,9 @@ from kafka_streams_the_clojure_way_spark.plans.ingestion import (
     run_ingestion_batch,
 )
 
+# slow tier (r12): multi-minute suite, deselected by default (pytest.ini)
+pytestmark = pytest.mark.slow
+
 SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

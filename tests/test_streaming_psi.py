@@ -21,6 +21,11 @@ from kafka_streams_the_clojure_way_spark.streaming.drift import (
     run_psi_monitor_stream,
 )
 
+import pytest
+
+# slow tier (r12): multi-minute suite, deselected by default (pytest.ini)
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 SCHEMA = StructType(

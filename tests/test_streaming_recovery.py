@@ -20,6 +20,11 @@ from pyspark.sql.types import (
 from kafka_streams_the_clojure_way_spark.sources.memory import drain
 from kafka_streams_the_clojure_way_spark.streaming.state import running_totals
 
+import pytest
+
+# slow tier (r12): multi-minute suite, deselected by default (pytest.ini)
+pytestmark = pytest.mark.slow
+
 SCHEMA = StructType(
     [
         StructField("ts", TimestampType()),

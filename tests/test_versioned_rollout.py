@@ -37,6 +37,9 @@ from kafka_streams_the_clojure_way_spark.operators.multimodal import (
 )
 from kafka_streams_the_clojure_way_spark.sources.files import load_table
 
+# slow tier (r12): multi-minute suite, deselected by default (pytest.ini)
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 
