@@ -25,10 +25,15 @@ clustering.py (the same discipline extended per-subspace):
   lookups is exact BIGINT arithmetic — order-insensitive, hence
   groupBy-safe and bit-identical to the DuckDB unrolled-CTE oracle.
 
-Scale shape of the query path: corpus codes (one narrow row per vector)
-equi-join a BROADCAST lookup table (n_queries x M x K rows — tiny by
-construction), then one partial-aggregating groupBy(query, vector) and a
-partial top-k. No all-pairs float math ever touches the corpus side.
+Scale shape of the query path (r12, guide §2.4): corpus codes are ONE
+packed row per vector (``codes`` array<int>, M entries); each query's
+full M x K ADC table rides along as one flattened long array on a
+BROADCAST side (n_queries rows — tiny by construction), and the per-pair
+distance is an M-term row-local integer fold ``lut[s*K + codes[s]]`` —
+no per-(vector, subspace) row expansion and no groupBy(query, vector)
+shuffle of the corpus x queries candidates (the pre-r12 shape paid
+both), just the partial top-k. No all-pairs float math ever touches the
+corpus side.
 """
 
 from __future__ import annotations
@@ -80,6 +85,102 @@ def _subvector_frame(
     )
 
 
+#: attach_model schema for a per-subspace codebook value (see
+#: :func:`_codebook_by_s`).
+_CB_SCHEMA = "array<array<struct<code:int,v:array<double>>>>"
+
+
+def _codebook_by_s(codebook_rows) -> list:
+    """Codebook rows -> the attach_model value: one candidate list per
+    subspace, code-ascending. The packed encoder and the row-local LUT
+    both index positionally (``lut[s*K + code]``), so code ids must be
+    exactly 0..K-1 in every subspace — which the trainer guarantees
+    (seed assigns 0..k-1 per subspace and keys never change); verified
+    here so a foreign codebook cannot silently mis-index."""
+    by_s: dict[int, list] = {}
+    for s, c, v in sorted(codebook_rows):
+        by_s.setdefault(s, []).append((c, [float(x) for x in v]))
+    value = [by_s[s] for s in sorted(by_s)]
+    k = len(value[0])
+    for cands in value:
+        if [c for c, _ in cands] != list(range(k)):
+            raise ValueError("codebook codes must be 0..K-1 per subspace")
+    return value
+
+
+def _encode_packed(
+    corpus: DataFrame,
+    codebook_rows,
+    *,
+    m: int,
+    subdim: int,
+    id_col: str,
+    vec_col: str,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """Row-local packed encode: (id[, extra...], codes array<int>) where
+    ``codes[s]`` is the subspace's nearest-code id. Per-s argmin is the
+    same ``array_min`` over (distance, code) structs as the trainer's
+    assign step — identical float fold on the identical slice, so the
+    packed array agrees element-for-element with the former per-(id, s)
+    rows — computed as one expression over the vector column: no
+    subvector explode, no per-row model join."""
+    vec = F.col(vec_col).cast("array<double>")
+    codes_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.element_at(F.col("__cb"), s + 1),
+                lambda e: F.struct(
+                    _sq_dist(F.slice(vec, s * subdim + 1, subdim), e["v"]).alias(
+                        "d"
+                    ),
+                    e["code"].alias("code"),
+                ),
+            )
+        )["code"],
+    )
+    return attach_model(corpus, "__cb", _codebook_by_s(codebook_rows), _CB_SCHEMA).select(
+        F.col(id_col), *extra, codes_arr.alias("codes")
+    )
+
+
+def _adc_lut_arr(
+    side: DataFrame,
+    codebook_rows,
+    *,
+    m: int,
+    subdim: int,
+    query_id: str,
+    vec_col: str,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """Row-local ADC table build: (query_id[, extra...], __lut) where
+    ``__lut`` is the flattened M x K long array, s-major / code-minor —
+    index ``s*K + code``. Each entry is the same
+    ``floor(sq_dist(sub, c) * ADC_UNITS + 0.5)`` integer unit the
+    former (query, s, code) LUT rows carried (identical float fold on
+    the identical slice), built as one expression per query row instead
+    of an M-way explode + codebook join."""
+    vec = F.col(vec_col).cast("array<double>")
+    lut = F.flatten(
+        F.transform(
+            F.col("__cb"),
+            lambda cands, s: F.transform(
+                cands,
+                lambda e: F.floor(
+                    _sq_dist(F.slice(vec, s * subdim + 1, subdim), e["v"])
+                    * ADC_UNITS
+                    + F.lit(0.5)
+                ).cast("long"),
+            ),
+        )
+    )
+    return attach_model(side, "__cb", _codebook_by_s(codebook_rows), _CB_SCHEMA).select(
+        F.col(query_id), *extra, lut.alias("__lut")
+    )
+
+
 def pq_model(
     corpus: DataFrame,
     *,
@@ -88,13 +189,19 @@ def pq_model(
     n_iter: int = PQ_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
 ) -> tuple[list[tuple[int, int, list[float]]], DataFrame]:
     """Train PQ codebooks and encode the corpus.
 
     Returns ``(codebook_rows, codes)``: ``codebook_rows`` is the tiny
     trained model as ``(s, code, centroid)`` tuples (M*K rows — the
     artifact a production job persists), ``codes`` a DataFrame
-    ``(id, s, code)`` of corpus assignments.
+    ``(id[, extra_cols...], codes array<int>)`` of packed corpus
+    assignments — one row per vector, ``codes[s]`` the subspace's code
+    (r12; the former per-(id, s) layout paid an M-way row expansion on
+    every serve join). ``extra_cols`` ride through from ``corpus`` onto
+    the encoded output (IVF-PQ threads its ``cell`` here instead of
+    re-joining the routed corpus).
     """
     from kafka_streams_the_clojure_way_spark.sources.files import with_min_parallelism
 
@@ -176,29 +283,18 @@ def pq_model(
             for key, prev in codebook.items()
         }
 
-    codes = assign(codebook).select(id_col, "s", "code")
+    subs.unpersist()
     rows = [(s, c, v) for (s, c), v in sorted(codebook.items())]
+    codes = _encode_packed(
+        with_min_parallelism(corpus),
+        rows,
+        m=m,
+        subdim=subdim,
+        id_col=id_col,
+        vec_col=vec_col,
+        extra=extra_cols,
+    )
     return rows, codes
-
-
-def _adc_lut(
-    qsubs: DataFrame,
-    codebook_rows: list[tuple[int, int, list[float]]],
-    out_cols: list[str],
-) -> DataFrame:
-    """Integer-unit (query[, cell], s, code) -> distance lookup table
-    from query subvectors x a broadcast codebook."""
-    cb_df = F.broadcast(
-        qsubs.sparkSession.createDataFrame(
-            codebook_rows, "s int, code int, c array<double>"
-        )
-    )
-    return qsubs.join(cb_df, "s").select(
-        *out_cols,
-        F.floor(_sq_dist(F.col("sub"), F.col("c")) * ADC_UNITS + F.lit(0.5))
-        .cast("long")
-        .alias("du"),
-    )
 
 
 def _adc_rank(
@@ -206,21 +302,38 @@ def _adc_rank(
     lut: DataFrame,
     join_keys: list[str],
     *,
+    m: int,
+    k: int,
     top_k: int,
     id_col: str,
     query_id: str,
 ) -> DataFrame:
-    """Shared ADC tail: broadcast-LUT equi-join on ``join_keys``,
-    self-match filter, BIGINT distance sum, partial top-k. Both the flat
-    PQ scan ([s, code]) and IVF-PQ ([cell, s, code]) end here — one
-    place to fix, not three."""
+    """Shared ADC tail (r12, row-local): attach each query's broadcast
+    ``__lut`` array to the packed corpus codes (equi-join on
+    ``join_keys`` when the LUT is per-(query, cell), a broadcast cross
+    when it is per-query), self-match filter, then the ADC distance as
+    an M-term BIGINT fold ``lut[s*K + codes[s]]`` evaluated per row —
+    exact integer adds in a fixed order, so it equals the former
+    groupBy(query, vector) SUM over per-subspace rows term for term —
+    and the partial top-k. Both the flat PQ scan and IVF-PQ end here —
+    one place to fix, not three."""
     from kafka_streams_the_clojure_way_spark.operators.relational import top_k_per_key
 
-    scored = (
-        codes.join(F.broadcast(lut), join_keys)
-        .filter(F.col(id_col) != F.col(query_id))
-        .groupBy(query_id, id_col)
-        .agg(F.sum("du").alias("adc_units"))
+    if join_keys:
+        joined = codes.join(F.broadcast(lut), join_keys)
+    else:
+        joined = codes.crossJoin(F.broadcast(lut))
+    units = None
+    for s in range(m):
+        term = F.element_at(
+            F.col("__lut"),
+            (F.lit(s * k) + F.element_at(F.col("codes"), s + 1) + F.lit(1)).cast(
+                "int"
+            ),
+        )
+        units = term if units is None else units + term
+    scored = joined.filter(F.col(id_col) != F.col(query_id)).select(
+        query_id, id_col, units.alias("adc_units")
     )
     return top_k_per_key(
         scored,
@@ -248,19 +361,24 @@ def adc_topk(
 ) -> DataFrame:
     """ADC top-k: queries stay float, the corpus is its codes.
 
-    Builds the (query, s, code) -> integer-unit distance lookup table
-    (n_queries x M x K rows), broadcasts it against the corpus codes, and
-    partial-top-k's the BIGINT distance sums. Output: (query_id,
-    neighbor_id, rank, adc_units)."""
+    Builds each query's full M x K integer-unit ADC table as one
+    broadcast array row (n_queries rows), crosses it against the packed
+    corpus codes, folds the M lookups row-locally, and partial-top-k's
+    the BIGINT distances. Output: (query_id, neighbor_id, rank,
+    adc_units)."""
     m = 1 + max(s for s, _, _ in codebook_rows)
+    k = 1 + max(c for _, c, _ in codebook_rows)
     subdim = len(codebook_rows[0][2])
-    qsubs = _subvector_frame(
+    lut = _adc_lut_arr(
         queries.select(F.col(id_col).alias(query_id), vec_col),
-        query_id, vec_col, m, subdim,
+        codebook_rows,
+        m=m,
+        subdim=subdim,
+        query_id=query_id,
+        vec_col=vec_col,
     )
-    lut = _adc_lut(qsubs, codebook_rows, [query_id, "s", "code"])
     return _adc_rank(
-        codes, lut, ["s", "code"], top_k=top_k, id_col=id_col, query_id=query_id
+        codes, lut, [], m=m, k=k, top_k=top_k, id_col=id_col, query_id=query_id
     )
 
 
@@ -420,12 +538,12 @@ def ivfpq_topk(
     raw vectors.
 
     Query path: each query probes its ``n_probe`` best cells and builds a
-    per-(query, cell) integer-unit LUT against the residual codebooks;
-    candidates come from the (cell, s, code) equi-join — only probed
-    cells' codes are touched, and a neighbor matches through exactly one
-    cell, so the BIGINT sum over its m subspace rows is the full ADC
-    distance. Everything stays bit-exact for the same reasons as
-    :func:`adc_topk`.
+    per-(query, cell) integer-unit LUT array against the residual
+    codebooks; candidates come from a broadcast equi-join on ``cell`` —
+    only probed cells' packed codes are touched, a neighbor matches
+    through exactly one cell, and its full ADC distance is the row-local
+    M-term BIGINT fold over its code array. Everything stays bit-exact
+    for the same reasons as :func:`adc_topk`.
 
     At 100 TB: codes partition BY CELL (the build_ivf_index layout), so
     probing is a partition-pruned scan of 4-byte codes — the billion-
@@ -524,9 +642,10 @@ def ivfpq_model(
     centroids, residual PQ codebooks, and the encoded corpus. Returns
     ``(cent_rows, codebook_rows, codes)`` — the first two are
     model-sized driver lists (what a production job persists next to
-    the cell-partitioned codes), ``codes`` a cached ``(id, s, code,
-    cell)`` DataFrame. ``ivfpq_serve`` answers queries against this
-    model without ever touching the float corpus again.
+    the cell-partitioned codes), ``codes`` a cached ``(id, cell,
+    codes array<int>)`` DataFrame (one packed row per vector; r12).
+    ``ivfpq_serve`` answers queries against this model without ever
+    touching the float corpus again.
 
     With ``path``, the whole index persists to disk — ``centroids/``
     and ``codebook/`` parquet (model-sized) plus ``codes/`` hive-
@@ -558,9 +677,15 @@ def ivfpq_model(
         1,
     ).localCheckpoint(eager=True)
     codebook, codes = pq_model(
-        corpus_res, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col="__res"
+        corpus_res,
+        m=m,
+        k=k,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col="__res",
+        extra_cols=("cell",),
     )
-    codes = codes.join(corpus_res.select(id_col, "cell"), id_col).cache()
+    codes = codes.cache()
     if path:
         spark = corpus.sparkSession
         spark.createDataFrame(
@@ -623,14 +748,22 @@ def ivfpq_serve(
         n_probe,
     )
     subdim = len(codebook[0][2])
-    qsubs = _subvector_frame(
-        probe_res, query_id, "__res", m, subdim, extra=("cell",)
+    k = 1 + max(c for _, c, _ in codebook)
+    lut = _adc_lut_arr(
+        probe_res,
+        codebook,
+        m=m,
+        subdim=subdim,
+        query_id=query_id,
+        vec_col="__res",
+        extra=("cell",),
     )
-    lut = _adc_lut(qsubs, codebook, [query_id, "cell", "s", "code"])
     return _adc_rank(
         codes,
         lut,
-        ["cell", "s", "code"],
+        ["cell"],
+        m=m,
+        k=k,
         top_k=top_k,
         id_col=id_col,
         query_id=query_id,

@@ -496,11 +496,22 @@ def test_pagerank_joins_are_equi(spark):
 
 
 def test_pq_adc_lut_broadcasts(spark):
-    """PQ's ADC join must broadcast the (query, subspace, code) lookup
-    table against the corpus codes — the corpus side must never shuffle
-    for a probe-set-sized LUT."""
+    """PQ's ADC attach must broadcast the per-query LUT-array side
+    against the packed corpus codes (r12: a broadcast cross + row-local
+    M-term fold) — the corpus side must never shuffle for a
+    probe-set-sized LUT, and the fold must stay row-local (no
+    groupBy(query, vector) Exchange of the corpus x queries candidates:
+    the only shuffle below the ranking window is the top-k's own)."""
     p = _plan(spark, "sim_pq_adc_topk")
-    assert "BroadcastHashJoin" in p, p[:3000]
+    assert "BroadcastNestedLoopJoin" in p, p[:3000]
+    assert "SortMergeJoin" not in p, p[:3000]
+    assert "ShuffledHashJoin" not in p, p[:3000]
+    # the IVF-PQ twin routes per cell: its LUT attach is a broadcast
+    # equi-join on cell over the packed codes — same no-corpus-shuffle
+    # contract
+    p2 = _plan(spark, "sim_ivfpq_topk")
+    assert "BroadcastHashJoin" in p2, p2[:3000]
+    assert "SortMergeJoin" not in p2, p2[:3000]
 
 
 def test_dq_audit_rules_are_one_scan(spark):
