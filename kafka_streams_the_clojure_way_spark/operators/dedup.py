@@ -1715,7 +1715,12 @@ def token_hashes(text: Column) -> Column:
 
 
 def _long_array(vals) -> Column:
-    return F.array(*[F.lit(int(v)).cast("long") for v in vals])
+    # ONE parsed BIGINT-array literal (r12): the former per-element
+    # ``F.lit(v).cast("long")`` loop paid a py4j round trip per seed
+    # (~120-256 per signature expression, constructed per query); the
+    # ``L`` suffix pins each literal to BIGINT, so the parsed array is
+    # the identical expression.
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
 
 
 def simhash_from_hashes(hashes: Column) -> Column:

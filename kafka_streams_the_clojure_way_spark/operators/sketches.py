@@ -13,8 +13,10 @@ shuffles the full token multiset (≈ corpus size); the sketch pass shuffles
 broadcast-prunes the explode before any shuffle, so only heavy-candidate
 tokens ever leave the scan stage.
 
-The per-partition pass is Python (Arrow-batched ``mapInPandas``) by
-necessity: Misra-Gries is an inherently sequential counter update. It is
+The per-partition pass is Python (Arrow-batched ``mapInPandas``): the
+counter update runs vectorized per Arrow batch (value_counts) with the
+mergeable-summaries MG reduction between batches (r12) — same k-counter
+memory bound and survival guarantee as the sequential update. It is
 the *summary* path, not a row-at-a-time UDF in a relational hot path —
 its output is O(k) per partition regardless of input size.
 """
@@ -35,36 +37,43 @@ HEAVY_HITTER_K = 64
 
 
 def _mg_partition(k: int):
+    import numpy as np
     import pandas as pd
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        counters: dict[str, int] = {}
+        # Batched Misra-Gries via summary MERGE (r12, guide §4.2): each
+        # Arrow batch is counted vectorized (value_counts), added into
+        # the running summary, and the summary reduced back to <= k
+        # entries by subtracting the (k+1)-th largest count and dropping
+        # non-positives — the mergeable-summaries MG reduction (Agarwal
+        # et al., PODS'12), whose undercount bound is the sequential
+        # sketch's n_p/(k+1), so every token with partition count >
+        # n_p/(k+1) still survives and the recount-filter result is
+        # unchanged. Memory stays bounded: <= k carried entries plus one
+        # batch's vocabulary (batches are Arrow-sized, ~10k rows). The
+        # former per-token Python loop was ~10x slower per corpus pass.
+        counters = pd.Series(dtype="int64")
         total = 0
         for pdf in batches:
-            for toks in pdf["toks"]:
-                # NULL text rows arrive as None arrays; DuckDB's
-                # unnest(NULL) silently emits no rows, so skipping (not
-                # crashing) is the cross-engine-consistent behavior.
-                if toks is None:
-                    continue
-                for t in toks:
-                    total += 1
-                    if t in counters:
-                        counters[t] += 1
-                    elif len(counters) < k:
-                        counters[t] = 1
-                    else:
-                        dead = []
-                        for key in counters:
-                            counters[key] -= 1
-                            if counters[key] == 0:
-                                dead.append(key)
-                        for key in dead:
-                            del counters[key]
+            # NULL text rows arrive as None arrays; DuckDB's
+            # unnest(NULL) silently emits no rows, so skipping (not
+            # crashing) is the cross-engine-consistent behavior.
+            arrs = [np.asarray(a, dtype=object) for a in pdf["toks"] if a is not None]
+            if not arrs:
+                continue
+            flat = np.concatenate(arrs)
+            total += len(flat)
+            counters = counters.add(
+                pd.Series(flat).value_counts(), fill_value=0
+            ).astype("int64")
+            if len(counters) > k:
+                v = counters.nlargest(k + 1).iloc[-1]
+                counters = counters - int(v)
+                counters = counters[counters > 0]
         yield pd.DataFrame(
             {
-                "token": list(counters.keys()) + [None],
-                "cnt": [int(v) for v in counters.values()] + [total],
+                "token": list(counters.index) + [None],
+                "cnt": [int(v) for v in counters.to_numpy()] + [total],
             }
         )
 

@@ -672,7 +672,13 @@ def shingles_sql(expr: str, k: int = CONTAM_NGRAM) -> str:
 REP_NGRAM = 5  # duplicate-n-gram size for the repetition fraction
 
 
-def repetition_stats(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    *,
+    toks_col: str | None = None,
+) -> DataFrame:
     """Repetitive-content signature per document (Rae et al. 2021 §A1.1
     adapted to an unlined corpus): the fraction of all bigrams taken by
     the single most frequent bigram (``top_bigram_frac``) and the
@@ -687,8 +693,13 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text: str = "text") 
     operator flags are exactly the ones that compress best). Documents
     shorter than 2 (bigrams) tokens drop out; shorter than 5 get a NULL
     dup_5gram_frac via the left join — same semantics in the SQL twin.
+
+    ``toks_col``: consume a pre-tokenized array column instead of
+    tokenizing ``text`` (r12) — callers with a materialized token table
+    (``toks`` IS ``tokens_col(text)``) skip the tokenize pass; the gram
+    expressions are unchanged either way.
     """
-    toks = tokens_col(F.col(text))
+    toks = F.col(toks_col) if toks_col else tokens_col(F.col(text))
     d = df.select(F.col(id_col), toks.alias("__w"))
     grams = d.select(
         id_col,

@@ -1317,12 +1317,13 @@ def _pq_oracle() -> str:
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jegou et al. TPAMI'11): 4 subspaces x
     16 codes trained by a grouped deterministic Lloyd pass (all
-    subspaces share the same Spark jobs), corpus collapsed to 4-byte
-    codes, queries answered by ADC — a broadcast (query, subspace, code)
-    lookup table joined against the codes, distances summed as exact
-    integer units so even this approximate index carries a full value
-    oracle. The 32x-compression memory tier FAISS-style IVF-PQ builds
-    on; see operators/pq.py for the 100 TB shape."""
+    subspaces share the same Spark jobs), corpus collapsed to one packed
+    4-code row per vector, queries answered by ADC — each query's full
+    M x K lookup table broadcast as one array row and folded row-locally
+    against the code arrays (r12), distances summed as exact integer
+    units so even this approximate index carries a full value oracle.
+    The 32x-compression memory tier FAISS-style IVF-PQ builds on; see
+    operators/pq.py for the 100 TB shape."""
     from kafka_streams_the_clojure_way_spark.operators.pq import (
         PQ_ITERS,
         PQ_K,
@@ -1354,10 +1355,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells route every vector (sim_ivf_ann_topk's deterministic
     centroids), product quantization encodes the RESIDUAL x - centroid,
     and queries probe 3 cells with per-(query, cell) integer-unit ADC
-    lookup tables. Candidates come from a (cell, subspace, code)
-    equi-join against a broadcast LUT — probed cells only, 4-byte codes
-    only — yet the whole composed index is bit-exact against one DuckDB
-    CTE chain. Serves from the per-process trained model (ivfpq_model /
+    lookup arrays. Candidates come from a broadcast equi-join on cell
+    with a row-local M-term fold over the packed code arrays (r12) —
+    probed cells only, 4-byte codes only — yet the whole composed index
+    is bit-exact against one DuckDB CTE chain. Serves from the per-process trained model (ivfpq_model /
     ivfpq_serve — the same build/serve split as every index here). See
     operators/pq.py."""
     from kafka_streams_the_clojure_way_spark.operators.pq import (
@@ -2928,11 +2929,14 @@ def text_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetitive-content signature (Gopher §A1.1 adapted): top-bigram
     coverage fraction and duplicate-5-gram fraction per document — the
     boilerplate/looping-text signals per-token quality scores miss.
-    N-gram construction is CPU-heavy per row, so the input is
-    parallelism-guarded like the other n-gram operators; both count
-    aggregations shuffle one row per distinct gram per doc."""
-    docs = with_min_parallelism(load_table(spark, sf_dir, "documents"))
-    return T.repetition_stats(docs)
+    Serves from the shared materialized token table (r12 — tokens-only
+    consumer, same §1.2 conversion as the LM/budget family: ``toks`` IS
+    ``tokens_col(text)``, pinned row-by-row); both count aggregations
+    shuffle one row per distinct gram per doc."""
+    tok = with_min_parallelism(
+        _shared_tokens(spark, sf_dir).select("doc_id", "toks")
+    )
+    return T.repetition_stats(tok, toks_col="toks")
 
 
 # Deterministic PII fabrication: the synthetic corpus carries no real
