@@ -206,3 +206,157 @@ def test_bigrams_from_toks_matches_text_form(spark, sf_dir):
         "doc_id", L._bigrams_from_toks(F.col("toks")).alias("bg")
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# --------------------------------------------------------------------------
+# Continuation session: packed-code ADC, parsed literals, batched MG
+# --------------------------------------------------------------------------
+
+def test_packed_codes_match_subspace_argmin(spark, sf_dir):
+    """pq_model's packed code arrays (r12 `_encode_packed`) must agree
+    element-for-element with the trainer's per-(id, subspace) argmin —
+    the former codes layout — over the real corpus."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.operators import pq as PQ
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook, codes = PQ.pq_model(emb)
+    packed = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+
+    subdim = len(codebook[0][2])
+    m = 1 + max(s for s, _, _ in codebook)
+    subs = PQ._subvector_frame(emb, "vec_id", "embedding", m, subdim)
+    by_s: dict[int, list] = {}
+    for s, c, v in sorted(codebook):
+        by_s.setdefault(s, []).append((c, [float(x) for x in v]))
+    cand = F.transform(
+        F.element_at(F.col("__cb"), F.col("s") + 1),
+        lambda e: F.struct(
+            PQ._sq_dist(F.col("sub"), e["v"]).alias("d"),
+            e["code"].alias("code"),
+        ),
+    )
+    from kafka_streams_the_clojure_way_spark.operators.clustering import attach_model
+
+    ref_rows = (
+        attach_model(
+            subs, "__cb",
+            [by_s[s] for s in sorted(by_s)],
+            "array<array<struct<code:int,v:array<double>>>>",
+        )
+        .select("vec_id", "s", F.array_min(cand)["code"].alias("code"))
+        .collect()
+    )
+    ref: dict[int, list] = {}
+    for r in ref_rows:
+        ref.setdefault(r["vec_id"], [None] * m)[r["s"]] = r["code"]
+    assert packed == ref
+
+
+def test_adc_fold_matches_groupby_sum(spark):
+    """The row-local M-term ADC fold must equal the former
+    groupBy(query, vector) SUM over per-subspace LUT rows on a frame
+    small enough to enumerate by hand."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.operators import pq as PQ
+
+    # 2 subspaces x 2 codes, 3 vectors, 2 queries — exact integer units
+    dim, m = 4, 2
+    vecs = [(i, [float(i + d) for d in range(dim)]) for i in range(3)]
+    queries = [(10, [0.5, 1.5, 2.5, 3.5]), (11, [3.0, 1.0, 0.0, 2.0])]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<double>")
+    codebook, codes = PQ.pq_model(corpus, m=m, k=2, n_iter=1)
+    out = {
+        (r["query_id"], r["neighbor_id"]): r["adc_units"]
+        for r in PQ.adc_topk(codes, codebook, qdf).collect()
+    }
+
+    # reference: explicit per-subspace du rows summed per (query, vec)
+    import math
+
+    subdim = dim // m
+    packed = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    lut = {}
+    for qid, qv in queries:
+        for s, c, cent in codebook:
+            sub = qv[s * subdim:(s + 1) * subdim]
+            d = 0.0
+            for x, y in zip(sub, cent):
+                d = d + (x - y) * (x - y)
+            lut[(qid, s, c)] = int(math.floor(d * PQ.ADC_UNITS + 0.5))
+    for qid, _ in queries:
+        for vid, cs in packed.items():
+            if vid == qid:
+                continue
+            want = sum(lut[(qid, s, cs[s])] for s in range(m))
+            assert out[(qid, vid)] == want
+
+
+def test_lsh_bucket_matches_per_plane_chain(spark, sf_dir):
+    """The parsed-literal lsh_bucket (r12) must equal the former
+    per-plane chained-sum form on every corpus vector."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_the_clojure_way_spark.operators import similarity as S
+    from kafka_streams_the_clojure_way_spark.sources.files import load_table
+
+    def old_form(vec):
+        bucket = F.lit(0)
+        vec_d = vec.cast("array<double>")
+        for p in range(S.N_PLANES):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec_d,
+                    F.array(*[F.lit(S._plane_weight(p, d)) for d in range(S.EMBED_DIM)]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return bucket.cast("long")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = emb.select("vec_id", S.lsh_bucket(F.col("embedding")).alias("b")).collect()
+    want = emb.select("vec_id", old_form(F.col("embedding")).alias("b")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_long_array_literal_values_and_type(spark):
+    from kafka_streams_the_clojure_way_spark.operators.dedup import _long_array
+
+    df = spark.range(1).select(_long_array([3, 1 << 40, 0]).alias("a"))
+    assert df.schema["a"].dataType.simpleString() == "array<bigint>"
+    assert df.collect()[0]["a"] == [3, 1 << 40, 0]
+
+
+def test_mg_partition_survival_guarantee_and_total():
+    """The batched Misra-Gries merge must keep every token whose
+    partition count exceeds n/(k+1) (the sequential sketch's bound) and
+    report the exact token total — on a skewed stream crafted so the
+    reduction step actually fires."""
+    import pandas as pd
+
+    from kafka_streams_the_clojure_way_spark.operators.sketches import _mg_partition
+
+    k = 4
+    toks = []
+    # heavy tokens: far above n/(k+1); chaff: thousands of singletons
+    for i in range(400):
+        toks.append(["hot_a", "hot_b"])
+    for i in range(2000):
+        toks.append([f"chaff_{i}"])
+    toks.append(None)  # null doc must be skipped, not crash
+    pdf = pd.DataFrame({"toks": toks})
+    batches = [pdf.iloc[i:i + 97] for i in range(0, len(pdf), 97)]
+    out = list(_mg_partition(k)(iter(batches)))[0]
+    total = int(out[out["token"].isnull()]["cnt"].iloc[0])
+    assert total == 400 * 2 + 2000
+    survivors = set(out[out["token"].notnull()]["token"])
+    assert len(survivors) <= k
+    # n/(k+1) = 2800/5 = 560 < 800 = count(hot_*): both must survive
+    assert {"hot_a", "hot_b"} <= survivors
